@@ -1,0 +1,25 @@
+from __future__ import annotations
+
+import pytest
+
+from stateful_spark_streaming_spark.session import get_spark
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="session")
+def spark():
+    s = get_spark(
+        "tests",
+        master="local[4]",
+        shuffle_partitions=4,
+        streaming=True,
+        extra_conf={"spark.sql.streaming.checkpointLocation.deleteOnStop": "true"},
+    )
+    yield s
+    s.stop()
+
+
+@pytest.fixture(scope="session")
+def sf_dir() -> str:
+    return SF_DIR
