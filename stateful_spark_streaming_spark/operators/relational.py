@@ -1,0 +1,218 @@
+"""Relational surface — the query capabilities the reference gets "for free"
+via its snapshot-view + arbitrary-SQL hook (StreamWithStates.scala:46-49,
+"you can do any SQL you want here"), realized as first-class Catalyst plans.
+
+The reference itself only ever runs ``SELECT *`` (SURVEY §2.6 Q1); everything
+here is the generalized surface: joins, multi-row aggregation, grouping sets,
+window ranking, set ops, semi/anti joins, string/date/JSON functions.
+
+Scale notes (100 TB discipline):
+- dimension joins (region/nation/supplier/part) are explicitly broadcast —
+  no shuffle of the fact table for a kilobyte-scale dim;
+- fact-fact joins (orders⋈lineitem) shuffle on the join key once; AQE handles
+  skew splits at runtime;
+- every filter is expressed on base columns before joins so Catalyst pushes
+  it into the parquet scan (verify via .explain → PushedFilters).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql.functions import broadcast
+
+
+def pricing_summary(lineitem: DataFrame) -> DataFrame:
+    """TPC-H Q1-style pricing summary: one shuffle, map-side partial aggs."""
+    return (
+        lineitem.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("sum_disc_price"),
+            F.round(
+                F.sum(
+                    F.col("l_extendedprice")
+                    * (1 - F.col("l_discount"))
+                    * (1 + F.col("l_tax"))
+                ),
+                2,
+            ).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+def shipping_priority(customer: DataFrame, orders: DataFrame, lineitem: DataFrame) -> DataFrame:
+    """TPC-H Q3-style: filter-pushdown on all three scans, then two shuffles
+    (customer side broadcastable at dim-like selectivity)."""
+    c = customer.filter(F.col("c_mktsegment") == "BUILDING")
+    o = orders.filter(F.col("o_orderdate") < F.lit("1998-03-15"))
+    l = lineitem.filter(F.col("l_shipdate") > F.lit("1995-03-15"))
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey").asc())
+        .limit(10)
+    )
+
+
+def local_supplier_volume(
+    region: DataFrame,
+    nation: DataFrame,
+    customer: DataFrame,
+    supplier: DataFrame,
+    orders: DataFrame,
+    lineitem: DataFrame,
+) -> DataFrame:
+    """TPC-H Q5-style: snowflake join; all dims broadcast, facts shuffle once."""
+    dims = (
+        broadcast(nation)
+        .join(broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .filter(F.col("r_name") == "ASIA")
+    )
+    return (
+        lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey)
+        .join(broadcast(supplier), lineitem.l_suppkey == supplier.s_suppkey)
+        .join(customer, orders.o_custkey == customer.c_custkey)
+        .filter(F.col("c_nationkey") == F.col("s_nationkey"))
+        .join(broadcast(dims), F.col("s_nationkey") == dims.n_nationkey)
+        .filter(
+            (F.col("o_orderdate") >= F.lit("1996-01-01"))
+            & (F.col("o_orderdate") < F.lit("1997-01-01"))
+        )
+        .groupBy("n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+    )
+
+
+def forecast_revenue(lineitem: DataFrame) -> DataFrame:
+    """TPC-H Q6-style: pure scan-filter-agg; every predicate reaches parquet."""
+    return (
+        lineitem.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01"))
+            & (F.col("l_discount").between(0.03, 0.07))
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias(
+                "revenue"
+            ),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+def returns_rollup(lineitem: DataFrame) -> DataFrame:
+    """GROUP BY ROLLUP — grouping-set aggregation (absent in the reference,
+    SURVEY §2.7)."""
+    return (
+        lineitem.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    )
+
+
+def priority_top_orders(orders: DataFrame, per_group: int = 3) -> DataFrame:
+    """Window ranking: top-N orders by totalprice within each priority."""
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    return (
+        orders.withColumn("rank_in_priority", F.row_number().over(w))
+        .filter(F.col("rank_in_priority") <= per_group)
+        .select("o_orderpriority", "rank_in_priority", "o_orderkey", "o_totalprice")
+    )
+
+
+def customers_without_recent_orders(customer: DataFrame, orders: DataFrame) -> DataFrame:
+    """Anti join — customers with no order in the trailing window.  The
+    filtered order side stays small, so Catalyst broadcasts the build side."""
+    recent = orders.filter(F.col("o_orderdate") >= F.lit("2001-01-01"))
+    return customer.join(
+        recent, customer.c_custkey == recent.o_custkey, "left_anti"
+    ).select("c_custkey", "c_name", "c_mktsegment")
+
+
+def segment_set_ops(customer: DataFrame, orders: DataFrame) -> DataFrame:
+    """UNION / INTERSECT / EXCEPT in one plan: custkeys in BUILDING or
+    AUTOMOBILE, intersected with high-balance custkeys, minus big spenders."""
+    b = customer.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    a = customer.filter(F.col("c_mktsegment") == "AUTOMOBILE").select("c_custkey")
+    rich = customer.filter(F.col("c_acctbal") > 5000).select("c_custkey")
+    big = (
+        orders.filter(F.col("o_totalprice") > 400000)
+        .select(F.col("o_custkey").alias("c_custkey"))
+    )
+    return (
+        b.union(a)
+        .intersect(rich)
+        .exceptAll(big.distinct())
+        .withColumnRenamed("c_custkey", "custkey")
+    )
+
+
+def monthly_revenue(orders: DataFrame) -> DataFrame:
+    """Date bucketing: month-truncated revenue series."""
+    return (
+        orders.groupBy(F.date_trunc("month", "o_orderdate").cast("date").alias("month"))
+        .agg(
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+            F.count(F.lit(1)).alias("n_orders"),
+            F.countDistinct("o_custkey").alias("n_customers"),
+        )
+    )
+
+
+def order_stats_conditional(orders: DataFrame) -> DataFrame:
+    """Conditional aggregation (CASE/FILTER) + distinct aggregates."""
+    return orders.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.when(F.col("o_totalprice") > 100000, 1).otherwise(0)).alias(
+            "n_big"
+        ),
+        F.round(F.avg("o_totalprice"), 4).alias("avg_price"),
+        F.round(F.max("o_totalprice"), 2).alias("max_price"),
+        F.round(F.min("o_totalprice"), 2).alias("min_price"),
+    )
+
+
+def part_text_functions(part: DataFrame) -> DataFrame:
+    """String function surface: case, substring, concat, like, regexp."""
+    return part.select(
+        "p_partkey",
+        F.upper(F.col("p_brand")).alias("brand_upper"),
+        F.substring("p_name", 1, 8).alias("name_prefix"),
+        F.length("p_name").alias("name_len"),
+        F.concat_ws("/", "p_brand", "p_type").alias("brand_type"),
+        F.col("p_type").like("%BRASS%").alias("is_brass"),
+        F.regexp_replace("p_name", "[aeiou]", "").alias("name_novowels"),
+    )
+
+
+def events_json_extract(events: DataFrame) -> DataFrame:
+    """Semi-structured surface: JSON payload field extraction (events.props)."""
+    return events.select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("long").alias("k"),
+        "event_type",
+    )
