@@ -1,0 +1,242 @@
+"""Deduplication operators — exact, n-gram Jaccard, MinHash+LSH, SimHash,
+embedding-cosine near-dup (BASELINE.json north star).
+
+Scale design (the 100 TB story, per operator):
+
+- **exact**: hash-groupBy on a 128-bit content fingerprint — one shuffle of
+  (fp, doc_id) pairs only, never the text bodies.
+- **n-gram Jaccard**: inverted-index self-join on shingles (explode → join on
+  shingle → count per pair).  The classic quadratic blowup is bounded by (a)
+  distinct-shingle explode, (b) a size-band prefilter (|A|/|B| must exceed the
+  threshold for J(A,B) ≥ τ), and (c) hot-shingle removal (a shingle shared by
+  thousands of docs contributes O(n²) candidate pairs but is almost always
+  boilerplate — drop shingles with df > max_shingle_df).
+- **MinHash+LSH**: signatures via ``xxhash64(shingle, seed)`` — JVM-side,
+  vectorized, no Python; banding turns the all-pairs problem into an
+  equi-join on (band_id, band_hash); candidates verified with exact Jaccard.
+- **SimHash**: 64 conditional-sum aggregates over exploded token hashes —
+  pure hash-aggregate, one shuffle on doc_id.
+- **embedding cosine**: normalized vectors; brute-force pair join at test SF,
+  random-hyperplane LSH bucketing as the scale path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from stateful_spark_streaming_spark.operators.text import normalize_text, shingles
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exact dedup on normalized-text fingerprint; survivor = lowest id
+    (deterministic).  Returns one row per distinct content with the survivor
+    id and the duplicate count."""
+    fp = F.md5(normalize_text(F.col(text_col)))
+    return (
+        df.select(F.col(id_col), fp.alias("content_fp"))
+        .groupBy("content_fp")
+        .agg(
+            F.min(id_col).alias("survivor_doc_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+def _shingle_index(df: DataFrame, text_col: str, id_col: str, k: int) -> DataFrame:
+    """(id, shingle) inverted index with per-doc set sizes."""
+    sh = df.select(
+        F.col(id_col).alias("doc"), shingles(F.col(text_col), k).alias("sh")
+    ).withColumn("set_size", F.size("sh"))
+    return sh.select("doc", "set_size", F.explode("sh").alias("shingle"))
+
+
+def jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    threshold: float = 0.6,
+    max_shingle_df: int | None = 1000,
+) -> DataFrame:
+    """n-gram Jaccard near-dup pairs: J(A,B) = |A∩B| / (|A|+|B|-|A∩B|) ≥ τ.
+
+    One explode + one equi-join on shingle + one pair aggregation.  The
+    size-band prefilter (|A| ≥ τ|B|) is applied at join time so dissimilar
+    size pairs never reach the aggregate.
+    """
+    idx = _shingle_index(df, text_col, id_col, k)
+    if max_shingle_df is not None:
+        hot = (
+            idx.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("df_"))
+            .filter(F.col("df_") > max_shingle_df)
+            .select("shingle")
+        )
+        idx = idx.join(F.broadcast(hot), "shingle", "left_anti")
+    a = idx.alias("a")
+    b = idx.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc") < F.col("b.doc"))
+            # size-band prefilter: J ≥ τ ⇒ min/max set size ratio ≥ τ
+            & (F.col("a.set_size") >= F.col("b.set_size") * threshold)
+            & (F.col("b.set_size") >= F.col("a.set_size") * threshold),
+        )
+        .groupBy(
+            F.col("a.doc").alias("doc_a"),
+            F.col("b.doc").alias("doc_b"),
+            F.col("a.set_size").alias("size_a"),
+            F.col("b.set_size").alias("size_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    jac = F.col("n_common") / (F.col("size_a") + F.col("size_b") - F.col("n_common"))
+    return (
+        pairs.withColumn("jaccard", F.round(jac, 4))
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "n_common", "jaccard")
+    )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    num_hashes: int = 32,
+) -> DataFrame:
+    """MinHash signature per doc: sig[i] = min over shingles of
+    xxhash64(shingle, seed=i).  num_hashes aggregates over one explode —
+    entirely JVM-side (no Python, no UDF)."""
+    idx = _shingle_index(df, text_col, id_col, k)
+    aggs = [
+        F.min(F.xxhash64(F.col("shingle"), F.lit(i))).alias(f"h{i}")
+        for i in range(num_hashes)
+    ]
+    return idx.groupBy(F.col("doc"), F.col("set_size")).agg(*aggs)
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    num_hashes: int = 32,
+    bands: int = 8,
+    threshold: float = 0.6,
+) -> DataFrame:
+    """MinHash + LSH banding: candidate pairs collide on ≥1 band, then are
+    verified with exact Jaccard (no false positives in the output).
+
+    rows/bands = 4 → collision prob at τ=0.6 per band = τ⁴ ≈ 0.13, across 8
+    bands ≈ 67% recall per the standard S-curve; raise num_hashes/bands for
+    higher recall at scale.
+    """
+    rows_per_band = num_hashes // bands
+    sig = minhash_signatures(df, text_col, id_col, k, num_hashes)
+    band_cols = [
+        F.xxhash64(
+            *[F.col(f"h{b * rows_per_band + r}") for r in range(rows_per_band)]
+        ).alias(f"band{b}")
+        for b in range(bands)
+    ]
+    banded = sig.select("doc", *band_cols)
+    # candidates: union of per-band equi-self-joins, deduped
+    cands = None
+    for b in range(bands):
+        left = banded.select(F.col("doc").alias("doc_a"), F.col(f"band{b}").alias("bk"))
+        right = banded.select(F.col("doc").alias("doc_b"), F.col(f"band{b}").alias("bk"))
+        c = left.join(right, "bk").filter(F.col("doc_a") < F.col("doc_b")).select(
+            "doc_a", "doc_b"
+        )
+        cands = c if cands is None else cands.union(c)
+    cands = cands.distinct()
+    # verify candidates with exact Jaccard (joins back to shingle sets)
+    sets = df.select(
+        F.col(id_col).alias("doc"), shingles(F.col(text_col), k).alias("sh")
+    )
+    a = sets.select(F.col("doc").alias("doc_a"), F.col("sh").alias("sh_a"))
+    b_ = sets.select(F.col("doc").alias("doc_b"), F.col("sh").alias("sh_b"))
+    out = (
+        cands.join(a, "doc_a")
+        .join(b_, "doc_b")
+        .withColumn("n_common", F.size(F.array_intersect("sh_a", "sh_b")))
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_common")
+                / (F.size("sh_a") + F.size("sh_b") - F.col("n_common")),
+                4,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "n_common", "jaccard")
+    )
+    return out
+
+
+def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """64-bit SimHash over token xxhash64 values: bit b of the fingerprint is
+    1 iff sum over tokens of ±1 (by bit b of the token hash) is positive.
+
+    64 conditional-sum aggregates over one token explode — hash-aggregate
+    with map-side partials, one shuffle on doc id."""
+    toks = df.select(
+        F.col(id_col).alias("doc"),
+        F.explode(F.split(normalize_text(F.col(text_col)), " ")).alias("tok"),
+    ).withColumn("th", F.xxhash64("tok"))
+    aggs = [
+        F.sum(
+            F.when(F.col("th").bitwiseAND(F.lit(1 << b)) != 0, 1).otherwise(-1)
+        ).alias(f"b{b}")
+        for b in range(63)  # bit 63 = sign bit; skip to stay in positive longs
+    ]
+    sums = toks.groupBy("doc").agg(*aggs)
+    fp = None
+    for b in range(63):
+        bit = F.when(F.col(f"b{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
+        fp = bit if fp is None else fp.bitwiseOR(bit)
+    return sums.select(F.col("doc").alias("doc_id"), fp.alias("simhash64"))
+
+
+def simhash_near_pairs(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", max_hamming: int = 3
+) -> DataFrame:
+    """SimHash near-dup pairs: Hamming distance ≤ max_hamming, found by the
+    pigeonhole trick — split 63 bits into (max_hamming+1) chunks; any pair
+    within distance max_hamming agrees exactly on ≥1 chunk → equi-join per
+    chunk, verify with popcount."""
+    n_chunks = max_hamming + 1
+    chunk_bits = 63 // n_chunks
+    fps = simhash(df, text_col, id_col)
+    chunks = fps.select(
+        "doc_id",
+        "simhash64",
+        *[
+            F.shiftrightunsigned(F.col("simhash64"), c * chunk_bits)
+            .bitwiseAND(F.lit((1 << chunk_bits) - 1))
+            .alias(f"c{c}")
+            for c in range(n_chunks)
+        ],
+    )
+    cands = None
+    for c in range(n_chunks):
+        left = chunks.select(
+            F.col("doc_id").alias("doc_a"), F.col("simhash64").alias("fp_a"), F.col(f"c{c}").alias("ck")
+        )
+        right = chunks.select(
+            F.col("doc_id").alias("doc_b"), F.col("simhash64").alias("fp_b"), F.col(f"c{c}").alias("ck")
+        )
+        j = left.join(right, "ck").filter(F.col("doc_a") < F.col("doc_b")).select(
+            "doc_a", "doc_b", "fp_a", "fp_b"
+        )
+        cands = j if cands is None else cands.union(j)
+    return (
+        cands.distinct()
+        .withColumn("hamming", F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b"))))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
+    )

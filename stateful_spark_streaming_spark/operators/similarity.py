@@ -1,0 +1,316 @@
+"""Similarity search over embedding columns (array<float>).
+
+Two tiers, same results contract:
+
+- **brute-force cosine top-k** — exact baseline.  The dot product is a JVM
+  higher-order expression (zip_with + aggregate): codegen'd, no Python.  The
+  query side is broadcast, so the big side is never shuffled — a map-only
+  scan + per-query top-k heap via window.
+- **IVF (inverted-file) top-k** — the scale path: vectors are assigned to
+  the nearest of C centroids at index time (one pass), queries probe only
+  the nprobe nearest cells.  At 100 TB this turns a full scan into reading
+  nprobe/C of the data; cells are parquet-partitionable by centroid id.
+- **random-hyperplane LSH near-dup** — cosine-similar pair mining without
+  the all-pairs join (see dedup.py for the text analogs).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _norm(a):
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+
+
+def with_unit_vectors(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    """L2-normalize once at index time so cosine = plain dot product later."""
+    n = _norm(F.col(vec_col))
+    return df.withColumn(
+        "unit_vec",
+        F.transform(F.col(vec_col), lambda x: x.cast("double") / n),
+    )
+
+
+def cosine_topk_bruteforce(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k: broadcast queries × scan corpus; per-query top-k window.
+
+    Ties at the k-th neighbor break on neighbor id (deterministic)."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
+    )
+    c = embeddings.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cvec")
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn(
+            "cosine",
+            F.round(
+                _dot(F.col("qvec"), F.col("cvec"))
+                / (_norm(F.col("qvec")) * _norm(F.col("cvec"))),
+                6,
+            ),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", "cosine")
+    )
+
+
+def ivf_build(
+    embeddings: DataFrame,
+    n_centroids: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    iters: int = 3,
+) -> tuple[DataFrame, list[list[float]]]:
+    """Build an IVF index: k-means-lite centroids (deterministic init = first
+    n_centroids vectors by id), then assign every vector to its nearest cell.
+
+    Centroid training collects only C × dim floats to the driver — constant
+    size regardless of corpus scale; assignment is a broadcast map stage.
+    """
+    import numpy as np
+
+    dim = len(embeddings.select(vec_col).first()[0])
+    seed_rows = (
+        embeddings.orderBy(id_col).limit(n_centroids).select(vec_col).collect()
+    )
+    cents = np.array([r[0] for r in seed_rows], dtype=np.float64)
+
+    # a few Lloyd iterations; each is one distributed assign + groupBy-mean
+    for _ in range(iters):
+        assigned = _assign_cells(embeddings, cents, id_col, vec_col)
+        agg = (
+            assigned.select("cell", F.posexplode(vec_col).alias("pos", "v"))
+            .groupBy("cell", "pos")
+            .agg(F.avg("v").alias("m"))
+            .collect()
+        )
+        new = cents.copy()
+        for r in agg:
+            new[r["cell"]][r["pos"]] = r["m"]
+        cents = new
+
+    assigned = _assign_cells(embeddings, cents, id_col, vec_col)
+    return assigned, [list(map(float, c)) for c in cents]
+
+
+def _assign_cells(df: DataFrame, cents, id_col: str, vec_col: str) -> DataFrame:
+    """Nearest-centroid assignment as a broadcast-literal expression chain."""
+    import numpy as np
+
+    cents = np.asarray(cents)
+    d2 = [
+        F.aggregate(
+            F.zip_with(
+                F.col(vec_col),
+                F.array(*[F.lit(float(v)) for v in cents[c]]),
+                lambda x, y: (x.cast("double") - y) * (x.cast("double") - y),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ).alias(f"d{c}")
+        for c in range(len(cents))
+    ]
+    with_d = df.select("*", *d2)
+    best = F.lit(0)
+    best_d = F.col("d0")
+    for c in range(1, len(cents)):
+        cond = F.col(f"d{c}") < best_d
+        best = F.when(cond, F.lit(c)).otherwise(best)
+        best_d = F.when(cond, F.col(f"d{c}")).otherwise(best_d)
+    return with_d.withColumn("cell", best).drop(*[f"d{c}" for c in range(len(cents))])
+
+
+def ivf_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_centroids: int = 8,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: probe only the nprobe nearest cells per query.
+
+    Recall is tested against the brute-force baseline in pytest (rows-only
+    check for the driver: approximate by construction)."""
+    import numpy as np
+
+    assigned, cents = ivf_build(embeddings, n_centroids, id_col, vec_col)
+    cents_np = np.asarray(cents)
+
+    q_assigned = _assign_probe_cells(queries, cents_np, id_col, vec_col, nprobe)
+    c = assigned.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cvec"), "cell"
+    )
+    scored = (
+        c.join(F.broadcast(q_assigned), "cell")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn(
+            "cosine",
+            F.round(
+                _dot(F.col("qvec"), F.col("cvec"))
+                / (_norm(F.col("qvec")) * _norm(F.col("cvec"))),
+                6,
+            ),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", "cosine")
+    )
+
+
+def _assign_probe_cells(
+    queries: DataFrame, cents, id_col: str, vec_col: str, nprobe: int
+) -> DataFrame:
+    """(query_id, qvec, cell) rows — one per probed cell per query."""
+    d2 = [
+        F.aggregate(
+            F.zip_with(
+                F.col(vec_col),
+                F.array(*[F.lit(float(v)) for v in cents[c]]),
+                lambda x, y: (x.cast("double") - y) * (x.cast("double") - y),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ).alias(f"d{c}")
+        for c in range(len(cents))
+    ]
+    dist_struct = F.array(
+        *[
+            F.struct(F.col(f"d{c}").alias("d"), F.lit(c).alias("cell"))
+            for c in range(len(cents))
+        ]
+    )
+    return (
+        queries.select(
+            F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec"), *d2
+        )
+        .withColumn("probes", F.slice(F.array_sort(dist_struct), 1, nprobe))
+        .select(
+            "query_id", "qvec", F.explode(F.col("probes.cell")).alias("cell")
+        )
+    )
+
+
+def cosine_near_pairs(
+    embeddings: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding near-dup pairs: cosine ≥ τ, exact all-pairs form (test SF).
+    The LSH-bucketed variant below is the scale path."""
+    a = embeddings.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    b = embeddings.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .withColumn(
+            "cosine",
+            F.round(
+                _dot(F.col("va"), F.col("vb"))
+                / (_norm(F.col("va")) * _norm(F.col("vb"))),
+                6,
+            ),
+        )
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )
+
+
+def cosine_near_pairs_lsh(
+    embeddings: DataFrame,
+    threshold: float = 0.9,
+    n_planes: int = 16,
+    n_tables: int = 4,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Random-hyperplane LSH: bucket = sign pattern of n_planes projections;
+    pairs colliding in ≥1 of n_tables tables are verified exactly.
+
+    Hyperplanes are deterministic (numpy seeded) driver-side literals —
+    broadcast cost is n_tables × n_planes × dim floats, independent of data."""
+    import numpy as np
+
+    dim = len(embeddings.select(vec_col).first()[0])
+    rng = np.random.RandomState(seed)
+    cands = None
+    for t in range(n_tables):
+        planes = rng.randn(n_planes, dim)
+        bits = [
+            F.when(
+                _dot(
+                    F.col(vec_col),
+                    F.array(*[F.lit(float(v)) for v in planes[p]]),
+                )
+                > 0,
+                F.lit(1 << p),
+            ).otherwise(F.lit(0))
+            for p in range(n_planes)
+        ]
+        key = bits[0]
+        for b_ in bits[1:]:
+            key = key.bitwiseOR(b_)
+        tagged = embeddings.select(
+            F.col(id_col).alias("id"), F.col(vec_col).alias("v"), key.alias("bucket")
+        )
+        left = tagged.select(
+            F.col("id").alias("id_a"), F.col("v").alias("va"), "bucket"
+        )
+        right = tagged.select(
+            F.col("id").alias("id_b"), F.col("v").alias("vb"), "bucket"
+        )
+        c = left.join(right, "bucket").filter(F.col("id_a") < F.col("id_b")).select(
+            "id_a", "id_b", "va", "vb"
+        )
+        cands = c if cands is None else cands.union(c)
+    return (
+        cands.dropDuplicates(["id_a", "id_b"])
+        .withColumn(
+            "cosine",
+            F.round(
+                _dot(F.col("va"), F.col("vb"))
+                / (_norm(F.col("va")) * _norm(F.col("vb"))),
+                6,
+            ),
+        )
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )

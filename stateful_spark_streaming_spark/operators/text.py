@@ -1,0 +1,144 @@
+"""Text-analysis operators for LLM-data pipelines (BASELINE.json north star).
+
+All hot-path computation is built-in column expressions (split / regexp /
+length / aggregate) — JVM-side, codegen'd, no Python in the scan path.  At
+100 TB these run as pure map stages: no shuffle at all until an aggregation
+asks for one.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Tiny per-language stopword lists for the n-gram/stopword language heuristic.
+# Deliberately small + public-common words, so the same lists are trivially
+# re-expressible in the DuckDB oracle SQL.
+STOPWORDS = {
+    "en": ["the", "and", "of", "to", "in", "is", "that", "for"],
+    "es": ["el", "la", "de", "que", "y", "en", "los", "por"],
+    "de": ["der", "die", "und", "das", "nicht", "ist", "von", "mit"],
+    "fr": ["le", "la", "les", "des", "est", "dans", "pour", "une"],
+}
+
+
+def normalize_text(col: Column) -> Column:
+    """lowercase, collapse non-alphanumerics to single spaces, trim."""
+    return F.trim(F.regexp_replace(F.lower(col), "[^a-z0-9]+", " "))
+
+
+def tokens(col: Column) -> Column:
+    """whitespace tokenization of normalized text."""
+    return F.split(normalize_text(col), " ")
+
+
+def token_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Token counting: whitespace tokens + a BPE-ish subword estimate
+    (~chars/4, the common public heuristic for byte-pair-encoded tokens)."""
+    t = tokens(F.col(text_col))
+    return df.select(
+        "doc_id",
+        F.size(t).alias("n_tokens"),
+        F.length(F.col(text_col)).alias("n_chars_raw"),
+        (F.length(normalize_text(F.col(text_col))) / F.lit(4.0)).cast("double").alias(
+            "bpe_token_estimate"
+        ),
+        F.size(F.array_distinct(t)).alias("n_unique_tokens"),
+    )
+
+
+def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Heuristic document quality: length band, punctuation density, stopword
+    hit-rate, mean word length, type-token ratio — rounded for cross-engine
+    stability."""
+    t = tokens(F.col(text_col))
+    n_tok = F.size(t)
+    n_char = F.length(F.col(text_col))
+    punct = F.length(F.regexp_replace(F.col(text_col), "[^!-/:-@\\[-`{-~]", ""))
+    stop_hits = F.size(
+        F.array_intersect(F.array_distinct(t), F.array([F.lit(w) for w in STOPWORDS["en"]]))
+    )
+    mean_word_len = F.round(
+        F.length(F.regexp_replace(normalize_text(F.col(text_col)), " ", ""))
+        / F.greatest(n_tok, F.lit(1)),
+        4,
+    )
+    ttr = F.round(F.size(F.array_distinct(t)) / F.greatest(n_tok, F.lit(1)), 4)
+    score = F.round(
+        F.least(n_tok / F.lit(64.0), F.lit(1.0)) * 0.4
+        + (F.lit(1.0) - F.least(punct / F.greatest(n_char, F.lit(1)), F.lit(1.0))) * 0.2
+        + F.least(stop_hits / F.lit(4.0), F.lit(1.0)) * 0.2
+        + ttr * 0.2,
+        4,
+    )
+    return df.select(
+        "doc_id",
+        n_tok.alias("n_tokens"),
+        punct.alias("n_punct"),
+        stop_hits.alias("stopword_hits"),
+        mean_word_len.alias("mean_word_len"),
+        ttr.alias("type_token_ratio"),
+        score.alias("quality_score"),
+    )
+
+
+def _lang_score(text_norm: Column, lang: str) -> Column:
+    pat = r"\b(" + "|".join(STOPWORDS[lang]) + r")\b"
+    return F.size(F.regexp_extract_all(text_norm, F.lit(pat), 0))
+
+
+def language_id(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Stopword-hit language identification over {en,es,de,fr} + a CJK-char
+    check for zh.  Deterministic argmax with fixed tie order en>es>de>fr>und."""
+    norm = normalize_text(F.col(text_col))
+    scores = {lang: _lang_score(norm, lang) for lang in STOPWORDS}
+    cjk = F.size(F.regexp_extract_all(F.col(text_col), F.lit("[\\x{4e00}-\\x{9fff}]"), 0))
+    best = F.greatest(*scores.values())
+    pred = (
+        F.when(cjk > best, F.lit("zh"))
+        .when(best == F.lit(0), F.lit("und"))
+        .when(scores["en"] == best, F.lit("en"))
+        .when(scores["es"] == best, F.lit("es"))
+        .when(scores["de"] == best, F.lit("de"))
+        .otherwise(F.lit("fr"))
+    )
+    return df.select(
+        "doc_id",
+        "lang",
+        scores["en"].alias("score_en"),
+        scores["es"].alias("score_es"),
+        scores["de"].alias("score_de"),
+        scores["fr"].alias("score_fr"),
+        pred.alias("lang_pred"),
+    )
+
+
+def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Content fingerprint: md5 of normalized text (whole-doc), plus a
+    locality-insensitive 'sorted-unique-token' fingerprint that survives
+    token reordering — the classic near-dup canonicalization."""
+    norm = normalize_text(F.col(text_col))
+    sorted_toks = F.array_join(F.array_sort(F.array_distinct(F.split(norm, " "))), " ")
+    return df.select(
+        "doc_id",
+        F.md5(norm).alias("content_fp"),
+        F.md5(sorted_toks).alias("bag_fp"),
+    )
+
+
+def shingles(col: Column, k: int = 3) -> Column:
+    """k-word shingles of normalized text (distinct), the MinHash/Jaccard
+    input set.  Pure higher-order functions — no UDF."""
+    t = tokens(col)
+    n = F.size(t)
+    idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(-1)))
+    return F.when(n < k, F.array()).otherwise(
+        F.array_distinct(
+            F.transform(
+                idx,
+                lambda i: F.concat_ws(
+                    " ", *[F.element_at(t, (i + j + 1).cast("int")) for j in range(k)]
+                ),
+            )
+        )
+    )

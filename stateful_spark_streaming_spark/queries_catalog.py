@@ -422,6 +422,303 @@ def q_events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     return REL.events_json_extract(_t(spark, sf_dir, "events"))
 
 
+# --------------------------------------------------------------------------
+# Geometry (SURVEY §2.5: projector G1, point construct S4, null-out P3)
+# --------------------------------------------------------------------------
+from stateful_spark_streaming_spark.operators import geometry as GEO  # noqa: E402
+
+
+@query(
+    "web_mercator_projection",
+    oracle="""
+    SELECT event_id,
+           round(lon, 6) AS lon, round(lat, 6) AS lat,
+           round(6378137.0 * radians(lon), 2) AS mercator_x,
+           round(6378137.0 * ln(tan(pi()/4 + radians(lat)/2)), 2) AS mercator_y
+    FROM (
+      SELECT event_id,
+             (event_id % 360) - 180 + 0.25 AS lon,
+             (event_id % 170) - 85 + 0.5 AS lat
+      FROM events)
+    """,
+)
+def q_web_mercator(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G1: WGS84 → Web Mercator as native column math (no geo library).
+    lon/lat synthesized deterministically from event ids (the test tables
+    carry no coordinates).  Reference: Projector tool call at
+    StreamWithStates.scala:209-220."""
+    ev = _t(spark, sf_dir, "events")
+    pts = ev.select(
+        "event_id",
+        ((F.col("event_id") % 360) - 180 + 0.25).alias("lon"),
+        ((F.col("event_id") % 170) - 85 + 0.5).alias("lat"),
+    )
+    proj = GEO.project_web_mercator(pts, "lon", "lat")
+    return proj.select(
+        "event_id",
+        F.round("lon", 6).alias("lon"),
+        F.round("lat", 6).alias("lat"),
+        F.round(F.col("geometry.x"), 2).alias("mercator_x"),
+        F.round(F.col("geometry.y"), 2).alias("mercator_y"),
+    )
+
+
+@query(
+    "geometry_construct_null",
+    oracle="""
+    SELECT event_id,
+           round((event_id % 360) - 180 + 0.25, 6) AS x,
+           round((event_id % 170) - 85 + 0.5, 6) AS y,
+           (event_id % 2 = 0) AS geom_is_null
+    FROM events
+    """,
+)
+def q_geometry_construct_null(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S4 + P3: build point structs, null half of them (the reference's
+    null-geometry branch), emit flattened x/y + null flag."""
+    ev = _t(spark, sf_dir, "events")
+    pts = GEO.make_point(
+        ev.select(
+            "event_id",
+            ((F.col("event_id") % 360) - 180 + 0.25).alias("longitude"),
+            ((F.col("event_id") % 170) - 85 + 0.5).alias("latitude"),
+        )
+    )
+    nulled = pts.withColumn(
+        "geometry",
+        F.when(F.col("event_id") % 2 == 0, F.lit(None).cast(pts.schema["geometry"].dataType))
+        .otherwise(F.col("geometry")),
+    )
+    return nulled.select(
+        "event_id",
+        F.round(F.coalesce(F.col("geometry.x"), F.col("longitude")), 6).alias("x"),
+        F.round(F.coalesce(F.col("geometry.y"), F.col("latitude")), 6).alias("y"),
+        F.col("geometry").isNull().alias("geom_is_null"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Text analysis (north star: token counting, quality, language-ID, fingerprint)
+# --------------------------------------------------------------------------
+from stateful_spark_streaming_spark.operators import text as TXT  # noqa: E402
+
+_NORM_SQL = "trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))"
+_TOKS_SQL = f"string_split({_NORM_SQL}, ' ')"
+
+
+@query(
+    "token_stats",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(len({_TOKS_SQL}) AS INT) AS n_tokens,
+           CAST(length(text) AS INT) AS n_chars_raw,
+           length({_NORM_SQL}) / 4.0 AS bpe_token_estimate,
+           CAST(len(list_distinct({_TOKS_SQL})) AS INT) AS n_unique_tokens
+    FROM documents
+    """,
+)
+def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return TXT.token_stats(_t(spark, sf_dir, "documents"))
+
+
+@query(
+    "quality_score",
+    oracle=f"""
+    WITH base AS (
+      SELECT doc_id,
+             {_TOKS_SQL} AS toks,
+             {_NORM_SQL} AS norm,
+             CAST(length(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g')) AS INT) AS n_punct,
+             CAST(length(text) AS INT) AS n_char
+      FROM documents)
+    SELECT doc_id,
+           CAST(len(toks) AS INT) AS n_tokens,
+           n_punct,
+           CAST(len(list_intersect(list_distinct(toks),
+                ['the','and','of','to','in','is','that','for'])) AS INT) AS stopword_hits,
+           round(length(replace(norm, ' ', '')) / greatest(len(toks), 1), 4) AS mean_word_len,
+           round(len(list_distinct(toks)) / CAST(greatest(len(toks), 1) AS DOUBLE), 4) AS type_token_ratio,
+           round(least(len(toks) / 64.0, 1.0) * 0.4
+                 + (1.0 - least(n_punct / CAST(greatest(n_char, 1) AS DOUBLE), 1.0)) * 0.2
+                 + least(len(list_intersect(list_distinct(toks),
+                       ['the','and','of','to','in','is','that','for'])) / 4.0, 1.0) * 0.2
+                 + round(len(list_distinct(toks)) / CAST(greatest(len(toks), 1) AS DOUBLE), 4) * 0.2,
+                 4) AS quality_score
+    FROM base
+    """,
+)
+def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return TXT.quality_score(_t(spark, sf_dir, "documents"))
+
+
+@query(
+    "language_id",
+    oracle=f"""
+    WITH s AS (
+      SELECT doc_id, lang,
+        CAST(len(regexp_extract_all({_NORM_SQL}, '\\b(the|and|of|to|in|is|that|for)\\b')) AS INT) AS score_en,
+        CAST(len(regexp_extract_all({_NORM_SQL}, '\\b(el|la|de|que|y|en|los|por)\\b')) AS INT) AS score_es,
+        CAST(len(regexp_extract_all({_NORM_SQL}, '\\b(der|die|und|das|nicht|ist|von|mit)\\b')) AS INT) AS score_de,
+        CAST(len(regexp_extract_all({_NORM_SQL}, '\\b(le|la|les|des|est|dans|pour|une)\\b')) AS INT) AS score_fr,
+        CAST(len(regexp_extract_all(text, '[\\x{{4e00}}-\\x{{9fff}}]')) AS INT) AS cjk
+      FROM documents)
+    SELECT doc_id, lang, score_en, score_es, score_de, score_fr,
+           CASE WHEN cjk > greatest(score_en, score_es, score_de, score_fr) THEN 'zh'
+                WHEN greatest(score_en, score_es, score_de, score_fr) = 0 THEN 'und'
+                WHEN score_en = greatest(score_en, score_es, score_de, score_fr) THEN 'en'
+                WHEN score_es = greatest(score_en, score_es, score_de, score_fr) THEN 'es'
+                WHEN score_de = greatest(score_en, score_es, score_de, score_fr) THEN 'de'
+                ELSE 'fr' END AS lang_pred
+    FROM s
+    """,
+)
+def q_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return TXT.language_id(_t(spark, sf_dir, "documents"))
+
+
+@query(
+    "fingerprint",
+    oracle=f"""
+    SELECT doc_id,
+           md5({_NORM_SQL}) AS content_fp,
+           md5(list_aggregate(list_sort(list_distinct({_TOKS_SQL})), 'string_agg', ' ')) AS bag_fp
+    FROM documents
+    """,
+)
+def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return TXT.fingerprint(_t(spark, sf_dir, "documents"))
+
+
+# --------------------------------------------------------------------------
+# Deduplication (north star: exact, n-gram Jaccard, MinHash+LSH, SimHash)
+# --------------------------------------------------------------------------
+from stateful_spark_streaming_spark.operators import dedup as DD  # noqa: E402
+
+_SHINGLES_SQL = (
+    "list_distinct([t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] FOR i IN range(len(t)-2)])"
+)
+
+
+@query(
+    "dedup_exact",
+    oracle=f"""
+    SELECT md5({_NORM_SQL}) AS content_fp,
+           min(doc_id) AS survivor_doc_id,
+           count(*) AS n_copies
+    FROM documents GROUP BY 1
+    """,
+)
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return DD.exact_dedup(_t(spark, sf_dir, "documents"))
+
+
+@query(
+    "dedup_jaccard_pairs",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, {_TOKS_SQL} AS t FROM documents),
+    sh AS (SELECT doc_id, {_SHINGLES_SQL} AS s FROM toks WHERE len(t) >= 3)
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(len(list_intersect(a.s, b.s)) AS BIGINT) AS n_common,
+           round(len(list_intersect(a.s, b.s))::DOUBLE
+                 / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))), 4) AS jaccard
+    FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+    WHERE round(len(list_intersect(a.s, b.s))::DOUBLE
+                / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))), 4) >= 0.6
+      AND len(list_intersect(a.s, b.s)) > 0
+    """,
+)
+def q_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return DD.jaccard_pairs(_t(spark, sf_dir, "documents"), threshold=0.6)
+
+
+@query("dedup_minhash_lsh")  # xxhash64 signatures: not DuckDB-expressible → rows-only
+def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return DD.minhash_lsh_pairs(_t(spark, sf_dir, "documents"), threshold=0.6)
+
+
+@query("dedup_simhash")  # xxhash64-based: rows-only; validated in pytest
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return DD.simhash_near_pairs(_t(spark, sf_dir, "documents"), max_hamming=3)
+
+
+# --------------------------------------------------------------------------
+# Similarity search (north star: brute-force cosine top-k + IVF/LSH paths)
+# --------------------------------------------------------------------------
+from stateful_spark_streaming_spark.operators import similarity as SIM  # noqa: E402
+
+
+@query(
+    "cosine_topk",
+    oracle="""
+    WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+               FROM embeddings WHERE vec_id < 20),
+    scored AS (
+      SELECT q.query_id, e.vec_id AS neighbor_id,
+             round(list_cosine_similarity(q.qv, e.embedding::DOUBLE[]), 6) AS cosine
+      FROM embeddings e CROSS JOIN q
+      WHERE e.vec_id <> q.query_id)
+    SELECT query_id, rank, neighbor_id, cosine FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cosine DESC, neighbor_id ASC) AS rank
+      FROM scored)
+    WHERE rank <= 5
+    """,
+)
+def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 20)
+    return SIM.cosine_topk_bruteforce(emb, queries_df, k=5)
+
+
+@query(
+    "cosine_near_pairs",
+    oracle="""
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cosine
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) >= 0.4
+    """,
+)
+def q_cosine_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return SIM.cosine_near_pairs(_t(spark, sf_dir, "embeddings"), threshold=0.4)
+
+
+@query("cosine_topk_ivf")  # approximate by construction → rows-only check
+def q_cosine_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 20)
+    return SIM.ivf_topk(emb, queries_df, k=5, n_centroids=8, nprobe=2)
+
+
+@query("cosine_near_pairs_lsh")  # approximate candidate gen → rows-only check
+def q_cosine_near_pairs_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # few planes / many tables: this corpus's "near" pairs top out at cosine
+    # ~0.5, so per-plane agreement is only ~0.63 — shorter signatures keep
+    # recall usable (4 planes × 8 tables ≈ 75% at τ=0.4)
+    return SIM.cosine_near_pairs_lsh(
+        _t(spark, sf_dir, "embeddings"), threshold=0.4, n_planes=4, n_tables=8
+    )
+
+
+# --------------------------------------------------------------------------
+# Multimodal plumbing (north star: binary columns + mapInPandas kernels)
+# --------------------------------------------------------------------------
+from stateful_spark_streaming_spark.operators import multimodal as MM  # noqa: E402
+
+
+@query("multimodal_features")  # md5-seeded fake decode kernel → rows-only check
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    images = MM.synthesize_image_table(spark, docs)
+    feats = MM.extract_image_features(images)
+    return feats.select(
+        "image_id",
+        "n_bytes",
+        F.round(F.element_at("features", 1), 6).alias("f0"),
+        F.round(F.element_at("features", 2), 6).alias("f1"),
+    )
+
+
 @query(
     "track_last_n",
     oracle="""

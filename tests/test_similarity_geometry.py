@@ -1,0 +1,111 @@
+"""Similarity search + geometry operator tests."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from stateful_spark_streaming_spark.operators import geometry as GEO
+from stateful_spark_streaming_spark.operators import similarity as SIM
+from stateful_spark_streaming_spark.sources.tables import load_table
+
+
+def test_cosine_topk_exact(spark):
+    vecs = [
+        (0, [1.0, 0.0, 0.0]),
+        (1, [0.9, 0.1, 0.0]),   # closest to 0
+        (2, [0.0, 1.0, 0.0]),
+        (3, [0.5, 0.5, 0.0]),
+        (4, [-1.0, 0.0, 0.0]),  # opposite
+    ]
+    df = spark.createDataFrame([Row(vec_id=i, embedding=v) for i, v in vecs])
+    out = SIM.cosine_topk_bruteforce(df, df.filter("vec_id = 0"), k=3).collect()
+    order = [r.neighbor_id for r in sorted(out, key=lambda r: r.rank)]
+    assert order == [1, 3, 2]
+    assert out[0].cosine <= 1.0
+
+
+def test_ivf_recall_vs_bruteforce(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    exact = SIM.cosine_topk_bruteforce(emb, queries, k=5).collect()
+    approx = SIM.ivf_topk(emb, queries, k=5, n_centroids=8, nprobe=3).collect()
+    exact_sets = {}
+    for r in exact:
+        exact_sets.setdefault(r.query_id, set()).add(r.neighbor_id)
+    hit = tot = 0
+    for r in approx:
+        tot += 1
+        if r.neighbor_id in exact_sets.get(r.query_id, set()):
+            hit += 1
+    assert tot > 0
+    assert hit / tot >= 0.5, f"IVF recall degraded: {hit}/{tot}"
+
+
+def test_lsh_pairs_subset_of_exact(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    exact = {(r.id_a, r.id_b) for r in SIM.cosine_near_pairs(emb, 0.4).collect()}
+    lsh = {
+        (r.id_a, r.id_b)
+        for r in SIM.cosine_near_pairs_lsh(emb, 0.4, n_planes=4, n_tables=8).collect()
+    }
+    assert lsh <= exact, "LSH output is exact-verified → subset of brute force"
+
+
+def test_unit_vectors(spark):
+    df = spark.createDataFrame([Row(vec_id=1, embedding=[3.0, 4.0])])
+    out = SIM.with_unit_vectors(df).collect()[0]
+    assert abs(out.unit_vec[0] - 0.6) < 1e-12
+    assert abs(out.unit_vec[1] - 0.8) < 1e-12
+
+
+def test_web_mercator_known_points(spark):
+    df = spark.createDataFrame([Row(longitude=0.0, latitude=0.0),
+                                Row(longitude=180.0, latitude=0.0)])
+    out = GEO.project_web_mercator(df).collect()
+    assert abs(out[0].geometry.x) < 1e-9 and abs(out[0].geometry.y) < 1e-9
+    assert abs(out[1].geometry.x - 20037508.34) < 0.01  # half circumference
+
+
+def test_null_geometry_and_registry(spark):
+    df = spark.createDataFrame([Row(longitude=1.0, latitude=2.0)])
+    pts = GEO.apply_tool(df, "MakePoint")
+    assert pts.collect()[0].geometry.x == 1.0
+    nulled = GEO.apply_tool(pts, "NullGeometry")
+    assert nulled.collect()[0].geometry is None
+    with pytest.raises(KeyError):
+        GEO.apply_tool(df, "NoSuchTool")
+
+
+def test_geodesic_buffer_radius(spark):
+    df = spark.createDataFrame([Row(longitude=-79.5857, latitude=34.2655)])
+    out = GEO.geodesic_buffer(df, distance_m=100.0, n_points=16).collect()[0]
+    ring = out.buffer_ring
+    assert len(ring) == 16
+    # haversine check: every ring point ~100 m from center
+    R = 6371008.8
+    for p in ring:
+        dlat = math.radians(p.y - 34.2655)
+        dlon = math.radians(p.x + 79.5857)
+        a = (math.sin(dlat / 2) ** 2
+             + math.cos(math.radians(34.2655)) * math.cos(math.radians(p.y))
+             * math.sin(dlon / 2) ** 2)
+        d = 2 * R * math.asin(math.sqrt(a))
+        assert abs(d - 100.0) < 1.0, f"ring point {d} m from center"
+
+
+def test_multimodal_features_deterministic(spark, sf_dir):
+    from stateful_spark_streaming_spark.operators import multimodal as MM
+
+    docs = load_table(spark, sf_dir, "documents").limit(20)
+    images = MM.synthesize_image_table(spark, docs)
+    a = {r.image_id: r.features for r in MM.extract_image_features(images).collect()}
+    b = {r.image_id: r.features for r in MM.extract_image_features(images).collect()}
+    assert a == b, "fake decode kernel is deterministic"
+    assert all(len(v) == MM.FEATURE_DIM for v in a.values())
+
+    with pytest.raises(Exception):  # stub kernels must refuse to pretend
+        MM.resize_stub(images, 64, 64).collect()

@@ -1,0 +1,88 @@
+"""Text analysis + dedup operator semantics on crafted fixtures."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Row
+
+from stateful_spark_streaming_spark.operators import dedup as DD
+from stateful_spark_streaming_spark.operators import text as TXT
+
+
+@pytest.fixture()
+def docs(spark):
+    corpus = [
+        (1, "The quick brown fox jumps over the lazy dog near the old river bank today"),
+        (2, "The quick brown fox jumps over the lazy dog near the old river bank today"),  # exact dup of 1
+        (3, "The quick brown fox jumps over the lazy dog near the old river bank tonight"),  # near dup of 1
+        (4, "completely different content about database query optimization and join ordering"),
+        (5, "el perro y el gato en la casa de que los por la noche"),
+    ]
+    return spark.createDataFrame([Row(doc_id=i, text=t, lang="x") for i, t in corpus])
+
+
+def test_token_stats(docs):
+    out = {r.doc_id: r for r in TXT.token_stats(docs).collect()}
+    assert out[1].n_tokens == 15
+    assert out[1].n_unique_tokens == 13  # 'the' x3
+    assert out[4].n_tokens == 10
+
+
+def test_exact_dedup(docs):
+    out = DD.exact_dedup(docs).collect()
+    groups = {r.survivor_doc_id: r.n_copies for r in out}
+    assert groups[1] == 2  # docs 1+2 collapse, survivor = min id
+    assert groups.get(3) == 1 and groups.get(4) == 1
+
+
+def test_fingerprint_bag_invariance(spark):
+    a = spark.createDataFrame([Row(doc_id=1, text="alpha beta gamma"),
+                               Row(doc_id=2, text="gamma alpha beta"),
+                               Row(doc_id=3, text="alpha beta delta")])
+    fp = {r.doc_id: r for r in TXT.fingerprint(a).collect()}
+    assert fp[1].bag_fp == fp[2].bag_fp, "bag fingerprint is order-invariant"
+    assert fp[1].content_fp != fp[2].content_fp
+    assert fp[1].bag_fp != fp[3].bag_fp
+
+
+def test_language_id_stopwords(docs):
+    out = {r.doc_id: r for r in TXT.language_id(docs).collect()}
+    assert out[1].lang_pred == "en"
+    assert out[5].lang_pred == "es"
+
+
+def test_jaccard_pairs_finds_near_dup(docs):
+    pairs = DD.jaccard_pairs(docs, threshold=0.5, max_shingle_df=None).collect()
+    got = {(r.doc_a, r.doc_b): r.jaccard for r in pairs}
+    assert (1, 2) in got and got[(1, 2)] == 1.0
+    assert (1, 3) in got and 0.5 <= got[(1, 3)] < 1.0
+    assert (2, 3) in got
+    assert all(a < b for a, b in got), "pairs are ordered, no self-pairs"
+    assert not any(4 in p or 5 in p for p in got)
+
+
+def test_minhash_lsh_recall_vs_exact(spark, sf_dir):
+    from stateful_spark_streaming_spark.sources.tables import load_table
+
+    documents = load_table(spark, sf_dir, "documents")
+    exact = {
+        (r.doc_a, r.doc_b)
+        for r in DD.jaccard_pairs(documents, threshold=0.6).collect()
+    }
+    approx = {
+        (r.doc_a, r.doc_b)
+        for r in DD.minhash_lsh_pairs(documents, threshold=0.6).collect()
+    }
+    assert approx <= exact, "LSH verifies candidates exactly → no false positives"
+    if exact:
+        recall = len(approx & exact) / len(exact)
+        assert recall >= 0.6, f"LSH recall too low: {recall}"
+
+
+def test_simhash_identical_and_near(docs):
+    fps = {r.doc_id: r.simhash64 for r in DD.simhash(docs).collect()}
+    assert fps[1] == fps[2], "identical text → identical simhash"
+    near = DD.simhash_near_pairs(docs, max_hamming=16).collect()
+    got = {(r.doc_a, r.doc_b): r.hamming for r in near}
+    assert got.get((1, 2)) == 0
+    assert (1, 3) in got, "one-word change stays within small hamming distance"
