@@ -197,6 +197,43 @@ def q_track_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "streaming_track_snapshot",
+    oracle="""
+    WITH dedup AS (
+      SELECT * EXCLUDE (rn) FROM (
+        SELECT *, row_number() OVER (PARTITION BY user_id, ts ORDER BY event_id) AS rn
+        FROM events) WHERE rn = 1
+    ), bounded AS (
+      SELECT * EXCLUDE (rk) FROM (
+        SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rk
+        FROM dedup) WHERE rk <= 10
+    )
+    SELECT user_id,
+           count(*) AS track_count,
+           epoch_ms(max(ts)) AS latest_ts_ms,
+           epoch_ms(min(ts)) AS oldest_ts_ms,
+           arg_max(event_type, ts) AS latest_event_type,
+           arg_max(value, ts) AS latest_value
+    FROM bounded GROUP BY user_id
+    """,
+)
+def q_streaming_track_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The REAL stateful streaming operator (applyInPandasWithState) run to
+    completion with an availableNow trigger — same oracle as the batch
+    track_snapshot because single-batch ingest ≡ batch semantics.
+    Reference: mapWithState graph at StreamWithStates.scala:58-81."""
+    import os as _os
+
+    from stateful_spark_streaming_spark.streaming.pipeline import run_snapshot_query
+
+    out = run_snapshot_query(spark, _os.path.join(sf_dir, "events.parquet"))
+    return out.select(
+        "user_id", "track_count", "latest_ts_ms", "oldest_ts_ms",
+        "latest_event_type", "latest_value",
+    )
+
+
 # --------------------------------------------------------------------------
 # Relational surface (SURVEY §2.6-2.7: the generalized "any SQL" hook)
 # --------------------------------------------------------------------------
