@@ -43,9 +43,18 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     )
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Repartition ahead of heavy per-row compute.  The small test tables
+    arrive as a single parquet row group = one task; at production scale the
+    scan already has many splits and this is a near-no-op (narrow vs the
+    work it precedes)."""
+    sc = df.sparkSession.sparkContext
+    return df.repartition(sc.defaultParallelism)
+
+
 def _shingle_index(df: DataFrame, text_col: str, id_col: str, k: int) -> DataFrame:
     """(id, shingle) inverted index with per-doc set sizes."""
-    sh = df.select(
+    sh = _spread(df).select(
         F.col(id_col).alias("doc"), shingles(F.col(text_col), k).alias("sh")
     ).withColumn("set_size", F.size("sh"))
     return sh.select("doc", "set_size", F.explode("sh").alias("shingle"))
@@ -155,7 +164,7 @@ def minhash_lsh_pairs(
         cands = c if cands is None else cands.union(c)
     cands = cands.distinct()
     # verify candidates with exact Jaccard (joins back to shingle sets)
-    sets = df.select(
+    sets = _spread(df).select(
         F.col(id_col).alias("doc"), shingles(F.col(text_col), k).alias("sh")
     )
     a = sets.select(F.col("doc").alias("doc_a"), F.col("sh").alias("sh_a"))
@@ -184,7 +193,7 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> Da
 
     64 conditional-sum aggregates over one token explode — hash-aggregate
     with map-side partials, one shuffle on doc id."""
-    toks = df.select(
+    toks = _spread(df).select(
         F.col(id_col).alias("doc"),
         F.explode(F.split(normalize_text(F.col(text_col)), " ")).alias("tok"),
     ).withColumn("th", F.xxhash64("tok"))

@@ -126,19 +126,25 @@ def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def shingles_from_tokens(t: Column, k: int = 3) -> Column:
+    """k-word shingles from a token array, via shifted-array zip_with.
+
+    Implementation note: an index-based ``transform(sequence(...), i ->
+    element_at(t, i+j))`` re-evaluates the token expression per lambda
+    element in interpreted HOF mode (~k×shingle_count regex evaluations per
+    row — measured 25 s for 5 000 docs).  Zipping the array against its own
+    shifted copies binds ``t`` only at row level: zip_with pads the shorter
+    side with nulls, concat propagates them, and the null tail is filtered —
+    so the whole shingle set costs O(k) evaluations of the tokenizer."""
+    z = t
+    for j in range(1, k):
+        z = F.zip_with(
+            z, F.slice(t, j + 1, 1 << 20), lambda x, y: F.concat(x, F.lit(" "), y)
+        )
+    return F.array_distinct(F.filter(z, lambda x: x.isNotNull()))
+
+
 def shingles(col: Column, k: int = 3) -> Column:
     """k-word shingles of normalized text (distinct), the MinHash/Jaccard
     input set.  Pure higher-order functions — no UDF."""
-    t = tokens(col)
-    n = F.size(t)
-    idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(-1)))
-    return F.when(n < k, F.array()).otherwise(
-        F.array_distinct(
-            F.transform(
-                idx,
-                lambda i: F.concat_ws(
-                    " ", *[F.element_at(t, (i + j + 1).cast("int")) for j in range(k)]
-                ),
-            )
-        )
-    )
+    return shingles_from_tokens(tokens(col), k)

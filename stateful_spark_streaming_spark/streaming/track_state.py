@@ -99,32 +99,37 @@ def _make_fold(cfg: TrackStateConfig):
         else:  # T2: first record for this key → empty track
             ts_ms, arrival, vals = [], [], [[] for _ in range(n_vals)]
 
-        known = dict(zip(ts_ms, range(len(ts_ms))))  # event-time → slot
-        rows = []
-        for pdf in pdf_iter:
-            for tup in pdf.itertuples(index=False):
-                d = tup._asdict()
-                t = d[cfg.ts]
-                t_ms = int(pd.Timestamp(t).value // 1_000_000) if t is not None else 0
-                rows.append((t_ms, int(d[cfg.arrival]), [d[c] for c in cfg.value_cols]))
-        # batch-order determinism: process by (ts, arrival) so the first
-        # arrival wins equal-ts contests exactly as in sequential ingest
-        rows.sort(key=lambda r: (r[0], r[1]))
-        for t_ms, arr, vs in rows:
-            if t_ms in known:  # T3: equal event time → reject later arrival
-                continue
-            known[t_ms] = len(ts_ms)
-            ts_ms.append(t_ms)
-            arrival.append(arr)
-            for i in range(n_vals):
-                vals[i].append(vs[i])
-        # T4: purge oldest beyond cap (sort slots chronologically, keep tail)
-        order = sorted(range(len(ts_ms)), key=lambda i: ts_ms[i])
-        if cfg.max_per_track and len(order) > cfg.max_per_track:
-            order = order[-cfg.max_per_track :]
-        ts_ms = [ts_ms[i] for i in order]
-        arrival = [arrival[i] for i in order]
-        vals = [[v[i] for i in order] for v in vals]
+        # vectorized fold: concat batches → (ts, arrival) sort → dedup.
+        # Existing state rows are prepended with arrival = -inf sentinel so
+        # they always win equal-ts contests (TreeSet add-reject semantics).
+        batches = [p for p in pdf_iter if len(p)]
+        new = pd.concat(batches, ignore_index=True) if batches else pd.DataFrame()
+        if len(new):
+            t = pd.to_datetime(new[cfg.ts])
+            if getattr(t.dt, "tz", None) is not None:
+                t = t.dt.tz_convert("UTC").dt.tz_localize(None)
+            new_ts = t.astype("datetime64[ms]").astype("int64")
+            new_ts = new_ts.where(~t.isna(), 0)  # null time → epoch 0 policy
+            cur = pd.DataFrame(
+                {
+                    "_ts": ts_ms + new_ts.tolist(),
+                    "_arr": [(-(1 << 62))] * len(ts_ms) + new[cfg.arrival].astype("int64").tolist(),
+                    "_st_arr": arrival + new[cfg.arrival].astype("int64").tolist(),
+                    **{
+                        f"_v{i}": vals[i] + new[c].tolist()
+                        for i, c in enumerate(cfg.value_cols)
+                    },
+                }
+            )
+            # T3: sort by (ts, arrival) and keep the first arrival per ts
+            cur = cur.sort_values(["_ts", "_arr"], kind="stable")
+            cur = cur[~cur["_ts"].duplicated(keep="first")]
+            # T4: purge oldest beyond cap — keep the max_per_track newest
+            if cfg.max_per_track:
+                cur = cur.tail(cfg.max_per_track)
+            ts_ms = cur["_ts"].tolist()
+            arrival = cur["_st_arr"].tolist()
+            vals = [cur[f"_v{i}"].tolist() for i in range(n_vals)]
 
         state.update((ts_ms, arrival, *vals))
         if cfg.ttl_minutes is not None:
