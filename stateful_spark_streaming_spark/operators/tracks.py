@@ -35,12 +35,21 @@ def dedup_first_arrival(
     df: DataFrame, key: str, ts: str, arrival_col: str
 ) -> DataFrame:
     """T3: drop rows whose (key, event-time) already exists, keeping the
-    earliest arrival.  One window shuffle on (key)."""
-    w = Window.partitionBy(key, ts).orderBy(F.col(arrival_col).asc())
+    earliest arrival.
+
+    Implemented as a lag-based duplicate test over a window partitioned by
+    ``key`` ALONE (ordered by ts, arrival): within a run of equal timestamps
+    only the first arrival sees a different predecessor ts.  Partitioning by
+    (key, ts) would be semantically identical but forces a second exchange —
+    this form shares one hash partitioning on ``key`` with every downstream
+    track operator (verified by tools/plan_audit.py: whole track_snapshot
+    plan = exactly one Exchange)."""
+    w = Window.partitionBy(key).orderBy(F.col(ts).asc(), F.col(arrival_col).asc())
+    prev_ts = F.lag(F.col(ts)).over(w)
     return (
-        df.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .drop("__rn")
+        df.withColumn("__dup", prev_ts.isNotNull() & (prev_ts == F.col(ts)))
+        .filter(~F.col("__dup"))
+        .drop("__dup")
     )
 
 

@@ -460,6 +460,79 @@ def q_events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Time-window aggregations (SURVEY §2.7 gap: tumbling/sliding/session)
+# --------------------------------------------------------------------------
+from stateful_spark_streaming_spark.operators import windows as WIN  # noqa: E402
+
+
+@query(
+    "tumbling_window_counts",
+    oracle="""
+    SELECT epoch_ms(time_bucket(INTERVAL '6 hours', ts)) AS bucket_ms,
+           count(*) AS n_events,
+           round(sum(value), 2) AS sum_value,
+           round(avg(value), 4) AS avg_value
+    FROM events GROUP BY 1
+    """,
+)
+def q_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return WIN.tumbling_counts(_t(spark, sf_dir, "events"))
+
+
+@query(
+    "sliding_window_counts",
+    oracle="""
+    SELECT epoch_ms(time_bucket(INTERVAL '6 hours', ts) - k * INTERVAL '6 hours') AS window_start_ms,
+           epoch_ms(time_bucket(INTERVAL '6 hours', ts) - k * INTERVAL '6 hours' + INTERVAL '1 day') AS window_end_ms,
+           count(*) AS n_events,
+           round(sum(value), 2) AS sum_value
+    FROM events, range(4) t(k)
+    GROUP BY 1, 2
+    """,
+)
+def q_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return WIN.sliding_counts(_t(spark, sf_dir, "events"))
+
+
+@query(
+    "session_windows",
+    oracle="""
+    WITH marked AS (
+      SELECT user_id, ts, value,
+             CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                       <= INTERVAL '30 minutes' THEN 0 ELSE 1 END AS new_session
+      FROM events),
+    numbered AS (
+      SELECT *, sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                 ROWS UNBOUNDED PRECEDING) AS session_no
+      FROM marked)
+    SELECT user_id,
+           epoch_ms(min(ts)) AS session_start_ms,
+           epoch_ms(max(ts) + INTERVAL '30 minutes') AS session_end_ms,
+           count(*) AS n_events,
+           round(sum(value), 2) AS sum_value
+    FROM numbered GROUP BY user_id, session_no
+    """,
+)
+def q_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return WIN.session_windows(_t(spark, sf_dir, "events"))
+
+
+@query(
+    "bucket_rollup",
+    oracle="""
+    SELECT epoch_ms(time_bucket(INTERVAL '6 hours', ts)) AS bucket_ms,
+           event_type,
+           count(*) AS n_events,
+           round(sum(value), 2) AS sum_value
+    FROM events GROUP BY ROLLUP (1, event_type)
+    """,
+)
+def q_bucket_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return WIN.bucket_rollup(_t(spark, sf_dir, "events"))
+
+
+# --------------------------------------------------------------------------
 # Geometry (SURVEY §2.5: projector G1, point construct S4, null-out P3)
 # --------------------------------------------------------------------------
 from stateful_spark_streaming_spark.operators import geometry as GEO  # noqa: E402
