@@ -66,13 +66,20 @@ def jaccard_pairs(
     id_col: str = "doc_id",
     k: int = 3,
     threshold: float = 0.6,
-    max_shingle_df: int | None = 1000,
+    max_shingle_df: int | None = None,
 ) -> DataFrame:
     """n-gram Jaccard near-dup pairs: J(A,B) = |A∩B| / (|A|+|B|-|A∩B|) ≥ τ.
 
     One explode + one equi-join on shingle + one pair aggregation.  The
     size-band prefilter (|A| ≥ τ|B|) is applied at join time so dissimilar
     size pairs never reach the aggregate.
+
+    ``max_shingle_df`` is the scale knob (default off = exact Jaccard, the
+    oracle-checked form): shingles shared by more than that many docs are
+    dropped from BOTH the intersection and the set sizes — i.e. Jaccard is
+    computed over the filtered shingle sets, which stays self-consistent
+    (a pair of identical docs still scores 1.0) while capping the O(df²)
+    candidate blowup that boilerplate shingles cause at 100 TB.
     """
     idx = _shingle_index(df, text_col, id_col, k)
     if max_shingle_df is not None:
@@ -83,6 +90,12 @@ def jaccard_pairs(
             .select("shingle")
         )
         idx = idx.join(F.broadcast(hot), "shingle", "left_anti")
+        # recompute per-doc set sizes over the surviving shingles so the
+        # denominator matches the filtered intersection
+        sizes = idx.groupBy("doc").agg(F.count(F.lit(1)).alias("set_size2"))
+        idx = idx.drop("set_size").join(sizes, "doc").withColumnRenamed(
+            "set_size2", "set_size"
+        )
     a = idx.alias("a")
     b = idx.alias("b")
     pairs = (

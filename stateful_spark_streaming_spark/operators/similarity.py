@@ -260,7 +260,10 @@ def cosine_near_pairs(
             a = np.stack(pdf[vec_col].map(lambda v: np.asarray(v, dtype=np.float64)))
             a /= np.linalg.norm(a, axis=1, keepdims=True)
             s = a @ mat.T
-            ii, jj = np.nonzero((s >= threshold - 1e-9) & (ids_a[:, None] < ids_b[None, :]))
+            # prefilter margin = half-ulp of the 6-dp rounding plus slack, so
+            # raw values that would round UP to the threshold are never
+            # dropped before the authoritative post-rounding Spark filter
+            ii, jj = np.nonzero((s >= threshold - 1e-6) & (ids_a[:, None] < ids_b[None, :]))
             yield pd.DataFrame(
                 {"id_a": ids_a[ii], "id_b": ids_b[jj], "raw_cos": s[ii, jj]}
             )
@@ -338,7 +341,7 @@ def cosine_near_pairs_lsh(
             cos = np.einsum("ij,ij->i", va, vb) / (
                 np.linalg.norm(va, axis=1) * np.linalg.norm(vb, axis=1)
             )
-            keep = cos >= threshold - 1e-9
+            keep = cos >= threshold - 1e-6
             yield pd.DataFrame(
                 {
                     "id_a": pdf["id_a"].to_numpy()[keep],

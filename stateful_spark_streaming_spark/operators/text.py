@@ -54,7 +54,10 @@ def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
     t = tokens(F.col(text_col))
     n_tok = F.size(t)
     n_char = F.length(F.col(text_col))
-    punct = F.length(F.regexp_replace(F.col(text_col), "[^!-/:-@\\[-`{-~]", ""))
+    # "punctuation" = any char outside [a-zA-Z0-9 ] (incl. tabs/newlines and
+    # non-ASCII) — the same class the DuckDB oracle counts, so the two engines
+    # agree on every input, not just ASCII-only text.
+    punct = F.length(F.regexp_replace(F.col(text_col), "[a-zA-Z0-9 ]", ""))
     stop_hits = F.size(
         F.array_intersect(F.array_distinct(t), F.array([F.lit(w) for w in STOPWORDS["en"]]))
     )

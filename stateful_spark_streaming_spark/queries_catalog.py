@@ -500,7 +500,7 @@ def q_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH marked AS (
       SELECT user_id, ts, value,
              CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
-                       <= INTERVAL '30 minutes' THEN 0 ELSE 1 END AS new_session
+                       < INTERVAL '30 minutes' THEN 0 ELSE 1 END AS new_session
       FROM events),
     numbered AS (
       SELECT *, sum(new_session) OVER (PARTITION BY user_id ORDER BY ts

@@ -99,9 +99,11 @@ def _make_fold(cfg: TrackStateConfig):
         else:  # T2: first record for this key → empty track
             ts_ms, arrival, vals = [], [], [[] for _ in range(n_vals)]
 
-        # vectorized fold: concat batches → (ts, arrival) sort → dedup.
-        # Existing state rows are prepended with arrival = -inf sentinel so
-        # they always win equal-ts contests (TreeSet add-reject semantics).
+        # vectorized fold: concat batches → (ts, is_new, arrival) sort → dedup.
+        # Existing state rows sort with _is_new=0 so they always win equal-ts
+        # contests (TreeSet add-reject semantics) regardless of the arrival
+        # id domain — arrival ids from xxhash64 span the full int64 range, so
+        # no numeric sentinel can dominate them.
         batches = [p for p in pdf_iter if len(p)]
         new = pd.concat(batches, ignore_index=True) if batches else pd.DataFrame()
         if len(new):
@@ -113,22 +115,22 @@ def _make_fold(cfg: TrackStateConfig):
             cur = pd.DataFrame(
                 {
                     "_ts": ts_ms + new_ts.tolist(),
-                    "_arr": [(-(1 << 62))] * len(ts_ms) + new[cfg.arrival].astype("int64").tolist(),
-                    "_st_arr": arrival + new[cfg.arrival].astype("int64").tolist(),
+                    "_is_new": [0] * len(ts_ms) + [1] * len(new),
+                    "_arr": arrival + new[cfg.arrival].astype("int64").tolist(),
                     **{
                         f"_v{i}": vals[i] + new[c].tolist()
                         for i, c in enumerate(cfg.value_cols)
                     },
                 }
             )
-            # T3: sort by (ts, arrival) and keep the first arrival per ts
-            cur = cur.sort_values(["_ts", "_arr"], kind="stable")
+            # T3: state-first, then lowest arrival id, per ts; keep the first
+            cur = cur.sort_values(["_ts", "_is_new", "_arr"], kind="stable")
             cur = cur[~cur["_ts"].duplicated(keep="first")]
             # T4: purge oldest beyond cap — keep the max_per_track newest
             if cfg.max_per_track:
                 cur = cur.tail(cfg.max_per_track)
             ts_ms = cur["_ts"].tolist()
-            arrival = cur["_st_arr"].tolist()
+            arrival = cur["_arr"].tolist()
             vals = [cur[f"_v{i}"].tolist() for i in range(n_vals)]
 
         state.update((ts_ms, arrival, *vals))
