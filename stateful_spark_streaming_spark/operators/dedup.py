@@ -123,6 +123,38 @@ def jaccard_pairs(
     )
 
 
+def banded_candidate_pairs(items: DataFrame, id_field: str = "id") -> DataFrame:
+    """One-shuffle LSH candidate generation, shared by MinHash / SimHash /
+    random-hyperplane LSH.
+
+    Input: rows of (band_id, band_hash, item) where ``item`` is a struct
+    containing ``id_field`` (plus whatever payload verification needs).
+    Output: (a, b) item-struct pairs for every two items sharing a
+    (band_id, band_hash) bucket, deduped across bands.
+
+    vs the naive union-of-per-band self-joins: the signature subplan is
+    evaluated ONCE (it feeds a single aggregation), there is exactly one
+    shuffle (on the bucket key), and the within-bucket pair expansion is
+    map-side after the aggregate.  Bucket skew is the residual risk at
+    100 TB — a degenerate band value with m docs emits m²/2 pairs — which
+    is why callers hash full band rows (not single values) into band_hash.
+    """
+    buckets = (
+        items.groupBy("band_id", "band_hash")
+        .agg(F.collect_list("item").alias("bucket"))
+        .filter(F.size("bucket") >= 2)
+    )
+    return (
+        buckets.select(F.explode("bucket").alias("a"), "bucket")
+        .select("a", F.explode("bucket").alias("b"))
+        .filter(F.col(f"a.{id_field}") < F.col(f"b.{id_field}"))
+        .withColumn("_ida", F.col(f"a.{id_field}"))
+        .withColumn("_idb", F.col(f"b.{id_field}"))
+        .dropDuplicates(["_ida", "_idb"])
+        .drop("_ida", "_idb")
+    )
+
+
 def minhash_signatures(
     df: DataFrame,
     text_col: str = "text",
@@ -159,23 +191,22 @@ def minhash_lsh_pairs(
     """
     rows_per_band = num_hashes // bands
     sig = minhash_signatures(df, text_col, id_col, k, num_hashes)
-    band_cols = [
-        F.xxhash64(
-            *[F.col(f"h{b * rows_per_band + r}") for r in range(rows_per_band)]
-        ).alias(f"band{b}")
-        for b in range(bands)
-    ]
-    banded = sig.select("doc", *band_cols)
-    # candidates: union of per-band equi-self-joins, deduped
-    cands = None
-    for b in range(bands):
-        left = banded.select(F.col("doc").alias("doc_a"), F.col(f"band{b}").alias("bk"))
-        right = banded.select(F.col("doc").alias("doc_b"), F.col(f"band{b}").alias("bk"))
-        c = left.join(right, "bk").filter(F.col("doc_a") < F.col("doc_b")).select(
-            "doc_a", "doc_b"
-        )
-        cands = c if cands is None else cands.union(c)
-    cands = cands.distinct()
+    band_hashes = F.array(
+        *[
+            F.xxhash64(
+                *[F.col(f"h{b * rows_per_band + r}") for r in range(rows_per_band)]
+            )
+            for b in range(bands)
+        ]
+    )
+    # candidates: one posexplode to (band_id, band_hash), ONE bucket shuffle
+    items = sig.select(
+        F.struct(F.col("doc").alias("id")).alias("item"),
+        F.posexplode(band_hashes).alias("band_id", "band_hash"),
+    )
+    cands = banded_candidate_pairs(items).select(
+        F.col("a.id").alias("doc_a"), F.col("b.id").alias("doc_b")
+    )
     # verify candidates with exact Jaccard (joins back to shingle sets)
     sets = _spread(df).select(
         F.col(id_col).alias("doc"), shingles(F.col(text_col), k).alias("sh")
@@ -234,31 +265,27 @@ def simhash_near_pairs(
     n_chunks = max_hamming + 1
     chunk_bits = 63 // n_chunks
     fps = simhash(df, text_col, id_col)
-    chunks = fps.select(
-        "doc_id",
-        "simhash64",
+    chunk_vals = F.array(
         *[
-            F.shiftrightunsigned(F.col("simhash64"), c * chunk_bits)
-            .bitwiseAND(F.lit((1 << chunk_bits) - 1))
-            .alias(f"c{c}")
+            F.shiftrightunsigned(F.col("simhash64"), c * chunk_bits).bitwiseAND(
+                F.lit((1 << chunk_bits) - 1)
+            )
             for c in range(n_chunks)
-        ],
+        ]
     )
-    cands = None
-    for c in range(n_chunks):
-        left = chunks.select(
-            F.col("doc_id").alias("doc_a"), F.col("simhash64").alias("fp_a"), F.col(f"c{c}").alias("ck")
-        )
-        right = chunks.select(
-            F.col("doc_id").alias("doc_b"), F.col("simhash64").alias("fp_b"), F.col(f"c{c}").alias("ck")
-        )
-        j = left.join(right, "ck").filter(F.col("doc_a") < F.col("doc_b")).select(
-            "doc_a", "doc_b", "fp_a", "fp_b"
-        )
-        cands = j if cands is None else cands.union(j)
+    # the fingerprint rides inside the item struct, so verification needs no
+    # join back; ONE bucket shuffle generates all candidates
+    items = fps.select(
+        F.struct(
+            F.col("doc_id").alias("id"), F.col("simhash64").alias("fp")
+        ).alias("item"),
+        F.posexplode(chunk_vals).alias("band_id", "band_hash"),
+    )
     return (
-        cands.distinct()
-        .withColumn("hamming", F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b"))))
+        banded_candidate_pairs(items)
+        .withColumn("hamming", F.bit_count(F.col("a.fp").bitwiseXOR(F.col("b.fp"))))
         .filter(F.col("hamming") <= max_hamming)
-        .select("doc_a", "doc_b", "hamming")
+        .select(
+            F.col("a.id").alias("doc_a"), F.col("b.id").alias("doc_b"), "hamming"
+        )
     )

@@ -294,12 +294,22 @@ def cosine_near_pairs_lsh(
     pairs colliding in ≥1 of n_tables tables are verified exactly.
 
     Hyperplanes are deterministic (numpy seeded) driver-side literals —
-    broadcast cost is n_tables × n_planes × dim floats, independent of data."""
+    broadcast cost is n_tables × n_planes × dim floats, independent of data.
+
+    Candidate generation is ONE bucket shuffle: all n_tables sign patterns
+    are computed in a single pass over the corpus (one array + posexplode),
+    grouped on (table_id, pattern), pairs expanded within buckets — the
+    projection subplan is never recomputed per table.  Vectors for exact
+    verification are fetched with an equi-join back to the corpus, so the
+    bucket shuffle moves only (id, table, pattern) triples."""
     import numpy as np
+    import pandas as pd
+
+    from stateful_spark_streaming_spark.operators.dedup import banded_candidate_pairs
 
     dim = len(embeddings.select(vec_col).first()[0])
     rng = np.random.RandomState(seed)
-    cands = None
+    table_keys = []
     for t in range(n_tables):
         planes = rng.randn(n_planes, dim)
         bits = [
@@ -316,21 +326,17 @@ def cosine_near_pairs_lsh(
         key = bits[0]
         for b_ in bits[1:]:
             key = key.bitwiseOR(b_)
-        tagged = embeddings.select(
-            F.col(id_col).alias("id"), F.col(vec_col).alias("v"), key.alias("bucket")
-        )
-        left = tagged.select(
-            F.col("id").alias("id_a"), F.col("v").alias("va"), "bucket"
-        )
-        right = tagged.select(
-            F.col("id").alias("id_b"), F.col("v").alias("vb"), "bucket"
-        )
-        c = left.join(right, "bucket").filter(F.col("id_a") < F.col("id_b")).select(
-            "id_a", "id_b", "va", "vb"
-        )
-        cands = c if cands is None else cands.union(c)
-    import numpy as np
-    import pandas as pd
+        table_keys.append(key.cast("long"))
+    items = embeddings.select(
+        F.struct(F.col(id_col).alias("id")).alias("item"),
+        F.posexplode(F.array(*table_keys)).alias("band_id", "band_hash"),
+    )
+    id_pairs = banded_candidate_pairs(items).select(
+        F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b")
+    )
+    va = embeddings.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    vb = embeddings.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    cands = id_pairs.join(va, "id_a").join(vb, "id_b")
 
     def verify(batches):
         for pdf in batches:
@@ -350,9 +356,7 @@ def cosine_near_pairs_lsh(
                 }
             )
 
-    verified = cands.dropDuplicates(["id_a", "id_b"]).mapInPandas(
-        verify, "id_a long, id_b long, raw_cos double"
-    )
+    verified = cands.mapInPandas(verify, "id_a long, id_b long, raw_cos double")
     return (
         verified.withColumn("cosine", F.round("raw_cos", 6))
         .filter(F.col("cosine") >= threshold)
