@@ -151,6 +151,52 @@ def _assign_cells(df: DataFrame, cents, id_col: str, vec_col: str) -> DataFrame:
     return with_d.withColumn("cell", best).drop(*[f"d{c}" for c in range(len(cents))])
 
 
+def ivf_write_index(
+    assigned: DataFrame, cents: list[list[float]], path: str, vec_col: str = "embedding"
+) -> None:
+    """Persist an IVF index: cell assignments as cell-partitioned parquet
+    (probing then prunes whole partitions at the scan — the 100 TB read
+    path reads only nprobe/C of the files) plus a centroid sidecar."""
+    import json
+    import os
+
+    assigned.write.mode("overwrite").partitionBy("cell").parquet(
+        os.path.join(path, "cells")
+    )
+    with open(os.path.join(path, "centroids.json"), "w") as f:
+        json.dump(cents, f)
+
+
+def ivf_load_index(spark, path: str) -> tuple[DataFrame, list[list[float]]]:
+    """Load a persisted IVF index written by ``ivf_write_index``."""
+    import json
+    import os
+
+    with open(os.path.join(path, "centroids.json")) as f:
+        cents = json.load(f)
+    assigned = spark.read.parquet(os.path.join(path, "cells"))
+    return assigned, cents
+
+
+def ivf_build_or_load(
+    embeddings: DataFrame,
+    path: str,
+    n_centroids: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[DataFrame, list[list[float]]]:
+    """Build-once semantics: load the index at ``path`` if present, else
+    train + persist it there.  This is how an IVF index is meant to be used —
+    train at ingest time, probe at query time."""
+    import os
+
+    if os.path.exists(os.path.join(path, "centroids.json")):
+        return ivf_load_index(embeddings.sparkSession, path)
+    assigned, cents = ivf_build(embeddings, n_centroids, id_col, vec_col)
+    ivf_write_index(assigned, cents, path, vec_col)
+    return ivf_load_index(embeddings.sparkSession, path)
+
+
 def ivf_topk(
     embeddings: DataFrame,
     queries: DataFrame,
@@ -159,14 +205,20 @@ def ivf_topk(
     nprobe: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    index: tuple[DataFrame, list[list[float]]] | None = None,
 ) -> DataFrame:
     """Approximate top-k: probe only the nprobe nearest cells per query.
 
+    Pass ``index`` (from ``ivf_build_or_load``) to probe a persisted index;
+    without it the index is trained inline (small-corpus convenience).
     Recall is tested against the brute-force baseline in pytest (rows-only
     check for the driver: approximate by construction)."""
     import numpy as np
 
-    assigned, cents = ivf_build(embeddings, n_centroids, id_col, vec_col)
+    if index is not None:
+        assigned, cents = index
+    else:
+        assigned, cents = ivf_build(embeddings, n_centroids, id_col, vec_col)
     cents_np = np.asarray(cents)
 
     q_assigned = _assign_probe_cells(queries, cents_np, id_col, vec_col, nprobe)
@@ -233,20 +285,33 @@ def cosine_near_pairs(
     threshold: float = 0.95,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_broadcast_vectors: int = 2_000_000,
 ) -> DataFrame:
     """Embedding near-dup pairs: cosine ≥ τ, exact all-pairs form.
 
     Execution: the (unit-normalized) corpus matrix is broadcast; each
     partition computes a blocked numpy matmul against it (Arrow batches, no
-    per-row Python).  This is the standard exact-ANN layout: the broadcast
-    side must fit an executor (~GBs = millions of vectors); beyond that use
-    ``cosine_near_pairs_lsh``.  An all-pairs ``join + per-pair aggregate``
+    per-row Python).  This is the standard exact-ANN layout, and it is
+    EXPLICITLY size-guarded: the broadcast side must fit an executor, so a
+    corpus above ``max_broadcast_vectors`` raises with a pointer to
+    ``cosine_near_pairs_lsh`` (the sub-quadratic scale path) instead of
+    silently OOM-ing the driver.  An all-pairs ``join + per-pair aggregate``
     formulation measured ~7× slower (interpreted HOF dot product per pair).
     """
     import numpy as np
     import pandas as pd
 
     spark = embeddings.sparkSession
+    n = embeddings.count()
+    if n > max_broadcast_vectors:
+        raise ValueError(
+            f"cosine_near_pairs is the exact all-pairs baseline and broadcasts "
+            f"the corpus to every executor; this corpus has {n} vectors "
+            f"(> max_broadcast_vectors={max_broadcast_vectors}). Use "
+            f"cosine_near_pairs_lsh for corpora beyond broadcast size, or "
+            f"raise max_broadcast_vectors explicitly if the executors can "
+            f"hold the matrix."
+        )
     pdf_all = embeddings.select(id_col, vec_col).toPandas()
     ids_all = pdf_all[id_col].to_numpy()
     m = np.stack(pdf_all[vec_col].map(lambda v: np.asarray(v, dtype=np.float64)))

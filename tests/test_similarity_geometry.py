@@ -55,6 +55,31 @@ def test_lsh_pairs_subset_of_exact(spark, sf_dir):
     assert lsh <= exact, "LSH output is exact-verified → subset of brute force"
 
 
+def test_ivf_index_persist_roundtrip(spark, sf_dir, tmp_path):
+    """Persisted index probes must return exactly what the inline-built
+    index returns (same seed/determinism), and loading must not retrain."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    idx_path = str(tmp_path / "ivf")
+    index = SIM.ivf_build_or_load(emb, idx_path, n_centroids=8)
+    assert (tmp_path / "ivf" / "centroids.json").exists()
+    got = SIM.ivf_topk(emb, queries, k=5, nprobe=3, index=index).collect()
+    index2 = SIM.ivf_build_or_load(emb, idx_path, n_centroids=8)  # load path
+    got2 = SIM.ivf_topk(emb, queries, k=5, nprobe=3, index=index2).collect()
+    key = lambda r: (r.query_id, r.rank)  # noqa: E731
+    assert sorted(got, key=key) == sorted(got2, key=key)
+    inline = SIM.ivf_topk(emb, queries, k=5, nprobe=3).collect()
+    assert sorted(got, key=key) == sorted(inline, key=key)
+
+
+def test_cosine_near_pairs_size_guard(spark, sf_dir):
+    """The exact all-pairs baseline must refuse (not OOM) when the corpus
+    exceeds its declared broadcast budget."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    with pytest.raises(ValueError, match="cosine_near_pairs_lsh"):
+        SIM.cosine_near_pairs(emb, 0.4, max_broadcast_vectors=10)
+
+
 def test_unit_vectors(spark):
     df = spark.createDataFrame([Row(vec_id=1, embedding=[3.0, 4.0])])
     out = SIM.with_unit_vectors(df).collect()[0]
