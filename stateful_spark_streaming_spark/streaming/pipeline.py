@@ -13,13 +13,21 @@ Reproduces the reference's end-to-end graphs (SURVEY §3):
 Snapshot-parity decision (SURVEY §7 risk #1, decided here):
 ``stateSnapshots()`` in the reference emits ALL keys every batch;
 ``applyInPandasWithState`` invokes only keys with new data.  We emit
-per-key snapshot rows on update and maintain the full table in the sink
-(``SnapshotView``) by upserting into a keyed dict registered as a temp view
-each batch.  Driver memory is O(#keys × row width) — fine for the
-snapshot-table use case (it is shown with ``.show()`` in the reference,
-i.e. inherently driver-sized).  At 100 TB-of-keys scale the same sink logic
-targets a key-partitioned Delta/Iceberg table with MERGE, and reads become
-``max_by(ts)`` per key; the processor emit contract is unchanged.
+per-key snapshot rows on update and maintain the full table in the SINK.
+
+Two sinks, one contract:
+
+- ``ParquetSnapshotSink`` (default, scale path): foreachBatch APPENDS the
+  batch's updated-key rows — a distributed executor write, nothing touches
+  the driver — into a parquet upsert log stamped with the batch id.  The
+  all-keys view is merge-on-read (latest row per key by batch id), i.e.
+  Delta/Iceberg MERGE semantics expressed over plain parquet, and
+  ``compact()`` folds the log into a base table to bound read
+  amplification.  Driver memory is O(1); the snapshot survives restarts
+  because the log lives next to the checkpoint.
+- ``SnapshotView`` (demo parity): the reference displays the snapshot with
+  ``.show()`` (StreamWithStates.scala:36-53) — inherently driver-sized —
+  so the dict-upsert sink is kept for that interactive use case only.
 """
 
 from __future__ import annotations
@@ -90,10 +98,111 @@ class SnapshotView:
         return self.spark.sql(sql or self.sql)
 
 
+class ParquetSnapshotSink:
+    """Scale-safe all-keys snapshot sink: append-only parquet upsert log +
+    merge-on-read view + compaction.
+
+    ``__call__`` (foreachBatch) appends the micro-batch's snapshot rows to
+    ``<path>/log`` with the batch id — a distributed write; the driver never
+    sees row data.  ``query()`` serves SQL over the all-keys view: base ∪ log,
+    keep the newest row per key (``row_number`` over batch id desc).  At
+    100 TB of keys every piece stays distributed: the append is O(updated
+    keys) per trigger, the merge is one shuffle on the key, and ``compact()``
+    (call it between triggers or from a maintenance job) rewrites base :=
+    merged(base, log) so reads don't degrade as the log grows.
+
+    Replay-safe: a crash between the append and the checkpoint commit makes
+    Spark re-run the batch with the SAME batch id; the re-appended rows are
+    byte-identical (the emit is a pure function of state), so the
+    latest-per-key merge is unaffected.
+
+    Reference semantics: stateSnapshots() emits ALL keys per batch
+    (StreamWithStates.scala:74-77); here the full table is reconstructable
+    at every batch boundary while each trigger writes only updated keys.
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        view_name: str,
+        key: str,
+        path: str,
+        sql: str | None = None,
+        show: bool = False,
+    ):
+        self.spark = spark
+        self.view_name = view_name
+        self.key = key
+        self.path = path
+        self.log_dir = os.path.join(path, "log")
+        self.base_dir = os.path.join(path, "base")
+        self.sql = sql or f"select * from {view_name}"  # Q1 default
+        self.show = show
+        self.batches_seen = 0
+
+    def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
+        from pyspark.sql import functions as F
+
+        (
+            batch_df.withColumn("_batch_id", F.lit(batch_id))
+            .write.mode("append")
+            .parquet(self.log_dir)
+        )
+        self.batches_seen += 1
+        self._register()
+        if self.show:
+            import datetime
+
+            print(f"========= {self.view_name} {datetime.datetime.now()} =========")
+            self.spark.sql(self.sql).show()
+
+    def _merged(self, keep_batch_id: bool = False) -> DataFrame | None:
+        from pyspark.sql import Window
+        from pyspark.sql import functions as F
+
+        parts = [d for d in (self.base_dir, self.log_dir) if os.path.exists(d)]
+        if not parts:
+            return None
+        df = self.spark.read.parquet(parts[0])
+        for d in parts[1:]:
+            df = df.unionByName(self.spark.read.parquet(d))
+        w = Window.partitionBy(self.key).orderBy(F.col("_batch_id").desc())
+        out = df.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1)
+        drop = ["_rn"] if keep_batch_id else ["_rn", "_batch_id"]
+        return out.drop(*drop)
+
+    def _register(self) -> None:
+        df = self._merged()
+        if df is not None:
+            df.createOrReplaceTempView(self.view_name)
+
+    def query(self, sql: str | None = None) -> DataFrame:
+        if self._merged() is None:
+            return self.spark.range(0)  # nothing snapshotted yet
+        self._register()
+        return self.spark.sql(sql or self.sql)
+
+    def compact(self) -> None:
+        """Fold the upsert log into the base table (base := merged(base, log)).
+        Run between triggers / while the stream is stopped — the swap below
+        is not concurrent with an in-flight append."""
+        import shutil
+
+        merged = self._merged(keep_batch_id=True)
+        if merged is None:
+            return
+        tmp = self.base_dir + ".tmp"
+        merged.write.mode("overwrite").parquet(tmp)
+        shutil.rmtree(self.base_dir, ignore_errors=True)
+        os.rename(tmp, self.base_dir)
+        shutil.rmtree(self.log_dir, ignore_errors=True)
+        self._register()
+
+
 @dataclass
 class StreamHandle:
     query: "pyspark.sql.streaming.StreamingQuery"  # noqa: F821
-    sink: SnapshotView
+    sink: "ParquetSnapshotSink | SnapshotView"
 
     def stop(self) -> None:
         """S9 graceful shutdown."""
@@ -143,11 +252,18 @@ def flight_socket_pipeline(
     sql: str | None = None,
     trigger_seconds: float = 1.0,
     show: bool = False,
+    sink_kind: str = "parquet",
+    snapshot_dir: str | None = None,
 ) -> StreamHandle:
     """The full reference graph: parse → key → state → snapshot view → SQL.
 
     Micro-batch default 1 s (T8, Duration(1000) parity); checkpointing is
-    Structured Streaming's offset+state log (S7/S8) — resumable."""
+    Structured Streaming's offset+state log (S7/S8) — resumable.
+
+    ``sink_kind='parquet'`` (default) maintains the all-keys snapshot in a
+    storage-backed upsert log next to the checkpoint, so it survives
+    restarts and driver memory stays O(1); ``sink_kind='driver'`` is the
+    reference's driver-sized show()-oriented view."""
     from pyspark.sql import functions as F
 
     # arrival tiebreak for equal-ts dedup: streaming sources expose no row
@@ -159,7 +275,19 @@ def flight_socket_pipeline(
         "arrival", F.xxhash64(*[F.col(c) for c in source.columns if c != "geometry"])
     )
     snap = track_state_stream(with_arrival, cfg)
-    sink = SnapshotView(spark, view_name, cfg.key, sql=sql, show=show)
+    if sink_kind == "parquet":
+        sink = ParquetSnapshotSink(
+            spark,
+            view_name,
+            cfg.key,
+            path=snapshot_dir or f"{checkpoint_dir}_snapshot",
+            sql=sql,
+            show=show,
+        )
+    elif sink_kind == "driver":
+        sink = SnapshotView(spark, view_name, cfg.key, sql=sql, show=show)
+    else:
+        raise ValueError(f"unknown sink_kind {sink_kind!r} (parquet|driver)")
     q = (
         snap.writeStream.outputMode("update")
         .foreachBatch(sink)
@@ -226,7 +354,9 @@ def run_snapshot_query(
         stream_df = stream_df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
     keyed = stream_df.withColumn("arrival", F.col(cfg.arrival))
     snap = track_state_stream(keyed, cfg)
-    sink = SnapshotView(spark, "StreamingTracks", cfg.key)
+    sink = ParquetSnapshotSink(
+        spark, "StreamingTracks", cfg.key, path=f"{checkpoint_dir}_snapshot"
+    )
     q = (
         snap.writeStream.outputMode("update")
         .foreachBatch(sink)

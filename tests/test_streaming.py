@@ -142,6 +142,78 @@ def test_checkpoint_restart_resumes(spark, workdir):
         h2.stop()
 
 
+def test_snapshot_sink_compaction_and_full_view(spark, workdir):
+    """The parquet snapshot sink keeps ALL keys queryable (not only the
+    last batch's updated keys), compaction folds the log into base without
+    changing the view, and the compacted view survives a restart even when
+    a key receives no further data."""
+    src = str(workdir / "src")
+    ckpt = str(workdir / "ckpt")
+    _write_batch(src, 1, [0])
+    _write_batch(src, 2, [1])
+    h = flight_socket_pipeline(
+        spark, file_flight_source(spark, src), checkpoint_dir=ckpt, trigger_seconds=0.5
+    )
+    try:
+        _wait_batches(h.sink, 2)
+        before = {r[0]: r[1] for r in h.sink.query(
+            "select flightId, track_count from Flights").collect()}
+        assert before == {f: 2 for f in FLIGHTS}
+    finally:
+        h.stop()
+
+    h.sink.compact()
+    assert not os.path.exists(h.sink.log_dir), "log folded into base"
+    after = {r[0]: r[1] for r in h.sink.query(
+        "select flightId, track_count from Flights").collect()}
+    assert after == before, "compaction must not change the view"
+
+    # restart with a batch that touches NO existing flight: old keys must
+    # still be served from the storage-backed snapshot (the driver-dict
+    # sink loses them — this is the scale-safety property)
+    with open(os.path.join(src, "batch099.csv"), "w") as f:
+        f.write(_csv_line("NEWBIRD1", 5) + "\n")
+    h2 = flight_socket_pipeline(
+        spark, file_flight_source(spark, src), checkpoint_dir=ckpt, trigger_seconds=0.5
+    )
+    try:
+        deadline = time.time() + 60
+        counts = {}
+        while time.time() < deadline:
+            counts = {r[0]: r[1] for r in h2.sink.query(
+                "select flightId, track_count from Flights").collect()}
+            if "NEWBIRD1" in counts:
+                break
+            time.sleep(0.5)
+        assert counts.get("NEWBIRD1") == 1
+        for f_ in FLIGHTS:
+            assert counts.get(f_) == 2, f"{f_} lost across restart: {counts}"
+    finally:
+        h2.stop()
+
+
+def test_driver_sink_parity(spark, workdir):
+    """sink_kind='driver' (the reference's show()-oriented dict view) still
+    serves the same golden counts."""
+    src = str(workdir / "src")
+    _write_batch(src, 1, [0, 1, 2])
+    h = flight_socket_pipeline(
+        spark,
+        file_flight_source(spark, src),
+        checkpoint_dir=str(workdir / "ckpt"),
+        trigger_seconds=0.5,
+        sink_kind="driver",
+    )
+    try:
+        _wait_batches(h.sink, 1)
+        assert isinstance(h.sink, SnapshotView)
+        counts = {r[0]: r[1] for r in h.sink.query(
+            "select flightId, track_count from Flights").collect()}
+        assert counts == {f: 3 for f in FLIGHTS}
+    finally:
+        h.stop()
+
+
 def test_streaming_matches_batch_operator(spark, sf_dir):
     """availableNow over events.parquet through the REAL stateful processor
     equals the batch track_snapshot operator row-for-row."""
