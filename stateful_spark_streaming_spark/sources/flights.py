@@ -40,7 +40,9 @@ def parse_flight_lines(lines: DataFrame, value_col: str = "value") -> DataFrame:
 
 
 def _typed(df: DataFrame) -> DataFrame:
-    ts = F.to_timestamp(F.trim(F.col("flightTime")), FLIGHT_TIME_FORMAT)
+    # try_to_timestamp: unparseable → NULL (plain to_timestamp THROWS under
+    # Spark 4 ANSI mode, which would kill the stream on one bad line)
+    ts = F.try_to_timestamp(F.trim(F.col("flightTime")), F.lit(FLIGHT_TIME_FORMAT))
     return df.select(
         F.trim(F.col("flightId")).alias("flightId"),
         # parse-failure → epoch 0 (Simple-variant parity, SimpleTime.scala:32-37)

@@ -157,15 +157,25 @@ class ParquetSnapshotSink:
             self.spark.sql(self.sql).show()
 
     def _merged(self, keep_batch_id: bool = False) -> DataFrame | None:
+        from pyspark.errors import AnalysisException
         from pyspark.sql import Window
         from pyspark.sql import functions as F
 
-        parts = [d for d in (self.base_dir, self.log_dir) if os.path.exists(d)]
-        if not parts:
+        # a dir whose first write is still in flight holds only _temporary —
+        # treat it as absent rather than failing schema inference
+        dfs = []
+        for d in (self.base_dir, self.log_dir):
+            if not os.path.exists(d):
+                continue
+            try:
+                dfs.append(self.spark.read.parquet(d))
+            except AnalysisException:
+                continue
+        if not dfs:
             return None
-        df = self.spark.read.parquet(parts[0])
-        for d in parts[1:]:
-            df = df.unionByName(self.spark.read.parquet(d))
+        df = dfs[0]
+        for other in dfs[1:]:
+            df = df.unionByName(other)
         w = Window.partitionBy(self.key).orderBy(F.col("_batch_id").desc())
         out = df.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1)
         drop = ["_rn"] if keep_batch_id else ["_rn", "_batch_id"]

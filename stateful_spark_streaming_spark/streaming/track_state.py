@@ -56,7 +56,9 @@ class TrackStateConfig:
     value_types: tuple[str, ...] = ("string", "double")  # spark simpleString types
     max_per_track: int = 10
     key_type: str = "long"
-    ttl_minutes: int | None = None  # T7: None = reference parity (no timeout)
+    # T7: None = reference parity (no timeout); float so tests can use a
+    # seconds-scale TTL (the reference claims 30 min, i.e. ttl_minutes=30)
+    ttl_minutes: float | None = None
 
     def output_schema(self) -> StructType:
         fields = [
@@ -135,7 +137,7 @@ def _make_fold(cfg: TrackStateConfig):
 
         state.update((ts_ms, arrival, *vals))
         if cfg.ttl_minutes is not None:
-            state.setTimeoutDuration(cfg.ttl_minutes * 60 * 1000)
+            state.setTimeoutDuration(int(cfg.ttl_minutes * 60 * 1000))
 
         # T5: emit this key's full snapshot row (batch-operator-identical)
         out = {
