@@ -138,6 +138,45 @@ def track_range(
     return out
 
 
+def track_contains(tracks: DataFrame, key: str, ts: str, at) -> DataFrame:
+    """W7 ``contains``: per key, does the track hold a feature at event time
+    ``at``?  (FeatureTrack.scala:23-27 — TreeSet membership is by time,
+    since the ordering compares start times.)  One hash aggregate."""
+    return tracks.groupBy(key).agg(
+        F.max(F.col(ts) == at).alias("contains_at")
+    )
+
+
+def track_remove(tracks: DataFrame, ts: str, at) -> DataFrame:
+    """W7 ``remove``: drop the feature at event time ``at`` from every track
+    it appears in (FeatureTrack.scala:29-33).  A plain filter — pushed into
+    the scan when ``at`` is a literal."""
+    return tracks.filter(~(F.col(ts) == at))
+
+
+def track_clear(tracks: DataFrame, key: str, keys: DataFrame | list | None = None) -> DataFrame:
+    """W7 ``clear``: empty the tracks of ``keys`` (all tracks when None) —
+    FeatureTrack.scala:35-39.  Keyed form is a broadcast anti join."""
+    if keys is None:
+        return tracks.limit(0)
+    if not isinstance(keys, DataFrame):
+        keys = tracks.sparkSession.createDataFrame([(k,) for k in keys], [key])
+    return tracks.join(F.broadcast(keys.select(key)), key, "left_anti")
+
+
+def track_is_empty(tracks: DataFrame, key: str, universe: DataFrame) -> DataFrame:
+    """W7 ``isEmpty``: for every key in ``universe``, whether its track holds
+    no features (FeatureTrack.scala:41-43).  Emptiness is relative to a key
+    universe because an empty track has no rows to speak for it."""
+    present = tracks.select(key).distinct().withColumn("__present", F.lit(True))
+    return (
+        universe.select(key)
+        .distinct()
+        .join(present, key, "left")
+        .select(key, F.coalesce(~F.col("__present"), F.lit(True)).alias("is_empty"))
+    )
+
+
 def track_snapshot(
     df: DataFrame,
     key: str,

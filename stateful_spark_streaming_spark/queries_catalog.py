@@ -840,6 +840,44 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "track_membership",
+    oracle="""
+    WITH probe AS (SELECT min(ts) AS p FROM events)
+    SELECT user_id,
+           bool_or(ts = (SELECT p FROM probe)) AS contains_probe,
+           CAST(count(*) FILTER (WHERE ts <> (SELECT p FROM probe)) AS BIGINT)
+               AS n_after_remove,
+           (count(*) FILTER (WHERE ts <> (SELECT p FROM probe)) = 0)
+               AS is_empty_after_remove
+    FROM events GROUP BY user_id
+    """,
+)
+def q_track_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W7 membership algebra: contains / remove / isEmpty composed in one
+    result — probe = the table's earliest event time, so at least one track
+    answers true.  Reference: FeatureTrack.scala:23-49."""
+    ev = _t(spark, sf_dir, "events")
+    probe = ev.agg(F.min("ts").alias("__probe"))
+    evp = ev.crossJoin(F.broadcast(probe))  # scalar broadcast, no driver collect
+    contains = TR.track_contains(evp, "user_id", "ts", F.col("__probe")).select(
+        "user_id", F.col("contains_at").alias("contains_probe")
+    )
+    removed = TR.track_remove(evp, "ts", F.col("__probe"))
+    counts = TR.track_counts(removed, "user_id")
+    empty = TR.track_is_empty(removed, "user_id", ev)
+    return (
+        contains.join(counts, "user_id", "left")
+        .join(empty, "user_id")
+        .select(
+            "user_id",
+            "contains_probe",
+            F.coalesce("track_count", F.lit(0)).alias("n_after_remove"),
+            F.col("is_empty").alias("is_empty_after_remove"),
+        )
+    )
+
+
+@query(
     "track_last_n",
     oracle="""
     SELECT event_id, user_id, epoch_ms(ts) AS ts_ms, event_type, value

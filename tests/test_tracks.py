@@ -84,3 +84,30 @@ def test_snapshot_shape(spark, sf_dir):
     cols = set(snap.columns)
     assert {"user_id", "track_count", "latest_ts_ms", "oldest_ts_ms",
             "latest_event_type", "latest_value"} == cols
+
+
+def test_track_membership_ops(flights):
+    """W7: contains / remove / clear / isEmpty (FeatureTrack.scala:23-49)."""
+    # contains: A has a feature at t=5, B has one at t=5, neither at t=30
+    c5 = {r.key: r.contains_at for r in TR.track_contains(
+        flights, "key", "ts", _ts(5)).collect()}
+    assert c5 == {"A": True, "B": True}
+    c30 = {r.key: r.contains_at for r in TR.track_contains(
+        flights, "key", "ts", _ts(30)).collect()}
+    assert c30 == {"A": False, "B": False}
+
+    # remove: dropping t=5 removes one A row and both equal-ts B rows
+    removed = TR.track_remove(flights, "ts", _ts(5))
+    assert removed.filter("ts = timestamp '2024-01-01 00:00:05'").count() == 0
+    assert removed.count() == flights.count() - 3
+
+    # clear selected keys / all keys
+    only_a = TR.track_clear(flights, "key", keys=["B"])
+    assert {r.key for r in only_a.select("key").distinct().collect()} == {"A"}
+    assert TR.track_clear(flights, "key").count() == 0
+
+    # isEmpty relative to the original key universe
+    emptied = TR.track_clear(flights, "key", keys=["B"])
+    empt = {r.key: r.is_empty for r in TR.track_is_empty(
+        emptied, "key", flights).collect()}
+    assert empt == {"A": False, "B": True}
