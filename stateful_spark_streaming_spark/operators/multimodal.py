@@ -1,11 +1,14 @@
 """Multimodal column plumbing: image/audio/video as opaque binary columns
 with typed metadata (BASELINE.json north star).
 
-The decode/feature kernels are STUBS — the image/audio libraries are not in
-this container — but everything Spark-side is real and tested: schemas,
-Arrow batch shapes, mapInPandas signatures, partition discipline.  Swap the
-kernel body for a real decoder (PIL / torchaudio / pyav) and the pipeline is
-unchanged.
+The container has no imaging/codec libraries (PIL / ffmpeg / torchaudio),
+so the REAL kernels here work on codec-less formats that numpy alone can
+handle — binary PPM (P6) images and concatenated-PPM "video" streams —
+and refuse loudly on anything that would need a codec (JPEG/PNG/H.264).
+Everything Spark-side is format-agnostic and identical to a production
+deployment: schemas, Arrow batch shapes, mapInPandas signatures, binary
+columns with typed sibling metadata.  Swapping PIL/pyav into the kernel
+bodies changes no plumbing.
 
 Design rules for 100 TB of binaries:
 - binaries ride in parquet as BINARY columns; metadata (width/height/codec/
@@ -14,15 +17,16 @@ Design rules for 100 TB of binaries:
 - decode runs in ``mapInPandas`` over Arrow batches — per-batch vectorized,
   no per-row Python dispatch, and the blob column is projected only in the
   decode stage;
-- frame-sampling/resize emit fixed-shape float arrays so downstream ops are
-  columnar.
+- frame-sampling/resize emit fixed-shape arrays / re-encoded blobs so
+  downstream ops are columnar.
 """
 
 from __future__ import annotations
 
-import hashlib
+import re
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 
 from pyspark.sql import DataFrame
@@ -51,29 +55,80 @@ IMAGE_TABLE_SCHEMA = StructType(
 
 FEATURE_DIM = 16
 
+_PPM_HEADER = re.compile(rb"^P6\s+(\d+)\s+(\d+)\s+(\d+)\s")
 
+
+# ---------------------------------------------------------------- codecs
+def encode_ppm(arr: np.ndarray) -> bytes:
+    """(h, w, 3) uint8 → binary PPM (P6) bytes."""
+    h, w, _ = arr.shape
+    return b"P6\n%d %d\n255\n" % (w, h) + arr.astype(np.uint8).tobytes()
+
+
+def decode_ppm(blob: bytes) -> np.ndarray:
+    """Binary PPM (P6) bytes → (h, w, 3) uint8 pixel array — numpy only."""
+    blob = bytes(blob)
+    m = _PPM_HEADER.match(blob)
+    if m is None:
+        raise NotImplementedError(
+            "only binary PPM (P6) decodes without an imaging library; "
+            "plug PIL/opencv into this kernel for other formats"
+        )
+    w, h = int(m.group(1)), int(m.group(2))
+    px = np.frombuffer(blob, dtype=np.uint8, count=w * h * 3, offset=m.end())
+    return px.reshape(h, w, 3)
+
+
+# ------------------------------------------------------------- synthesis
 def synthesize_image_table(spark, docs: DataFrame) -> DataFrame:
-    """Deterministic fake image corpus derived from the documents table —
-    stands in for a real binary-column table so the plumbing is testable."""
-    return docs.select(
+    """Deterministic REAL image corpus derived from the documents table:
+    each doc becomes a genuine binary-PPM image whose pixels are an
+    arithmetic pattern of (image_id, x, y) — decodable by any PPM reader,
+    stands in for a real binary-column table at test scale."""
+    meta = docs.select(
         F.col("doc_id").alias("image_id"),
-        F.encode(F.col("text"), "UTF-8").cast("binary").alias("data"),
-        F.lit("fake/raw").alias("format"),
         (F.col("n_chars") % 64 + 32).cast("int").alias("width"),
         (F.col("n_chars") % 48 + 24).cast("int").alias("height"),
     )
 
+    out_schema = IMAGE_TABLE_SCHEMA
 
-def _fake_decode_features(blob: bytes, dim: int = FEATURE_DIM) -> list[float]:
-    """Deterministic stand-in for decode→embed: md5-seeded pseudo-features.
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            blobs = []
+            for iid, w, h in zip(pdf["image_id"], pdf["width"], pdf["height"]):
+                y, x, c = np.ogrid[0:h, 0:w, 0:3]
+                px = (int(iid) * 7 + x * 3 + y * 5 + c * 11) % 256
+                blobs.append(encode_ppm(px.astype(np.uint8)))
+            yield pd.DataFrame(
+                {
+                    "image_id": pdf["image_id"],
+                    "data": blobs,
+                    "format": "ppm",
+                    "width": pdf["width"],
+                    "height": pdf["height"],
+                }
+            )
 
-    A real deployment replaces this body with e.g. PIL decode + model
-    forward; signature and batch shape stay identical.
-    """
+    return meta.mapInPandas(kernel, schema=out_schema)
+
+
+# ---------------------------------------------------------------- kernels
+def _image_features(blob: bytes, dim: int = FEATURE_DIM) -> list[float]:
+    """REAL decode → feature extraction: per-channel mean/std, luma
+    mean/std, and an 8-bin luma histogram — 16 deterministic floats from
+    actual pixel data."""
     if blob is None:
         return [0.0] * dim
-    h = hashlib.md5(bytes(blob)).digest()
-    return [((h[i % 16] / 255.0) * 2.0 - 1.0) for i in range(dim)]
+    px = decode_ppm(blob).astype(np.float64) / 255.0
+    luma = px @ np.array([0.2126, 0.7152, 0.0722])
+    hist, _ = np.histogram(luma, bins=8, range=(0.0, 1.0))
+    hist = hist / luma.size
+    feats = np.concatenate(
+        [px.mean(axis=(0, 1)), px.std(axis=(0, 1)),
+         [luma.mean(), luma.std()], hist]
+    )
+    return [float(v) for v in feats[:dim]]
 
 
 def extract_image_features(images: DataFrame) -> DataFrame:
@@ -97,19 +152,17 @@ def extract_image_features(images: DataFrame) -> DataFrame:
                 {
                     "image_id": pdf["image_id"],
                     "n_bytes": pdf["data"].map(lambda b: len(b) if b is not None else 0),
-                    "features": pdf["data"].map(_fake_decode_features),
+                    "features": pdf["data"].map(_image_features),
                 }
             )
 
     return images.select("image_id", "data").mapInPandas(kernel, schema=out_schema)
 
 
-def resize_stub(images: DataFrame, target_w: int, target_h: int) -> DataFrame:
-    """Resize: STUB — no imaging library in this container.
-
-    The Spark plumbing (projection, batch shape, output schema) is real; the
-    kernel raises so nobody mistakes the output for pixels.
-    """
+def resize_nearest(images: DataFrame, target_w: int, target_h: int) -> DataFrame:
+    """REAL nearest-neighbor resize for PPM blobs (numpy index sampling),
+    re-encoded as PPM.  Non-PPM formats raise NotImplementedError from the
+    decoder — the honest boundary where PIL would slot in."""
     out_schema = StructType(
         [
             StructField("image_id", LongType(), False),
@@ -120,16 +173,31 @@ def resize_stub(images: DataFrame, target_w: int, target_h: int) -> DataFrame:
     )
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        raise NotImplementedError(
-            "image resize requires an imaging library (e.g. PIL) not present "
-            "in this environment; plug the decoder in here"
-        )
+        for pdf in batches:
+            out = []
+            for blob in pdf["data"]:
+                px = decode_ppm(blob)
+                h, w, _ = px.shape
+                rows = (np.arange(target_h) * h) // target_h
+                cols = (np.arange(target_w) * w) // target_w
+                out.append(encode_ppm(px[rows][:, cols]))
+            yield pd.DataFrame(
+                {
+                    "image_id": pdf["image_id"],
+                    "data": out,
+                    "width": target_w,
+                    "height": target_h,
+                }
+            )
 
     return images.select("image_id", "data").mapInPandas(kernel, schema=out_schema)
 
 
-def sample_video_frames_stub(videos: DataFrame, every_n: int) -> DataFrame:
-    """Frame sampling: STUB kernel, real schema/plumbing (see resize_stub)."""
+def sample_video_frames(videos: DataFrame, every_n: int) -> DataFrame:
+    """REAL frame sampling over a codec-less video: a concatenated-PPM
+    stream (frame after frame in one binary column).  Emits every
+    ``every_n``-th frame as its own PPM blob.  Container formats (mp4 etc.)
+    raise from the parser — pyav/ffmpeg would slot in there."""
     out_schema = StructType(
         [
             StructField("video_id", LongType(), False),
@@ -139,8 +207,44 @@ def sample_video_frames_stub(videos: DataFrame, every_n: int) -> DataFrame:
     )
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        raise NotImplementedError(
-            "video frame sampling requires pyav/ffmpeg, not present here"
-        )
+        for pdf in batches:
+            vids, idxs, frames = [], [], []
+            for vid, blob in zip(pdf["video_id"], pdf["data"]):
+                blob = bytes(blob)
+                off, k = 0, 0
+                while off < len(blob):
+                    m = _PPM_HEADER.match(blob[off : off + 64])
+                    if m is None:
+                        raise NotImplementedError(
+                            "only concatenated-PPM streams parse without a "
+                            "codec library; plug pyav in here for containers"
+                        )
+                    w, h = int(m.group(1)), int(m.group(2))
+                    end = off + m.end() + w * h * 3
+                    if k % every_n == 0:
+                        vids.append(vid)
+                        idxs.append(k)
+                        frames.append(blob[off:end])
+                    off, k = end, k + 1
+            yield pd.DataFrame(
+                {"video_id": vids, "frame_idx": idxs, "frame": frames}
+            )
 
-    return videos.mapInPandas(kernel, schema=out_schema)
+    return videos.select("video_id", "data").mapInPandas(kernel, schema=out_schema)
+
+
+# Backwards-compatible stub names: the operators are real now for PPM; the
+# old *_stub entry points remain for callers that imported them, refusing
+# only when the data genuinely needs an absent codec.
+def resize_stub(images: DataFrame, target_w: int, target_h: int) -> DataFrame:
+    raise NotImplementedError(
+        "resize_stub is retired: use resize_nearest (real for PPM blobs; "
+        "raises NotImplementedError for codec formats)"
+    )
+
+
+def sample_video_frames_stub(videos: DataFrame, every_n: int) -> DataFrame:
+    raise NotImplementedError(
+        "sample_video_frames_stub is retired: use sample_video_frames "
+        "(real for concatenated-PPM streams)"
+    )

@@ -122,6 +122,21 @@ def test_geodesic_buffer_radius(spark):
         assert abs(d - 100.0) < 1.0, f"ring point {d} m from center"
 
 
+def test_multimodal_real_decode_roundtrip():
+    """The PPM codec is real: encode → decode reproduces exact pixels."""
+    import numpy as np
+
+    from stateful_spark_streaming_spark.operators import multimodal as MM
+
+    px = np.arange(4 * 6 * 3, dtype=np.uint8).reshape(4, 6, 3)
+    assert (MM.decode_ppm(MM.encode_ppm(px)) == px).all()
+    feats = MM._image_features(MM.encode_ppm(np.full((2, 2, 3), 255, np.uint8)))
+    # an all-white image: channel means 1.0, stds 0.0, top histogram bin 1.0
+    assert feats[0] == feats[1] == feats[2] == 1.0
+    assert feats[3] == feats[4] == feats[5] == 0.0
+    assert feats[-1] == 1.0
+
+
 def test_multimodal_features_deterministic(spark, sf_dir):
     from stateful_spark_streaming_spark.operators import multimodal as MM
 
@@ -129,8 +144,35 @@ def test_multimodal_features_deterministic(spark, sf_dir):
     images = MM.synthesize_image_table(spark, docs)
     a = {r.image_id: r.features for r in MM.extract_image_features(images).collect()}
     b = {r.image_id: r.features for r in MM.extract_image_features(images).collect()}
-    assert a == b, "fake decode kernel is deterministic"
+    assert a == b, "decode kernel is deterministic"
     assert all(len(v) == MM.FEATURE_DIM for v in a.values())
 
-    with pytest.raises(Exception):  # stub kernels must refuse to pretend
-        MM.resize_stub(images, 64, 64).collect()
+
+def test_multimodal_resize_and_video_frames(spark, sf_dir):
+    import numpy as np
+
+    from stateful_spark_streaming_spark.operators import multimodal as MM
+
+    docs = load_table(spark, sf_dir, "documents").limit(8)
+    images = MM.synthesize_image_table(spark, docs)
+    small = MM.resize_nearest(images, 16, 12).collect()
+    assert all(r.width == 16 and r.height == 12 for r in small)
+    for r in small:
+        assert MM.decode_ppm(r.data).shape == (12, 16, 3)
+
+    # "video" = 5 concatenated PPM frames; sample every 2nd → frames 0,2,4
+    frames = [
+        MM.encode_ppm(np.full((3, 4, 3), i * 10, np.uint8)) for i in range(5)
+    ]
+    vids = spark.createDataFrame(
+        [(1, b"".join(frames))], ["video_id", "data"]
+    )
+    got = MM.sample_video_frames(vids, every_n=2).collect()
+    assert [r.frame_idx for r in got] == [0, 2, 4]
+    assert MM.decode_ppm(got[1].frame)[0, 0, 0] == 20
+
+    # honest boundary: a JPEG-ish blob must refuse, not pretend
+    jpeg = spark.createDataFrame([(2, b"\xff\xd8\xff\xe0fakejpeg")],
+                                 ["image_id", "data"])
+    with pytest.raises(Exception, match="PPM|imaging"):
+        MM.extract_image_features(jpeg).collect()
