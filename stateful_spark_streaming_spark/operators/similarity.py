@@ -91,64 +91,63 @@ def ivf_build(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     iters: int = 3,
+    train_sample: int = 10_000,
 ) -> tuple[DataFrame, list[list[float]]]:
-    """Build an IVF index: k-means-lite centroids (deterministic init = first
-    n_centroids vectors by id), then assign every vector to its nearest cell.
-
-    Centroid training collects only C × dim floats to the driver — constant
-    size regardless of corpus scale; assignment is a broadcast map stage.
+    """Build an IVF index: k-means centroids trained on a BOUNDED sample
+    (first ``train_sample`` vectors by id — deterministic, driver memory
+    capped at train_sample × dim floats regardless of corpus size), then one
+    distributed Arrow-vectorized pass assigns every vector to its nearest
+    cell.  Sample-trained k-means is the standard IVF recipe (faiss trains
+    on ~max(10k, 39×C) points); exact Lloyd over 100 TB would be pointless.
     """
     import numpy as np
 
-    dim = len(embeddings.select(vec_col).first()[0])
-    seed_rows = (
-        embeddings.orderBy(id_col).limit(n_centroids).select(vec_col).collect()
+    rows = (
+        embeddings.orderBy(id_col).limit(train_sample).select(vec_col).collect()
     )
-    cents = np.array([r[0] for r in seed_rows], dtype=np.float64)
-
-    # a few Lloyd iterations; each is one distributed assign + groupBy-mean
+    X = np.array([r[0] for r in rows], dtype=np.float64)
+    cents = X[:n_centroids].copy()  # deterministic init: first C by id
     for _ in range(iters):
-        assigned = _assign_cells(embeddings, cents, id_col, vec_col)
-        agg = (
-            assigned.select("cell", F.posexplode(vec_col).alias("pos", "v"))
-            .groupBy("cell", "pos")
-            .agg(F.avg("v").alias("m"))
-            .collect()
+        d2 = (
+            (X**2).sum(1)[:, None] - 2.0 * X @ cents.T + (cents**2).sum(1)[None, :]
         )
-        new = cents.copy()
-        for r in agg:
-            new[r["cell"]][r["pos"]] = r["m"]
-        cents = new
+        a = d2.argmin(1)
+        for c in range(n_centroids):
+            members = X[a == c]
+            if len(members):
+                cents[c] = members.mean(0)
 
     assigned = _assign_cells(embeddings, cents, id_col, vec_col)
     return assigned, [list(map(float, c)) for c in cents]
 
 
 def _assign_cells(df: DataFrame, cents, id_col: str, vec_col: str) -> DataFrame:
-    """Nearest-centroid assignment as a broadcast-literal expression chain."""
+    """Nearest-centroid assignment: broadcast the C × dim centroid matrix,
+    one map-only mapInPandas stage with a blocked numpy distance argmin —
+    Arrow-vectorized, no shuffle, no per-row Python."""
     import numpy as np
+    import pandas as pd
 
-    cents = np.asarray(cents)
-    d2 = [
-        F.aggregate(
-            F.zip_with(
-                F.col(vec_col),
-                F.array(*[F.lit(float(v)) for v in cents[c]]),
-                lambda x, y: (x.cast("double") - y) * (x.cast("double") - y),
-            ),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        ).alias(f"d{c}")
-        for c in range(len(cents))
-    ]
-    with_d = df.select("*", *d2)
-    best = F.lit(0)
-    best_d = F.col("d0")
-    for c in range(1, len(cents)):
-        cond = F.col(f"d{c}") < best_d
-        best = F.when(cond, F.lit(c)).otherwise(best)
-        best_d = F.when(cond, F.col(f"d{c}")).otherwise(best_d)
-    return with_d.withColumn("cell", best).drop(*[f"d{c}" for c in range(len(cents))])
+    from pyspark.sql.types import IntegerType, StructField, StructType
+
+    cents = np.asarray(cents, dtype=np.float64)
+    bc = df.sparkSession.sparkContext.broadcast(cents)
+    # fresh StructType — StructType.add MUTATES the df's cached schema object
+    out_schema = StructType(list(df.schema.fields) + [StructField("cell", IntegerType())])
+
+    def kernel(batches):
+        C = bc.value
+        c_norms = (C**2).sum(1)[None, :]
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = np.stack(pdf[vec_col].map(lambda v: np.asarray(v, np.float64)))
+            d2 = (X**2).sum(1)[:, None] - 2.0 * X @ C.T + c_norms
+            out = pdf.copy()
+            out["cell"] = d2.argmin(1).astype("int32")
+            yield out
+
+    return df.mapInPandas(kernel, out_schema)
 
 
 def ivf_write_index(
@@ -160,7 +159,10 @@ def ivf_write_index(
     import json
     import os
 
-    assigned.write.mode("overwrite").partitionBy("cell").parquet(
+    # repartition on cell first: each task then writes into exactly one cell
+    # directory (file hygiene — otherwise every task spills a sliver into
+    # every cell and the probe-side scan drowns in tiny files)
+    assigned.repartition("cell").write.mode("overwrite").partitionBy("cell").parquet(
         os.path.join(path, "cells")
     )
     with open(os.path.join(path, "centroids.json"), "w") as f:

@@ -726,7 +726,12 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dedup_jaccard_pairs",
     oracle=f"""
     WITH toks AS (SELECT doc_id, {_TOKS_SQL} AS t FROM documents),
-    sh AS (SELECT doc_id, {_SHINGLES_SQL} AS s FROM toks WHERE len(t) >= 3)
+    sh0 AS (SELECT doc_id, {_SHINGLES_SQL} AS s FROM toks WHERE len(t) >= 3),
+    ex AS (SELECT doc_id, unnest(s) AS shingle FROM sh0),
+    hot AS (SELECT shingle FROM ex GROUP BY shingle HAVING count(*) > 1000),
+    sh AS (SELECT doc_id, list(shingle) AS s
+           FROM (SELECT * FROM ex ANTI JOIN hot USING (shingle))
+           GROUP BY doc_id)
     SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
            CAST(len(list_intersect(a.s, b.s)) AS BIGINT) AS n_common,
            round(len(list_intersect(a.s, b.s))::DOUBLE
@@ -738,7 +743,13 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return DD.jaccard_pairs(_t(spark, sf_dir, "documents"), threshold=0.6)
+    """Scale form: shingles shared by >1000 docs are dropped from both the
+    intersections and the set sizes (self-consistent — see jaccard_pairs),
+    and the oracle mirrors the removal exactly, so the oracle-checked query
+    IS the 100 TB-shaped one, not a small-data variant."""
+    return DD.jaccard_pairs(
+        _t(spark, sf_dir, "documents"), threshold=0.6, max_shingle_df=1000
+    )
 
 
 @query("dedup_minhash_lsh")  # xxhash64 signatures: not DuckDB-expressible → rows-only
