@@ -1,0 +1,129 @@
+"""Temporal join operators Spark lacks as built-ins: as-of join and
+banded range join.
+
+The reference has no temporal joins at all (SURVEY §2.7); these are the
+standard time-series extensions (kdb aj / pandas merge_asof / DuckDB
+ASOF JOIN semantics), implemented as SHUFFLE-ONCE compositions of
+DataFrame primitives — no range-condition sort-merge explosion, no
+cartesian fallback:
+
+- **as-of join**: union both sides tagged, one window sort per key,
+  ``last(<packed right row>, ignorenulls)`` carries the most recent right
+  match forward onto each left row.  One exchange on the key — the same
+  cost as a plain groupBy, regardless of how many right rows precede each
+  left row.
+- **range join**: bucket timestamps to tolerance-width cells, replicate
+  the right side into its 3 neighboring cells, equi-join on (key, cell),
+  filter the exact band.  Join fan-out is bounded by rows-per-cell, never
+  all-pairs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    right_cols: tuple[str, ...] = (),
+    prefix: str = "asof_",
+) -> DataFrame:
+    """Backward as-of join: for every left row, attach the right row of the
+    same ``key`` with the greatest ``right_ts`` <= ``left_ts`` (DuckDB
+    ``ASOF LEFT JOIN`` / pandas ``merge_asof`` semantics; unmatched left
+    rows keep nulls).
+
+    Implementation: tag sides, union, one window sorted by (ts, side) per
+    key — right rows sort before left rows at equal ts so equality matches —
+    then ``last(packed, ignorenulls=True)`` over the unbounded-preceding
+    frame.  The right row rides as ONE struct so a legitimately-null right
+    value column can't be skipped past to an older row.
+
+    If several right rows share (key, ts), the last one in (arbitrary but
+    deterministic post-shuffle) struct order wins — dedupe the right side
+    first when that matters, as q_asof_clicks_purchases does.
+    """
+    rstruct = F.struct(
+        F.col(right_ts).alias("__rts"), *[F.col(c) for c in right_cols]
+    )
+    r = right.select(
+        F.col(key).alias("__k"),
+        F.col(right_ts).alias("__ts"),
+        F.lit(0).alias("__side"),
+        rstruct.alias("__r"),
+    )
+    l = left.select(
+        F.col(key).alias("__k"),
+        F.col(left_ts).alias("__ts"),
+        F.lit(1).alias("__side"),
+        F.lit(None).cast(r.schema["__r"].dataType).alias("__r"),
+        "*",
+    )
+    u = l.unionByName(r.withColumns({c: F.lit(None) for c in left.columns
+                                     if c not in r.columns}), allowMissingColumns=True)
+    w = (
+        Window.partitionBy("__k")
+        .orderBy(F.col("__ts").asc(), F.col("__side").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    matched = u.withColumn("__match", F.last("__r", ignorenulls=True).over(w))
+    out = matched.filter(F.col("__side") == 1).select(
+        *left.columns,
+        F.col("__match.__rts").alias(f"{prefix}{right_ts}"),
+        *[F.col(f"__match.{c}").alias(f"{prefix}{c}") for c in right_cols],
+    )
+    return out
+
+
+def range_join_pairs(
+    events: DataFrame,
+    key: str,
+    ts: str = "ts",
+    id_col: str = "event_id",
+    tolerance_seconds: int = 600,
+) -> DataFrame:
+    """Banded self range join: pairs of rows with the same ``key`` whose
+    timestamps differ by at most ``tolerance_seconds`` (id_a < id_b).
+
+    Scale shape: bucket = floor(epoch_ms / tol_ms); the right side is
+    replicated into cells {b-1, b, b+1} (explode of a 3-literal array), the
+    join is a plain equi-join on (key, cell), and the exact |Δt| ≤ tol band
+    is a post-filter.  Shuffle volume is 4× the input rows — never a range
+    sort-merge or cartesian.  Pair fan-out is bounded by rows per
+    (key, cell), i.e. by data density within one tolerance window.
+    """
+    tol_ms = tolerance_seconds * 1000
+    base = events.select(
+        F.col(key).alias("__k"),
+        F.col(id_col).alias("__id"),
+        F.unix_millis(F.col(ts)).alias("__ms"),
+    )
+    cell = (F.col("__ms") / F.lit(tol_ms)).cast("long")
+    a = base.select("__k", F.col("__id").alias("id_a"),
+                    F.col("__ms").alias("ms_a"), cell.alias("__cell"))
+    b = base.select(
+        "__k",
+        F.col("__id").alias("id_b"),
+        F.col("__ms").alias("ms_b"),
+        F.explode(F.array(cell - 1, cell, cell + 1)).alias("__cell"),
+    )
+    return (
+        a.join(b, ["__k", "__cell"])
+        .filter(
+            (F.col("id_a") < F.col("id_b"))
+            & (F.abs(F.col("ms_a") - F.col("ms_b")) <= tol_ms)
+        )
+        .select(
+            F.col("__k").alias(key),
+            "id_a",
+            "id_b",
+            F.abs(F.col("ms_a") - F.col("ms_b")).alias("gap_ms"),
+        )
+    )
+    # no dedup needed: id_a's cell is fixed, so of id_b's 3 replicas exactly
+    # one can land in it — each qualifying pair is emitted exactly once

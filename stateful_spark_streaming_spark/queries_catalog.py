@@ -460,6 +460,129 @@ def q_events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Temporal joins (SURVEY §2.7 gap: as-of / range join — kdb aj, DuckDB ASOF)
+# --------------------------------------------------------------------------
+from stateful_spark_streaming_spark.operators import temporal as TMP  # noqa: E402
+
+
+@query(
+    "asof_clicks_purchases",
+    oracle="""
+    WITH purchases AS (
+      SELECT user_id, ts, max(value) AS purchase_value
+      FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts),
+    clicks AS (SELECT * FROM events WHERE event_type = 'click')
+    SELECT c.event_id, c.user_id, epoch_ms(c.ts) AS ts_ms,
+           epoch_ms(p.ts) AS asof_ts_ms,
+           p.purchase_value AS asof_purchase_value
+    FROM clicks c
+    ASOF LEFT JOIN purchases p
+      ON c.user_id = p.user_id AND c.ts >= p.ts
+    """,
+)
+def q_asof_clicks_purchases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each click gets the user's most recent purchase at or
+    before it (nulls before the first purchase).  Spark form: union + one
+    keyed window — one exchange, no range sort-merge."""
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click")
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("purchase_value"))
+    )
+    out = TMP.asof_join(
+        clicks, purchases, key="user_id", left_ts="ts", right_ts="ts",
+        right_cols=("purchase_value",),
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        F.unix_millis("ts").alias("ts_ms"),
+        F.unix_millis("asof_ts").alias("asof_ts_ms"),
+        "asof_purchase_value",
+    )
+
+
+@query(
+    "event_pairs_within_10min",
+    oracle="""
+    SELECT a.user_id AS user_id, a.event_id AS id_a, b.event_id AS id_b,
+           abs(epoch_ms(a.ts) - epoch_ms(b.ts)) AS gap_ms
+    FROM events a JOIN events b
+      ON a.user_id = b.user_id AND a.event_id < b.event_id
+     AND abs(epoch_ms(a.ts) - epoch_ms(b.ts)) <= 600000
+    """,
+)
+def q_event_pairs_within_10min(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded range join: same-user event pairs within 10 minutes.  The
+    bucketed equi-join form — 4× shuffle volume, never an all-pairs join."""
+    ev = _t(spark, sf_dir, "events")
+    return TMP.range_join_pairs(
+        ev, key="user_id", ts="ts", id_col="event_id", tolerance_seconds=600
+    )
+
+
+@query(
+    "value_percentiles",
+    oracle="""
+    SELECT event_type,
+           count(*) AS n,
+           round(quantile_cont(value, 0.5), 4) AS p50,
+           round(quantile_cont(value, 0.9), 4) AS p90,
+           round(quantile_cont(value, 0.99), 4) AS p99
+    FROM events GROUP BY event_type
+    """,
+)
+def q_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact linear-interpolation percentiles per group (Spark `percentile`
+    ≡ DuckDB `quantile_cont`).  At 100 TB swap in approx_percentile — the
+    exact form needs a per-group sort."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.percentile("value", F.lit(0.5)), 4).alias("p50"),
+        F.round(F.percentile("value", F.lit(0.9)), 4).alias("p90"),
+        F.round(F.percentile("value", F.lit(0.99)), 4).alias("p99"),
+    )
+
+
+@query(
+    "monthly_running_revenue",
+    oracle="""
+    WITH monthly AS (
+      SELECT date_trunc('month', o_orderdate)::DATE AS month,
+             round(sum(o_totalprice), 2) AS revenue
+      FROM orders GROUP BY 1)
+    SELECT month, revenue,
+           round(sum(revenue) OVER (ORDER BY month
+                 ROWS UNBOUNDED PRECEDING), 2) AS running_revenue,
+           round(avg(revenue) OVER (ORDER BY month
+                 ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 4) AS mov3_avg
+    FROM monthly
+    """,
+)
+def q_monthly_running_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative + moving-frame window aggregates over the monthly rollup.
+    The global ordering window runs over month-cardinality rows (≤ a few
+    hundred) — post-aggregation, so the single-partition sort is trivial."""
+    from pyspark.sql import Window
+
+    orders = _t(spark, sf_dir, "orders")
+    monthly = orders.groupBy(
+        F.date_trunc("month", "o_orderdate").cast("date").alias("month")
+    ).agg(F.round(F.sum("o_totalprice"), 2).alias("revenue"))
+    w_run = Window.orderBy("month").rowsBetween(Window.unboundedPreceding, 0)
+    w_mov = Window.orderBy("month").rowsBetween(-2, 0)
+    return monthly.select(
+        "month",
+        "revenue",
+        F.round(F.sum("revenue").over(w_run), 2).alias("running_revenue"),
+        F.round(F.avg("revenue").over(w_mov), 4).alias("mov3_avg"),
+    )
+
+
+# --------------------------------------------------------------------------
 # Time-window aggregations (SURVEY §2.7 gap: tumbling/sliding/session)
 # --------------------------------------------------------------------------
 from stateful_spark_streaming_spark.operators import windows as WIN  # noqa: E402
