@@ -227,7 +227,12 @@ def q_streaming_track_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from stateful_spark_streaming_spark.streaming.pipeline import run_snapshot_query
 
-    out = run_snapshot_query(spark, _os.path.join(sf_dir, "events.parquet"))
+    # state partitions sized to this table's key cardinality (≤ thousands of
+    # keys): fewer Arrow worker rounds beat idle parallelism; production key
+    # volumes pass None and inherit the session's shuffle sizing
+    out = run_snapshot_query(
+        spark, _os.path.join(sf_dir, "events.parquet"), state_partitions=8
+    )
     return out.select(
         "user_id", "track_count", "latest_ts_ms", "oldest_ts_ms",
         "latest_event_type", "latest_value",
