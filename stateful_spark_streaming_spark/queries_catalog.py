@@ -239,6 +239,48 @@ def q_streaming_track_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "state_store_snapshot",
+    oracle="""
+    WITH dedup AS (
+      SELECT * EXCLUDE (rn) FROM (
+        SELECT *, row_number() OVER (PARTITION BY user_id, ts ORDER BY event_id) AS rn
+        FROM events) WHERE rn = 1
+    ), bounded AS (
+      SELECT * EXCLUDE (rk) FROM (
+        SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rk
+        FROM dedup) WHERE rk <= 10
+    )
+    SELECT user_id,
+           count(*) AS track_count,
+           epoch_ms(max(ts)) AS latest_ts_ms,
+           epoch_ms(min(ts)) AS oldest_ts_ms,
+           arg_max(event_type, ts) AS latest_event_type,
+           arg_max(value, ts) AS latest_value
+    FROM bounded GROUP BY user_id
+    """,
+)
+def q_state_store_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRUE stateSnapshots() parity (StreamWithStates.scala:74-77): run the
+    stream, then read ALL keys' state straight from the checkpointed
+    RocksDB files via the state data source — a distributed scan of the
+    state store itself, no sink, same oracle as the batch operator."""
+    import os as _os
+    import tempfile as _tf
+
+    from stateful_spark_streaming_spark.streaming.pipeline import run_snapshot_query
+    from stateful_spark_streaming_spark.streaming.state_reader import (
+        state_snapshot_view,
+    )
+
+    ckpt = _tf.mkdtemp(prefix="sss_ckpt_statereader_")
+    run_snapshot_query(
+        spark, _os.path.join(sf_dir, "events.parquet"),
+        checkpoint_dir=ckpt, state_partitions=8,
+    )
+    return state_snapshot_view(spark, ckpt)
+
+
 # --------------------------------------------------------------------------
 # Relational surface (SURVEY §2.6-2.7: the generalized "any SQL" hook)
 # --------------------------------------------------------------------------

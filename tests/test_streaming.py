@@ -214,15 +214,38 @@ def test_driver_sink_parity(spark, workdir):
         h.stop()
 
 
-def test_streaming_matches_batch_operator(spark, sf_dir):
+def test_streaming_matches_batch_operator(spark, sf_dir, tmp_path):
     """availableNow over events.parquet through the REAL stateful processor
-    equals the batch track_snapshot operator row-for-row."""
+    equals the batch track_snapshot operator row-for-row — and so does the
+    state-store READER view (true stateSnapshots parity: all keys straight
+    from the checkpointed RocksDB files, no sink involved)."""
     from stateful_spark_streaming_spark.operators import tracks as TR
     from stateful_spark_streaming_spark.sources.tables import load_table
+    from stateful_spark_streaming_spark.streaming.state_reader import (
+        state_snapshot_view,
+        state_track_rows,
+    )
 
-    got = run_snapshot_query(spark, os.path.join(sf_dir, "events.parquet"))
+    ckpt = str(tmp_path / "ckpt")
+    got = run_snapshot_query(spark, os.path.join(sf_dir, "events.parquet"),
+                             checkpoint_dir=ckpt)
     ev = load_table(spark, sf_dir, "events")
     want = TR.track_snapshot(ev, "user_id", "ts", "event_id", ["event_type", "value"])
     g = {r.user_id: r.asDict() for r in got.collect()}
     w = {r.user_id: r.asDict() for r in want.collect()}
     assert g == w
+
+    # stateSnapshots() parity: the state-store reader sees the same table
+    s = {r.user_id: r.asDict() for r in
+         state_snapshot_view(spark, ckpt).collect()}
+    assert s == w
+
+    # and the full per-key track contents are queryable from state
+    rows = state_track_rows(spark, ckpt)
+    per_key = {r.user_id: r.cnt for r in
+               rows.groupBy("user_id").agg(F.count("*").alias("cnt")).collect()}
+    assert per_key == {k: v["track_count"] for k, v in w.items()}
+    first = rows.filter("user_id = 1").orderBy("pos").collect()
+    assert [r.ts_ms for r in first] == sorted(r.ts_ms for r in first), (
+        "track rows come out in chronological order"
+    )
