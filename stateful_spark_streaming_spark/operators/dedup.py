@@ -90,12 +90,20 @@ def jaccard_pairs(
             .select("shingle")
         )
         idx = idx.join(F.broadcast(hot), "shingle", "left_anti")
-        # recompute per-doc set sizes over the surviving shingles so the
-        # denominator matches the filtered intersection
-        sizes = idx.groupBy("doc").agg(F.count(F.lit(1)).alias("set_size2"))
-        idx = idx.drop("set_size").join(sizes, "doc").withColumnRenamed(
-            "set_size2", "set_size"
+        # recompute per-doc set sizes over the surviving shingles (one
+        # window pass — no extra scan) so the denominator matches the
+        # filtered intersection
+        idx = idx.drop("set_size").withColumn(
+            "set_size", F.count(F.lit(1)).over(Window.partitionBy("doc"))
         )
+        # materialize the filtered index: it feeds BOTH sides of the
+        # self-join plus the hot-shingle aggregate — without this, the
+        # scan+shingle+filter subplan re-executes once per consumer
+        # (tools/plan_audit.py asserts the bounded scan count).
+        # MEMORY_AND_DISK: spills rather than recomputes at 100 TB.
+        from pyspark import StorageLevel
+
+        idx = idx.persist(StorageLevel.MEMORY_AND_DISK)
     a = idx.alias("a")
     b = idx.alias("b")
     pairs = (

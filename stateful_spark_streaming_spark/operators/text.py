@@ -129,6 +129,99 @@ def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def chunk_documents(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    chunk_tokens: int = 64,
+    overlap: int = 16,
+) -> DataFrame:
+    """Training-data chunking: split each document into ~chunk_tokens-token
+    windows with ``overlap`` tokens of context carry-over (the standard LLM
+    pretraining/RAG chunker).
+
+    Pure column algebra: token array → slice starts via ``sequence`` with
+    step (chunk_tokens - overlap) → posexplode → ``slice`` + rejoin.  Scale
+    shape: map-only (no shuffle), output rows ≈ tokens/stride per doc.
+    """
+    stride = chunk_tokens - overlap
+    if stride <= 0:
+        raise ValueError("overlap must be smaller than chunk_tokens")
+    t = tokens(F.col(text_col))
+    # start indices 1, 1+stride, ... ≤ n (1-based for slice); always ≥1 chunk
+    starts = F.sequence(
+        F.lit(1), F.greatest(F.size(t), F.lit(1)), F.lit(stride)
+    )
+    exploded = df.select(
+        F.col(id_col),
+        F.size(t).alias("n_tokens"),
+        t.alias("__toks"),
+        F.posexplode(starts).alias("chunk_id", "start"),
+    )
+    # drop tail starts that would produce pure-overlap chunks (start > 1 and
+    # nothing new past the previous chunk's end)
+    kept = exploded.filter(
+        (F.col("chunk_id") == 0) | (F.col("start") + overlap <= F.col("n_tokens"))
+    )
+    return kept.select(
+        id_col,
+        "chunk_id",
+        F.col("start"),
+        "n_tokens",
+        F.array_join(
+            F.slice(F.col("__toks"), F.col("start"), F.lit(chunk_tokens)), " "
+        ).alias("chunk_text"),
+        F.least(
+            F.lit(chunk_tokens), F.col("n_tokens") - F.col("start") + 1
+        ).alias("chunk_len"),
+    )
+
+
+#: public-pattern PII regexes (emails / E.164-ish phones / IPv4) — the
+#: redaction set every training-data pipeline starts from
+PII_PATTERNS = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "phone": r"\+?[0-9][0-9()\- ]{7,}[0-9]",
+    "ipv4": r"\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b",
+}
+
+
+def redact_pii(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Replace emails/phones/IPv4s with typed placeholders and count the
+    redactions per doc — map-only column expressions, no Python."""
+    red = F.col(text_col)
+    counts = {}
+    for name, pat in PII_PATTERNS.items():
+        counts[name] = F.size(F.regexp_extract_all(red, F.lit(pat), 0))
+        red = F.regexp_replace(red, pat, f"<{name.upper()}>")
+    return df.select(
+        "doc_id",
+        red.alias("redacted_text"),
+        *[counts[n].alias(f"n_{n}") for n in PII_PATTERNS],
+    )
+
+
+def hash_split(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    train_pct: int = 90,
+) -> DataFrame:
+    """Deterministic content-hash train/eval split: bucket = first 8 hex
+    chars of md5(normalized text) mod 100.  Content-keyed (not row-keyed) so
+    exact duplicates always land in the same split — the property that
+    prevents train/eval leakage through dup documents."""
+    bucket = (
+        F.conv(F.substring(F.md5(normalize_text(F.col(text_col))), 1, 8), 16, 10)
+        .cast("long") % 100
+    )
+    return df.select(
+        id_col,
+        bucket.alias("bucket"),
+        F.when(bucket < train_pct, "train").otherwise("eval").alias("split"),
+    )
+
+
 def shingles_from_tokens(t: Column, k: int = 3) -> Column:
     """k-word shingles from a token array, via shifted-array zip_with.
 

@@ -869,6 +869,83 @@ def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TXT.fingerprint(_t(spark, sf_dir, "documents"))
 
 
+@query(
+    "chunk_documents",
+    oracle=f"""
+    WITH base AS (
+      SELECT doc_id, {_TOKS_SQL} AS toks,
+             CAST(len({_TOKS_SQL}) AS INT) AS n
+      FROM documents),
+    st AS (
+      SELECT doc_id, toks, n,
+             CAST(unnest(generate_series(1, greatest(n, 1), 48)) AS INT) AS start
+      FROM base)
+    SELECT doc_id,
+           CAST((start - 1) / 48 AS INT) AS chunk_id,
+           start,
+           n AS n_tokens,
+           array_to_string(list_slice(toks, start, least(start + 63, n)), ' ')
+               AS chunk_text,
+           CAST(least(64, n - start + 1) AS INT) AS chunk_len
+    FROM st WHERE start = 1 OR start + 16 <= n
+    """,
+)
+def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LLM chunker: 64-token windows, 16-token overlap — map-only slice
+    algebra, no shuffle."""
+    out = TXT.chunk_documents(
+        _t(spark, sf_dir, "documents"), chunk_tokens=64, overlap=16
+    )
+    return out.select(
+        "doc_id", "chunk_id", "start", "n_tokens", "chunk_text", "chunk_len"
+    )
+
+
+@query(
+    "redact_pii",
+    oracle=f"""
+    WITH s1 AS (
+      SELECT doc_id,
+             CAST(len(regexp_extract_all(text,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}')) AS INT) AS n_email,
+             regexp_replace(text,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}', '<EMAIL>', 'g') AS t1
+      FROM documents),
+    s2 AS (
+      SELECT doc_id, n_email,
+             CAST(len(regexp_extract_all(t1, '\\+?[0-9][0-9()\\- ]{{7,}}[0-9]')) AS INT) AS n_phone,
+             regexp_replace(t1, '\\+?[0-9][0-9()\\- ]{{7,}}[0-9]', '<PHONE>', 'g') AS t2
+      FROM s1),
+    s3 AS (
+      SELECT doc_id, n_email, n_phone,
+             CAST(len(regexp_extract_all(t2, '\\b(?:[0-9]{{1,3}}\\.){{3}}[0-9]{{1,3}}\\b')) AS INT) AS n_ipv4,
+             regexp_replace(t2, '\\b(?:[0-9]{{1,3}}\\.){{3}}[0-9]{{1,3}}\\b', '<IPV4>', 'g') AS t3
+      FROM s2)
+    SELECT doc_id, t3 AS redacted_text, n_email, n_phone, n_ipv4 FROM s3
+    """,
+)
+def q_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub (emails/phones/IPv4 → typed placeholders) + per-doc
+    redaction counts — the first pass of every training-data pipeline."""
+    return TXT.redact_pii(_t(spark, sf_dir, "documents"))
+
+
+@query(
+    "hash_split",
+    oracle=f"""
+    SELECT doc_id,
+           ('0x' || substring(md5({_NORM_SQL}), 1, 8))::BIGINT % 100 AS bucket,
+           CASE WHEN ('0x' || substring(md5({_NORM_SQL}), 1, 8))::BIGINT % 100 < 90
+                THEN 'train' ELSE 'eval' END AS split
+    FROM documents
+    """,
+)
+def q_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic content-hash train/eval split (90/10): duplicates land
+    in the same split — no train/eval leakage through dups."""
+    return TXT.hash_split(_t(spark, sf_dir, "documents"), train_pct=90)
+
+
 # --------------------------------------------------------------------------
 # Deduplication (north star: exact, n-gram Jaccard, MinHash+LSH, SimHash)
 # --------------------------------------------------------------------------

@@ -86,3 +86,56 @@ def test_simhash_identical_and_near(docs):
     got = {(r.doc_a, r.doc_b): r.hamming for r in near}
     assert got.get((1, 2)) == 0
     assert (1, 3) in got, "one-word change stays within small hamming distance"
+
+
+def test_chunk_documents_overlap(spark):
+    from stateful_spark_streaming_spark.operators.text import chunk_documents
+
+    text = " ".join(f"w{i}" for i in range(100))  # 100 tokens
+    df = spark.createDataFrame([(1, text)], ["doc_id", "text"])
+    chunks = sorted(
+        chunk_documents(df, chunk_tokens=64, overlap=16).collect(),
+        key=lambda r: r.chunk_id,
+    )
+    # starts at 1, 49, 97; start=97 gives a pure-tail chunk of 4 tokens
+    # (97+16 > 100 → dropped); so chunks at 1 and 49
+    assert [r.start for r in chunks] == [1, 49]
+    assert chunks[0].chunk_text.split()[:2] == ["w0", "w1"]
+    assert chunks[0].chunk_len == 64
+    # overlap: chunk 1 begins 16 tokens before chunk 0's end
+    assert chunks[1].chunk_text.split()[0] == "w48"
+    assert chunks[1].chunk_len == 52  # tokens 49..100
+
+    tiny = spark.createDataFrame([(2, "a b c")], ["doc_id", "text"])
+    got = chunk_documents(tiny).collect()
+    assert len(got) == 1 and got[0].chunk_len == 3, "short doc → one chunk"
+
+
+def test_redact_pii_crafted(spark):
+    from stateful_spark_streaming_spark.operators.text import redact_pii
+
+    df = spark.createDataFrame(
+        [(1, "mail bob@example.com or +1 (555) 123-4567, host 10.0.0.1 ok")],
+        ["doc_id", "text"],
+    )
+    r = redact_pii(df).collect()[0]
+    assert "<EMAIL>" in r.redacted_text
+    assert "<PHONE>" in r.redacted_text
+    assert "<IPV4>" in r.redacted_text
+    assert "bob@" not in r.redacted_text and "555" not in r.redacted_text
+    assert (r.n_email, r.n_phone, r.n_ipv4) == (1, 1, 1)
+
+
+def test_hash_split_duplicates_cohere(spark):
+    from stateful_spark_streaming_spark.operators.text import hash_split
+
+    df = spark.createDataFrame(
+        [(1, "Exactly The Same text!"), (2, "exactly the same TEXT"),
+         (3, "something different entirely")],
+        ["doc_id", "text"],
+    )
+    rows = {r.doc_id: r for r in hash_split(df).collect()}
+    # normalization makes 1 and 2 identical content → identical split
+    assert rows[1].bucket == rows[2].bucket
+    assert rows[1].split == rows[2].split
+    assert all(r.split in ("train", "eval") for r in rows.values())
