@@ -83,27 +83,32 @@ def jaccard_pairs(
     """
     idx = _shingle_index(df, text_col, id_col, k)
     if max_shingle_df is not None:
-        hot = (
+        # hot shingles are BOUNDED by construction — at most
+        # total_occurrences / max_shingle_df distinct values (boilerplate) —
+        # so evaluate the stoplist once up front.  When it's empty (the
+        # common case) the fast single-pass plan runs untouched; when it
+        # isn't, a literal anti-filter prunes the index and set sizes are
+        # recomputed over the survivors so Jaccard stays self-consistent.
+        hot_rows = (
             idx.groupBy("shingle")
             .agg(F.count(F.lit(1)).alias("df_"))
             .filter(F.col("df_") > max_shingle_df)
             .select("shingle")
+            .collect()
         )
-        idx = idx.join(F.broadcast(hot), "shingle", "left_anti")
-        # recompute per-doc set sizes over the surviving shingles (one
-        # window pass — no extra scan) so the denominator matches the
-        # filtered intersection
-        idx = idx.drop("set_size").withColumn(
-            "set_size", F.count(F.lit(1)).over(Window.partitionBy("doc"))
-        )
-        # materialize the filtered index: it feeds BOTH sides of the
-        # self-join plus the hot-shingle aggregate — without this, the
-        # scan+shingle+filter subplan re-executes once per consumer
-        # (tools/plan_audit.py asserts the bounded scan count).
-        # MEMORY_AND_DISK: spills rather than recomputes at 100 TB.
-        from pyspark import StorageLevel
-
-        idx = idx.persist(StorageLevel.MEMORY_AND_DISK)
+        if hot_rows:
+            hot_list = [r[0] for r in hot_rows]
+            if len(hot_list) <= 10_000:
+                idx = idx.filter(~F.col("shingle").isin(hot_list))
+            else:  # stoplist too big for a literal: broadcast anti-join
+                hot_df = idx.sparkSession.createDataFrame(
+                    [(s,) for s in hot_list], ["shingle"]
+                )
+                idx = idx.join(F.broadcast(hot_df), "shingle", "left_anti")
+            sizes = idx.groupBy("doc").agg(F.count(F.lit(1)).alias("set_size2"))
+            idx = idx.drop("set_size").join(sizes, "doc").withColumnRenamed(
+                "set_size2", "set_size"
+            )
     a = idx.alias("a")
     b = idx.alias("b")
     pairs = (
