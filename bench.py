@@ -25,8 +25,17 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     qs = entrymod.queries()
 
-    # warm the JVM + parquet footers once
+    # warm the JVM + parquet footers + the Arrow python-worker pool once, so
+    # one-time process spin-up isn't attributed to whichever query runs first
     spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).count()
+    (
+        spark.range(256)
+        .repartition(int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
+        .mapInPandas(lambda it: it, "id long")
+        .write.format("noop")
+        .mode("overwrite")
+        .save()
+    )
 
     timings: dict[str, float] = {}
     t_all0 = time.perf_counter()

@@ -141,7 +141,7 @@ def _assign_cells(df: DataFrame, cents, id_col: str, vec_col: str) -> DataFrame:
         for pdf in batches:
             if not len(pdf):
                 continue
-            X = np.stack(pdf[vec_col].map(lambda v: np.asarray(v, np.float64)))
+            X = np.array(pdf[vec_col].tolist(), dtype=np.float64)
             d2 = (X**2).sum(1)[:, None] - 2.0 * X @ C.T + c_norms
             out = pdf.copy()
             out["cell"] = d2.argmin(1).astype("int32")
@@ -316,7 +316,7 @@ def cosine_near_pairs(
         )
     pdf_all = embeddings.select(id_col, vec_col).toPandas()
     ids_all = pdf_all[id_col].to_numpy()
-    m = np.stack(pdf_all[vec_col].map(lambda v: np.asarray(v, dtype=np.float64)))
+    m = np.array(pdf_all[vec_col].tolist(), dtype=np.float64)
     m /= np.linalg.norm(m, axis=1, keepdims=True)
     bc = spark.sparkContext.broadcast((ids_all, m))
 
@@ -324,7 +324,8 @@ def cosine_near_pairs(
         ids_b, mat = bc.value
         for pdf in batches:
             ids_a = pdf[id_col].to_numpy()
-            a = np.stack(pdf[vec_col].map(lambda v: np.asarray(v, dtype=np.float64)))
+            # bulk tolist() → ndarray: one C-level conversion, no per-row map
+            a = np.array(pdf[vec_col].tolist(), dtype=np.float64)
             a /= np.linalg.norm(a, axis=1, keepdims=True)
             s = a @ mat.T
             # prefilter margin = half-ulp of the 6-dp rounding plus slack, so
@@ -409,8 +410,8 @@ def cosine_near_pairs_lsh(
         for pdf in batches:
             if not len(pdf):
                 continue
-            va = np.stack(pdf["va"].map(lambda v: np.asarray(v, dtype=np.float64)))
-            vb = np.stack(pdf["vb"].map(lambda v: np.asarray(v, dtype=np.float64)))
+            va = np.array(pdf["va"].tolist(), dtype=np.float64)
+            vb = np.array(pdf["vb"].tolist(), dtype=np.float64)
             cos = np.einsum("ij,ij->i", va, vb) / (
                 np.linalg.norm(va, axis=1) * np.linalg.norm(vb, axis=1)
             )

