@@ -662,6 +662,33 @@ def q_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "streaming_tumbling_counts",
+    oracle="""
+    SELECT epoch_ms(time_bucket(INTERVAL '6 hours', ts)) AS bucket_ms,
+           count(*) AS n_events,
+           round(sum(value), 2) AS sum_value,
+           round(avg(value), 4) AS avg_value
+    FROM events GROUP BY 1
+    """,
+)
+def q_streaming_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The STREAMING twin of tumbling_window_counts: update-mode windowed
+    aggregation through a real streaming query (availableNow), per-batch
+    upsert into the storage-backed snapshot sink, same oracle as batch —
+    single-pass ingest ≡ batch semantics."""
+    import os as _os
+
+    from stateful_spark_streaming_spark.streaming.pipeline import (
+        run_streaming_tumbling_counts,
+    )
+
+    out = run_streaming_tumbling_counts(
+        spark, _os.path.join(sf_dir, "events.parquet")
+    )
+    return out.select("bucket_ms", "n_events", "sum_value", "avg_value")
+
+
+@query(
     "sliding_window_counts",
     oracle="""
     SELECT epoch_ms(time_bucket(INTERVAL '6 hours', ts) - k * INTERVAL '6 hours') AS window_start_ms,

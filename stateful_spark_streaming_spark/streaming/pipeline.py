@@ -366,12 +366,9 @@ def run_snapshot_query(
         spark.conf.set("spark.sql.shuffle.partitions", old_sp)
 
 
-def _run_snapshot_query(
-    spark: SparkSession,
-    events_path: str,
-    cfg: TrackStateConfig,
-    checkpoint_dir: str,
-) -> DataFrame:
+def stream_events_source(spark: SparkSession, events_path: str) -> DataFrame:
+    """Streaming source over an events parquet file/dir: explicit schema,
+    nanos-as-long handling, single-file symlink into a source directory."""
     import tempfile
 
     from pyspark.sql import functions as F
@@ -388,6 +385,18 @@ def _run_snapshot_query(
     stream_df = spark.readStream.schema(raw_schema).format("parquet").load(src_dir)
     if dict(stream_df.dtypes).get("ts") == "bigint":
         stream_df = stream_df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    return stream_df
+
+
+def _run_snapshot_query(
+    spark: SparkSession,
+    events_path: str,
+    cfg: TrackStateConfig,
+    checkpoint_dir: str,
+) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    stream_df = stream_events_source(spark, events_path)
     keyed = stream_df.withColumn("arrival", F.col(cfg.arrival))
     snap = track_state_stream(keyed, cfg)
     sink = ParquetSnapshotSink(
@@ -402,3 +411,45 @@ def _run_snapshot_query(
     )
     q.awaitTermination(300)
     return sink.query()
+
+
+def run_streaming_tumbling_counts(
+    spark: SparkSession,
+    events_path: str,
+    width: str = "6 hours",
+    checkpoint_dir: str | None = None,
+    state_partitions: int | None = 8,
+) -> DataFrame:
+    """Streaming tumbling-window aggregation run to completion: update-mode
+    windowed groupBy over the event stream, upserted per-batch into a
+    ParquetSnapshotSink keyed by the window bucket — the streaming twin of
+    the batch ``tumbling_counts`` operator (same oracle).
+
+    The same graph runs unmodified against an unbounded source; there a
+    ``withWatermark`` upstream bounds window state."""
+    import tempfile
+
+    from stateful_spark_streaming_spark.operators.windows import tumbling_counts
+
+    checkpoint_dir = checkpoint_dir or tempfile.mkdtemp(prefix="sss_ckpt_win_")
+    old_sp = spark.conf.get("spark.sql.shuffle.partitions")
+    if state_partitions is not None:
+        spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
+    try:
+        stream_df = stream_events_source(spark, events_path)
+        windowed = tumbling_counts(stream_df, width=width)
+        sink = ParquetSnapshotSink(
+            spark, "StreamingTumbling", "bucket_ms",
+            path=f"{checkpoint_dir}_snapshot",
+        )
+        q = (
+            windowed.writeStream.outputMode("update")
+            .foreachBatch(sink)
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        return sink.query()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_sp)

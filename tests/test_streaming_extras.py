@@ -195,6 +195,30 @@ def test_state_ttl_expires_idle_keys(spark, workdir):
         h.stop()
 
 
+# ------------------------------------------------------ S5: console sink
+def test_console_sink_prints_table(spark, workdir, capfd):
+    """S5: the reference's showTempView prints a banner + table per batch
+    (StreamWithStates.scala:36-53); assert the print actually happens."""
+    src = str(workdir / "src")
+    _write_batch(src, 1, [_csv_line(f, 0) for f in FLIGHTS])
+    h = flight_socket_pipeline(
+        spark,
+        file_flight_source(spark, src),
+        checkpoint_dir=str(workdir / "ckpt"),
+        trigger_seconds=0.5,
+        show=True,
+        sql="select flightId, track_count from Flights",
+    )
+    try:
+        _wait_counts(h, {f: 1 for f in FLIGHTS},
+                     "select flightId, track_count from Flights")
+    finally:
+        h.stop()
+    out = capfd.readouterr().out
+    assert "========= Flights" in out, "per-batch banner printed"
+    assert "flightId" in out and "ASA2" in out, f"table not shown: {out[:400]}"
+
+
 # -------------------------------------------------------- S1: socket e2e
 def test_socket_source_end_to_end(spark, workdir):
     """S1: the reference's actual ingest path — a TCP text socket
