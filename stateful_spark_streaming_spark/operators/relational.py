@@ -216,3 +216,63 @@ def events_json_extract(events: DataFrame) -> DataFrame:
         F.get_json_object("props", "$.k").cast("long").alias("k"),
         "event_type",
     )
+
+
+def salted_topn(
+    df: DataFrame,
+    key: str,
+    order_col: str,
+    n: int = 3,
+    salt_buckets: int = 16,
+    salt_source: str | None = None,
+    tiebreak: str | None = None,
+) -> DataFrame:
+    """Skew-resistant per-key top-N: two-phase ranking.
+
+    A plain ``row_number() over (partition by key)`` funnels EVERY row of a
+    hot key through one task — the classic skew wall.  Phase 1 salts the
+    partition key with ``hash(salt_source) % salt_buckets`` and keeps the
+    local top-N per (key, salt): each hot key's rows spread over
+    ``salt_buckets`` tasks and at most ``n × salt_buckets`` rows per key
+    survive.  Phase 2 ranks those survivors per key — bounded input, no
+    skew.  Results are identical to the single-phase form (top-N is
+    salting-decomposable, like max/min/sum).
+
+    ``salt_source`` defaults to ``order_col`` — any column with per-row
+    variety works; ``tiebreak`` makes ranking deterministic under ties.
+    """
+    order = [F.col(order_col).desc()]
+    if tiebreak:
+        order.append(F.col(tiebreak).asc())
+    salt = F.pmod(F.xxhash64(F.col(salt_source or order_col)), F.lit(salt_buckets))
+    w_local = Window.partitionBy(F.col(key), salt).orderBy(*order)
+    survivors = (
+        df.withColumn("__lrk", F.row_number().over(w_local))
+        .filter(F.col("__lrk") <= n)
+        .drop("__lrk")
+    )
+    w_final = Window.partitionBy(key).orderBy(*order)
+    return (
+        survivors.withColumn("rank_in_key", F.row_number().over(w_final))
+        .filter(F.col("rank_in_key") <= n)
+    )
+
+
+def approx_distinct_stats(
+    df: DataFrame, key: str, value_col: str, count_col: str, rsd: float = 0.02
+) -> DataFrame:
+    """Sketch-based aggregate: HyperLogLog++ distinct counts and t-digest
+    percentiles per group — constant state per group regardless of input
+    size, the only viable shape for distincts/percentiles at 100 TB.
+    Approximate by construction (pytest bounds the relative error vs the
+    exact forms; no cross-engine oracle since estimators differ)."""
+    return df.groupBy(key).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.approx_count_distinct(count_col, rsd=rsd).alias("approx_distinct"),
+        F.round(
+            F.percentile_approx(value_col, 0.5, 10_000), 4
+        ).alias("approx_p50"),
+        F.round(
+            F.percentile_approx(value_col, 0.99, 10_000), 4
+        ).alias("approx_p99"),
+    )

@@ -425,6 +425,55 @@ def q_priority_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "priority_top_orders_salted",
+    oracle="""
+    SELECT o_orderpriority, rank_in_priority, o_orderkey, o_totalprice
+    FROM (
+      SELECT o_orderpriority, o_orderkey, o_totalprice,
+             row_number() OVER (PARTITION BY o_orderpriority
+                                ORDER BY o_totalprice DESC, o_orderkey ASC) AS rank_in_priority
+      FROM orders)
+    WHERE rank_in_priority <= 3
+    """,
+)
+def q_priority_top_orders_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SKEW-RESISTANT form of priority_top_orders: two-phase salted
+    top-N (local top-N per salt bucket, then global) — same oracle as the
+    single-phase query, proving the decomposition is exact while a hot key
+    spreads over salt_buckets tasks instead of one."""
+    out = REL.salted_topn(
+        _t(spark, sf_dir, "orders"),
+        key="o_orderpriority",
+        order_col="o_totalprice",
+        n=3,
+        salt_buckets=16,
+        tiebreak="o_orderkey",
+    )
+    return out.select(
+        "o_orderpriority",
+        F.col("rank_in_key").alias("rank_in_priority"),
+        "o_orderkey",
+        "o_totalprice",
+    )
+
+
+@query("approx_distinct_stats")  # HLL++/t-digest estimators: no cross-engine oracle
+def q_approx_distinct_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch aggregates (HLL++ distinct, t-digest percentiles) per
+    mktsegment over orders⋈customer — constant state per group at any
+    scale; accuracy bounded in pytest against the exact forms."""
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    joined = orders.join(
+        F.broadcast(cust.select("c_custkey", "c_mktsegment")),
+        orders.o_custkey == cust.c_custkey,
+    )
+    return REL.approx_distinct_stats(
+        joined, key="c_mktsegment", value_col="o_totalprice", count_col="o_custkey"
+    )
+
+
+@query(
     "customers_without_recent_orders",
     oracle="""
     SELECT c_custkey, c_name, c_mktsegment

@@ -1,0 +1,45 @@
+"""Relational operator semantics: skew-resistant top-N and sketch
+aggregates."""
+
+from __future__ import annotations
+
+from pyspark.sql import Row, Window
+from pyspark.sql import functions as F
+
+from stateful_spark_streaming_spark.operators import relational as REL
+from stateful_spark_streaming_spark.sources.tables import load_table
+
+
+def test_salted_topn_equals_plain_topn_under_skew(spark):
+    """One key holds 5000 of 5060 rows (the skew wall); the two-phase salted
+    form must return exactly the single-phase result."""
+    rows = [Row(k="hot", v=float(i % 977), id=i) for i in range(5000)]
+    rows += [Row(k=f"cold{j}", v=float(j * 3 % 97), id=10_000 + j) for j in range(60)]
+    df = spark.createDataFrame(rows)
+
+    w = Window.partitionBy("k").orderBy(F.col("v").desc(), F.col("id").asc())
+    plain = (
+        df.withColumn("r", F.row_number().over(w)).filter("r <= 3")
+        .select("k", "r", "id", "v")
+    )
+    salted = REL.salted_topn(
+        df, key="k", order_col="v", n=3, salt_buckets=8, tiebreak="id"
+    ).select("k", F.col("rank_in_key").alias("r"), "id", "v")
+    assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, salted.collect()))
+
+
+def test_approx_stats_error_bounds(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    approx = {r.event_type: r for r in REL.approx_distinct_stats(
+        ev, key="event_type", value_col="value", count_col="user_id").collect()}
+    exact = {r.event_type: r for r in ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("nd"),
+        F.percentile("value", F.lit(0.5)).alias("p50")).collect()}
+    for et, e in exact.items():
+        a = approx[et]
+        assert abs(a.approx_distinct - e.nd) <= max(2, 0.05 * e.nd), (
+            f"{et}: HLL estimate {a.approx_distinct} vs exact {e.nd}"
+        )
+        assert abs(a.approx_p50 - e.p50) <= max(0.5, 0.05 * abs(e.p50)), (
+            f"{et}: t-digest p50 {a.approx_p50} vs exact {e.p50}"
+        )
