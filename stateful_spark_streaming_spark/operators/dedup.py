@@ -244,6 +244,69 @@ def minhash_lsh_pairs(
     return out
 
 
+def dup_clusters(
+    pairs: DataFrame,
+    id_a: str = "doc_a",
+    id_b: str = "doc_b",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Near-dup pair graph → duplicate clusters: connected components by
+    min-label propagation; each doc gets its component's minimum id as
+    ``cluster_rep`` (the canonical survivor).
+
+    Iterative-but-bounded: each round joins labels across edges and keeps
+    the per-node minimum; converges in O(graph diameter) rounds — dup
+    clusters are short chains in practice, so a handful.  Each round is one
+    equi-join + one aggregate; labels are (node, label) pairs only — no
+    adjacency materialization beyond the input edges, which are reused
+    (cached) every round.  The driver only sees the converged-or-not count.
+    """
+    from pyspark import StorageLevel
+
+    sym = (
+        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+        .union(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    labels = (
+        sym.select(F.col("src").alias("node")).distinct()
+        .withColumn("label", F.col("node"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    labels.count()
+    for _ in range(max_iter):
+        neighbor_min = (
+            sym.join(labels, sym.dst == labels.node)
+            .groupBy("src")
+            .agg(F.min("label").alias("nlabel"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.node == neighbor_min.src, "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nlabel"), F.col("label"))
+                ).alias("label"),
+            )
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    sym.unpersist()
+    return labels.select(
+        F.col("node").alias("doc_id"), F.col("label").alias("cluster_rep")
+    )
+
+
 def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """64-bit SimHash over token xxhash64 values: bit b of the fingerprint is
     1 iff sum over tokens of ±1 (by bit b of the token hash) is positive.

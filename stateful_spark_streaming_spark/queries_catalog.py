@@ -1087,6 +1087,41 @@ def q_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "dedup_clusters",
+    oracle=f"""
+    WITH RECURSIVE toks AS (SELECT doc_id, {_TOKS_SQL} AS t FROM documents),
+    sh0 AS (SELECT doc_id, {_SHINGLES_SQL} AS s FROM toks WHERE len(t) >= 3),
+    exx AS (SELECT doc_id, unnest(s) AS shingle FROM sh0),
+    hot AS (SELECT shingle FROM exx GROUP BY shingle HAVING count(*) > 1000),
+    sh AS (SELECT doc_id, list(shingle) AS s
+           FROM (SELECT * FROM exx ANTI JOIN hot USING (shingle))
+           GROUP BY doc_id),
+    p AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      WHERE round(len(list_intersect(a.s, b.s))::DOUBLE
+                  / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))), 4) >= 0.6
+        AND len(list_intersect(a.s, b.s)) > 0),
+    e AS (SELECT doc_a AS a, doc_b AS b FROM p
+          UNION SELECT doc_b, doc_a FROM p),
+    r AS (SELECT a AS node, a AS m FROM e
+          UNION
+          SELECT r.node, e.b FROM r JOIN e ON r.m = e.a)
+    SELECT node AS doc_id, min(m) AS cluster_rep FROM r GROUP BY node
+    """,
+)
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup PAIRS → duplicate CLUSTERS: connected components over the
+    Jaccard pair graph by min-label propagation (the step that turns
+    pairwise similarity into actual dedup decisions).  Oracle: recursive
+    transitive closure in DuckDB over the same pair set."""
+    pairs = DD.jaccard_pairs(
+        _t(spark, sf_dir, "documents"), threshold=0.6, max_shingle_df=1000
+    )
+    return DD.dup_clusters(pairs)
+
+
 @query("dedup_minhash_lsh")  # xxhash64 signatures: not DuckDB-expressible → rows-only
 def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return DD.minhash_lsh_pairs(_t(spark, sf_dir, "documents"), threshold=0.6)

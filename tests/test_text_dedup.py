@@ -139,3 +139,24 @@ def test_hash_split_duplicates_cohere(spark):
     assert rows[1].bucket == rows[2].bucket
     assert rows[1].split == rows[2].split
     assert all(r.split in ("train", "eval") for r in rows.values())
+
+
+def test_dup_clusters_connected_components(spark):
+    from pyspark.sql import Row
+
+    from stateful_spark_streaming_spark.operators.dedup import dup_clusters
+
+    # two components: {1,2,3,9} chained 9-1-2-3, {5,7}; singleton pairs none
+    pairs = spark.createDataFrame([
+        Row(doc_a=1, doc_b=2), Row(doc_a=2, doc_b=3), Row(doc_a=1, doc_b=9),
+        Row(doc_a=5, doc_b=7),
+    ])
+    got = {r.doc_id: r.cluster_rep for r in dup_clusters(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 9: 1, 5: 5, 7: 5}
+
+    # a longer chain exercises multi-round propagation (diameter 5)
+    chain = spark.createDataFrame(
+        [Row(doc_a=i, doc_b=i + 1) for i in range(10, 15)]
+    )
+    got2 = {r.doc_id: r.cluster_rep for r in dup_clusters(chain).collect()}
+    assert got2 == {i: 10 for i in range(10, 16)}
