@@ -249,19 +249,49 @@ def dup_clusters(
     id_a: str = "doc_a",
     id_b: str = "doc_b",
     max_iter: int = 20,
+    max_driver_edges: int = 2_000_000,
 ) -> DataFrame:
-    """Near-dup pair graph → duplicate clusters: connected components by
-    min-label propagation; each doc gets its component's minimum id as
-    ``cluster_rep`` (the canonical survivor).
+    """Near-dup pair graph → duplicate clusters: connected components;
+    each doc gets its component's minimum id as ``cluster_rep`` (the
+    canonical survivor).
 
-    Iterative-but-bounded: each round joins labels across edges and keeps
-    the per-node minimum; converges in O(graph diameter) rounds — dup
-    clusters are short chains in practice, so a handful.  Each round is one
-    equi-join + one aggregate; labels are (node, label) pairs only — no
-    adjacency materialization beyond the input edges, which are reused
-    (cached) every round.  The driver only sees the converged-or-not count.
+    Two tiers by edge count (the pair graph is normally FAR smaller than
+    the corpus — it only holds near-duplicates):
+
+    - ≤ ``max_driver_edges``: collect the edge list and run union-find on
+      the driver — exact, one pass, no per-round job overhead.  The bound
+      keeps driver memory explicit (2M edges ≈ 32 MB of longs).
+    - larger: distributed min-label propagation — each round one equi-join
+      + one aggregate over (node, label) pairs, edges cached and reused;
+      converges in O(graph diameter) rounds, and only the changed-count
+      reaches the driver.
     """
     from pyspark import StorageLevel
+
+    n_edges = pairs.count()
+    if n_edges <= max_driver_edges:
+        edges = pairs.select(id_a, id_b).collect()
+        parent: dict = {}
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]  # path halving
+                x = parent[x]
+            return x
+
+        for r in edges:
+            a, b = r[0], r[1]
+            parent.setdefault(a, a)
+            parent.setdefault(b, b)
+            ra, rb = find(a), find(b)
+            if ra != rb:  # union by smaller id → rep is the component min
+                if rb < ra:
+                    ra, rb = rb, ra
+                parent[rb] = ra
+        rows = [(n, find(n)) for n in parent]
+        return pairs.sparkSession.createDataFrame(
+            rows, ["doc_id", "cluster_rep"]
+        )
 
     sym = (
         pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))

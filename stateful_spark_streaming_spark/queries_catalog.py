@@ -508,6 +508,39 @@ def q_segment_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "customer_value_distribution",
+    oracle="""
+    SELECT c_custkey, c_mktsegment,
+           ntile(4) OVER w AS value_quartile,
+           round(percent_rank() OVER w, 6) AS pct_rank,
+           round(cume_dist() OVER w, 6) AS cume,
+           CAST(rank() OVER w AS BIGINT) AS rnk,
+           CAST(dense_rank() OVER w AS BIGINT) AS drnk
+    FROM customer
+    WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey ASC)
+    """,
+)
+def q_customer_value_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution window functions per segment: ntile/percent_rank/
+    cume_dist/rank/dense_rank — one shuffle on the segment key, one sort."""
+    from pyspark.sql import Window
+
+    cust = _t(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.col("c_acctbal").desc(), F.col("c_custkey").asc()
+    )
+    return cust.select(
+        "c_custkey",
+        "c_mktsegment",
+        F.ntile(4).over(w).alias("value_quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+        F.rank().over(w).cast("long").alias("rnk"),
+        F.dense_rank().over(w).cast("long").alias("drnk"),
+    )
+
+
+@query(
     "monthly_revenue",
     oracle="""
     SELECT date_trunc('month', o_orderdate)::DATE AS month,

@@ -154,9 +154,15 @@ def test_dup_clusters_connected_components(spark):
     got = {r.doc_id: r.cluster_rep for r in dup_clusters(pairs).collect()}
     assert got == {1: 1, 2: 1, 3: 1, 9: 1, 5: 5, 7: 5}
 
-    # a longer chain exercises multi-round propagation (diameter 5)
+    # a longer chain exercises multi-round propagation (diameter 5) on the
+    # DISTRIBUTED path (max_driver_edges=0 forces label propagation)
     chain = spark.createDataFrame(
         [Row(doc_a=i, doc_b=i + 1) for i in range(10, 15)]
     )
-    got2 = {r.doc_id: r.cluster_rep for r in dup_clusters(chain).collect()}
+    got2 = {r.doc_id: r.cluster_rep
+            for r in dup_clusters(chain, max_driver_edges=0).collect()}
     assert got2 == {i: 10 for i in range(10, 16)}
+
+    # both tiers agree on the same graph
+    got3 = {r.doc_id: r.cluster_rep for r in dup_clusters(chain).collect()}
+    assert got3 == got2
