@@ -865,6 +865,40 @@ def q_web_mercator(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "web_mercator_roundtrip",
+    oracle="""
+    SELECT event_id,
+           round(lon, 6) AS lon, round(lat, 6) AS lat,
+           round(degrees((6378137.0 * radians(lon)) / 6378137.0), 6) AS lon_back,
+           round(degrees(2 * atan(exp((6378137.0 * ln(tan(pi()/4 + radians(lat)/2)))
+                 / 6378137.0)) - pi()/2), 6) AS lat_back
+    FROM (
+      SELECT event_id,
+             (event_id % 360) - 180 + 0.25 AS lon,
+             (event_id % 170) - 85 + 0.5 AS lat
+      FROM events)
+    """,
+)
+def q_web_mercator_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G1 inverse: project → unproject recovers (lon, lat) to 6 dp — the
+    round-trip proves both directions of the projector."""
+    ev = _t(spark, sf_dir, "events")
+    pts = ev.select(
+        "event_id",
+        ((F.col("event_id") % 360) - 180 + 0.25).alias("lon"),
+        ((F.col("event_id") % 170) - 85 + 0.5).alias("lat"),
+    )
+    back = GEO.unproject_web_mercator(GEO.project_web_mercator(pts, "lon", "lat"))
+    return back.select(
+        "event_id",
+        F.round("lon", 6).alias("lon"),
+        F.round("lat", 6).alias("lat"),
+        F.round("lon_back", 6).alias("lon_back"),
+        F.round("lat_back", 6).alias("lat_back"),
+    )
+
+
+@query(
     "geometry_construct_null",
     oracle="""
     SELECT event_id,

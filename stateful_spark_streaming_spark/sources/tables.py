@@ -62,3 +62,40 @@ def register_views(spark: SparkSession, sf_dir: str, tables=TABLES) -> dict[str,
         df.createOrReplaceTempView(name)
         out[name] = df
     return out
+
+
+def write_bucketed(
+    df: DataFrame,
+    table_name: str,
+    bucket_col: str,
+    n_buckets: int = 8,
+    sort_col: str | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Bucketed managed table: pre-shuffles rows into ``n_buckets`` files by
+    ``bucket_col`` hash, recording the layout in the catalog.  Joins and
+    aggregations on the bucket column then read co-located data and Catalyst
+    PLANS NO EXCHANGE — the shuffle is paid once at write time instead of
+    per query, the core technique for repeated fact-fact joins at 100 TB.
+    (Bucketing requires saveAsTable: the bucket spec lives in the table
+    catalog, not in bare parquet files.)"""
+    w = df.write.format("parquet").mode(mode).bucketBy(n_buckets, bucket_col)
+    if sort_col:
+        w = w.sortBy(sort_col)
+    w.saveAsTable(table_name)
+
+
+def bucketed_join(
+    spark: SparkSession, left_table: str, right_table: str, key: str
+) -> DataFrame:
+    """Join two same-bucketed catalog tables on their bucket column —
+    exchange-free when the bucket specs line up (asserted in pytest via the
+    physical plan).  The merge hint keeps the plan on SortMergeJoin even
+    when one side is small enough to broadcast: at test SF a broadcast
+    would win, but the point here is the layout that works when BOTH sides
+    are 100 TB facts."""
+    return (
+        spark.table(left_table)
+        .hint("merge")
+        .join(spark.table(right_table), key)
+    )

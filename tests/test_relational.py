@@ -43,3 +43,37 @@ def test_approx_stats_error_bounds(spark, sf_dir):
         assert abs(a.approx_p50 - e.p50) <= max(0.5, 0.05 * abs(e.p50)), (
             f"{et}: t-digest p50 {a.approx_p50} vs exact {e.p50}"
         )
+
+
+def test_bucketed_join_is_exchange_free(spark, sf_dir, tmp_path):
+    """The 100 TB fact-fact join technique: bucket both tables on the join
+    key at write time; the join then plans NO shuffle at all (SortMergeJoin
+    over bucketed scans), and results match the plain join."""
+    from stateful_spark_streaming_spark.sources.tables import (
+        bucketed_join,
+        write_bucketed,
+    )
+
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    try:
+        write_bucketed(orders.withColumnRenamed("o_orderkey", "okey"),
+                       "orders_b", "okey", n_buckets=4, sort_col="okey")
+        write_bucketed(lineitem.withColumnRenamed("l_orderkey", "okey"),
+                       "lineitem_b", "okey", n_buckets=4, sort_col="okey")
+
+        joined = bucketed_join(spark, "orders_b", "lineitem_b", "okey")
+        plan = joined._sc._jvm.PythonSQLUtils.explainString(
+            joined._jdf.queryExecution(), "formatted")
+        assert "Exchange" not in plan, (
+            f"bucketed join must not shuffle:\n{plan[:600]}"
+        )
+
+        got = joined.count()
+        want = orders.join(
+            lineitem, orders.o_orderkey == lineitem.l_orderkey).count()
+        assert got == want
+    finally:
+        # managed tables: DROP removes the warehouse files too
+        spark.sql("DROP TABLE IF EXISTS orders_b")
+        spark.sql("DROP TABLE IF EXISTS lineitem_b")
