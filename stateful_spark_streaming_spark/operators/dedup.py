@@ -265,12 +265,18 @@ def dup_clusters(
       + one aggregate over (node, label) pairs, edges cached and reused;
       converges in O(graph diameter) rounds, and only the changed-count
       reaches the driver.
+
+    The tier probe and the fast-path fetch are ONE action: collect
+    ``limit(max_driver_edges + 1)`` rows — if the limit is hit, fall
+    through to the distributed tier.  (A separate ``count()`` first would
+    evaluate the upstream pair-mining plan twice — the pairs input is
+    typically an unmaterialized LSH pipeline, not a table.)
     """
     from pyspark import StorageLevel
 
-    n_edges = pairs.count()
-    if n_edges <= max_driver_edges:
-        edges = pairs.select(id_a, id_b).collect()
+    probe = pairs.select(id_a, id_b).limit(max_driver_edges + 1).collect()
+    if len(probe) <= max_driver_edges:
+        edges = probe
         parent: dict = {}
 
         def find(x):

@@ -16,6 +16,7 @@ Two tiers, same results contract:
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -361,43 +362,42 @@ def cosine_near_pairs_lsh(
     """Random-hyperplane LSH: bucket = sign pattern of n_planes projections;
     pairs colliding in ≥1 of n_tables tables are verified exactly.
 
-    Hyperplanes are deterministic (numpy seeded) driver-side literals —
-    broadcast cost is n_tables × n_planes × dim floats, independent of data.
+    Hyperplanes are deterministic (numpy seeded) and live in the UDF
+    closure — broadcast cost is n_tables × n_planes × dim floats,
+    independent of data.
 
-    Candidate generation is ONE bucket shuffle: all n_tables sign patterns
-    are computed in a single pass over the corpus (one array + posexplode),
-    grouped on (table_id, pattern), pairs expanded within buckets — the
-    projection subplan is never recomputed per table.  Vectors for exact
-    verification are fetched with an equi-join back to the corpus, so the
-    bucket shuffle moves only (id, table, pattern) triples."""
+    All n_tables × n_planes sign bits come from ONE Arrow-batched matmul
+    per partition (batch × (n_tables·n_planes) GEMM, then bit-packing) —
+    not n_tables·n_planes separate column expressions, which would hand
+    Catalyst a ~(n_tables·n_planes·dim)-literal tree whose analysis alone
+    dwarfs the data work at any corpus size.
+
+    Candidate generation is ONE bucket shuffle: grouped on (table_id,
+    pattern), pairs expanded within buckets — the projection subplan is
+    never recomputed per table.  Vectors for exact verification are
+    fetched with an equi-join back to the corpus, so the bucket shuffle
+    moves only (id, table, pattern) triples."""
     import numpy as np
-    import pandas as pd
+    from pyspark.sql.types import ArrayType, LongType
 
     from stateful_spark_streaming_spark.operators.dedup import banded_candidate_pairs
 
     dim = len(embeddings.select(vec_col).first()[0])
     rng = np.random.RandomState(seed)
-    table_keys = []
-    for t in range(n_tables):
-        planes = rng.randn(n_planes, dim)
-        bits = [
-            F.when(
-                _dot(
-                    F.col(vec_col),
-                    F.array(*[F.lit(float(v)) for v in planes[p]]),
-                )
-                > 0,
-                F.lit(1 << p),
-            ).otherwise(F.lit(0))
-            for p in range(n_planes)
-        ]
-        key = bits[0]
-        for b_ in bits[1:]:
-            key = key.bitwiseOR(b_)
-        table_keys.append(key.cast("long"))
+    # (n_tables*n_planes, dim) — one GEMM computes every table's projections
+    all_planes = rng.randn(n_tables * n_planes, dim)
+    weights = (1 << np.arange(n_planes, dtype=np.int64))
+
+    @F.pandas_udf(ArrayType(LongType()))
+    def table_keys_udf(vecs: pd.Series) -> pd.Series:
+        x = np.array(vecs.tolist(), dtype=np.float64)  # (batch, dim)
+        signs = (x @ all_planes.T) > 0  # (batch, n_tables*n_planes)
+        keys = signs.reshape(len(x), n_tables, n_planes) @ weights
+        return pd.Series(list(keys))
+
     items = embeddings.select(
         F.struct(F.col(id_col).alias("id")).alias("item"),
-        F.posexplode(F.array(*table_keys)).alias("band_id", "band_hash"),
+        F.posexplode(table_keys_udf(F.col(vec_col))).alias("band_id", "band_hash"),
     )
     id_pairs = banded_candidate_pairs(items).select(
         F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b")
