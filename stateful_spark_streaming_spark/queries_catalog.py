@@ -771,6 +771,26 @@ def q_streaming_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "streaming_dedup_events",
+    oracle="SELECT DISTINCT user_id, event_type FROM events",
+)
+def q_streaming_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The STREAMING twin of dedup_exact: dropDuplicatesWithinWatermark
+    through a real streaming query (availableNow) into an append parquet
+    sink.  State per key expires at watermark + delay — bounded state on an
+    unbounded stream, vs batch DISTINCT's full live key set.  Only key
+    columns are emitted (first-arrival payload is a shuffle race), so
+    single-pass ingest ≡ batch DISTINCT and the oracle is exact."""
+    import os as _os
+
+    from stateful_spark_streaming_spark.streaming.pipeline import (
+        run_streaming_dedup,
+    )
+
+    return run_streaming_dedup(spark, _os.path.join(sf_dir, "events.parquet"))
+
+
+@query(
     "sliding_window_counts",
     oracle="""
     SELECT epoch_ms(time_bucket(INTERVAL '6 hours', ts) - k * INTERVAL '6 hours') AS window_start_ms,

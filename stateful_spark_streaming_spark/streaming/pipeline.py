@@ -413,6 +413,77 @@ def _run_snapshot_query(
     return sink.query()
 
 
+def run_streaming_dedup(
+    spark: SparkSession,
+    events_path: str,
+    keys: tuple[str, ...] = ("user_id", "event_type"),
+    delay: str = "1 hour",
+    checkpoint_dir: str | None = None,
+    state_partitions: int | None = 8,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """Streaming exact deduplication — the streaming twin of
+    ``dedup.exact_dedup``: ``dropDuplicatesWithinWatermark`` keeps the
+    FIRST arrival per key and expires each key from state once the
+    watermark passes its event time + ``delay``.  That bound is the whole
+    point at scale: batch ``DISTINCT`` holds the full key set live, while
+    here state is O(keys arriving within the delay window) no matter how
+    long the stream runs.
+
+    Output is append-mode — each retained row is emitted exactly once —
+    so a plain distributed parquet append sink is exact (no upsert
+    machinery, no driver-side state).  Only the dedup KEY columns are
+    projected: which duplicate wins within a micro-batch is a shuffle
+    race, so non-key payload columns would be nondeterministic.
+
+    ``max_files_per_trigger`` splits the replay into multiple
+    micro-batches (availableNow honors it), exercising cross-batch
+    suppression through the state store rather than within one batch.
+    """
+    import tempfile
+
+    checkpoint_dir = checkpoint_dir or tempfile.mkdtemp(prefix="sss_ckpt_dedup_")
+    out_dir = checkpoint_dir + "_out"
+    old_sp = spark.conf.get("spark.sql.shuffle.partitions")
+    if state_partitions is not None:
+        spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
+    try:
+        stream_df = stream_events_source(spark, events_path)
+        if max_files_per_trigger is not None:
+            # re-load with the per-trigger file cap (a source option)
+            stream_df = (
+                spark.readStream.schema(
+                    spark.read.parquet(events_path).schema
+                )
+                .option("maxFilesPerTrigger", str(max_files_per_trigger))
+                .format("parquet")
+                .load(events_path)
+            )
+            from pyspark.sql import functions as F
+
+            if dict(stream_df.dtypes).get("ts") == "bigint":
+                stream_df = stream_df.withColumn(
+                    "ts", F.expr("timestamp_micros(ts div 1000)")
+                )
+        deduped = (
+            stream_df.withWatermark("ts", delay)
+            .dropDuplicatesWithinWatermark(list(keys))
+            .select(*keys)
+        )
+        q = (
+            deduped.writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        return spark.read.parquet(out_dir)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_sp)
+
+
 def run_streaming_tumbling_counts(
     spark: SparkSession,
     events_path: str,

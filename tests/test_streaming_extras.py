@@ -254,3 +254,53 @@ def test_socket_source_end_to_end(spark, workdir):
         done.set()
         h.stop()
         srv.close()
+
+
+# ---------------------------------------- streaming dedup (watermark state)
+def test_streaming_dedup_suppresses_cross_batch_duplicates(spark, tmp_path):
+    """dropDuplicatesWithinWatermark holds keys in the state store across
+    micro-batches: a key seen in batch 1 suppresses its duplicate arriving
+    in batch 2 (within the watermark delay), so the append-mode output has
+    exactly one row per distinct key."""
+    import datetime
+
+    from stateful_spark_streaming_spark.streaming.pipeline import (
+        run_streaming_dedup,
+    )
+
+    src = tmp_path / "events_src"
+    src.mkdir()
+    t0 = datetime.datetime(2024, 1, 1, 12, 0, 0)
+
+    def rows(keys, minute):
+        return [
+            (i, t0 + datetime.timedelta(minutes=minute), uid, et, 1.0, "{}")
+            for i, (uid, et) in enumerate(keys)
+        ]
+
+    cols = ["event_id", "ts", "user_id", "event_type", "value", "props"]
+    # batch 1: three keys; batch 2: one repeat + one new key, 5 min later
+    # (write each mini-table to a staging dir, copy its part file into the
+    # source dir — the file source wants plain files, not nested dirs)
+    import glob
+    import shutil
+
+    for i, (keys, minute) in enumerate(
+        [([(1, "a"), (1, "b"), (2, "a")], 0), ([(1, "a"), (3, "c")], 5)]
+    ):
+        stage = tmp_path / f"stage{i}"
+        spark.createDataFrame(rows(keys, minute), cols).coalesce(1).write.parquet(
+            str(stage)
+        )
+        shutil.copy(glob.glob(str(stage / "part-*.parquet"))[0],
+                    str(src / f"f{i}.parquet"))
+
+    out = run_streaming_dedup(
+        spark,
+        str(src),
+        delay="1 hour",
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        max_files_per_trigger=1,
+    )
+    got = sorted((r.user_id, r.event_type) for r in out.collect())
+    assert got == [(1, "a"), (1, "b"), (2, "a"), (3, "c")], got
