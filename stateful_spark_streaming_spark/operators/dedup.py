@@ -83,6 +83,13 @@ def jaccard_pairs(
     """
     idx = _shingle_index(df, text_col, id_col, k)
     if max_shingle_df is not None:
+        from pyspark import StorageLevel
+
+        # the stoplist probe plus the pair join make this a multi-pass plan
+        # over the index — persist it so tokenize+shingle runs once, not
+        # once per pass (at 100 TB the same role is played by writing the
+        # index to parquet and reading it back for both passes)
+        idx = idx.persist(StorageLevel.MEMORY_AND_DISK)
         # hot shingles are BOUNDED by construction — at most
         # total_occurrences / max_shingle_df distinct values (boilerplate) —
         # so evaluate the stoplist once up front.  When it's empty (the
