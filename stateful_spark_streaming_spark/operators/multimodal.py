@@ -85,7 +85,11 @@ def synthesize_image_table(spark, docs: DataFrame) -> DataFrame:
     each doc becomes a genuine binary-PPM image whose pixels are an
     arithmetic pattern of (image_id, x, y) — decodable by any PPM reader,
     stands in for a real binary-column table at test scale."""
-    meta = docs.select(
+    # spread ahead of the Python stages: the small test table is one parquet
+    # row group = one task, which would serialize BOTH the synth and the
+    # decode kernels; at production scale the scan already has many splits
+    # and this narrow repartition is noise vs the per-image work it precedes
+    meta = docs.repartition(spark.sparkContext.defaultParallelism).select(
         F.col("doc_id").alias("image_id"),
         (F.col("n_chars") % 64 + 32).cast("int").alias("width"),
         (F.col("n_chars") % 48 + 24).cast("int").alias("height"),
