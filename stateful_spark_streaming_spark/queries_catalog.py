@@ -771,6 +771,34 @@ def q_streaming_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "streaming_sliding_counts",
+    oracle="""
+    SELECT epoch_ms(time_bucket(INTERVAL '6 hours', ts) - k * INTERVAL '6 hours') AS window_start_ms,
+           epoch_ms(time_bucket(INTERVAL '6 hours', ts) - k * INTERVAL '6 hours' + INTERVAL '1 day') AS window_end_ms,
+           count(*) AS n_events,
+           round(sum(value), 2) AS sum_value
+    FROM events, range(4) t(k)
+    GROUP BY 1, 2
+    """,
+)
+def q_streaming_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The STREAMING twin of sliding_window_counts: update-mode overlapping
+    windows through a real streaming query (availableNow), per-batch upsert
+    into the storage-backed snapshot sink keyed by window start, same
+    oracle as batch — single-pass ingest ≡ batch semantics."""
+    import os as _os
+
+    from stateful_spark_streaming_spark.streaming.pipeline import (
+        run_streaming_sliding_counts,
+    )
+
+    out = run_streaming_sliding_counts(
+        spark, _os.path.join(sf_dir, "events.parquet")
+    )
+    return out.select("window_start_ms", "window_end_ms", "n_events", "sum_value")
+
+
+@query(
     "streaming_dedup_events",
     oracle="SELECT DISTINCT user_id, event_type FROM events",
 )

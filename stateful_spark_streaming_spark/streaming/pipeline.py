@@ -413,6 +413,49 @@ def _run_snapshot_query(
     return sink.query()
 
 
+def run_streaming_sliding_counts(
+    spark: SparkSession,
+    events_path: str,
+    width: str = "1 day",
+    slide: str = "6 hours",
+    checkpoint_dir: str | None = None,
+    state_partitions: int | None = 8,
+) -> DataFrame:
+    """Streaming sliding-window aggregation run to completion — the
+    streaming twin of the batch ``sliding_counts`` operator (same oracle).
+    Each event lands in width÷slide windows via the window generator;
+    update-mode emits refreshed window rows per trigger, upserted into the
+    snapshot sink keyed by window start (width is fixed, so start
+    determines end).  Against an unbounded source a ``withWatermark``
+    upstream bounds window state exactly as in the tumbling twin."""
+    import tempfile
+
+    from stateful_spark_streaming_spark.operators.windows import sliding_counts
+
+    checkpoint_dir = checkpoint_dir or tempfile.mkdtemp(prefix="sss_ckpt_slide_")
+    old_sp = spark.conf.get("spark.sql.shuffle.partitions")
+    if state_partitions is not None:
+        spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
+    try:
+        stream_df = stream_events_source(spark, events_path)
+        windowed = sliding_counts(stream_df, width=width, slide=slide)
+        sink = ParquetSnapshotSink(
+            spark, "StreamingSliding", "window_start_ms",
+            path=f"{checkpoint_dir}_snapshot",
+        )
+        q = (
+            windowed.writeStream.outputMode("update")
+            .foreachBatch(sink)
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        return sink.query()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_sp)
+
+
 def run_streaming_dedup(
     spark: SparkSession,
     events_path: str,
