@@ -26,11 +26,16 @@ def main() -> None:
     qs = entrymod.queries()
 
     # warm the JVM + parquet footers + the Arrow python-worker pool once, so
-    # one-time process spin-up isn't attributed to whichever query runs first
+    # one-time process spin-up isn't attributed to whichever query runs first.
+    # The chained mapInPandas warms a SECOND worker tier: each Python stage in
+    # a task pipeline gets its own worker pool, and spawning ~32 extra
+    # interpreters costs seconds that belong to process startup, not a query.
     spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).count()
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     (
         spark.range(256)
-        .repartition(int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
+        .repartition(cpus)
+        .mapInPandas(lambda it: it, "id long")
         .mapInPandas(lambda it: it, "id long")
         .write.format("noop")
         .mode("overwrite")

@@ -70,9 +70,11 @@ def jaccard_pairs(
 ) -> DataFrame:
     """n-gram Jaccard near-dup pairs: J(A,B) = |A∩B| / (|A|+|B|-|A∩B|) ≥ τ.
 
-    One explode + one equi-join on shingle + one pair aggregation.  The
-    size-band prefilter (|A| ≥ τ|B|) is applied at join time so dissimilar
-    size pairs never reach the aggregate.
+    One explode + one bucket aggregation on shingle (map-side pair
+    expansion) + one pair aggregation — the shingle/tokenize subplan is
+    evaluated exactly once and there is no self-join.  In the default path
+    the size-band prefilter (|A| ≥ τ|B|) drops dissimilar-size pairs before
+    the aggregate.
 
     ``max_shingle_df`` is the scale knob (default off = exact Jaccard, the
     oracle-checked form): shingles shared by more than that many docs are
@@ -82,59 +84,71 @@ def jaccard_pairs(
     candidate blowup that boilerplate shingles cause at 100 TB.
     """
     idx = _shingle_index(df, text_col, id_col, k)
-    if max_shingle_df is not None:
+    if max_shingle_df is None:
+        # Bucketed candidate generation (the same one-shuffle trick as
+        # banded_candidate_pairs): group the index by shingle, expand
+        # within-bucket pairs map-side, aggregate per pair.  The shingle
+        # subplan is evaluated ONCE — a self-join would scan it twice.
+        buckets = (
+            idx.groupBy("shingle")
+            .agg(F.collect_list(F.struct("doc", "set_size")).alias("items"))
+            .filter(F.size("items") >= 2)
+        )
+        pairs = (
+            buckets.select(F.explode("items").alias("a"), "items")
+            .select("a", F.explode("items").alias("b"))
+            .filter(
+                (F.col("a.doc") < F.col("b.doc"))
+                # size-band prefilter: J ≥ τ ⇒ min/max set size ratio ≥ τ
+                & (F.col("a.set_size") >= F.col("b.set_size") * threshold)
+                & (F.col("b.set_size") >= F.col("a.set_size") * threshold)
+            )
+            .groupBy(
+                F.col("a.doc").alias("doc_a"),
+                F.col("b.doc").alias("doc_b"),
+                F.col("a.set_size").alias("size_a"),
+                F.col("b.set_size").alias("size_b"),
+            )
+            .agg(F.count(F.lit(1)).alias("n_common"))
+        )
+    else:
         from pyspark import StorageLevel
 
-        # the stoplist probe plus the pair join make this a multi-pass plan
-        # over the index — persist it so tokenize+shingle runs once, not
-        # once per pass (at 100 TB the same role is played by writing the
-        # index to parquet and reading it back for both passes)
-        idx = idx.persist(StorageLevel.MEMORY_AND_DISK)
-        # hot shingles are BOUNDED by construction — at most
-        # total_occurrences / max_shingle_df distinct values (boilerplate) —
-        # so evaluate the stoplist once up front.  When it's empty (the
-        # common case) the fast single-pass plan runs untouched; when it
-        # isn't, a literal anti-filter prunes the index and set sizes are
-        # recomputed over the survivors so Jaccard stays self-consistent.
-        hot_rows = (
+        # Scale path: the bucket aggregation ITSELF is the hot-shingle
+        # stoplist — buckets larger than max_shingle_df are dropped before
+        # pair expansion, which bounds the O(df²) blowup per shingle.  Set
+        # sizes are then recomputed over the surviving index so Jaccard
+        # stays self-consistent (identical docs still score 1.0).  The
+        # buckets feed two subplans (sizes + candidates), so they are
+        # persisted — at 100 TB the same role is played by writing the
+        # bucketed index to parquet and reading it back for both passes.
+        buckets = (
             idx.groupBy("shingle")
-            .agg(F.count(F.lit(1)).alias("df_"))
-            .filter(F.col("df_") > max_shingle_df)
-            .select("shingle")
-            .collect()
+            .agg(F.collect_list("doc").alias("docs"))
+            .withColumn("df_", F.size("docs"))
+            .filter(F.col("df_") <= max_shingle_df)
+            .persist(StorageLevel.MEMORY_AND_DISK)
         )
-        if hot_rows:
-            hot_list = [r[0] for r in hot_rows]
-            if len(hot_list) <= 10_000:
-                idx = idx.filter(~F.col("shingle").isin(hot_list))
-            else:  # stoplist too big for a literal: broadcast anti-join
-                hot_df = idx.sparkSession.createDataFrame(
-                    [(s,) for s in hot_list], ["shingle"]
-                )
-                idx = idx.join(F.broadcast(hot_df), "shingle", "left_anti")
-            sizes = idx.groupBy("doc").agg(F.count(F.lit(1)).alias("set_size2"))
-            idx = idx.drop("set_size").join(sizes, "doc").withColumnRenamed(
-                "set_size2", "set_size"
-            )
-    a = idx.alias("a")
-    b = idx.alias("b")
-    pairs = (
-        a.join(
-            b,
-            (F.col("a.shingle") == F.col("b.shingle"))
-            & (F.col("a.doc") < F.col("b.doc"))
-            # size-band prefilter: J ≥ τ ⇒ min/max set size ratio ≥ τ
-            & (F.col("a.set_size") >= F.col("b.set_size") * threshold)
-            & (F.col("b.set_size") >= F.col("a.set_size") * threshold),
+        sizes = (
+            buckets.select(F.explode("docs").alias("doc"))
+            .groupBy("doc")
+            .agg(F.count(F.lit(1)).alias("set_size"))
         )
-        .groupBy(
-            F.col("a.doc").alias("doc_a"),
-            F.col("b.doc").alias("doc_b"),
-            F.col("a.set_size").alias("size_a"),
-            F.col("b.set_size").alias("size_b"),
+        cand = (
+            buckets.filter(F.col("df_") >= 2)
+            .select(F.explode("docs").alias("a"), "docs")
+            .select("a", F.explode("docs").alias("b"))
+            .filter(F.col("a") < F.col("b"))
+            .groupBy(F.col("a").alias("doc_a"), F.col("b").alias("doc_b"))
+            .agg(F.count(F.lit(1)).alias("n_common"))
         )
-        .agg(F.count(F.lit(1)).alias("n_common"))
-    )
+        pairs = cand.join(
+            sizes.select(F.col("doc").alias("doc_a"), F.col("set_size").alias("size_a")),
+            "doc_a",
+        ).join(
+            sizes.select(F.col("doc").alias("doc_b"), F.col("set_size").alias("size_b")),
+            "doc_b",
+        )
     jac = F.col("n_common") / (F.col("size_a") + F.col("size_b") - F.col("n_common"))
     return (
         pairs.withColumn("jaccard", F.round(jac, 4))
@@ -227,9 +241,15 @@ def minhash_lsh_pairs(
     cands = banded_candidate_pairs(items).select(
         F.col("a.id").alias("doc_a"), F.col("b.id").alias("doc_b")
     )
-    # verify candidates with exact Jaccard (joins back to shingle sets)
-    sets = _spread(df).select(
-        F.col(id_col).alias("doc"), shingles(F.col(text_col), k).alias("sh")
+    # verify candidates with exact Jaccard (joins back to shingle sets);
+    # the sets feed BOTH join sides, so persist them — one shingle pass,
+    # not two
+    from pyspark import StorageLevel
+
+    sets = (
+        _spread(df)
+        .select(F.col(id_col).alias("doc"), shingles(F.col(text_col), k).alias("sh"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     a = sets.select(F.col("doc").alias("doc_a"), F.col("sh").alias("sh_a"))
     b_ = sets.select(F.col("doc").alias("doc_b"), F.col("sh").alias("sh_b"))
