@@ -820,6 +820,71 @@ def q_streaming_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "streaming_session_windows",
+    oracle="""
+    WITH marked AS (
+      SELECT user_id, ts, value,
+             CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                       < INTERVAL '30 minutes' THEN 0 ELSE 1 END AS new_session
+      FROM events),
+    numbered AS (
+      SELECT *, sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                 ROWS UNBOUNDED PRECEDING) AS session_no
+      FROM marked)
+    SELECT user_id,
+           epoch_ms(min(ts)) AS session_start_ms,
+           epoch_ms(max(ts) + INTERVAL '30 minutes') AS session_end_ms,
+           count(*) AS n_events,
+           round(sum(value), 2) AS sum_value
+    FROM numbered GROUP BY user_id, session_no
+    """,
+)
+def q_streaming_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The STREAMING twin of session_windows: complete-mode session_window
+    aggregation through a real streaming query (availableNow) — Spark's
+    required mode for mergeable session state without a watermark — into a
+    latest-batch snapshot sink, same oracle as batch."""
+    import os as _os
+
+    from stateful_spark_streaming_spark.streaming.pipeline import (
+        run_streaming_session_windows,
+    )
+
+    out = run_streaming_session_windows(
+        spark, _os.path.join(sf_dir, "events.parquet")
+    )
+    return out.select(
+        "user_id", "session_start_ms", "session_end_ms", "n_events", "sum_value"
+    )
+
+
+@query(
+    "streaming_event_pairs",
+    oracle="""
+    SELECT a.user_id AS user_id, a.event_id AS id_a, b.event_id AS id_b,
+           abs(epoch_ms(a.ts) - epoch_ms(b.ts)) AS gap_ms
+    FROM events a JOIN events b
+      ON a.user_id = b.user_id AND a.event_id < b.event_id
+     AND abs(epoch_ms(a.ts) - epoch_ms(b.ts)) <= 600000
+    """,
+)
+def q_streaming_event_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAM-STREAM self-join twin of event_pairs_within_10min: inner join
+    with an event-time range condition + watermarks on both inputs (the
+    state-bounding shape for correlating two firehoses), append-mode
+    parquet sink — same oracle as the batch range join."""
+    import os as _os
+
+    from stateful_spark_streaming_spark.streaming.pipeline import (
+        run_streaming_event_pairs,
+    )
+
+    return run_streaming_event_pairs(
+        spark, _os.path.join(sf_dir, "events.parquet")
+    ).select("user_id", "id_a", "id_b", "gap_ms")
+
+
+@query(
     "sliding_window_counts",
     oracle="""
     SELECT epoch_ms(time_bucket(INTERVAL '6 hours', ts) - k * INTERVAL '6 hours') AS window_start_ms,

@@ -366,9 +366,15 @@ def run_snapshot_query(
         spark.conf.set("spark.sql.shuffle.partitions", old_sp)
 
 
-def stream_events_source(spark: SparkSession, events_path: str) -> DataFrame:
+def stream_events_source(
+    spark: SparkSession,
+    events_path: str,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
     """Streaming source over an events parquet file/dir: explicit schema,
-    nanos-as-long handling, single-file symlink into a source directory."""
+    nanos-as-long handling, single-file symlink into a source directory.
+    ``max_files_per_trigger`` splits a multi-file replay into micro-batches
+    (availableNow honors it)."""
     import tempfile
 
     from pyspark.sql import functions as F
@@ -382,7 +388,10 @@ def stream_events_source(spark: SparkSession, events_path: str) -> DataFrame:
     if os.path.isfile(events_path):
         src_dir = tempfile.mkdtemp(prefix="sss_stream_src_")
         os.symlink(os.path.abspath(events_path), os.path.join(src_dir, "part-0.parquet"))
-    stream_df = spark.readStream.schema(raw_schema).format("parquet").load(src_dir)
+    reader = spark.readStream.schema(raw_schema).format("parquet")
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    stream_df = reader.load(src_dir)
     if dict(stream_df.dtypes).get("ts") == "bigint":
         stream_df = stream_df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
     return stream_df
@@ -525,6 +534,176 @@ def run_streaming_dedup(
         return spark.read.parquet(out_dir)
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old_sp)
+
+
+class CompleteSnapshotSink(ParquetSnapshotSink):
+    """Snapshot sink for COMPLETE-mode aggregations: every micro-batch
+    emits the FULL result, so merge-on-read keeps only the newest batch's
+    rows (older batches are entirely superseded) — no per-key upsert."""
+
+    def _merged(self, keep_batch_id: bool = False):
+        from pyspark.sql import functions as F
+
+        df = self.__read()
+        if df is None:
+            return None
+        latest = df.agg(F.max("_batch_id").alias("m"))
+        out = df.join(F.broadcast(latest), df["_batch_id"] == latest["m"], "inner").drop(
+            "m"
+        )
+        return out if keep_batch_id else out.drop("_batch_id")
+
+    def __read(self):
+        from pyspark.errors import AnalysisException
+
+        dfs = []
+        for d in (self.base_dir, self.log_dir):
+            if not os.path.exists(d):
+                continue
+            try:
+                dfs.append(self.spark.read.parquet(d))
+            except AnalysisException:
+                continue
+        if not dfs:
+            return None
+        df = dfs[0]
+        for other in dfs[1:]:
+            df = df.unionByName(other)
+        return df
+
+
+def run_streaming_session_windows(
+    spark: SparkSession,
+    events_path: str,
+    key: str = "user_id",
+    gap: str = "30 minutes",
+    checkpoint_dir: str | None = None,
+    state_partitions: int | None = 8,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """Streaming SESSION windows run to completion — the streaming twin of
+    the batch ``session_windows`` operator (same oracle).  Session windows
+    MERGE when a bridging event arrives, so Spark restricts streaming
+    session aggregations to complete mode (whole result per trigger —
+    merges can't leave stale rows) or append mode behind a watermark
+    (sessions emit once finalized).  This replay uses COMPLETE mode +
+    a latest-batch snapshot sink, which makes multi-batch ≡ single-pass ≡
+    batch exactly; on an unbounded source use append + ``withWatermark``
+    upstream, trading completeness of open sessions for bounded state."""
+    import tempfile
+
+    from stateful_spark_streaming_spark.operators.windows import session_windows
+
+    checkpoint_dir = checkpoint_dir or tempfile.mkdtemp(prefix="sss_ckpt_sess_")
+    old_sp = spark.conf.get("spark.sql.shuffle.partitions")
+    if state_partitions is not None:
+        spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
+    try:
+        stream_df = stream_events_source(
+            spark, events_path, max_files_per_trigger=max_files_per_trigger
+        )
+        sessions = session_windows(stream_df, key=key, gap=gap)
+        sink = CompleteSnapshotSink(
+            spark, "StreamingSessions", key, path=f"{checkpoint_dir}_snapshot"
+        )
+        q = (
+            sessions.writeStream.outputMode("complete")
+            .foreachBatch(sink)
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        return sink.query()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_sp)
+
+
+def run_streaming_event_pairs(
+    spark: SparkSession,
+    events_path: str,
+    key: str = "user_id",
+    tolerance_seconds: int = 600,
+    watermark_delay: str = "1 hour",
+    checkpoint_dir: str | None = None,
+    state_partitions: int | None = 8,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """STREAM-STREAM self-join: same-key event pairs within a time
+    tolerance — the streaming twin of the batch ``range_join_pairs``
+    operator (same oracle).
+
+    Both join inputs are independent streaming readers of the same source;
+    the inner join carries an event-time range condition plus watermarks on
+    both sides, which is exactly what lets Spark bound the join state: a
+    buffered row can be dropped once the other side's watermark passes
+    ts + tolerance.  Append mode — each matched pair is emitted exactly
+    once — so a plain distributed parquet sink is exact.  At 100 TB this
+    is the shape for correlating two event firehoses (impressions×clicks)
+    without ever materializing either."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    checkpoint_dir = checkpoint_dir or tempfile.mkdtemp(prefix="sss_ckpt_ssj_")
+    out_dir = checkpoint_dir + "_out"
+    old_sp = spark.conf.get("spark.sql.shuffle.partitions")
+    if state_partitions is not None:
+        spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
+    try:
+        a = (
+            stream_events_source(
+                spark, events_path, max_files_per_trigger=max_files_per_trigger
+            )
+            .select(
+                F.col(key).alias("user_id"),
+                F.col("event_id").alias("id_a"),
+                F.col("ts").alias("ts_a"),
+            )
+            .withWatermark("ts_a", watermark_delay)
+        )
+        b = (
+            stream_events_source(
+                spark, events_path, max_files_per_trigger=max_files_per_trigger
+            )
+            .select(
+                F.col(key).alias("user_id_b"),
+                F.col("event_id").alias("id_b"),
+                F.col("ts").alias("ts_b"),
+            )
+            .withWatermark("ts_b", watermark_delay)
+        )
+        tol = F.expr(f"INTERVAL {tolerance_seconds} SECONDS")
+        pairs = a.join(
+            b,
+            (F.col("user_id") == F.col("user_id_b"))
+            & (F.col("id_a") < F.col("id_b"))
+            & (F.col("ts_b") >= F.col("ts_a") - tol)
+            & (F.col("ts_b") <= F.col("ts_a") + tol),
+        ).select(
+            "user_id",
+            "id_a",
+            "id_b",
+            F.abs(F.unix_millis("ts_a") - F.unix_millis("ts_b")).alias("gap_ms"),
+        )
+        q = (
+            pairs.writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        global _last_join_progress
+        _last_join_progress = [p for p in q.recentProgress]
+        return spark.read.parquet(out_dir)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_sp)
+
+
+#: debug introspection: per-batch progress of the last stream-stream join run
+_last_join_progress: list = []
 
 
 def run_streaming_tumbling_counts(
