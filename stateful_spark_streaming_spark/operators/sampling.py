@@ -1,0 +1,77 @@
+"""Sampling / sharding operators for training-data pipelines (BASELINE.json
+north star): deterministic stratified sampling and the shuffle-shard step
+that turns a filtered corpus into training shards.
+
+Everything here is content/id-keyed and deterministic — re-running the
+pipeline on the same inputs yields byte-identical samples and shards, which
+is what makes 100 TB dataset builds reproducible and resumable.  No
+``rand()``: a seeded hash plays the role of the random draw, so the sample
+is stable under retries, partial re-runs, and cluster re-partitioning.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _hash_bucket(col, buckets: int = 100, seed: str = ""):
+    """Deterministic uniform bucket in [0, buckets) from md5(seed || col).
+    md5 (not xxhash64) so the DuckDB oracle can reproduce it exactly."""
+    h = F.md5(F.concat(F.lit(seed), col.cast("string")))
+    return (F.conv(F.substring(h, 1, 8), 16, 10).cast("long") % buckets).cast("int")
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str = "lang",
+    rates: dict[str, float] | None = None,
+    default_rate: float = 0.5,
+    id_col: str = "doc_id",
+    seed: str = "strat1",
+) -> DataFrame:
+    """Per-stratum deterministic sampling: keep a row iff its id's hash
+    bucket falls under the stratum's rate — the standard rebalancing step
+    (e.g. downsample English, keep all low-resource languages).
+
+    Map-only: no shuffle, no rand(), filter pushes into the scan stage.
+    Rates are percentages of the 100-bucket hash space, so a rate of 0.25
+    keeps exactly the rows whose bucket < 25 — the same rows every run.
+    """
+    rates = rates or {}
+    bucket = _hash_bucket(F.col(id_col), 100, seed)
+    rate_expr = F.lit(int(default_rate * 100))
+    for k, v in rates.items():
+        rate_expr = F.when(F.col(strata_col) == k, int(v * 100)).otherwise(rate_expr)
+    return df.withColumn("_bucket", bucket).filter(
+        F.col("_bucket") < rate_expr
+    ).drop("_bucket")
+
+
+def shuffle_shard(
+    df: DataFrame,
+    n_shards: int = 8,
+    id_col: str = "doc_id",
+    seed: str = "shuf1",
+) -> DataFrame:
+    """Deterministic global shuffle + sharding: the last step of a training
+    dataset build.  Each row gets a hash key; the shard is the key mod
+    ``n_shards`` and the position is the rank of the key within the shard —
+    together a stable pseudo-random permutation of the corpus.
+
+    Scale shape: ONE shuffle (the window's partitionBy on shard), and each
+    shard sorts locally by hash key — exactly what
+    ``repartition(n_shards, key).sortWithinPartitions(key)`` does in the
+    writer path; the (shard, pos) columns returned here are that writer's
+    manifest.  At 100 TB pick n_shards so a shard fits a writer task
+    (e.g. 100k shards of ~1 GB).
+    """
+    h = F.md5(F.concat(F.lit(seed), F.col(id_col).cast("string")))
+    shard = (F.conv(F.substring(h, 1, 8), 16, 10).cast("long") % n_shards).cast("int")
+    w = Window.partitionBy("shard").orderBy("_hkey", id_col)
+    return (
+        df.withColumn("_hkey", h)
+        .withColumn("shard", shard)
+        .withColumn("pos", F.row_number().over(w))
+        .drop("_hkey")
+    )

@@ -222,6 +222,60 @@ def hash_split(
     )
 
 
+def _ngrams_raw(t: Column, k: int) -> Column:
+    """k-grams from a token array WITHOUT dedup — the multiset form that
+    repetition metrics need (shingles() dedups for Jaccard/MinHash)."""
+    z = t
+    for j in range(1, k):
+        z = F.zip_with(
+            z, F.slice(t, j + 1, 1 << 20), lambda x, y: F.concat(x, F.lit(" "), y)
+        )
+    return F.filter(z, lambda x: x.isNotNull())
+
+
+def _max_run(arr: Column) -> Column:
+    """Longest run of equal ADJACENT elements — one O(n) fold, JVM-side."""
+    acc0 = F.struct(
+        F.lit(" ").alias("prev"), F.lit(0).alias("run"), F.lit(0).alias("best")
+    )
+    step = lambda acc, x: F.struct(  # noqa: E731
+        x.alias("prev"),
+        F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1)).alias("run"),
+        F.greatest(
+            acc["best"],
+            F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1)),
+        ).alias("best"),
+    )
+    return F.aggregate(arr, acc0, step, lambda acc: acc["best"])
+
+
+def repetition_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Repetition-based quality signals (the public Gopher/C4 rules shaped
+    for space-delimited text): duplicate word-bigram fraction, most-common
+    bigram's share, and the longest same-word run.
+
+    Scale shape: every metric is a per-row column expression — map-only, no
+    explode, no shuffle.  The most-common-bigram count uses sort-then-
+    max-run (an O(L log L) in-row sort + O(L) fold) instead of a
+    doc-keyed explode+groupBy, which at 100 TB would shuffle one row per
+    token occurrence."""
+    t = tokens(F.col(text_col))
+    bi = _ngrams_raw(t, 2)
+    n_bi = F.size(bi)
+    n_uniq = F.size(F.array_distinct(bi))
+    top_c = _max_run(F.array_sort(bi))
+    safe = F.greatest(n_bi, F.lit(1))
+    return df.select(
+        "doc_id",
+        n_bi.alias("n_bigrams"),
+        n_uniq.alias("n_unique_bigrams"),
+        F.round((n_bi - n_uniq) / safe, 4).alias("dup_bigram_frac"),
+        top_c.alias("top_bigram_count"),
+        F.round(top_c / safe, 4).alias("top_bigram_frac"),
+        _max_run(t).alias("max_word_run"),
+    )
+
+
 def shingles_from_tokens(t: Column, k: int = 3) -> Column:
     """k-word shingles from a token array, via shifted-array zip_with.
 

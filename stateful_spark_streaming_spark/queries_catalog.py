@@ -1215,6 +1215,97 @@ def q_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TXT.hash_split(_t(spark, sf_dir, "documents"), train_pct=90)
 
 
+@query(
+    "repetition_stats",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, {_TOKS_SQL} AS t FROM documents),
+    bi AS (SELECT doc_id,
+                  CASE WHEN len(t) >= 2
+                       THEN list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])
+                       ELSE [] END AS b
+           FROM toks),
+    ex AS (SELECT doc_id, unnest(b) AS bg FROM bi),
+    cnt AS (SELECT doc_id, bg, count(*) AS c FROM ex GROUP BY 1, 2),
+    agg AS (SELECT doc_id, CAST(sum(c) AS INT) AS n_bigrams,
+                   CAST(count(*) AS INT) AS n_unique_bigrams,
+                   CAST(max(c) AS INT) AS top_c
+            FROM cnt GROUP BY 1),
+    idx AS (SELECT doc_id, t, unnest(range(1, len(t) + 1)) AS i FROM toks),
+    wt AS (SELECT doc_id, t[i] AS tok, i FROM idx),
+    runs AS (SELECT doc_id, tok,
+                    i - row_number() OVER (PARTITION BY doc_id, tok ORDER BY i) AS grp
+             FROM wt),
+    runlen AS (SELECT doc_id, CAST(count(*) AS INT) AS rl
+               FROM runs GROUP BY doc_id, tok, grp),
+    mwr AS (SELECT doc_id, max(rl) AS max_word_run FROM runlen GROUP BY 1)
+    SELECT d.doc_id,
+           coalesce(a.n_bigrams, 0) AS n_bigrams,
+           coalesce(a.n_unique_bigrams, 0) AS n_unique_bigrams,
+           round((coalesce(a.n_bigrams, 0) - coalesce(a.n_unique_bigrams, 0))::DOUBLE
+                 / greatest(coalesce(a.n_bigrams, 0), 1), 4) AS dup_bigram_frac,
+           coalesce(a.top_c, 0) AS top_bigram_count,
+           round(coalesce(a.top_c, 0)::DOUBLE
+                 / greatest(coalesce(a.n_bigrams, 0), 1), 4) AS top_bigram_frac,
+           coalesce(m.max_word_run, 0) AS max_word_run
+    FROM documents d
+    LEFT JOIN agg a USING (doc_id)
+    LEFT JOIN mwr m USING (doc_id)
+    """,
+)
+def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher/C4-style repetition quality signals: duplicate-bigram
+    fraction, top-bigram share, longest same-word run — all per-row column
+    expressions (map-only, no explode shuffle)."""
+    return TXT.repetition_stats(_t(spark, sf_dir, "documents"))
+
+
+# --------------------------------------------------------------------------
+# Sampling / sharding (training-data pipeline: stratify, shuffle, shard)
+# --------------------------------------------------------------------------
+from stateful_spark_streaming_spark.operators import sampling as SMP  # noqa: E402
+
+
+@query(
+    "stratified_sample",
+    oracle="""
+    SELECT doc_id, lang
+    FROM documents
+    WHERE ('0x' || substring(md5('strat1' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100
+          < CASE WHEN lang = 'en' THEN 25 ELSE 100 END
+    """,
+)
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-language rebalancing: downsample English to 25%,
+    keep everything else — the standard corpus-mix step, hash-keyed so the
+    sample is identical on every run/retry.  Map-only, no rand()."""
+    out = SMP.stratified_sample(
+        _t(spark, sf_dir, "documents"),
+        strata_col="lang",
+        rates={"en": 0.25},
+        default_rate=1.0,
+    )
+    return out.select("doc_id", "lang")
+
+
+@query(
+    "shuffle_shard",
+    oracle="""
+    SELECT doc_id,
+           CAST(('0x' || substring(md5('shuf1' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 8 AS INT) AS shard,
+           CAST(row_number() OVER (
+               PARTITION BY ('0x' || substring(md5('shuf1' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 8
+               ORDER BY md5('shuf1' || CAST(doc_id AS VARCHAR)), doc_id) AS INT) AS pos
+    FROM documents
+    """,
+)
+def q_shuffle_shard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global shuffle + shard assignment — the final step of
+    a training dataset build: a stable pseudo-random permutation as
+    (shard, pos), one shuffle."""
+    out = SMP.shuffle_shard(_t(spark, sf_dir, "documents"), n_shards=8)
+    return out.select("doc_id", "shard", F.col("pos").cast("int").alias("pos"))
+
+
 # --------------------------------------------------------------------------
 # Deduplication (north star: exact, n-gram Jaccard, MinHash+LSH, SimHash)
 # --------------------------------------------------------------------------

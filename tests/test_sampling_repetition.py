@@ -1,0 +1,71 @@
+"""Known-value and property tests for the training-pipeline additions:
+repetition metrics, stratified sampling, shuffle-shard."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from stateful_spark_streaming_spark.operators.sampling import (
+    shuffle_shard,
+    stratified_sample,
+)
+from stateful_spark_streaming_spark.operators.text import repetition_stats
+from stateful_spark_streaming_spark.sources.tables import load_table
+
+
+def test_repetition_known_values(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "a b a b c"),          # bigrams: ab,ba,ab,bc → dup=1/4, top=2
+            (2, "x x x y"),            # runs: xxx → max_word_run 3
+            (3, "unique words only"),  # no repetition
+            (4, ""),                   # empty text edge
+        ],
+        ["doc_id", "text"],
+    )
+    got = {r["doc_id"]: r for r in repetition_stats(df).collect()}
+    assert got[1]["n_bigrams"] == 4
+    assert got[1]["n_unique_bigrams"] == 3
+    assert got[1]["dup_bigram_frac"] == 0.25
+    assert got[1]["top_bigram_count"] == 2
+    assert got[2]["max_word_run"] == 3
+    assert got[3]["dup_bigram_frac"] == 0.0
+    assert got[3]["max_word_run"] == 1
+    assert got[4]["n_bigrams"] == 0
+    assert got[4]["top_bigram_count"] == 0
+
+
+def test_stratified_sample_deterministic_and_rate(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    s1 = stratified_sample(docs, rates={"en": 0.25}, default_rate=1.0)
+    s2 = stratified_sample(docs, rates={"en": 0.25}, default_rate=1.0)
+    ids1 = sorted(r["doc_id"] for r in s1.select("doc_id").collect())
+    ids2 = sorted(r["doc_id"] for r in s2.select("doc_id").collect())
+    assert ids1 == ids2  # identical sample every run
+    n_en_all = docs.filter(F.col("lang") == "en").count()
+    n_en_kept = s1.filter(F.col("lang") == "en").count()
+    assert 0 < n_en_kept < n_en_all  # actually downsampled
+    # non-en strata kept whole
+    assert (
+        s1.filter(F.col("lang") != "en").count()
+        == docs.filter(F.col("lang") != "en").count()
+    )
+
+
+def test_shuffle_shard_is_a_permutation(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    n = docs.count()
+    out = shuffle_shard(docs, n_shards=4)
+    assert out.count() == n
+    assert out.select("doc_id").distinct().count() == n
+    # (shard, pos) is a dense unique index within each shard
+    per = out.groupBy("shard").agg(F.max("pos").alias("mx"), F.count("*").alias("c"))
+    for r in per.collect():
+        assert r["mx"] == r["c"]
+    # deterministic across runs
+    a = sorted(tuple(r) for r in out.select("doc_id", "shard", "pos").collect())
+    b = sorted(
+        tuple(r)
+        for r in shuffle_shard(docs, n_shards=4).select("doc_id", "shard", "pos").collect()
+    )
+    assert a == b
