@@ -73,6 +73,13 @@ CHECKS = {
     "hash_split": ([], ["Exchange"], 0),
     # inverse projection round-trip: pure column math, map-only
     "web_mercator_roundtrip": ([], ["Exchange"], 0),
+    # repetition metrics: in-row sort+fold, NOT explode+groupBy — map-only
+    "repetition_stats": ([], ["Exchange", "Generate"], 0),
+    # stratified sampling: a hash filter, nothing else — map-only, no rand
+    "stratified_sample": ([], ["Exchange", "Sample"], 0),
+    # shuffle-shard: exactly ONE exchange (the per-shard window), no sort
+    # of the full corpus on a single partition
+    "shuffle_shard": ([], [], 1),
 }
 
 #: upper bound on `Scan parquet` occurrences — "the signature subplan is
