@@ -48,6 +48,41 @@ def with_unit_vectors(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
     )
 
 
+def label_centroids(
+    df: DataFrame, vec_col: str = "embedding", label_col: str = "label"
+) -> DataFrame:
+    """Per-label centroid as (label, dim, mean_v) rows — the class-prototype
+    computation behind semantic dedup buckets / cluster seeding.
+
+    posexplode → two-key hash aggregate: one shuffle of (label, dim, v)
+    with map-side partial avg; at 100 TB the shuffle volume is rows×dim
+    scalars, the same as reading the vectors once — no all-pairs anything."""
+    ex = df.select(F.col(label_col), F.posexplode(vec_col).alias("dim0", "v"))
+    return (
+        ex.groupBy(label_col, (F.col("dim0") + 1).alias("dim"))
+        .agg(F.round(F.avg(F.col("v").cast("double")), 6).alias("mean_v"))
+    )
+
+
+def embedding_norm_stats(
+    df: DataFrame, vec_col: str = "embedding", label_col: str = "label"
+) -> DataFrame:
+    """Per-label L2-norm distribution (count/mean/min/max) — the standard
+    embedding-table health check (unnormalized rows, dead vectors).  The
+    norm is an in-row fold; the aggregate is one label-keyed shuffle."""
+    nrm = _norm(F.col(vec_col))
+    return (
+        df.select(F.col(label_col), nrm.alias("nrm"))
+        .groupBy(label_col)
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg("nrm"), 6).alias("mean_norm"),
+            F.round(F.min("nrm"), 6).alias("min_norm"),
+            F.round(F.max("nrm"), 6).alias("max_norm"),
+        )
+    )
+
+
 def cosine_topk_bruteforce(
     embeddings: DataFrame,
     queries: DataFrame,

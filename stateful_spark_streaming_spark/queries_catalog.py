@@ -1434,6 +1434,43 @@ def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "label_centroids",
+    oracle="""
+    WITH u AS (SELECT label, embedding::DOUBLE[] AS e,
+                      unnest(range(1, len(embedding) + 1)) AS dim
+               FROM embeddings)
+    SELECT label, CAST(dim AS INT) AS dim, round(avg(e[dim]), 6) AS mean_v
+    FROM u GROUP BY label, dim
+    """,
+)
+def q_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding centroids as (label, dim, mean_v) — class
+    prototypes for semantic bucketing; one (label, dim)-keyed shuffle with
+    map-side partial averages."""
+    return SIM.label_centroids(_t(spark, sf_dir, "embeddings"))
+
+
+@query(
+    "embedding_norm_stats",
+    oracle="""
+    SELECT label,
+           count(*) AS n,
+           round(avg(nrm), 6) AS mean_norm,
+           round(min(nrm), 6) AS min_norm,
+           round(max(nrm), 6) AS max_norm
+    FROM (SELECT label,
+                 sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x * x))) AS nrm
+          FROM embeddings)
+    GROUP BY label
+    """,
+)
+def q_embedding_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-table health check: per-label L2-norm distribution (in-row
+    fold + one label-keyed aggregate)."""
+    return SIM.embedding_norm_stats(_t(spark, sf_dir, "embeddings"))
+
+
+@query(
     "cosine_near_pairs",
     oracle="""
     SELECT a.vec_id AS id_a, b.vec_id AS id_b,

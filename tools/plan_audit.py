@@ -80,6 +80,9 @@ CHECKS = {
     # shuffle-shard: exactly ONE exchange (the per-shard window), no sort
     # of the full corpus on a single partition
     "shuffle_shard": ([], [], 1),
+    # embedding analytics: one keyed aggregate each, no joins
+    "label_centroids": ([], ["Join", "CartesianProduct"], 1),
+    "embedding_norm_stats": ([], ["Join", "CartesianProduct"], 1),
 }
 
 #: upper bound on `Scan parquet` occurrences — "the signature subplan is
