@@ -864,15 +864,17 @@ def q_streaming_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT a.user_id AS user_id, a.event_id AS id_a, b.event_id AS id_b,
            abs(epoch_ms(a.ts) - epoch_ms(b.ts)) AS gap_ms
     FROM events a JOIN events b
-      ON a.user_id = b.user_id AND a.event_id < b.event_id
+      ON a.user_id = b.user_id
+     AND a.event_type = 'click' AND b.event_type = 'purchase'
      AND abs(epoch_ms(a.ts) - epoch_ms(b.ts)) <= 600000
     """,
 )
 def q_streaming_event_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """STREAM-STREAM self-join twin of event_pairs_within_10min: inner join
-    with an event-time range condition + watermarks on both inputs (the
-    state-bounding shape for correlating two firehoses), append-mode
-    parquet sink — same oracle as the batch range join."""
+    """STREAM-STREAM join, the canonical two-firehose form: clicks joined
+    to same-user purchases within 10 minutes — inner join with an
+    event-time range condition + watermarks on both inputs (the
+    state-bounding shape), pre-stateful event_type filters cutting join
+    state, append-mode parquet sink.  Exact DuckDB oracle."""
     import os as _os
 
     from stateful_spark_streaming_spark.streaming.pipeline import (
@@ -880,7 +882,10 @@ def q_streaming_event_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     return run_streaming_event_pairs(
-        spark, _os.path.join(sf_dir, "events.parquet")
+        spark,
+        _os.path.join(sf_dir, "events.parquet"),
+        left_type="click",
+        right_type="purchase",
     ).select("user_id", "id_a", "id_b", "gap_ms")
 
 

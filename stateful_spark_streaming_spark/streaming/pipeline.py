@@ -625,13 +625,14 @@ def run_streaming_event_pairs(
     key: str = "user_id",
     tolerance_seconds: int = 600,
     watermark_delay: str = "1 hour",
+    left_type: str | None = None,
+    right_type: str | None = None,
     checkpoint_dir: str | None = None,
     state_partitions: int | None = 8,
+    state_store: str | None = "hdfs",
     max_files_per_trigger: int | None = None,
 ) -> DataFrame:
-    """STREAM-STREAM self-join: same-key event pairs within a time
-    tolerance — the streaming twin of the batch ``range_join_pairs``
-    operator (same oracle).
+    """STREAM-STREAM join: same-key event pairs within a time tolerance.
 
     Both join inputs are independent streaming readers of the same source;
     the inner join carries an event-time range condition plus watermarks on
@@ -640,7 +641,20 @@ def run_streaming_event_pairs(
     ts + tolerance.  Append mode — each matched pair is emitted exactly
     once — so a plain distributed parquet sink is exact.  At 100 TB this
     is the shape for correlating two event firehoses (impressions×clicks)
-    without ever materializing either."""
+    without ever materializing either.
+
+    ``left_type``/``right_type`` filter each side by event_type BEFORE the
+    stateful operator (two distinct streams, e.g. clicks×purchases) — the
+    canonical form, and the filters cut join state proportionally.  With
+    both None the join is the all-pairs self form deduped by id order —
+    the streaming twin of the batch ``range_join_pairs`` (same oracle), at
+    ~the square of the per-key row count in state updates.
+
+    ``state_store='hdfs'`` (default) uses the in-memory/HDFS store: join
+    state here is watermark-bounded and modest, and the HDFS store's put
+    path measures ~2× faster than RocksDB's.  Pass ``'rocksdb'`` (or None
+    to inherit the session) when the tolerance×rate product makes buffered
+    state bigger than executor memory."""
     import tempfile
 
     from pyspark.sql import functions as F
@@ -650,37 +664,46 @@ def run_streaming_event_pairs(
     old_sp = spark.conf.get("spark.sql.shuffle.partitions")
     if state_partitions is not None:
         spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
+    store_conf = "spark.sql.streaming.stateStore.providerClass"
+    providers = {
+        "hdfs": "org.apache.spark.sql.execution.streaming.state."
+        "HDFSBackedStateStoreProvider",
+        "rocksdb": "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    }
+    old_store = spark.conf.get(store_conf, None)
+    if state_store is not None:
+        spark.conf.set(store_conf, providers[state_store])
     try:
-        a = (
-            stream_events_source(
-                spark, events_path, max_files_per_trigger=max_files_per_trigger
-            )
-            .select(
-                F.col(key).alias("user_id"),
-                F.col("event_id").alias("id_a"),
-                F.col("ts").alias("ts_a"),
-            )
-            .withWatermark("ts_a", watermark_delay)
+        a = stream_events_source(
+            spark, events_path, max_files_per_trigger=max_files_per_trigger
         )
-        b = (
-            stream_events_source(
-                spark, events_path, max_files_per_trigger=max_files_per_trigger
-            )
-            .select(
-                F.col(key).alias("user_id_b"),
-                F.col("event_id").alias("id_b"),
-                F.col("ts").alias("ts_b"),
-            )
-            .withWatermark("ts_b", watermark_delay)
+        if left_type is not None:
+            a = a.filter(F.col("event_type") == left_type)
+        a = a.select(
+            F.col(key).alias("user_id"),
+            F.col("event_id").alias("id_a"),
+            F.col("ts").alias("ts_a"),
+        ).withWatermark("ts_a", watermark_delay)
+        b = stream_events_source(
+            spark, events_path, max_files_per_trigger=max_files_per_trigger
         )
+        if right_type is not None:
+            b = b.filter(F.col("event_type") == right_type)
+        b = b.select(
+            F.col(key).alias("user_id_b"),
+            F.col("event_id").alias("id_b"),
+            F.col("ts").alias("ts_b"),
+        ).withWatermark("ts_b", watermark_delay)
         tol = F.expr(f"INTERVAL {tolerance_seconds} SECONDS")
-        pairs = a.join(
-            b,
+        cond = (
             (F.col("user_id") == F.col("user_id_b"))
-            & (F.col("id_a") < F.col("id_b"))
             & (F.col("ts_b") >= F.col("ts_a") - tol)
-            & (F.col("ts_b") <= F.col("ts_a") + tol),
-        ).select(
+            & (F.col("ts_b") <= F.col("ts_a") + tol)
+        )
+        if left_type is None and right_type is None:
+            cond = cond & (F.col("id_a") < F.col("id_b"))
+        pairs = a.join(b, cond).select(
             "user_id",
             "id_a",
             "id_b",
@@ -700,6 +723,8 @@ def run_streaming_event_pairs(
         return spark.read.parquet(out_dir)
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old_sp)
+        if state_store is not None and old_store is not None:
+            spark.conf.set(store_conf, old_store)
 
 
 #: debug introspection: per-batch progress of the last stream-stream join run
