@@ -53,6 +53,10 @@ def main() -> None:
         except Exception as e:  # noqa: BLE001
             timings[name] = -1.0
             print(f"bench error in {name}: {e}", file=sys.stderr)
+        # several one-shot operators persist intermediates (shingle sets,
+        # LSH buckets) that only their own plan reuses; drop them between
+        # queries so block-manager memory doesn't accumulate across the run
+        spark.catalog.clearCache()
     total = round(time.perf_counter() - t_all0, 3)
 
     sf = sf_dir.rstrip("/").split("sf")[-1]
