@@ -82,6 +82,12 @@ def jaccard_pairs(
     computed over the filtered shingle sets, which stays self-consistent
     (a pair of identical docs still scores 1.0) while capping the O(df²)
     candidate blowup that boilerplate shingles cause at 100 TB.
+
+    Cache lifetime: the scale path persists the bucketed index (it feeds
+    two subplans) and cannot unpersist it before the caller's action runs;
+    long-lived sessions issuing many one-shot calls should
+    ``spark.catalog.clearCache()`` between them (bench.py does), or write
+    the index to storage and read it back — the 100 TB form.
     """
     idx = _shingle_index(df, text_col, id_col, k)
     if max_shingle_df is None:
@@ -222,6 +228,10 @@ def minhash_lsh_pairs(
     rows/bands = 4 → collision prob at τ=0.6 per band = τ⁴ ≈ 0.13, across 8
     bands ≈ 67% recall per the standard S-curve; raise num_hashes/bands for
     higher recall at scale.
+
+    Cache lifetime: the shingle sets that verification joins twice are
+    persisted and stay cached past the caller's action (see jaccard_pairs
+    docstring for the clearCache / write-to-storage guidance).
     """
     rows_per_band = num_hashes // bands
     sig = minhash_signatures(df, text_col, id_col, k, num_hashes)
@@ -301,6 +311,14 @@ def dup_clusters(
     """
     from pyspark import StorageLevel
 
+    from pyspark.sql.types import StructField, StructType
+
+    out_schema = StructType(
+        [
+            StructField("doc_id", pairs.schema[id_a].dataType, True),
+            StructField("cluster_rep", pairs.schema[id_a].dataType, True),
+        ]
+    )
     probe = pairs.select(id_a, id_b).limit(max_driver_edges + 1).collect()
     if len(probe) <= max_driver_edges:
         edges = probe
@@ -322,9 +340,9 @@ def dup_clusters(
                     ra, rb = rb, ra
                 parent[rb] = ra
         rows = [(n, find(n)) for n in parent]
-        return pairs.sparkSession.createDataFrame(
-            rows, ["doc_id", "cluster_rep"]
-        )
+        # explicit schema: an empty pair graph (no near-dups) must yield an
+        # empty typed DataFrame, not a schema-inference error
+        return pairs.sparkSession.createDataFrame(rows, out_schema)
 
     sym = (
         pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
@@ -338,6 +356,7 @@ def dup_clusters(
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     labels.count()
+    changed = -1
     for _ in range(max_iter):
         neighbor_min = (
             sym.join(labels, sym.dst == labels.node)
@@ -365,6 +384,15 @@ def dup_clusters(
         if changed == 0:
             break
     sym.unpersist()
+    if changed != 0:
+        # returning here would silently split one real component into
+        # several clusters — wrong dedup decisions, no symptom
+        raise RuntimeError(
+            f"dup_clusters did not converge in max_iter={max_iter} rounds "
+            f"({changed} labels still moving): a component's diameter "
+            "exceeds max_iter — raise max_iter (rounds cost one join+agg "
+            "each and converge in O(graph diameter))"
+        )
     return labels.select(
         F.col("node").alias("doc_id"), F.col("label").alias("cluster_rep")
     )

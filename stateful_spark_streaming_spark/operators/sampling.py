@@ -14,12 +14,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from stateful_spark_streaming_spark.operators.text import md5_bucket
+
 
 def _hash_bucket(col, buckets: int = 100, seed: str = ""):
-    """Deterministic uniform bucket in [0, buckets) from md5(seed || col).
-    md5 (not xxhash64) so the DuckDB oracle can reproduce it exactly."""
-    h = F.md5(F.concat(F.lit(seed), col.cast("string")))
-    return (F.conv(F.substring(h, 1, 8), 16, 10).cast("long") % buckets).cast("int")
+    """Deterministic uniform bucket in [0, buckets) from md5(seed || col)."""
+    return md5_bucket(F.md5(F.concat(F.lit(seed), col.cast("string"))), buckets)
 
 
 def stratified_sample(
@@ -67,7 +67,7 @@ def shuffle_shard(
     (e.g. 100k shards of ~1 GB).
     """
     h = F.md5(F.concat(F.lit(seed), F.col(id_col).cast("string")))
-    shard = (F.conv(F.substring(h, 1, 8), 16, 10).cast("long") % n_shards).cast("int")
+    shard = md5_bucket(h, n_shards)
     w = Window.partitionBy("shard").orderBy("_hkey", id_col)
     return (
         df.withColumn("_hkey", h)

@@ -340,17 +340,23 @@ def cosine_near_pairs(
     import pandas as pd
 
     spark = embeddings.sparkSession
-    n = embeddings.count()
-    if n > max_broadcast_vectors:
+    # size guard and fetch in ONE evaluation: pull limit+1 rows — if the
+    # extra row shows up the corpus is over the broadcast bound.  A separate
+    # count() would execute the upstream plan twice.
+    pdf_all = (
+        embeddings.select(id_col, vec_col)
+        .limit(max_broadcast_vectors + 1)
+        .toPandas()
+    )
+    if len(pdf_all) > max_broadcast_vectors:
         raise ValueError(
             f"cosine_near_pairs is the exact all-pairs baseline and broadcasts "
-            f"the corpus to every executor; this corpus has {n} vectors "
-            f"(> max_broadcast_vectors={max_broadcast_vectors}). Use "
+            f"the corpus to every executor; this corpus has more than "
+            f"max_broadcast_vectors={max_broadcast_vectors} vectors. Use "
             f"cosine_near_pairs_lsh for corpora beyond broadcast size, or "
             f"raise max_broadcast_vectors explicitly if the executors can "
             f"hold the matrix."
         )
-    pdf_all = embeddings.select(id_col, vec_col).toPandas()
     ids_all = pdf_all[id_col].to_numpy()
     m = np.array(pdf_all[vec_col].tolist(), dtype=np.float64)
     m /= np.linalg.norm(m, axis=1, keepdims=True)

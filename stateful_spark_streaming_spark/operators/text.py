@@ -201,6 +201,16 @@ def redact_pii(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def md5_bucket(hash_col: Column, buckets: int = 100) -> Column:
+    """Uniform bucket in [0, buckets) from an md5 hex column: first 8 hex
+    chars → int → mod.  md5 (not xxhash64) so DuckDB oracles reproduce it
+    exactly.  The single definition behind hash_split / stratified_sample /
+    shuffle_shard — change it (and its oracle mirror) in one place."""
+    return (F.conv(F.substring(hash_col, 1, 8), 16, 10).cast("long") % buckets).cast(
+        "int"
+    )
+
+
 def hash_split(
     df: DataFrame,
     text_col: str = "text",
@@ -211,10 +221,7 @@ def hash_split(
     chars of md5(normalized text) mod 100.  Content-keyed (not row-keyed) so
     exact duplicates always land in the same split — the property that
     prevents train/eval leakage through dup documents."""
-    bucket = (
-        F.conv(F.substring(F.md5(normalize_text(F.col(text_col))), 1, 8), 16, 10)
-        .cast("long") % 100
-    )
+    bucket = md5_bucket(F.md5(normalize_text(F.col(text_col))), 100).cast("long")
     return df.select(
         id_col,
         bucket.alias("bucket"),

@@ -39,6 +39,22 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return load_table(spark, sf_dir, name)
 
 
+def _fixture_tag(sf_dir: str, table: str) -> str:
+    """Cache key for derived per-corpus fixtures (IVF index, synthesized
+    image table): path PLUS the source file's (mtime, size) fingerprint, so
+    regenerating data at the same path invalidates the fixture instead of
+    silently serving stale derived data."""
+    import hashlib
+
+    p = os.path.join(os.path.abspath(sf_dir), f"{table}.parquet")
+    try:
+        st = os.stat(p)
+        sig = f"{p}|{st.st_mtime_ns}|{st.st_size}"
+    except OSError:
+        sig = p
+    return hashlib.md5(sig.encode()).hexdigest()[:12]
+
+
 # --------------------------------------------------------------------------
 # Track algebra (reference core: FeatureTrack / purger / snapshot semantics)
 # --------------------------------------------------------------------------
@@ -1493,13 +1509,11 @@ def q_cosine_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF index built ONCE per corpus (persisted: cell-partitioned parquet
     + centroid sidecar), probe-only at query time — the index lifecycle an
     ANN system actually has, instead of retraining per query."""
-    import hashlib
-    import os
     import tempfile
 
     emb = _t(spark, sf_dir, "embeddings")
     queries_df = emb.filter(F.col("vec_id") < 20)
-    tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    tag = _fixture_tag(sf_dir, "embeddings")
     idx_path = os.path.join(tempfile.gettempdir(), f"sss_ivf_idx_{tag}_c8")
     index = SIM.ivf_build_or_load(emb, idx_path, n_centroids=8)
     return SIM.ivf_topk(emb, queries_df, k=5, n_centroids=8, nprobe=2, index=index)
@@ -1531,7 +1545,7 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     paid ~15 s of spin-up at sf0.1 for zero semantic value)."""
     import tempfile
 
-    key = sf_dir.rstrip("/").replace("/", "_")
+    key = _fixture_tag(sf_dir, "documents")
     path = os.path.join(tempfile.gettempdir(), f"ssss_images_{key}.parquet")
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
         docs = _t(spark, sf_dir, "documents")

@@ -156,13 +156,12 @@ class ParquetSnapshotSink:
             print(f"========= {self.view_name} {datetime.datetime.now()} =========")
             self.spark.sql(self.sql).show()
 
-    def _merged(self, keep_batch_id: bool = False) -> DataFrame | None:
+    def _read_log(self) -> DataFrame | None:
+        """base ∪ log, or None if nothing has been written yet.  A dir
+        whose first write is still in flight holds only _temporary — treat
+        it as absent rather than failing schema inference."""
         from pyspark.errors import AnalysisException
-        from pyspark.sql import Window
-        from pyspark.sql import functions as F
 
-        # a dir whose first write is still in flight holds only _temporary —
-        # treat it as absent rather than failing schema inference
         dfs = []
         for d in (self.base_dir, self.log_dir):
             if not os.path.exists(d):
@@ -176,20 +175,29 @@ class ParquetSnapshotSink:
         df = dfs[0]
         for other in dfs[1:]:
             df = df.unionByName(other)
+        return df
+
+    def _merged(self, keep_batch_id: bool = False) -> DataFrame | None:
+        from pyspark.sql import Window
+        from pyspark.sql import functions as F
+
+        df = self._read_log()
+        if df is None:
+            return None
         w = Window.partitionBy(self.key).orderBy(F.col("_batch_id").desc())
         out = df.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1)
         drop = ["_rn"] if keep_batch_id else ["_rn", "_batch_id"]
         return out.drop(*drop)
 
-    def _register(self) -> None:
+    def _register(self) -> DataFrame | None:
         df = self._merged()
         if df is not None:
             df.createOrReplaceTempView(self.view_name)
+        return df
 
     def query(self, sql: str | None = None) -> DataFrame:
-        if self._merged() is None:
+        if self._register() is None:
             return self.spark.range(0)  # nothing snapshotted yet
-        self._register()
         return self.spark.sql(sql or self.sql)
 
     def compact(self) -> None:
@@ -500,23 +508,9 @@ def run_streaming_dedup(
     if state_partitions is not None:
         spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
     try:
-        stream_df = stream_events_source(spark, events_path)
-        if max_files_per_trigger is not None:
-            # re-load with the per-trigger file cap (a source option)
-            stream_df = (
-                spark.readStream.schema(
-                    spark.read.parquet(events_path).schema
-                )
-                .option("maxFilesPerTrigger", str(max_files_per_trigger))
-                .format("parquet")
-                .load(events_path)
-            )
-            from pyspark.sql import functions as F
-
-            if dict(stream_df.dtypes).get("ts") == "bigint":
-                stream_df = stream_df.withColumn(
-                    "ts", F.expr("timestamp_micros(ts div 1000)")
-                )
+        stream_df = stream_events_source(
+            spark, events_path, max_files_per_trigger=max_files_per_trigger
+        )
         deduped = (
             stream_df.withWatermark("ts", delay)
             .dropDuplicatesWithinWatermark(list(keys))
@@ -544,7 +538,7 @@ class CompleteSnapshotSink(ParquetSnapshotSink):
     def _merged(self, keep_batch_id: bool = False):
         from pyspark.sql import functions as F
 
-        df = self.__read()
+        df = self._read_log()
         if df is None:
             return None
         latest = df.agg(F.max("_batch_id").alias("m"))
@@ -552,24 +546,6 @@ class CompleteSnapshotSink(ParquetSnapshotSink):
             "m"
         )
         return out if keep_batch_id else out.drop("_batch_id")
-
-    def __read(self):
-        from pyspark.errors import AnalysisException
-
-        dfs = []
-        for d in (self.base_dir, self.log_dir):
-            if not os.path.exists(d):
-                continue
-            try:
-                dfs.append(self.spark.read.parquet(d))
-            except AnalysisException:
-                continue
-        if not dfs:
-            return None
-        df = dfs[0]
-        for other in dfs[1:]:
-            df = df.unionByName(other)
-        return df
 
 
 def run_streaming_session_windows(
@@ -723,8 +699,11 @@ def run_streaming_event_pairs(
         return spark.read.parquet(out_dir)
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old_sp)
-        if state_store is not None and old_store is not None:
-            spark.conf.set(store_conf, old_store)
+        if state_store is not None:
+            if old_store is not None:
+                spark.conf.set(store_conf, old_store)
+            else:
+                spark.conf.unset(store_conf)
 
 
 #: debug introspection: per-batch progress of the last stream-stream join run
