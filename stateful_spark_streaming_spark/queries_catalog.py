@@ -906,6 +906,34 @@ def q_streaming_event_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "streaming_enriched_counts",
+    oracle="""
+    SELECT c.c_mktsegment AS c_mktsegment, e.event_type AS event_type,
+           count(*) AS n_events, round(sum(e.value), 2) AS sum_value
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY 1, 2
+    """,
+)
+def q_streaming_enriched_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAM-STATIC join twin: the event stream enriched with the
+    broadcast customer dimension, aggregated by (segment, event_type) in
+    update mode — the firehose × slowly-changing-dim shape.  Exact DuckDB
+    oracle (single-pass ingest ≡ batch join+group)."""
+    import os as _os
+
+    from stateful_spark_streaming_spark.streaming.pipeline import (
+        run_streaming_enriched_counts,
+    )
+
+    out = run_streaming_enriched_counts(
+        spark,
+        _os.path.join(sf_dir, "events.parquet"),
+        dim=_t(spark, sf_dir, "customer"),
+    )
+    return out.select("c_mktsegment", "event_type", "n_events", "sum_value")
+
+
+@query(
     "sliding_window_counts",
     oracle="""
     SELECT epoch_ms(time_bucket(INTERVAL '6 hours', ts) - k * INTERVAL '6 hours') AS window_start_ms,

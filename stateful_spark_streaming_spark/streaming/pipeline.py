@@ -710,6 +710,69 @@ def run_streaming_event_pairs(
 _last_join_progress: list = []
 
 
+def run_streaming_enriched_counts(
+    spark: SparkSession,
+    events_path: str,
+    dim: DataFrame,
+    dim_key: str = "c_custkey",
+    dim_col: str = "c_mktsegment",
+    checkpoint_dir: str | None = None,
+    state_partitions: int | None = 8,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """STREAM-STATIC join + aggregation: enrich the event stream with a
+    broadcast dimension table (the third join shape Structured Streaming
+    supports, next to stream-stream and the stateful track core), then an
+    update-mode aggregate by (dimension attribute, event_type) upserted
+    into the storage-backed snapshot sink.
+
+    Scale shape: the static side is broadcast per micro-batch — no shuffle
+    of the stream, no state for the join itself; only the downstream
+    aggregate keeps (groups) state.  The canonical 100 TB form for
+    firehose × slowly-changing-dim enrichment."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    checkpoint_dir = checkpoint_dir or tempfile.mkdtemp(prefix="sss_ckpt_enrich_")
+    old_sp = spark.conf.get("spark.sql.shuffle.partitions")
+    if state_partitions is not None:
+        spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
+    try:
+        stream_df = stream_events_source(
+            spark, events_path, max_files_per_trigger=max_files_per_trigger
+        )
+        enriched = stream_df.join(
+            F.broadcast(dim.select(dim_key, dim_col)),
+            stream_df["user_id"] == F.col(dim_key),
+            "inner",
+        )
+        counts = (
+            enriched.groupBy(dim_col, "event_type")
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                F.round(F.sum("value"), 2).alias("sum_value"),
+            )
+            .withColumn(
+                "grp_key", F.concat_ws("|", F.col(dim_col), F.col("event_type"))
+            )
+        )
+        sink = ParquetSnapshotSink(
+            spark, "StreamingEnriched", "grp_key", path=f"{checkpoint_dir}_snapshot"
+        )
+        q = (
+            counts.writeStream.outputMode("update")
+            .foreachBatch(sink)
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        return sink.query().drop("grp_key")
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_sp)
+
+
 def run_streaming_tumbling_counts(
     spark: SparkSession,
     events_path: str,

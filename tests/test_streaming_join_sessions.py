@@ -95,3 +95,27 @@ def test_streaming_sessions_match_batch_across_batches(spark, sf_dir, split_even
     # across files for this test to exercise cross-batch merging; sessions
     # spanning the cut exist because the cut is mid-timeline
     assert len(_norm(got, cols)) > 0
+
+
+def test_stream_static_enrichment_matches_batch_across_batches(spark, sf_dir, split_events_dir, tmp_path):
+    from stateful_spark_streaming_spark.streaming.pipeline import (
+        run_streaming_enriched_counts,
+    )
+
+    cust = load_table(spark, sf_dir, "customer")
+    got = run_streaming_enriched_counts(
+        spark,
+        split_events_dir,
+        dim=cust,
+        checkpoint_dir=str(tmp_path / "ckpt_enrich"),
+        max_files_per_trigger=1,
+    )
+    ev = load_table(spark, sf_dir, "events")
+    want = (
+        ev.join(cust, ev["user_id"] == cust["c_custkey"])
+        .groupBy("c_mktsegment", "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.round(F.sum("value"), 2).alias("sum_value"))
+    )
+    cols = ["c_mktsegment", "event_type", "n_events", "sum_value"]
+    assert _norm(got, cols) == _norm(want, cols)
+    assert len(_norm(got, cols)) > 0
