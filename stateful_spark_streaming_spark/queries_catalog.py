@@ -836,6 +836,45 @@ def q_streaming_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "event_type_pivot",
+    oracle="""
+    SELECT user_id,
+           count(*) FILTER (WHERE event_type = 'click') AS n_click,
+           count(*) FILTER (WHERE event_type = 'view') AS n_view,
+           count(*) FILTER (WHERE event_type = 'purchase') AS n_purchase,
+           count(*) FILTER (WHERE event_type = 'signup') AS n_signup,
+           count(*) FILTER (WHERE event_type = 'error') AS n_error,
+           round(coalesce(sum(value) FILTER (WHERE event_type = 'purchase'), 0), 2)
+               AS purchase_value
+    FROM events GROUP BY user_id
+    """,
+)
+def q_event_type_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT surface: per-user event-type matrix via groupBy().pivot() with
+    an explicit value list (deterministic schema, single shuffle with
+    map-side partials — explicit values keep the pivot one-pass; omitting
+    them costs a distinct-values job first)."""
+    ev = _t(spark, sf_dir, "events")
+    types = ["click", "view", "purchase", "signup", "error"]
+    piv = (
+        ev.groupBy("user_id")
+        .pivot("event_type", types)
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 2).alias("v"),
+        )
+    )
+    return piv.select(
+        "user_id",
+        *[
+            F.coalesce(F.col(f"{t}_n"), F.lit(0)).alias(f"n_{t}")
+            for t in types
+        ],
+        F.coalesce(F.col("purchase_v"), F.lit(0.0)).alias("purchase_value"),
+    )
+
+
+@query(
     "streaming_session_windows",
     oracle="""
     WITH marked AS (
