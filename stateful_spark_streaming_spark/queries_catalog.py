@@ -1492,6 +1492,84 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return DD.simhash_near_pairs(_t(spark, sf_dir, "documents"), max_hamming=3)
 
 
+@query(
+    "training_pipeline",
+    oracle=f"""
+    WITH RECURSIVE base AS (
+      SELECT doc_id, text, lang, {_TOKS_SQL} AS toks, {_NORM_SQL} AS norm,
+             CAST(length(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g')) AS INT) AS n_punct,
+             CAST(length(text) AS INT) AS n_char
+      FROM documents),
+    scored AS (
+      SELECT *, round(least(len(toks) / 64.0, 1.0) * 0.4
+            + (1.0 - least(n_punct / CAST(greatest(n_char, 1) AS DOUBLE), 1.0)) * 0.2
+            + least(len(list_intersect(list_distinct(toks),
+                  ['the','and','of','to','in','is','that','for'])) / 4.0, 1.0) * 0.2
+            + round(len(list_distinct(toks))
+                    / CAST(greatest(len(toks), 1) AS DOUBLE), 4) * 0.2,
+            4) AS q
+      FROM base),
+    filtered AS (SELECT * FROM scored WHERE lang <> 'zh' AND q >= 0.55),
+    surv AS (SELECT min(doc_id) AS doc_id FROM filtered GROUP BY md5(norm)),
+    d2 AS (SELECT f.* FROM filtered f JOIN surv USING (doc_id)),
+    tk AS (SELECT doc_id, toks AS t FROM d2),
+    sh0 AS (SELECT doc_id, {_SHINGLES_SQL} AS s FROM tk WHERE len(t) >= 3),
+    p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+          FROM sh0 a JOIN sh0 b ON a.doc_id < b.doc_id
+          WHERE len(list_intersect(a.s, b.s)) > 0
+            AND round(len(list_intersect(a.s, b.s))::DOUBLE
+                / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))), 4) >= 0.6),
+    e AS (SELECT doc_a AS a, doc_b AS b FROM p
+          UNION SELECT doc_b, doc_a FROM p),
+    r AS (SELECT a AS node, a AS m FROM e
+          UNION
+          SELECT r.node, e.b FROM r JOIN e ON r.m = e.a),
+    reps AS (SELECT node, min(m) AS rep FROM r GROUP BY node),
+    keep AS (SELECT d2.* FROM d2 LEFT JOIN reps ON d2.doc_id = reps.node
+             WHERE reps.node IS NULL OR reps.rep = d2.doc_id),
+    st AS (SELECT doc_id, norm, CAST(len(toks) AS INT) AS n,
+                  CAST(unnest(generate_series(1, greatest(CAST(len(toks) AS INT), 1), 48)) AS INT) AS start
+           FROM keep)
+    SELECT doc_id,
+           CAST((start - 1) / 48 AS INT) AS chunk_id,
+           CAST(least(64, n - start + 1) AS INT) AS chunk_len,
+           CASE WHEN ('0x' || substring(md5(norm), 1, 8))::BIGINT % 100 < 90
+                THEN 'train' ELSE 'eval' END AS split
+    FROM st WHERE start = 1 OR start + 16 <= n
+    """,
+)
+def q_training_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FLAGSHIP COMPOSITION: the end-to-end training-data build, chaining
+    the operator library the way a real corpus pipeline does —
+
+      quality/lang filter → exact dedup (content fp, min-id survivor)
+      → near-dup clustering (Jaccard ≥ 0.6, keep cluster reps)
+      → 64/16 token chunking → content-hash 90/10 train/eval split
+
+    Every stage is an operator with its own oracle elsewhere in this
+    catalog; this query proves they compose (one lazy plan end to end, no
+    intermediate materialization) and the full-chain oracle re-derives the
+    same rows in DuckDB."""
+    docs = _t(spark, sf_dir, "documents")
+    q = TXT.quality_score(docs).select("doc_id", "quality_score")
+    filtered = docs.join(q, "doc_id").filter(
+        (F.col("lang") != "zh") & (F.col("quality_score") >= 0.55)
+    )
+    surv = DD.exact_dedup(filtered).select(
+        F.col("survivor_doc_id").alias("doc_id")
+    )
+    d2 = filtered.join(surv, "doc_id")
+    pairs = DD.jaccard_pairs(d2, threshold=0.6)
+    clusters = DD.dup_clusters(pairs)
+    dupes = clusters.filter(F.col("doc_id") != F.col("cluster_rep")).select("doc_id")
+    keep = d2.join(dupes, "doc_id", "left_anti")
+    chunks = TXT.chunk_documents(keep, chunk_tokens=64, overlap=16)
+    split = TXT.hash_split(keep).select("doc_id", "split")
+    return chunks.join(split, "doc_id").select(
+        "doc_id", "chunk_id", "chunk_len", "split"
+    )
+
+
 # --------------------------------------------------------------------------
 # Similarity search (north star: brute-force cosine top-k + IVF/LSH paths)
 # --------------------------------------------------------------------------
