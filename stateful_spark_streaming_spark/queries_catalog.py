@@ -851,9 +851,10 @@ def q_streaming_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_event_type_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PIVOT surface: per-user event-type matrix via groupBy().pivot() with
-    an explicit value list (deterministic schema, single shuffle with
-    map-side partials — explicit values keep the pivot one-pass; omitting
-    them costs a distinct-values job first)."""
+    an explicit value list (deterministic schema; avoids the extra
+    distinct-values job).  Spark pivots in two exchanges: a compact
+    (key, pivot-value) pre-aggregate, then pivotfirst on the key — the
+    second shuffle moves ~|values| rows per key, not raw events."""
     ev = _t(spark, sf_dir, "events")
     types = ["click", "view", "purchase", "signup", "error"]
     piv = (

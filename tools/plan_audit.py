@@ -83,6 +83,13 @@ CHECKS = {
     # embedding analytics: one keyed aggregate each, no joins
     "label_centroids": ([], ["Join", "CartesianProduct"], 1),
     "embedding_norm_stats": ([], ["Join", "CartesianProduct"], 1),
+    # the end-to-end composition must stay free of quadratic joins — its
+    # near-dup stage is the bucketed jaccard, never an all-pairs product
+    "training_pipeline": ([], ["CartesianProduct", "BroadcastNestedLoopJoin"], None),
+    # pivot with explicit values: Spark's two-phase pivot — a compact
+    # (key, pivot-value) pre-aggregate exchange then the key exchange; the
+    # explicit value list avoids a third job for distinct pivot values
+    "event_type_pivot": ([], ["Join"], 2),
 }
 
 #: upper bound on `Scan parquet` occurrences — "the signature subplan is
