@@ -163,6 +163,44 @@ def jaccard_pairs(
     )
 
 
+def decontaminate(
+    train: DataFrame,
+    eval_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+) -> DataFrame:
+    """Benchmark decontamination: flag training docs sharing ANY ``k``-token
+    shingle with the eval/benchmark set (the standard n-gram-overlap
+    contamination test run before every serious pretraining job).
+
+    Asymmetric by design — the eval side is small (benchmarks are), so its
+    distinct shingle set broadcasts and the train side is probed with a
+    broadcast LEFT SEMI join: one pass over the train corpus, no shuffle
+    of train data at all.  Returns (id, contaminated) for every train doc.
+    """
+    ev_sh = (
+        eval_df.select(F.explode(shingles(F.col(text_col), k)).alias("shingle"))
+        .distinct()
+    )
+    tr_sh = _spread(train).select(
+        F.col(id_col).alias("doc_id"), F.explode(shingles(F.col(text_col), k)).alias("shingle")
+    )
+    hits = (
+        tr_sh.join(F.broadcast(ev_sh), "shingle", "left_semi")
+        .select("doc_id")
+        .distinct()
+        .withColumn("__hit", F.lit(True))
+    )
+    return (
+        train.select(F.col(id_col).alias("doc_id"))
+        .join(hits, "doc_id", "left")
+        .select(
+            "doc_id", F.coalesce(F.col("__hit"), F.lit(False)).alias("contaminated")
+        )
+    )
+
+
 def banded_candidate_pairs(items: DataFrame, id_field: str = "id") -> DataFrame:
     """One-shuffle LSH candidate generation, shared by MinHash / SimHash /
     random-hyperplane LSH.

@@ -48,6 +48,44 @@ def stratified_sample(
     ).drop("_bucket")
 
 
+def token_budget_mix(
+    df: DataFrame,
+    quality_col,
+    tokens_col,
+    budget_tokens: int,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Data-mixture selection under a token budget: within each group
+    (source/domain/language), rank docs best-quality-first and keep them
+    while the group's cumulative token count stays within
+    ``budget_tokens`` — the standard greedy mixture builder.
+
+    One window per group key (a single shuffle); the running sum is the
+    ordered-frame cumulative aggregate.  Deterministic: ties break on id.
+    At 100 TB per-group ordering is a sort within each group's partition
+    range — no global sort.
+    """
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy(F.col("_q").desc(), F.col(id_col))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        df.withColumn("_q", quality_col)
+        .withColumn("_t", tokens_col)
+        .withColumn("cum_tokens", F.sum("_t").over(w))
+        .filter(F.col("cum_tokens") <= budget_tokens)
+        .select(
+            id_col,
+            group_col,
+            F.col("_t").alias("n_tokens"),
+            F.col("_q").alias("quality"),
+            "cum_tokens",
+        )
+    )
+
+
 def shuffle_shard(
     df: DataFrame,
     n_shards: int = 8,

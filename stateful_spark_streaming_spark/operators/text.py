@@ -47,10 +47,13 @@ def token_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
-def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
+def quality_score(
+    df: DataFrame, text_col: str = "text", keep_cols: tuple[str, ...] = ()
+) -> DataFrame:
     """Heuristic document quality: length band, punctuation density, stopword
     hit-rate, mean word length, type-token ratio — rounded for cross-engine
-    stability."""
+    stability.  ``keep_cols`` ride through the projection so downstream
+    grouping (e.g. per-source mixture building) needs no self-join."""
     t = tokens(F.col(text_col))
     n_tok = F.size(t)
     n_char = F.length(F.col(text_col))
@@ -76,6 +79,7 @@ def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
     return df.select(
         "doc_id",
+        *keep_cols,
         n_tok.alias("n_tokens"),
         punct.alias("n_punct"),
         stop_hits.alias("stopword_hits"),

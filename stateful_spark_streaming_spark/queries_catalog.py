@@ -1494,6 +1494,82 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "decontaminate",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, {_TOKS_SQL} AS t FROM documents),
+    g AS (SELECT doc_id,
+                 CASE WHEN len(t) >= 5
+                      THEN list_transform(range(1, len(t) - 3), i ->
+                           t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]
+                           || ' ' || t[i+4])
+                      ELSE [] END AS s
+          FROM toks),
+    ev AS (SELECT DISTINCT unnest(s) AS shingle FROM g WHERE doc_id % 97 = 0),
+    tr AS (SELECT doc_id, s FROM g WHERE doc_id % 97 <> 0),
+    hit AS (SELECT DISTINCT t.doc_id
+            FROM (SELECT doc_id, unnest(s) AS shingle FROM tr) t
+            JOIN ev USING (shingle))
+    SELECT tr.doc_id, (hit.doc_id IS NOT NULL) AS contaminated
+    FROM tr LEFT JOIN hit ON tr.doc_id = hit.doc_id
+    """,
+)
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: training docs sharing any 5-token shingle
+    with the (synthetic) eval slice are flagged (5 is the small-vocab
+    analog of the 8-13-gram windows real decontamination uses; the
+    operator default is 8).  Eval side broadcast as a distinct shingle
+    set; train side probed with a broadcast semi-join — no shuffle of
+    training data."""
+    docs = _t(spark, sf_dir, "documents")
+    eval_df = docs.filter(F.col("doc_id") % 97 == 0)
+    train = docs.filter(F.col("doc_id") % 97 != 0)
+    return DD.decontaminate(train, eval_df, k=5)
+
+
+@query(
+    "token_budget_mix",
+    oracle=f"""
+    WITH base AS (
+      SELECT doc_id, source, {_TOKS_SQL} AS toks,
+             CAST(length(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g')) AS INT) AS n_punct,
+             CAST(length(text) AS INT) AS n_char
+      FROM documents),
+    scored AS (
+      SELECT doc_id, source, CAST(len(toks) AS INT) AS n_tokens,
+             round(least(len(toks) / 64.0, 1.0) * 0.4
+            + (1.0 - least(n_punct / CAST(greatest(n_char, 1) AS DOUBLE), 1.0)) * 0.2
+            + least(len(list_intersect(list_distinct(toks),
+                  ['the','and','of','to','in','is','that','for'])) / 4.0, 1.0) * 0.2
+            + round(len(list_distinct(toks))
+                    / CAST(greatest(len(toks), 1) AS DOUBLE), 4) * 0.2,
+            4) AS q
+      FROM base),
+    m AS (SELECT doc_id, source, n_tokens, q,
+                 sum(n_tokens) OVER (PARTITION BY source ORDER BY q DESC, doc_id
+                                     ROWS UNBOUNDED PRECEDING) AS cum
+          FROM scored)
+    SELECT doc_id, source, n_tokens, q AS quality, CAST(cum AS BIGINT) AS cum_tokens
+    FROM m WHERE cum <= 1000
+    """,
+)
+def q_token_budget_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-mixture selection: per source, keep best-quality docs while the
+    cumulative token count stays within a 1000-token budget — one window
+    (single shuffle on source), deterministic tie-breaks."""
+    docs = _t(spark, sf_dir, "documents")
+    q = TXT.quality_score(docs, keep_cols=("source",)).select(
+        "doc_id", "source", "n_tokens", "quality_score"
+    )
+    return SMP.token_budget_mix(
+        q,
+        quality_col=F.col("quality_score"),
+        tokens_col=F.col("n_tokens"),
+        budget_tokens=1000,
+        group_col="source",
+    )
+
+
+@query(
     "training_pipeline",
     oracle=f"""
     WITH RECURSIVE base AS (

@@ -90,6 +90,11 @@ CHECKS = {
     # (key, pivot-value) pre-aggregate exchange then the key exchange; the
     # explicit value list avoids a third job for distinct pivot values
     "event_type_pivot": ([], ["Join"], 2),
+    # decontamination: eval shingles broadcast, train side semi-probed —
+    # the train corpus must NOT shuffle (explodes are map-side)
+    "decontaminate": (["BroadcastHashJoin"], ["SortMergeJoin", "CartesianProduct"], None),
+    # mixture under budget: quality inline (no self-join), ONE group window
+    "token_budget_mix": ([], ["Join"], 1),
 }
 
 #: upper bound on `Scan parquet` occurrences — "the signature subplan is
