@@ -69,3 +69,44 @@ def test_shuffle_shard_is_a_permutation(spark, sf_dir):
         for r in shuffle_shard(docs, n_shards=4).select("doc_id", "shard", "pos").collect()
     )
     assert a == b
+
+
+def test_decontaminate_known_values(spark):
+    from stateful_spark_streaming_spark.operators.dedup import decontaminate
+
+    train = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta"),   # shares 3-gram "alpha beta gamma"
+            (2, "totally different words"),  # clean
+        ],
+        ["doc_id", "text"],
+    )
+    eval_df = spark.createDataFrame(
+        [(100, "alpha beta gamma epsilon")], ["doc_id", "text"]
+    )
+    got = {r["doc_id"]: r["contaminated"] for r in decontaminate(train, eval_df, k=3).collect()}
+    assert got == {1: True, 2: False}
+
+
+def test_token_budget_mix_greedy(spark):
+    from stateful_spark_streaming_spark.operators.sampling import token_budget_mix
+
+    df = spark.createDataFrame(
+        [
+            # (doc_id, source, quality, tokens)
+            (1, "a", 0.9, 40),
+            (2, "a", 0.8, 50),
+            (3, "a", 0.7, 30),   # cum would be 120 > 100 → dropped
+            (4, "b", 0.5, 100),  # exactly the budget → kept
+            (5, "b", 0.4, 1),    # cum 101 → dropped
+        ],
+        ["doc_id", "source", "q", "t"],
+    )
+    got = token_budget_mix(
+        df, quality_col=F.col("q"), tokens_col=F.col("t"),
+        budget_tokens=100, group_col="source",
+    )
+    kept = sorted(r["doc_id"] for r in got.collect())
+    assert kept == [1, 2, 4]
+    cums = {r["doc_id"]: r["cum_tokens"] for r in got.collect()}
+    assert cums == {1: 40, 2: 90, 4: 100}
