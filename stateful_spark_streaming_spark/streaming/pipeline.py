@@ -177,17 +177,32 @@ class ParquetSnapshotSink:
             df = df.unionByName(other)
         return df
 
-    def _merged(self, keep_batch_id: bool = False) -> DataFrame | None:
+    def _merged(
+        self, keep_batch_id: bool = False, as_of_batch: int | None = None
+    ) -> DataFrame | None:
         from pyspark.sql import Window
         from pyspark.sql import functions as F
 
         df = self._read_log()
         if df is None:
             return None
+        if as_of_batch is not None:
+            # time travel: the upsert log IS a version history — the
+            # snapshot as of batch N is latest-per-key over rows ≤ N
+            # (compact() folds history away; run it only when time-travel
+            # reads older than the fold are no longer needed)
+            df = df.filter(F.col("_batch_id") <= as_of_batch)
         w = Window.partitionBy(self.key).orderBy(F.col("_batch_id").desc())
         out = df.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1)
         drop = ["_rn"] if keep_batch_id else ["_rn", "_batch_id"]
         return out.drop(*drop)
+
+    def snapshot_as_of(self, batch_id: int) -> DataFrame:
+        """Time-travel read: the all-keys snapshot as it stood after
+        ``batch_id`` committed (Delta/Iceberg VERSION AS OF, over the
+        plain-parquet upsert log)."""
+        df = self._merged(as_of_batch=batch_id)
+        return df if df is not None else self.spark.range(0)
 
     def _register(self) -> DataFrame | None:
         df = self._merged()
