@@ -276,3 +276,96 @@ def approx_distinct_stats(
             F.percentile_approx(value_col, 0.99, 10_000), 4
         ).alias("approx_p99"),
     )
+
+
+def revenue_cube(orders: DataFrame) -> DataFrame:
+    """GROUP BY CUBE over (order year, order status): all four grouping
+    sets in one pass.  Spark expands rows per grouping set BEFORE the
+    map-side partial aggregate, so the shuffle still carries only partial
+    aggregates — one exchange total, same as a plain groupBy.  grouping()
+    markers disambiguate "rolled-up" NULLs from data NULLs (absent in the
+    reference; SURVEY §2.7 grouping-sets gap)."""
+    o = orders.withColumn("order_year", F.year("o_orderdate").cast("int"))
+    return o.cube("order_year", "o_orderstatus").agg(
+        F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        F.count(F.lit(1)).alias("n_orders"),
+        F.grouping("order_year").cast("int").alias("g_year"),
+        F.grouping("o_orderstatus").cast("int").alias("g_status"),
+    )
+
+
+def fuzzy_part_match(
+    part: DataFrame, probes: list[str], max_dist: int = 2
+) -> DataFrame:
+    """Fuzzy string lookup: edit-distance match of a tiny probe list
+    against every part name.  The probe side is broadcast, so the plan is
+    a broadcast nested-loop join — O(|part| x |probes|) map-only work
+    distributed over the big side's partitions, zero shuffle of the fact.
+    The scale knob is |probes| (keep it small); the big side streams."""
+    spark = part.sparkSession
+    probe_df = spark.createDataFrame([(p,) for p in probes], ["probe"])
+    return (
+        part.crossJoin(broadcast(probe_df))
+        .withColumn(
+            "edit_dist", F.levenshtein(F.col("p_name"), F.col("probe")).cast("int")
+        )
+        .filter(F.col("edit_dist") <= max_dist)
+        .select("p_partkey", "p_name", "probe", "edit_dist")
+    )
+
+
+def market_share(
+    region: DataFrame,
+    nation: DataFrame,
+    customer: DataFrame,
+    supplier: DataFrame,
+    orders: DataFrame,
+    lineitem: DataFrame,
+    part: DataFrame,
+    region_name: str = "ASIA",
+    part_type: str = "ECONOMY",
+) -> DataFrame:
+    """TPC-H Q8-style national market share: the share of a region's
+    revenue supplied by each nation, per year.  Snowflake join with every
+    dimension broadcast (part is filtered to one type first, so even at
+    100 TB the broadcast side is the filtered dim, not the fact); the
+    only fact shuffle is lineitem><orders, then a single window over the
+    per-(year, nation) aggregate computes the share."""
+    p = broadcast(part.filter(F.col("p_type") == part_type))
+    cust_nations = (
+        broadcast(nation)
+        .join(broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .filter(F.col("r_name") == region_name)
+        .select(F.col("n_nationkey").alias("cust_nationkey"))
+    )
+    supp_nation = broadcast(
+        nation.select(
+            F.col("n_nationkey").alias("supp_nationkey"),
+            F.col("n_name").alias("supp_nation"),
+        )
+    )
+    joined = (
+        lineitem.join(p, lineitem.l_partkey == p.p_partkey)
+        .join(orders, lineitem.l_orderkey == orders.o_orderkey)
+        .join(broadcast(supplier), lineitem.l_suppkey == supplier.s_suppkey)
+        .join(customer, orders.o_custkey == customer.c_custkey)
+        .join(
+            broadcast(cust_nations),
+            F.col("c_nationkey") == F.col("cust_nationkey"),
+        )
+        .join(supp_nation, F.col("s_nationkey") == F.col("supp_nationkey"))
+        .withColumn("order_year", F.year("o_orderdate").cast("int"))
+        .withColumn("volume", F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    )
+    per_nation = joined.groupBy("order_year", "supp_nation").agg(
+        F.sum("volume").alias("nation_volume")
+    )
+    w = Window.partitionBy("order_year")
+    return per_nation.select(
+        "order_year",
+        "supp_nation",
+        F.round("nation_volume", 2).alias("nation_revenue"),
+        F.round(
+            F.col("nation_volume") / F.sum("nation_volume").over(w), 6
+        ).alias("mkt_share"),
+    )

@@ -617,6 +617,86 @@ def q_events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     return REL.events_json_extract(_t(spark, sf_dir, "events"))
 
 
+@query(
+    "revenue_cube",
+    oracle="""
+    SELECT order_year, o_orderstatus,
+           round(sum(o_totalprice), 2) AS revenue,
+           count(*) AS n_orders,
+           CAST(GROUPING(order_year) AS INT) AS g_year,
+           CAST(GROUPING(o_orderstatus) AS INT) AS g_status
+    FROM (SELECT CAST(year(o_orderdate) AS INT) AS order_year,
+                 o_orderstatus, o_totalprice
+          FROM orders)
+    GROUP BY CUBE (order_year, o_orderstatus)
+    """,
+)
+def q_revenue_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE grouping sets with grouping() markers (SURVEY §2.7: the
+    reference has no grouping-set aggregation at all)."""
+    return REL.revenue_cube(_t(spark, sf_dir, "orders"))
+
+
+_FUZZY_PROBES = ["red widgit", "small ringer", "blue bolt"]
+
+
+@query(
+    "fuzzy_part_match",
+    oracle="""
+    SELECT p_partkey, p_name, probe,
+           CAST(levenshtein(p_name, probe) AS INT) AS edit_dist
+    FROM part, (VALUES ('red widgit'), ('small ringer'), ('blue bolt')) AS probes(probe)
+    WHERE levenshtein(p_name, probe) <= 2
+    """,
+)
+def q_fuzzy_part_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance fuzzy lookup: tiny probe list broadcast over the part
+    scan — broadcast nested-loop, map-only on the big side."""
+    return REL.fuzzy_part_match(
+        _t(spark, sf_dir, "part"), _FUZZY_PROBES, max_dist=2
+    )
+
+
+@query(
+    "market_share",
+    oracle="""
+    WITH joined AS (
+      SELECT CAST(year(o.o_orderdate) AS INT) AS order_year,
+             sn.n_name AS supp_nation,
+             l.l_extendedprice * (1 - l.l_discount) AS volume
+      FROM lineitem l
+      JOIN part p ON l.l_partkey = p.p_partkey AND p.p_type = 'ECONOMY'
+      JOIN orders o ON l.l_orderkey = o.o_orderkey
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation cn ON c.c_nationkey = cn.n_nationkey
+      JOIN region r ON cn.n_regionkey = r.r_regionkey AND r.r_name = 'ASIA'
+      JOIN nation sn ON s.s_nationkey = sn.n_nationkey
+    ), per_nation AS (
+      SELECT order_year, supp_nation, sum(volume) AS nation_volume
+      FROM joined GROUP BY order_year, supp_nation
+    )
+    SELECT order_year, supp_nation,
+           round(nation_volume, 2) AS nation_revenue,
+           round(nation_volume / sum(nation_volume) OVER (PARTITION BY order_year), 6)
+             AS mkt_share
+    FROM per_nation
+    """,
+)
+def q_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8-style national market share: snowflake join, all dims
+    broadcast, one fact shuffle, one window over the tiny aggregate."""
+    return REL.market_share(
+        _t(spark, sf_dir, "region"),
+        _t(spark, sf_dir, "nation"),
+        _t(spark, sf_dir, "customer"),
+        _t(spark, sf_dir, "supplier"),
+        _t(spark, sf_dir, "orders"),
+        _t(spark, sf_dir, "lineitem"),
+        _t(spark, sf_dir, "part"),
+    )
+
+
 # --------------------------------------------------------------------------
 # Temporal joins (SURVEY §2.7 gap: as-of / range join — kdb aj, DuckDB ASOF)
 # --------------------------------------------------------------------------

@@ -77,3 +77,59 @@ def test_bucketed_join_is_exchange_free(spark, sf_dir, tmp_path):
         # managed tables: DROP removes the warehouse files too
         spark.sql("DROP TABLE IF EXISTS orders_b")
         spark.sql("DROP TABLE IF EXISTS lineitem_b")
+
+
+def test_revenue_cube_grouping_sets(spark, sf_dir):
+    """The CUBE's grand-total row must equal the plain full aggregate, and
+    each grouping-set slice must re-aggregate to the same grand total."""
+    orders = load_table(spark, sf_dir, "orders")
+    cube = REL.revenue_cube(orders).collect()
+    total_row = [r for r in cube if r.g_year == 1 and r.g_status == 1]
+    assert len(total_row) == 1
+    exact = orders.agg(
+        F.round(F.sum("o_totalprice"), 2).alias("rev"),
+        F.count(F.lit(1)).alias("n"),
+    ).collect()[0]
+    assert total_row[0].revenue == exact.rev
+    assert total_row[0].n_orders == exact.n
+    # the (year) slice and the (status) slice each partition all orders
+    for gy, gs in ((0, 1), (1, 0)):
+        n = sum(r.n_orders for r in cube if r.g_year == gy and r.g_status == gs)
+        assert n == exact.n
+
+
+def test_fuzzy_part_match_known_distances(spark):
+    from pyspark.sql import Row
+
+    part = spark.createDataFrame(
+        [
+            Row(p_partkey=1, p_name="blue bolt"),
+            Row(p_partkey=2, p_name="blue boltz"),
+            Row(p_partkey=3, p_name="red widget"),
+            Row(p_partkey=4, p_name="green gear"),
+        ]
+    )
+    got = {
+        (r.p_partkey, r.probe): r.edit_dist
+        for r in REL.fuzzy_part_match(part, ["blue bolt"], max_dist=1).collect()
+    }
+    assert got == {(1, "blue bolt"): 0, (2, "blue bolt"): 1}
+
+
+def test_market_share_sums_to_one(spark, sf_dir):
+    shares = REL.market_share(
+        load_table(spark, sf_dir, "region"),
+        load_table(spark, sf_dir, "nation"),
+        load_table(spark, sf_dir, "customer"),
+        load_table(spark, sf_dir, "supplier"),
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "lineitem"),
+        load_table(spark, sf_dir, "part"),
+    ).collect()
+    assert shares, "expected at least one (year, nation) share row"
+    by_year: dict[int, float] = {}
+    for r in shares:
+        assert 0.0 <= r.mkt_share <= 1.0
+        by_year[r.order_year] = by_year.get(r.order_year, 0.0) + r.mkt_share
+    for year, s in by_year.items():
+        assert abs(s - 1.0) < 1e-4, (year, s)
