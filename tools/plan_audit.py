@@ -95,6 +95,17 @@ CHECKS = {
     "decontaminate": (["BroadcastHashJoin"], ["SortMergeJoin", "CartesianProduct"], None),
     # mixture under budget: quality inline (no self-join), ONE group window
     "token_budget_mix": ([], ["Join"], 1),
+    # CUBE: grouping-set expansion happens BEFORE the partial aggregate, so
+    # the whole cube still costs exactly one shuffle of partial aggregates
+    "revenue_cube": ([], ["Join"], 1),
+    # fuzzy lookup: the probe list is broadcast — nested-loop by design,
+    # zero shuffles of the big side
+    "fuzzy_part_match": (["BroadcastNestedLoopJoin"],
+                         ["CartesianProduct", "SortMergeJoin"], 0),
+    # Q8-style snowflake: every dimension broadcast; the only shuffles are
+    # the fact-fact joins + the tiny per-(year, nation) aggregate/window
+    "market_share": (["BroadcastHashJoin"], ["CartesianProduct",
+                                             "BroadcastNestedLoopJoin"], None),
 }
 
 #: upper bound on `Scan parquet` occurrences — "the signature subplan is
