@@ -298,14 +298,15 @@ def fuzzy_part_match(
     part: DataFrame, probes: list[str], max_dist: int = 2
 ) -> DataFrame:
     """Fuzzy string lookup: edit-distance match of a tiny probe list
-    against every part name.  The probe side is broadcast, so the plan is
-    a broadcast nested-loop join — O(|part| x |probes|) map-only work
-    distributed over the big side's partitions, zero shuffle of the fact.
-    The scale knob is |probes| (keep it small); the big side streams."""
-    spark = part.sparkSession
-    probe_df = spark.createDataFrame([(p,) for p in probes], ["probe"])
+    against every part name.  The probe list rides along as an exploded
+    array LITERAL — no join operator at all, so the whole thing is one
+    codegen'd Generate+Filter pass over the big side (a broadcast
+    nested-loop join computes the same thing row-at-a-time outside
+    codegen, ~10x slower).  The scale knob is |probes|; the big side
+    streams with zero shuffle."""
+    probe_arr = F.array(*[F.lit(p) for p in probes])
     return (
-        part.crossJoin(broadcast(probe_df))
+        part.withColumn("probe", F.explode(probe_arr))
         .withColumn(
             "edit_dist", F.levenshtein(F.col("p_name"), F.col("probe")).cast("int")
         )

@@ -98,10 +98,9 @@ CHECKS = {
     # CUBE: grouping-set expansion happens BEFORE the partial aggregate, so
     # the whole cube still costs exactly one shuffle of partial aggregates
     "revenue_cube": ([], ["Join"], 1),
-    # fuzzy lookup: the probe list is broadcast — nested-loop by design,
-    # zero shuffles of the big side
-    "fuzzy_part_match": (["BroadcastNestedLoopJoin"],
-                         ["CartesianProduct", "SortMergeJoin"], 0),
+    # fuzzy lookup: probe list exploded as an array literal — NO join
+    # operator, one codegen'd Generate+Filter pass, zero exchanges
+    "fuzzy_part_match": ([], ["Join", "CartesianProduct"], 0),
     # Q8-style snowflake: every dimension broadcast; the only shuffles are
     # the fact-fact joins + the tiny per-(year, nation) aggregate/window
     "market_share": (["BroadcastHashJoin"], ["CartesianProduct",
