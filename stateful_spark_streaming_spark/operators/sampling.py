@@ -113,3 +113,49 @@ def shuffle_shard(
         .withColumn("pos", F.row_number().over(w))
         .drop("_hkey")
     )
+
+
+def pack_sequences(
+    df: DataFrame,
+    tokens_col: str,
+    seq_len: int = 2048,
+    n_streams: int = 8,
+    id_col: str = "doc_id",
+    seed: str = "pack1",
+) -> DataFrame:
+    """GPT-style sequence packing: documents are concatenated into
+    parallel token streams and the stream is cut every ``seq_len`` tokens,
+    so training sequences are full and docs may span a cut.  Emits, per
+    doc, its place in the packed layout: ``stream`` (which concat stream),
+    ``start_offset`` (token position where the doc begins in its stream),
+    ``pack_id`` (= start_offset div seq_len — the training sequence the
+    doc STARTS in) and ``pack_offset`` (position within that sequence).
+
+    Deterministic like everything in this module: the stream and the
+    order within it come from md5(seed || id), not rand(), so the packed
+    layout is byte-stable across re-runs and re-partitioning.
+
+    Scale shape: ONE shuffle (the per-stream window); each stream's
+    cumulative sum is a local sort + running fold.  ``n_streams`` is the
+    writer parallelism knob — at 100 TB use enough streams that one
+    stream's token count fits a writer task, exactly like shuffle-shard.
+    """
+    h = F.md5(F.concat(F.lit(seed), F.col(id_col).cast("string")))
+    stream = md5_bucket(h, n_streams)
+    w = Window.partitionBy("stream").orderBy("_hkey", id_col)
+    start = F.coalesce(
+        F.sum(tokens_col).over(w.rowsBetween(Window.unboundedPreceding, -1)),
+        F.lit(0),
+    ).cast("long")
+    return (
+        df.withColumn("_hkey", h)
+        .withColumn("stream", stream)
+        .withColumn("start_offset", start)
+        .withColumn(
+            "pack_id", F.floor(F.col("start_offset") / F.lit(seq_len)).cast("long")
+        )
+        .withColumn(
+            "pack_offset", (F.col("start_offset") % F.lit(seq_len)).cast("int")
+        )
+        .drop("_hkey")
+    )

@@ -1475,6 +1475,46 @@ def q_shuffle_shard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "shard", F.col("pos").cast("int").alias("pos"))
 
 
+@query(
+    "pack_sequences",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id,
+             CAST(len({_TOKS_SQL}) AS INT) AS n_tokens,
+             md5('pack1' || CAST(doc_id AS VARCHAR)) AS hkey
+      FROM documents
+    ), placed AS (
+      SELECT doc_id, n_tokens, hkey,
+             CAST(('0x' || substring(hkey, 1, 8))::BIGINT % 8 AS INT) AS stream
+      FROM toks
+    ), offs AS (
+      SELECT doc_id, stream, n_tokens,
+             CAST(coalesce(sum(n_tokens) OVER (
+                 PARTITION BY stream ORDER BY hkey, doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+               AS start_offset
+      FROM placed
+    )
+    SELECT doc_id, stream, n_tokens, start_offset,
+           CAST(floor(start_offset / 2048) AS BIGINT) AS pack_id,
+           CAST(start_offset % 2048 AS INT) AS pack_offset
+    FROM offs
+    """,
+)
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-style sequence packing layout: concat streams cut every 2048
+    tokens; per doc its (stream, start_offset, pack_id, pack_offset)."""
+    from stateful_spark_streaming_spark.operators import text as _TXT
+
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "n_tokens", F.size(_TXT.tokens(F.col("text")))
+    )
+    out = SMP.pack_sequences(docs, tokens_col="n_tokens", seq_len=2048, n_streams=8)
+    return out.select(
+        "doc_id", "stream", "n_tokens", "start_offset", "pack_id", "pack_offset"
+    )
+
+
 # --------------------------------------------------------------------------
 # Deduplication (north star: exact, n-gram Jaccard, MinHash+LSH, SimHash)
 # --------------------------------------------------------------------------

@@ -110,3 +110,43 @@ def test_token_budget_mix_greedy(spark):
     assert kept == [1, 2, 4]
     cums = {r["doc_id"]: r["cum_tokens"] for r in got.collect()}
     assert cums == {1: 40, 2: 90, 4: 100}
+
+
+def test_pack_sequences_layout(spark):
+    """Contiguous concat packing: within each stream the start offsets are
+    the exact running sum of token counts, packs cut every seq_len tokens,
+    and pack_offset = start_offset mod seq_len."""
+    from stateful_spark_streaming_spark.operators.sampling import pack_sequences
+
+    df = spark.createDataFrame(
+        [(i, 7 + (i * 13) % 23) for i in range(200)], ["doc_id", "n_tokens"]
+    )
+    rows = pack_sequences(
+        df, tokens_col="n_tokens", seq_len=64, n_streams=4
+    ).collect()
+    assert len(rows) == 200
+    by_stream: dict[int, list] = {}
+    for r in rows:
+        by_stream.setdefault(r.stream, []).append(r)
+    assert set(by_stream) == {0, 1, 2, 3}
+    for stream_rows in by_stream.values():
+        stream_rows.sort(key=lambda r: r.start_offset)
+        cum = 0
+        for r in stream_rows:
+            assert r.start_offset == cum, (r.doc_id, r.start_offset, cum)
+            assert r.pack_id == r.start_offset // 64
+            assert r.pack_offset == r.start_offset % 64
+            cum += r.n_tokens
+
+
+def test_pack_sequences_deterministic(spark):
+    from stateful_spark_streaming_spark.operators.sampling import pack_sequences
+
+    df = spark.createDataFrame(
+        [(i, 10 + i % 5) for i in range(50)], ["doc_id", "n_tokens"]
+    )
+    a = sorted(map(tuple, pack_sequences(df, "n_tokens", 32, 2).collect()))
+    b = sorted(
+        map(tuple, pack_sequences(df.repartition(7), "n_tokens", 32, 2).collect())
+    )
+    assert a == b

@@ -105,6 +105,9 @@ CHECKS = {
     # the fact-fact joins + the tiny per-(year, nation) aggregate/window
     "market_share": (["BroadcastHashJoin"], ["CartesianProduct",
                                              "BroadcastNestedLoopJoin"], None),
+    # sequence packing: ONE exchange (the per-stream window), no join —
+    # the cumsum is a local sort + running fold per stream
+    "pack_sequences": ([], ["Join"], 1),
 }
 
 #: upper bound on `Scan parquet` occurrences — "the signature subplan is
