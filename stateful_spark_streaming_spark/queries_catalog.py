@@ -658,6 +658,33 @@ def q_fuzzy_part_match(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "profile_columns",
+    oracle="""
+    SELECT 'lang' AS column_name, count(*) AS n_rows,
+           CAST(sum(CASE WHEN lang IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+           count(DISTINCT lang) AS n_distinct
+    FROM documents
+    UNION ALL
+    SELECT 'source', count(*),
+           CAST(sum(CASE WHEN source IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+           count(DISTINCT source)
+    FROM documents
+    UNION ALL
+    SELECT 'n_chars', count(*),
+           CAST(sum(CASE WHEN n_chars IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+           count(DISTINCT n_chars)
+    FROM documents
+    """,
+)
+def q_profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Table profiling: per-column null/distinct counts in one pass —
+    the pipeline-health gate run before any 100 TB training build."""
+    return REL.profile_columns(
+        _t(spark, sf_dir, "documents"), ["lang", "source", "n_chars"]
+    )
+
+
+@query(
     "market_share",
     oracle="""
     WITH joined AS (

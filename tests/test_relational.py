@@ -133,3 +133,19 @@ def test_market_share_sums_to_one(spark, sf_dir):
         by_year[r.order_year] = by_year.get(r.order_year, 0.0) + r.mkt_share
     for year, s in by_year.items():
         assert abs(s - 1.0) < 1e-4, (year, s)
+
+
+def test_profile_columns_known_values(spark):
+    from pyspark.sql import Row
+
+    df = spark.createDataFrame(
+        [
+            Row(a="x", b=1),
+            Row(a="x", b=None),
+            Row(a=None, b=2),
+            Row(a="y", b=2),
+        ]
+    )
+    got = {r.column_name: r for r in REL.profile_columns(df, ["a", "b"]).collect()}
+    assert got["a"].n_rows == 4 and got["a"].n_null == 1 and got["a"].n_distinct == 2
+    assert got["b"].n_rows == 4 and got["b"].n_null == 1 and got["b"].n_distinct == 2

@@ -108,6 +108,9 @@ CHECKS = {
     # sequence packing: ONE exchange (the per-stream window), no join —
     # the cumsum is a local sort + running fold per stream
     "pack_sequences": ([], ["Join"], 1),
+    # profiling: all columns in ONE pass — a single Expand feeding hash
+    # aggregates, never one job per column; no join
+    "profile_columns": (["Expand"], ["Join"], None),
 }
 
 #: upper bound on `Scan parquet` occurrences — "the signature subplan is
