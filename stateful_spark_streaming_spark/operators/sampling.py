@@ -159,3 +159,31 @@ def pack_sequences(
         )
         .drop("_hkey")
     )
+
+
+def sample_n_per_group(
+    df: DataFrame,
+    group_col: str = "source",
+    n: int = 50,
+    id_col: str = "doc_id",
+    seed: str = "grpN1",
+) -> DataFrame:
+    """Fixed-size per-group sample: keep exactly min(n, group size) rows
+    from every group — the deterministic equivalent of per-group reservoir
+    sampling (inspect K docs per source/domain, cap a dominant crawl at N
+    docs, build eval slices).  Rows are ranked by md5(seed || id) within
+    the group, so the "random" winners are stable across re-runs and
+    re-partitioning, and changing n only extends/truncates the same
+    ordering instead of reshuffling the sample.
+
+    Scale shape: ONE shuffle (window partitionBy group).  A pathologically
+    hot group funnels through one task here; if that bites, the same
+    two-phase salted decomposition as ``salted_topn`` applies verbatim
+    (rank is over a hash, so local top-n per salt then global top-n is
+    exact)."""
+    h = F.md5(F.concat(F.lit(seed), F.col(id_col).cast("string")))
+    w = Window.partitionBy(group_col).orderBy(h.asc(), F.col(id_col).asc())
+    return (
+        df.withColumn("sample_rank", F.row_number().over(w))
+        .filter(F.col("sample_rank") <= n)
+    )

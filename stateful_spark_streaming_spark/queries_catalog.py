@@ -1503,6 +1503,31 @@ def q_shuffle_shard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "sample_n_per_group",
+    oracle="""
+    SELECT doc_id, source, CAST(sample_rank AS INT) AS sample_rank
+    FROM (
+      SELECT doc_id, source,
+             row_number() OVER (
+               PARTITION BY source
+               ORDER BY md5('grpN1' || CAST(doc_id AS VARCHAR)), doc_id
+             ) AS sample_rank
+      FROM documents)
+    WHERE sample_rank <= 40
+    """,
+)
+def q_sample_n_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-group fixed-size sample (reservoir-equivalent):
+    exactly min(40, group size) docs per source, stable across re-runs."""
+    out = SMP.sample_n_per_group(
+        _t(spark, sf_dir, "documents"), group_col="source", n=40
+    )
+    return out.select(
+        "doc_id", "source", F.col("sample_rank").cast("int").alias("sample_rank")
+    )
+
+
+@query(
     "pack_sequences",
     oracle=f"""
     WITH toks AS (

@@ -150,3 +150,26 @@ def test_pack_sequences_deterministic(spark):
         map(tuple, pack_sequences(df.repartition(7), "n_tokens", 32, 2).collect())
     )
     assert a == b
+
+
+def test_sample_n_per_group_exact_and_stable(spark):
+    from stateful_spark_streaming_spark.operators.sampling import sample_n_per_group
+
+    df = spark.createDataFrame(
+        [(i, "big" if i < 90 else "small") for i in range(100)],
+        ["doc_id", "source"],
+    )
+    got = sample_n_per_group(df, group_col="source", n=20).collect()
+    by_group: dict[str, list] = {}
+    for r in got:
+        by_group.setdefault(r.source, []).append(r)
+    # exactly n from the big group, the whole small group otherwise
+    assert len(by_group["big"]) == 20
+    assert len(by_group["small"]) == 10
+    assert {r.sample_rank for r in by_group["big"]} == set(range(1, 21))
+    # deterministic under re-partitioning, and n=10 is a prefix of n=20
+    again = sample_n_per_group(df.repartition(13), group_col="source", n=20)
+    assert sorted(map(tuple, got)) == sorted(map(tuple, again.collect()))
+    ten = sample_n_per_group(df, group_col="source", n=10).collect()
+    twenty_ids = {(r.source, r.sample_rank, r.doc_id) for r in got}
+    assert all((r.source, r.sample_rank, r.doc_id) in twenty_ids for r in ten)

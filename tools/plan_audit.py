@@ -111,6 +111,8 @@ CHECKS = {
     # profiling: all columns in ONE pass — a single Expand feeding hash
     # aggregates, never one job per column; no join
     "profile_columns": (["Expand"], ["Join"], None),
+    # per-group fixed-size sample: ONE exchange (the group window), no join
+    "sample_n_per_group": ([], ["Join"], 1),
 }
 
 #: upper bound on `Scan parquet` occurrences — "the signature subplan is
