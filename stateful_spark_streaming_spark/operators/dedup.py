@@ -83,6 +83,14 @@ def jaccard_pairs(
     (a pair of identical docs still scores 1.0) while capping the O(df²)
     candidate blowup that boilerplate shingles cause at 100 TB.
 
+    .. warning:: the default (exact) path has NO hot-shingle guard: a
+       shingle shared by d docs builds a d-element bucket array and expands
+       d²/2 pairs inside one task — a boilerplate shingle at corpus scale
+       is an executor-OOM/skew hazard by construction, because exact
+       Jaccard genuinely requires those pairs.  At 100 TB always pass
+       ``max_shingle_df`` (the capped form is what the scale bench runs);
+       the default exists for oracle-exact verification at test SF.
+
     Cache lifetime: the scale path persists the bucketed index (it feeds
     two subplans) and cannot unpersist it before the caller's action runs;
     long-lived sessions issuing many one-shot calls should

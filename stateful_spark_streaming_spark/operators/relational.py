@@ -383,19 +383,28 @@ def profile_columns(df: DataFrame, cols: list[str]) -> DataFrame:
     downstream checks can join/filter on it.  Profile-before-train is the
     standard pipeline-health gate at 100 TB: null spikes and cardinality
     collapses are cheaper to catch here than after a failed run."""
+    # positional aliases + Column references (df[c]) so column names with
+    # spaces/quotes/dots never reach a SQL parser or an alias
     aggs = [F.count(F.lit(1)).alias("__n_rows")]
-    for c in cols:
+    for i, c in enumerate(cols):
         aggs.append(
-            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0))
+            F.sum(F.when(df[c].isNull(), 1).otherwise(0))
             .cast("long")
-            .alias(f"__nulls_{c}")
+            .alias(f"__nulls_{i}")
         )
-        aggs.append(F.countDistinct(c).alias(f"__distinct_{c}"))
+        aggs.append(F.countDistinct(df[c]).alias(f"__distinct_{i}"))
     wide = df.agg(*aggs)
-    stack_args = ", ".join(
-        f"'{c}', __nulls_{c}, __distinct_{c}" for c in cols
+    entries = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("column_name"),
+                F.col(f"__nulls_{i}").alias("n_null"),
+                F.col(f"__distinct_{i}").alias("n_distinct"),
+            )
+            for i, c in enumerate(cols)
+        ]
     )
-    return wide.selectExpr(
-        f"stack({len(cols)}, {stack_args}) AS (column_name, n_null, n_distinct)",
-        "__n_rows AS n_rows",
-    ).select("column_name", "n_rows", "n_null", "n_distinct")
+    return (
+        wide.select(F.col("__n_rows").alias("n_rows"), F.explode(entries).alias("e"))
+        .select("e.column_name", "n_rows", "e.n_null", "e.n_distinct")
+    )

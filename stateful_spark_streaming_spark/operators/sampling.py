@@ -40,9 +40,10 @@ def stratified_sample(
     """
     rates = rates or {}
     bucket = _hash_bucket(F.col(id_col), 100, seed)
-    rate_expr = F.lit(int(default_rate * 100))
+    # round, don't truncate: int(0.29 * 100) == 28 under float representation
+    rate_expr = F.lit(int(round(default_rate * 100)))
     for k, v in rates.items():
-        rate_expr = F.when(F.col(strata_col) == k, int(v * 100)).otherwise(rate_expr)
+        rate_expr = F.when(F.col(strata_col) == k, int(round(v * 100))).otherwise(rate_expr)
     return df.withColumn("_bucket", bucket).filter(
         F.col("_bucket") < rate_expr
     ).drop("_bucket")

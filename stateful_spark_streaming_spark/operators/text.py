@@ -237,9 +237,11 @@ def _ngrams_raw(t: Column, k: int) -> Column:
     """k-grams from a token array WITHOUT dedup — the multiset form that
     repetition metrics need (shingles() dedups for Jaccard/MinHash)."""
     z = t
+    # slice length = the full array size (a constant cap would silently drop
+    # n-grams past it for pathologically long documents)
     for j in range(1, k):
         z = F.zip_with(
-            z, F.slice(t, j + 1, 1 << 20), lambda x, y: F.concat(x, F.lit(" "), y)
+            z, F.slice(t, j + 1, F.size(t)), lambda x, y: F.concat(x, F.lit(" "), y)
         )
     return F.filter(z, lambda x: x.isNotNull())
 
@@ -300,7 +302,7 @@ def shingles_from_tokens(t: Column, k: int = 3) -> Column:
     z = t
     for j in range(1, k):
         z = F.zip_with(
-            z, F.slice(t, j + 1, 1 << 20), lambda x, y: F.concat(x, F.lit(" "), y)
+            z, F.slice(t, j + 1, F.size(t)), lambda x, y: F.concat(x, F.lit(" "), y)
         )
     return F.array_distinct(F.filter(z, lambda x: x.isNotNull()))
 

@@ -1929,7 +1929,7 @@ def q_cosine_near_pairs_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 from stateful_spark_streaming_spark.operators import multimodal as MM  # noqa: E402
 
 
-@query("multimodal_features")  # md5-seeded fake decode kernel → rows-only check
+@query("multimodal_features")  # real PPM pixel decode; no DuckDB twin → rows-only check
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Decode + featurize a stored binary-column image table.  The synthetic
     PPM corpus is materialized to parquet once per (process, sf_dir) — the

@@ -550,12 +550,18 @@ class CompleteSnapshotSink(ParquetSnapshotSink):
     emits the FULL result, so merge-on-read keeps only the newest batch's
     rows (older batches are entirely superseded) — no per-key upsert."""
 
-    def _merged(self, keep_batch_id: bool = False):
+    def _merged(
+        self, keep_batch_id: bool = False, as_of_batch: int | None = None
+    ):
         from pyspark.sql import functions as F
 
         df = self._read_log()
         if df is None:
             return None
+        if as_of_batch is not None:
+            # time travel over a complete-mode log: the snapshot as of
+            # batch N is the FULL result of the newest batch ≤ N
+            df = df.filter(F.col("_batch_id") <= as_of_batch)
         latest = df.agg(F.max("_batch_id").alias("m"))
         out = df.join(F.broadcast(latest), df["_batch_id"] == latest["m"], "inner").drop(
             "m"
