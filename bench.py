@@ -4,6 +4,19 @@ local[$SPARK_GRAFT_CPUS]; prints ONE JSON line for the driver.
 Each query is forced with a count-collapsing action (``df.count()`` after a
 no-op cache-free run would re-plan, so we use ``write.format("noop")`` —
 full execution, zero sink cost, no driver collect).
+
+Methodology (both totals reported so rounds stay comparable):
+- ``value`` / ``warm_total``: the timed loop at the target SF after an
+  untimed sf0.001 warmup pass — steady-state throughput (JIT compilation
+  and Python-worker spin-up amortized out), the r02+ headline number.
+- ``cold_total``: wall time of the entire run — session + JVM + parquet
+  warmup + the sf0.001 warmup pass + the timed loop — i.e. everything a
+  cold process pays, the r01-comparable number.  ``SPARK_GRAFT_WARMUP=0``
+  skips the warmup pass, making the timed loop itself cold.
+
+The JSON line is the LAST stdout line, compact separators, timings at 2
+decimals: the driver captures a bounded tail of stdout, and r02's
+pretty-printed 75-query line outgrew it (parsed=null).
 """
 
 from __future__ import annotations
@@ -17,6 +30,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
 def main() -> None:
+    t_cold0 = time.perf_counter()
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     import __spark_entry__ as entrymod
     from stateful_spark_streaming_spark.session import get_spark
@@ -49,7 +63,8 @@ def main() -> None:
     # tier for pennies, and the timed loop below measures throughput, not
     # first-compilation.  Disable with SPARK_GRAFT_WARMUP=0 to time cold.
     warm_dir = os.environ.get("SPARK_GRAFT_WARMUP_SF_DIR", "/root/testdata/sf0.001")
-    if os.environ.get("SPARK_GRAFT_WARMUP", "1") != "0" and os.path.isdir(warm_dir):
+    warmed = os.environ.get("SPARK_GRAFT_WARMUP", "1") != "0" and os.path.isdir(warm_dir)
+    if warmed:
         for name, fn in qs.items():
             try:
                 fn(spark, warm_dir).write.format("noop").mode("overwrite").save()
@@ -64,7 +79,7 @@ def main() -> None:
         try:
             df = fn(spark, sf_dir)
             df.write.format("noop").mode("overwrite").save()
-            timings[name] = round(time.perf_counter() - t0, 3)
+            timings[name] = round(time.perf_counter() - t0, 2)
         except Exception as e:  # noqa: BLE001
             timings[name] = -1.0
             print(f"bench error in {name}: {e}", file=sys.stderr)
@@ -72,21 +87,25 @@ def main() -> None:
         # LSH buckets) that only their own plan reuses; drop them between
         # queries so block-manager memory doesn't accumulate across the run
         spark.catalog.clearCache()
-    total = round(time.perf_counter() - t_all0, 3)
+    warm_total = round(time.perf_counter() - t_all0, 2)
+    cold_total = round(time.perf_counter() - t_cold0, 2)
 
     sf = sf_dir.rstrip("/").split("sf")[-1]
-    print(
-        json.dumps(
-            {
-                "metric": "total_query_wall_time",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
-        )
+    line = json.dumps(
+        {
+            "metric": "total_query_wall_time",
+            "value": warm_total,
+            "unit": "sec",
+            "warm_total": warm_total,
+            "cold_total": cold_total,
+            "warmed": warmed,
+            "queries": timings,
+            "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        },
+        separators=(",", ":"),
     )
-    spark.stop()
+    spark.stop()  # before the JSON line: Spark shutdown noise must not follow it
+    print(line, flush=True)
 
 
 if __name__ == "__main__":

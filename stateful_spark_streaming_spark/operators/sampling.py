@@ -162,6 +162,77 @@ def pack_sequences(
     )
 
 
+def pack_sequences_emit(
+    df: DataFrame,
+    tokens_array_col: str,
+    seq_len: int = 2048,
+    n_streams: int = 8,
+    id_col: str = "doc_id",
+    seed: str = "pack1",
+) -> DataFrame:
+    """Materialize the training sequences that ``pack_sequences`` lays out:
+    one row per (stream, pack_id) holding the actual token window a trainer
+    consumes — documents concatenated in layout order and cut at ``seq_len``
+    token boundaries, docs spanning cuts split across consecutive packs.
+
+    Per doc, the packs it overlaps are ``start_offset div seq_len`` through
+    ``(start_offset + n - 1) div seq_len``; each overlap contributes the
+    in-doc token slice covering that pack plus its position within the
+    pack, and the pack's sequence is the position-ordered concatenation.
+    Emits (stream, pack_id, n_docs, seq_filled, seq_text); every pack but a
+    stream's last has seq_filled == seq_len by construction.
+
+    Scale shape: the layout's per-stream window (one shuffle) + one
+    (stream, pack_id) aggregation (second shuffle, volume = token count).
+    Deterministic like the layout itself — md5-keyed order, no rand().
+    """
+    n = F.size(F.col(tokens_array_col))
+    laid = pack_sequences(
+        df.withColumn("_nt", n),
+        tokens_col="_nt",
+        seq_len=seq_len,
+        n_streams=n_streams,
+        id_col=id_col,
+        seed=seed,
+    )
+    last_pack = F.floor(
+        (F.col("start_offset") + F.col("_nt") - 1) / F.lit(seq_len)
+    ).cast("long")
+    packs = laid.withColumn(
+        "p", F.explode(F.sequence(F.col("pack_id"), last_pack))
+    )
+    local_start = F.greatest(
+        F.col("p") * seq_len - F.col("start_offset"), F.lit(0)
+    )  # 0-based offset into the doc's tokens
+    local_end = F.least(
+        F.col("_nt").cast("long"), (F.col("p") + 1) * seq_len - F.col("start_offset")
+    )  # 0-based exclusive
+    pos_in_pack = F.greatest(
+        F.col("start_offset") - F.col("p") * seq_len, F.lit(0)
+    )
+    pieces = packs.select(
+        "stream",
+        F.col("p").alias("pack_id"),
+        pos_in_pack.alias("pos"),
+        F.slice(
+            F.col(tokens_array_col),
+            (local_start + 1).cast("int"),
+            (local_end - local_start).cast("int"),
+        ).alias("piece"),
+    )
+    assembled = F.flatten(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct(F.col("pos"), F.col("piece")))),
+            lambda s: s["piece"],
+        )
+    )
+    return pieces.groupBy("stream", "pack_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.size(assembled).alias("seq_filled"),
+        F.array_join(assembled, " ").alias("seq_text"),
+    )
+
+
 def sample_n_per_group(
     df: DataFrame,
     group_col: str = "source",

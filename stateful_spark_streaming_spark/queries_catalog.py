@@ -1567,6 +1567,56 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "pack_sequences_emit",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, {_TOKS_SQL} AS t,
+             CAST(len({_TOKS_SQL}) AS INT) AS n_tokens,
+             md5('pack1' || CAST(doc_id AS VARCHAR)) AS hkey
+      FROM documents
+    ), placed AS (
+      SELECT *, CAST(('0x' || substring(hkey, 1, 8))::BIGINT % 8 AS INT) AS stream
+      FROM toks
+    ), offs AS (
+      SELECT doc_id, t, n_tokens, stream,
+             CAST(coalesce(sum(n_tokens) OVER (
+                 PARTITION BY stream ORDER BY hkey, doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+               AS start_offset
+      FROM placed
+    ), pk AS (
+      SELECT *, unnest(generate_series(start_offset // 512,
+                                       (start_offset + n_tokens - 1) // 512)) AS p
+      FROM offs
+    ), pieces AS (
+      SELECT stream, p AS pack_id,
+             greatest(start_offset - p * 512, 0) AS pos,
+             list_slice(t, CAST(greatest(p * 512 - start_offset, 0) + 1 AS BIGINT),
+                        CAST(least(n_tokens, (p + 1) * 512 - start_offset) AS BIGINT))
+               AS piece
+      FROM pk
+    )
+    SELECT stream, pack_id, count(*) AS n_docs,
+           CAST(len(flatten(list(piece ORDER BY pos))) AS INT) AS seq_filled,
+           array_to_string(flatten(list(piece ORDER BY pos)), ' ') AS seq_text
+    FROM pieces GROUP BY stream, pack_id
+    """,
+)
+def q_pack_sequences_emit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The MATERIALIZE path of sequence packing: actual (stream, pack_id)
+    token windows cut at 512 tokens — what the trainer reads, not just the
+    layout manifest (which pack_sequences emits and shares an oracle with)."""
+    from stateful_spark_streaming_spark.operators import text as _TXT
+
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "__toks", _TXT.tokens(F.col("text"))
+    )
+    return SMP.pack_sequences_emit(
+        docs, tokens_array_col="__toks", seq_len=512, n_streams=8
+    )
+
+
 # --------------------------------------------------------------------------
 # Deduplication (north star: exact, n-gram Jaccard, MinHash+LSH, SimHash)
 # --------------------------------------------------------------------------
@@ -1655,12 +1705,85 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return DD.dup_clusters(pairs)
 
 
-@query("dedup_minhash_lsh")  # xxhash64 signatures: not DuckDB-expressible → rows-only
+# MinHash/SimHash oracles: the signatures are md5-derived (dedup.md5_h60 =
+# fixed-width 15-hex-char substring of md5, lexicographic min ≡ numeric min),
+# so DuckDB re-derives the ENTIRE pipeline — signatures, band hashes,
+# candidate enumeration, verification — and the two LSH queries are
+# hash-matched, not rows-only.  The SQL is generated to mirror the operator
+# constants exactly (32 hashes × 8 bands of 4; 60 bits × 4 chunks of 15).
+_MH_SIG_COLS = ",\n           ".join(
+    f"min(substring(md5('{i}:' || shingle), 1, 15)) AS h{i}" for i in range(32)
+)
+_MH_BAND_LIST = ",\n             ".join(
+    f"md5('{b}|' || " + " || '|' || ".join(f"h{b * 4 + r}" for r in range(4)) + ")"
+    for b in range(8)
+)
+_MH_JACCARD = (
+    "round(len(list_intersect(sa.s, sb.s))::DOUBLE"
+    " / (len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s))), 4)"
+)
+
+
+@query(
+    "dedup_minhash_lsh",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, {_TOKS_SQL} AS t FROM documents),
+    sh AS (SELECT doc_id, {_SHINGLES_SQL} AS s FROM toks WHERE len(t) >= 3),
+    ex AS (SELECT doc_id, unnest(s) AS shingle FROM sh),
+    sig AS (SELECT doc_id,
+           {_MH_SIG_COLS}
+           FROM ex GROUP BY doc_id),
+    bands AS (SELECT doc_id,
+             unnest([{_MH_BAND_LIST}]) AS bh
+             FROM sig),
+    cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+             FROM bands a JOIN bands b ON a.bh = b.bh AND a.doc_id < b.doc_id)
+    SELECT c.doc_a, c.doc_b,
+           CAST(len(list_intersect(sa.s, sb.s)) AS INT) AS n_common,
+           {_MH_JACCARD} AS jaccard
+    FROM cand c
+    JOIN sh sa ON sa.doc_id = c.doc_a
+    JOIN sh sb ON sb.doc_id = c.doc_b
+    WHERE {_MH_JACCARD} >= 0.6
+    """,
+)
 def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return DD.minhash_lsh_pairs(_t(spark, sf_dir, "documents"), threshold=0.6)
 
 
-@query("dedup_simhash")  # xxhash64-based: rows-only; validated in pytest
+_SH_SUM_COLS = ",\n           ".join(
+    f"sum(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS s{b}"
+    for b in range(60)
+)
+_SH_FP_EXPR = "\n             + ".join(
+    f"(CASE WHEN s{b} > 0 THEN (1::BIGINT << {b}) ELSE 0 END)" for b in range(60)
+)
+_SH_CHUNK_LIST = ", ".join(f"(f >> {c * 15}) & 32767" for c in range(4))
+
+
+@query(
+    "dedup_simhash",
+    oracle=f"""
+    WITH tk AS (SELECT doc_id, unnest(string_split({_NORM_SQL}, ' ')) AS tok
+                FROM documents),
+    th AS (SELECT doc_id, ('0x' || substring(md5(tok), 1, 15))::BIGINT AS h FROM tk),
+    bits AS (SELECT doc_id,
+           {_SH_SUM_COLS}
+           FROM th GROUP BY doc_id),
+    fp AS (SELECT doc_id,
+             {_SH_FP_EXPR}
+           AS f FROM bits),
+    ch AS (SELECT doc_id, f, unnest([{_SH_CHUNK_LIST}]) AS cv,
+                  unnest(range(4)) AS cid
+           FROM fp),
+    cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                    a.f AS fa, b.f AS fb
+             FROM ch a JOIN ch b
+               ON a.cid = b.cid AND a.cv = b.cv AND a.doc_id < b.doc_id)
+    SELECT doc_a, doc_b, CAST(bit_count(xor(fa, fb)) AS INT) AS hamming
+    FROM cand WHERE bit_count(xor(fa, fb)) <= 3
+    """,
+)
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return DD.simhash_near_pairs(_t(spark, sf_dir, "documents"), max_hamming=3)
 
@@ -2011,3 +2134,54 @@ def q_track_last_n(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TR.bound_last_n(ev, "user_id", "ts", "event_id", 10).select(
         "event_id", "user_id", F.unix_millis("ts").alias("ts_ms"), "event_type", "value"
     )
+
+
+# --------------------------------------------------------------------------
+# Catalog ordering: CHEAPEST FIRST.  The driver's correctness gate walks
+# QUERIES in dict order under a wall-clock budget — round 2's run recorded
+# exactly the first 50 declaration-order entries and silently dropped the
+# 25 after (VERDICT r2 #1).  Ordering by measured per-query cost (BENCH_r02
+# sf0.1 warm timings) makes any truncated run cover the most surface, and
+# pushes the intrinsically slow streaming replays / LSH compositions /
+# training_pipeline to the tail.  One constraint: state_store_snapshot
+# reads the checkpoint streaming_track_snapshot produces, so it follows it
+# immediately (running it standalone would re-run the whole stream).
+# --------------------------------------------------------------------------
+_CHEAP_FIRST = [
+    "stratified_sample", "part_text_functions", "hash_split",
+    "geometry_construct_null", "track_range", "sample_n_per_group",
+    "label_centroids", "shuffle_shard", "dedup_exact", "forecast_revenue",
+    "order_stats_conditional", "fuzzy_part_match", "track_latest",
+    "track_oldest", "web_mercator_projection", "tumbling_window_counts",
+    "customers_without_recent_orders", "fingerprint", "bucket_rollup",
+    "track_counts", "embedding_norm_stats", "chunk_documents",
+    "track_last_n", "sliding_window_counts", "quality_score", "revenue_cube",
+    "web_mercator_roundtrip", "profile_columns", "redact_pii",
+    "returns_rollup", "monthly_running_revenue", "track_dedup",
+    "priority_top_orders", "event_type_pivot", "track_neighbors",
+    "pricing_summary", "token_stats", "pack_sequences", "language_id",
+    "session_windows", "track_snapshot", "events_json_extract",
+    "token_budget_mix", "segment_set_ops", "value_percentiles",
+    "priority_top_orders_salted", "monthly_revenue", "pack_sequences_emit",
+    "event_pairs_within_10min", "approx_distinct_stats",
+    "customer_value_distribution", "track_membership",
+    "asof_clicks_purchases", "decontaminate", "local_supplier_volume",
+    "cosine_topk", "shipping_priority", "repetition_stats",
+    "cosine_topk_ivf", "streaming_dedup_events", "streaming_tumbling_counts",
+    "market_share", "streaming_sliding_counts", "streaming_enriched_counts",
+    "cosine_near_pairs", "multimodal_features", "streaming_session_windows",
+    "dedup_minhash_lsh", "streaming_track_snapshot", "state_store_snapshot",
+    "dedup_jaccard_pairs", "dedup_clusters", "streaming_event_pairs",
+    "cosine_near_pairs_lsh", "dedup_simhash", "training_pipeline",
+]
+
+
+def _reorder_catalog() -> None:
+    global QUERIES, ORACLES
+    order = [n for n in _CHEAP_FIRST if n in QUERIES]
+    order += [n for n in QUERIES if n not in _CHEAP_FIRST]  # new queries: tail
+    QUERIES = {n: QUERIES[n] for n in order}
+    ORACLES = {n: ORACLES[n] for n in order if n in ORACLES}
+
+
+_reorder_catalog()

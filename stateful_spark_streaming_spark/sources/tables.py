@@ -37,18 +37,40 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def _load_events(spark: SparkSession, path: str) -> DataFrame:
-    """events.ts is TIMESTAMP(NANOS) parquet, which Spark 4 refuses to map to
-    TimestampType.  Read nanos as long (legacy conf) and rebuild a proper
-    microsecond timestamp — lossless here (no sub-microsecond components in
-    the data), and the cast is a codegen'd column op, not a UDF."""
-    from pyspark.sql import functions as F
-    from pyspark.sql.types import LongType
+    """events.ts is TIMESTAMP(NANOS) parquet, which plain TimestampType
+    cannot hold.  Depending on the Spark build/confs the scan surfaces it
+    as LONG (legacy ``nanosAsLong``), TIMESTAMP_NTZ (Spark 4.1 default for
+    non-UTC-adjusted nanos), or TIMESTAMP — normalize ALL THREE to a real
+    UTC instant (TimestampType) so every downstream operator (unix_millis,
+    watermarks, window()) sees one type.  Conversions are codegen'd column
+    ops, lossless here (the data has no sub-microsecond components):
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    - LONG nanos → integer ``div`` to micros (never fp division — it
+      drifts 1 µs at epoch scale) → ``timestamp_micros``;
+    - NTZ → micros since epoch via ``timestampdiff`` against the NTZ epoch
+      literal → ``timestamp_micros`` — session-timezone-INDEPENDENT,
+      unlike a plain NTZ→TIMESTAMP cast, so the driver's session (whatever
+      its tz) and our UTC factory agree with the DuckDB oracle's
+      epoch_ms."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import LongType, TimestampNTZType
+
+    try:  # honored on builds that still support it; harmless elsewhere
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    except Exception:  # noqa: BLE001
+        pass
     df = spark.read.parquet(path)
-    ts_field = df.schema["ts"]
-    if isinstance(ts_field.dataType, LongType):
+    dt = df.schema["ts"].dataType
+    if isinstance(dt, LongType):
         df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    elif isinstance(dt, TimestampNTZType):
+        df = df.withColumn(
+            "ts",
+            F.expr(
+                "timestamp_micros(timestampdiff(MICROSECOND, "
+                "TIMESTAMP_NTZ '1970-01-01 00:00:00', ts))"
+            ),
+        )
     return df.select("event_id", "ts", "user_id", "event_type", "value", "props")
 
 

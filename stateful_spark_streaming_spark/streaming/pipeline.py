@@ -404,8 +404,13 @@ def stream_events_source(
 
     # file source needs an explicit schema AND a directory; symlink the
     # single parquet file into a temp dir, and read the footer schema with
-    # the nanos-as-long conf active, then rebuild a timestamp in-stream
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # the nanos-as-long conf active, then rebuild a timestamp in-stream.
+    # Like _load_events, normalize every way the nanos column can surface
+    # (bigint / timestamp_ntz / timestamp) to a real UTC instant.
+    try:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    except Exception:  # noqa: BLE001
+        pass
     raw_schema = spark.read.parquet(events_path).schema
     src_dir = events_path
     if os.path.isfile(events_path):
@@ -415,8 +420,17 @@ def stream_events_source(
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
     stream_df = reader.load(src_dir)
-    if dict(stream_df.dtypes).get("ts") == "bigint":
+    ts_type = dict(stream_df.dtypes).get("ts")
+    if ts_type == "bigint":
         stream_df = stream_df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    elif ts_type == "timestamp_ntz":
+        stream_df = stream_df.withColumn(
+            "ts",
+            F.expr(
+                "timestamp_micros(timestampdiff(MICROSECOND, "
+                "TIMESTAMP_NTZ '1970-01-01 00:00:00', ts))"
+            ),
+        )
     return stream_df
 
 

@@ -173,3 +173,46 @@ def test_sample_n_per_group_exact_and_stable(spark):
     ten = sample_n_per_group(df, group_col="source", n=10).collect()
     twenty_ids = {(r.source, r.sample_rank, r.doc_id) for r in got}
     assert all((r.source, r.sample_rank, r.doc_id) in twenty_ids for r in ten)
+
+
+def test_pack_sequences_emit_materializes_windows(spark):
+    """Every pack except a stream's last holds exactly seq_len tokens, the
+    concatenation of a stream's packs equals the concatenation of its docs
+    in layout order, and doc text survives byte-for-byte."""
+    from pyspark.sql import functions as F
+
+    from stateful_spark_streaming_spark.operators.sampling import (
+        pack_sequences,
+        pack_sequences_emit,
+    )
+
+    docs = [(i, " ".join(f"d{i}t{j}" for j in range((i * 7) % 19 + 3))) for i in range(60)]
+    df = spark.createDataFrame(docs, ["doc_id", "text"]).withColumn(
+        "toks", F.split(F.col("text"), " ")
+    )
+    out = pack_sequences_emit(
+        df, tokens_array_col="toks", seq_len=16, n_streams=3
+    ).collect()
+    layout = pack_sequences(
+        df.withColumn("_n", F.size("toks")),
+        tokens_col="_n", seq_len=16, n_streams=3,
+    ).collect()
+    by_stream_packs: dict[int, list] = {}
+    for r in out:
+        by_stream_packs.setdefault(r.stream, []).append(r)
+    for stream, packs in by_stream_packs.items():
+        packs.sort(key=lambda r: r.pack_id)
+        # contiguous pack ids from 0; all but the last exactly full
+        assert [p.pack_id for p in packs] == list(range(len(packs)))
+        for p in packs[:-1]:
+            assert p.seq_filled == 16
+        # stream reassembly == docs concatenated in layout order
+        stream_docs = sorted(
+            (r for r in layout if r.stream == stream), key=lambda r: r.start_offset
+        )
+        want = " ".join(
+            " ".join(f"d{r.doc_id}t{j}" for j in range((r.doc_id * 7) % 19 + 3))
+            for r in stream_docs
+        )
+        got = " ".join(p.seq_text for p in packs)
+        assert got == want

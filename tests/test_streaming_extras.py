@@ -304,3 +304,33 @@ def test_streaming_dedup_suppresses_cross_batch_duplicates(spark, tmp_path):
     )
     got = sorted((r.user_id, r.event_type) for r in out.collect())
     assert got == [(1, "a"), (1, "b"), (2, "a"), (3, "c")], got
+
+
+def test_console_snapshot_sink_prints_table(spark, capsys, tmp_path):
+    """S5 (console table sink): show=True prints the reference's
+    '========= <view> <time> =========' header followed by the snapshot
+    rendered as an ASCII table (StreamWithStates.scala:49-51) — asserted on
+    the actual printed text, both sink kinds."""
+    from stateful_spark_streaming_spark.streaming.pipeline import (
+        ParquetSnapshotSink,
+        SnapshotView,
+    )
+
+    batch = spark.createDataFrame(
+        [("F1", 3), ("F2", 5)], ["flightId", "track_count"]
+    )
+    sink = ParquetSnapshotSink(
+        spark, "ConsoleFlights", "flightId",
+        path=str(tmp_path / "snap"), show=True,
+    )
+    sink(batch, 0)
+    out = capsys.readouterr().out
+    assert "========= ConsoleFlights" in out
+    assert "flightId" in out and "track_count" in out  # ASCII table header
+    assert "F1" in out and "F2" in out
+
+    dview = SnapshotView(spark, "ConsoleFlights2", "flightId", show=True)
+    dview(batch, 0)
+    out2 = capsys.readouterr().out
+    assert "========= ConsoleFlights2" in out2
+    assert "F1" in out2 and "F2" in out2

@@ -163,6 +163,92 @@ def test_dup_clusters_connected_components(spark):
             for r in dup_clusters(chain, max_driver_edges=0).collect()}
     assert got2 == {i: 10 for i in range(10, 16)}
 
-    # both tiers agree on the same graph
+    # both tiers agree on the same graph, and each run reports its tier
     got3 = {r.doc_id: r.cluster_rep for r in dup_clusters(chain).collect()}
     assert got3 == got2
+    assert dup_clusters.last_tier == "driver"
+    dup_clusters(chain, max_driver_edges=0).collect()
+    assert dup_clusters.last_tier == "distributed"
+
+
+def test_dup_clusters_tiers_agree_on_skewed_component(spark):
+    """Tier equivalence on a SKEWED graph: one hub star (the shape a
+    boilerplate near-dup cluster takes) plus a long chain plus singles —
+    driver union-find and distributed propagation must produce identical
+    clusters."""
+    from pyspark.sql import Row
+
+    from stateful_spark_streaming_spark.operators.dedup import dup_clusters
+
+    hub = [Row(doc_a=0, doc_b=i) for i in range(1, 120)]  # star around 0
+    chain = [Row(doc_a=200 + i, doc_b=201 + i) for i in range(8)]
+    bridge = [Row(doc_a=119, doc_b=200)]  # glue star to chain: one component
+    iso = [Row(doc_a=500, doc_b=501)]
+    pairs = spark.createDataFrame(hub + chain + bridge + iso)
+    a = {r.doc_id: r.cluster_rep for r in dup_clusters(pairs).collect()}
+    assert dup_clusters.last_tier == "driver"
+    b = {r.doc_id: r.cluster_rep
+         for r in dup_clusters(pairs, max_driver_edges=0).collect()}
+    assert dup_clusters.last_tier == "distributed"
+    assert a == b
+    assert all(v == 0 for k, v in a.items() if k < 500)
+    assert a[500] == a[501] == 500
+
+
+def test_banded_candidate_pairs_hot_bucket_cap(spark):
+    """A degenerate bucket (every item hashing to one (band_id, band_hash))
+    must be DROPPED by the cap, not expanded into m²/2 pairs — the LSH
+    mirror of jaccard_pairs' max_shingle_df guard."""
+    from pyspark.sql import functions as F
+
+    m = 50
+    items = spark.createDataFrame(
+        [(0, "hot", i) for i in range(m)] + [(1, f"cold{i % 2}", i) for i in range(6)],
+        ["band_id", "band_hash", "id"],
+    ).select("band_id", "band_hash", F.struct(F.col("id")).alias("item"))
+    # cap below the hot bucket's size: its pairs must vanish, the small
+    # cold buckets' pairs must survive
+    capped = DD.banded_candidate_pairs(items, max_bucket_size=10).collect()
+    assert 0 < len(capped) < m * (m - 1) // 2
+    assert all(r["a"]["id"] % 2 == r["b"]["id"] % 2 for r in capped)
+    # uncapped: the hot bucket contributes all m²/2 pairs
+    full = DD.banded_candidate_pairs(items, max_bucket_size=None).count()
+    assert full >= m * (m - 1) // 2
+    stats = DD.lsh_bucket_stats(items, max_bucket_size=10)
+    assert stats["n_dropped"] == 1
+    assert stats["max_size"] == m
+
+
+def test_minhash_signature_is_duckdb_reproducible(docs):
+    """The md5_h60-based MinHash signature must equal DuckDB's re-derivation
+    (the property that upgraded dedup_minhash_lsh from rows-only to
+    hash-matched)."""
+    import duckdb
+
+    sig = DD.minhash_signatures(docs, num_hashes=4).collect()
+    pdf = docs.select("doc_id", "text").toPandas()
+    con = duckdb.connect()
+    con.register("documents", pdf)
+    norm = "trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))"
+    sh = (
+        "list_distinct([t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] "
+        "FOR i IN range(len(t)-2)])"
+    )
+    want = {
+        r[0]: (r[1], r[2], r[3], r[4])
+        for r in con.execute(
+            f"""
+        WITH toks AS (SELECT doc_id, string_split({norm}, ' ') AS t FROM documents),
+        s AS (SELECT doc_id, {sh} AS s FROM toks WHERE len(t) >= 3),
+        ex AS (SELECT doc_id, unnest(s) AS shingle FROM s)
+        SELECT doc_id,
+               min(substring(md5('0:' || shingle), 1, 15)),
+               min(substring(md5('1:' || shingle), 1, 15)),
+               min(substring(md5('2:' || shingle), 1, 15)),
+               min(substring(md5('3:' || shingle), 1, 15))
+        FROM ex GROUP BY doc_id
+        """
+        ).fetchall()
+    }
+    got = {r["doc"]: (r["h0"], r["h1"], r["h2"], r["h3"]) for r in sig}
+    assert got == want
