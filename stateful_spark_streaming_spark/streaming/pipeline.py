@@ -287,6 +287,7 @@ def flight_socket_pipeline(
     show: bool = False,
     sink_kind: str = "parquet",
     snapshot_dir: str | None = None,
+    impl: str = "applyInPandas",
 ) -> StreamHandle:
     """The full reference graph: parse → key → state → snapshot view → SQL.
 
@@ -307,7 +308,7 @@ def flight_socket_pipeline(
     with_arrival = source.withColumn(
         "arrival", F.xxhash64(*[F.col(c) for c in source.columns if c != "geometry"])
     )
-    snap = track_state_stream(with_arrival, cfg)
+    snap = track_state_stream(with_arrival, cfg, impl=impl)
     if sink_kind == "parquet":
         sink = ParquetSnapshotSink(
             spark,
