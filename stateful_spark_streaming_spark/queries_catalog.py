@@ -189,10 +189,32 @@ def q_track_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_track_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     """W6: strict time-range slice (headSet/tailSet/subSet semantics).
-    The predicate is pushed into the parquet scan."""
-    ev = _t(spark, sf_dir, "events")
-    sliced = TR.track_range(ev, "ts", start="2024-01-10 00:00:00", end="2024-01-20 00:00:00")
-    return sliced.select(
+
+    Filter-THEN-convert: the range predicate is applied to the RAW scan
+    column (NTZ wall clock ≡ UTC here), where Catalyst pushes it into the
+    parquet scan for row-group pruning — a predicate on the converted
+    instant would sit above a projection no source filter can express.
+    Time-slicing a 100 TB event table is exactly where this matters; the
+    plan audit asserts the pushed GreaterThan/LessThan on ts."""
+    from pyspark.sql.types import TimestampNTZType, TimestampType
+
+    from stateful_spark_streaming_spark.sources.tables import (
+        events_ts_to_instant,
+        load_events_raw,
+    )
+
+    raw = load_events_raw(spark, sf_dir)
+    if isinstance(raw.schema["ts"].dataType, (TimestampNTZType, TimestampType)):
+        sliced = TR.track_range(
+            raw, "ts", start="2024-01-10 00:00:00", end="2024-01-20 00:00:00"
+        )
+        out = events_ts_to_instant(sliced)
+    else:  # raw LONG nanos (legacy conf): string bounds don't compare — use
+        out = TR.track_range(  # the converted instants (pushdown forfeited)
+            _t(spark, sf_dir, "events"),
+            "ts", start="2024-01-10 00:00:00", end="2024-01-20 00:00:00",
+        )
+    return out.select(
         "event_id", "user_id", F.unix_millis("ts").alias("ts_ms"), "event_type", "value"
     )
 

@@ -36,6 +36,46 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(path)
 
 
+def load_events_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events with ``ts`` in its RAW scan type (TIMESTAMP_NTZ on current
+    builds, LONG nanos under the legacy conf) — NO instant conversion.
+
+    Why this exists: range predicates against the raw column PUSH into the
+    parquet scan (row-group/partition pruning — the dominant access
+    pattern on a 100 TB event table is a time slice), while any predicate
+    on the converted instant sits above a projection Catalyst cannot
+    translate to a source filter.  Filter FIRST on this frame, then
+    convert with ``events_ts_to_instant`` — plan-audited by track_range
+    (PushedFilters must include the ts range)."""
+    try:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    except Exception:  # noqa: BLE001
+        pass
+    df = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    return df.select("event_id", "ts", "user_id", "event_type", "value", "props")
+
+
+def events_ts_to_instant(df: DataFrame) -> DataFrame:
+    """Normalize a raw events ``ts`` (long nanos / NTZ / timestamp) to a
+    real UTC instant — the shared conversion behind ``load_table`` and the
+    filter-then-convert path of ``load_events_raw``."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import LongType, TimestampNTZType
+
+    dt = df.schema["ts"].dataType
+    if isinstance(dt, LongType):
+        return df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    if isinstance(dt, TimestampNTZType):
+        return df.withColumn(
+            "ts",
+            F.expr(
+                "timestamp_micros(timestampdiff(MICROSECOND, "
+                "TIMESTAMP_NTZ '1970-01-01 00:00:00', ts))"
+            ),
+        )
+    return df
+
+
 def _load_events(spark: SparkSession, path: str) -> DataFrame:
     """events.ts is TIMESTAMP(NANOS) parquet, which plain TimestampType
     cannot hold.  Depending on the Spark build/confs the scan surfaces it
@@ -52,25 +92,12 @@ def _load_events(spark: SparkSession, path: str) -> DataFrame:
       unlike a plain NTZ→TIMESTAMP cast, so the driver's session (whatever
       its tz) and our UTC factory agree with the DuckDB oracle's
       epoch_ms."""
-    from pyspark.sql import functions as F
-    from pyspark.sql.types import LongType, TimestampNTZType
-
     try:  # honored on builds that still support it; harmless elsewhere
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     except Exception:  # noqa: BLE001
         pass
     df = spark.read.parquet(path)
-    dt = df.schema["ts"].dataType
-    if isinstance(dt, LongType):
-        df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
-    elif isinstance(dt, TimestampNTZType):
-        df = df.withColumn(
-            "ts",
-            F.expr(
-                "timestamp_micros(timestampdiff(MICROSECOND, "
-                "TIMESTAMP_NTZ '1970-01-01 00:00:00', ts))"
-            ),
-        )
+    df = events_ts_to_instant(df)
     return df.select("event_id", "ts", "user_id", "event_type", "value", "props")
 
 

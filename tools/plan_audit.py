@@ -34,11 +34,11 @@ CHECKS = {
     "forecast_revenue": (["PushedFilters: [IsNotNull(l_shipdate)"], [], 1),
     "shipping_priority": (["BroadcastHashJoin"], [], None),
     "local_supplier_volume": (["BroadcastHashJoin"], [], None),
-    # events.parquet carries TIMESTAMP(NANOS) read as long + converted in a
-    # projection; range predicates on the DERIVED timestamp cannot reach the
-    # scan (only IsNotNull survives).  Production µs tables push range
-    # filters fine — see forecast_revenue (l_shipdate range in PushedFilters).
-    "track_range": (["PushedFilters: [IsNotNull(ts)"], [], 0),
+    # filter-then-convert on the RAW ts column (NTZ): the strict range must
+    # PUSH into the parquet scan (row-group pruning) — the converted-instant
+    # form only pushed IsNotNull, which at 100 TB is a full scan of the
+    # event table for a time slice.
+    "track_range": (["GreaterThan(ts,", "LessThan(ts,"], [], 0),
     "token_stats": ([], ["Exchange"], 0),
     "dedup_exact": ([], [], 1),
     "web_mercator_projection": ([], ["Exchange"], 0),
