@@ -295,16 +295,22 @@ def minhash_signatures(
     k: int = 3,
     num_hashes: int = 32,
 ) -> DataFrame:
-    """MinHash signature per doc: sig[i] = min over shingles of
-    md5_h60(shingle, seed=i) — a fixed-width hex string whose lexicographic
-    min is the numeric min, so the signature is DuckDB-reproducible.
-    num_hashes aggregates over one explode — entirely JVM-side (no Python,
-    no UDF)."""
+    """MinHash signature per doc via Kirsch-Mitzenmacher double hashing:
+    ONE md5 per shingle yields two independent values (h1 = 60 bits from
+    hex chars 1-15, h2 = 56 bits from chars 16-29) and hash family i is
+    ``h1 + i*h2`` — max < 2^61, so plain int64 arithmetic, no overflow, no
+    modulus.  sig[i] = min over shingles of g_i(shingle).
+
+    Why this shape: per-seed md5 (32 digests per shingle) measured 2.6×
+    slower end-to-end; per-seed xxhash64 is fast but not reproducible in
+    DuckDB.  Double hashing gets both — one md5 plus 32 codegen'd
+    multiply-adds, and the oracle re-derives the identical signature with
+    the same two-substring split.  num_hashes aggregates over one explode,
+    entirely JVM-side (no Python, no UDF)."""
     idx = _shingle_index(df, text_col, id_col, k)
-    aggs = [
-        F.min(md5_h60(F.col("shingle"), seed=i)).alias(f"h{i}")
-        for i in range(num_hashes)
-    ]
+    h1 = F.conv(F.substring(F.md5(F.col("shingle")), 1, 15), 16, 10).cast("long")
+    h2 = F.conv(F.substring(F.md5(F.col("shingle")), 16, 14), 16, 10).cast("long")
+    aggs = [F.min(h1 + F.lit(i) * h2).alias(f"h{i}") for i in range(num_hashes)]
     return idx.groupBy(F.col("doc"), F.col("set_size")).agg(*aggs)
 
 

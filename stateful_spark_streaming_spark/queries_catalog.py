@@ -1727,17 +1727,20 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return DD.dup_clusters(pairs)
 
 
-# MinHash/SimHash oracles: the signatures are md5-derived (dedup.md5_h60 =
-# fixed-width 15-hex-char substring of md5, lexicographic min ≡ numeric min),
-# so DuckDB re-derives the ENTIRE pipeline — signatures, band hashes,
-# candidate enumeration, verification — and the two LSH queries are
-# hash-matched, not rows-only.  The SQL is generated to mirror the operator
-# constants exactly (32 hashes × 8 bands of 4; 60 bits × 4 chunks of 15).
+# MinHash/SimHash oracles: the signatures are md5-derived, so DuckDB
+# re-derives the ENTIRE pipeline — signatures, band hashes, candidate
+# enumeration, verification — and the two LSH queries are hash-matched,
+# not rows-only.  MinHash uses Kirsch-Mitzenmacher double hashing (one md5
+# per shingle → h1/h2 substrings → family i = h1 + i*h2); the SQL mirrors
+# the operator constants exactly (32 hashes × 8 bands of 4; 60 bits × 4
+# chunks of 15).
 _MH_SIG_COLS = ",\n           ".join(
-    f"min(substring(md5('{i}:' || shingle), 1, 15)) AS h{i}" for i in range(32)
+    f"min(h1 + {i} * h2) AS h{i}" for i in range(32)
 )
 _MH_BAND_LIST = ",\n             ".join(
-    f"md5('{b}|' || " + " || '|' || ".join(f"h{b * 4 + r}" for r in range(4)) + ")"
+    f"md5('{b}|' || "
+    + " || '|' || ".join(f"CAST(h{b * 4 + r} AS VARCHAR)" for r in range(4))
+    + ")"
     for b in range(8)
 )
 _MH_JACCARD = (
@@ -1752,9 +1755,13 @@ _MH_JACCARD = (
     WITH toks AS (SELECT doc_id, {_TOKS_SQL} AS t FROM documents),
     sh AS (SELECT doc_id, {_SHINGLES_SQL} AS s FROM toks WHERE len(t) >= 3),
     ex AS (SELECT doc_id, unnest(s) AS shingle FROM sh),
+    hx AS (SELECT doc_id,
+           ('0x' || substring(md5(shingle), 1, 15))::BIGINT AS h1,
+           ('0x' || substring(md5(shingle), 16, 14))::BIGINT AS h2
+           FROM ex),
     sig AS (SELECT doc_id,
            {_MH_SIG_COLS}
-           FROM ex GROUP BY doc_id),
+           FROM hx GROUP BY doc_id),
     bands AS (SELECT doc_id,
              unnest([{_MH_BAND_LIST}]) AS bh
              FROM sig),

@@ -240,13 +240,15 @@ def test_minhash_signature_is_duckdb_reproducible(docs):
             f"""
         WITH toks AS (SELECT doc_id, string_split({norm}, ' ') AS t FROM documents),
         s AS (SELECT doc_id, {sh} AS s FROM toks WHERE len(t) >= 3),
-        ex AS (SELECT doc_id, unnest(s) AS shingle FROM s)
+        ex AS (SELECT doc_id, unnest(s) AS shingle FROM s),
+        hx AS (SELECT doc_id,
+               ('0x' || substring(md5(shingle), 1, 15))::BIGINT AS h1,
+               ('0x' || substring(md5(shingle), 16, 14))::BIGINT AS h2
+               FROM ex)
         SELECT doc_id,
-               min(substring(md5('0:' || shingle), 1, 15)),
-               min(substring(md5('1:' || shingle), 1, 15)),
-               min(substring(md5('2:' || shingle), 1, 15)),
-               min(substring(md5('3:' || shingle), 1, 15))
-        FROM ex GROUP BY doc_id
+               min(h1 + 0 * h2), min(h1 + 1 * h2),
+               min(h1 + 2 * h2), min(h1 + 3 * h2)
+        FROM hx GROUP BY doc_id
         """
         ).fetchall()
     }
