@@ -2050,6 +2050,36 @@ def q_cosine_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.cosine_near_pairs(_t(spark, sf_dir, "embeddings"), threshold=0.4)
 
 
+@query(
+    "embedding_dup_clusters",
+    oracle="""
+    WITH RECURSIVE p AS (
+      SELECT a.vec_id AS ida, b.vec_id AS idb
+      FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+      WHERE round(list_cosine_similarity(a.embedding::DOUBLE[],
+                                         b.embedding::DOUBLE[]), 6) >= 0.4),
+    e AS (SELECT ida AS a, idb AS b FROM p
+          UNION SELECT idb, ida FROM p),
+    r AS (SELECT a AS node, a AS m FROM e
+          UNION
+          SELECT r.node, e.b FROM r JOIN e ON r.m = e.a)
+    SELECT node AS vec_id, min(m) AS cluster_rep FROM r GROUP BY node
+    """,
+)
+def q_embedding_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SEMANTIC dedup: embedding-cosine near-pairs composed into duplicate
+    clusters (connected components, min-id representative) — the
+    embedding-space twin of dedup_clusters, i.e. the decision layer a
+    semantic dedup pipeline actually acts on.  Exact pair stage at test SF
+    (size-guarded); at 100 TB swap in cosine_near_pairs_lsh for candidate
+    generation — dup_clusters consumes either.  Oracle: recursive
+    transitive closure over the same pair predicate."""
+    pairs = SIM.cosine_near_pairs(_t(spark, sf_dir, "embeddings"), threshold=0.4)
+    return DD.dup_clusters(pairs, id_a="id_a", id_b="id_b").select(
+        F.col("doc_id").alias("vec_id"), "cluster_rep"
+    )
+
+
 @query("cosine_topk_ivf")  # approximate by construction → rows-only check
 def q_cosine_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF index built ONCE per corpus (persisted: cell-partitioned parquet
@@ -2198,7 +2228,8 @@ _CHEAP_FIRST = [
     "cosine_topk", "shipping_priority", "repetition_stats",
     "cosine_topk_ivf", "streaming_dedup_events", "streaming_tumbling_counts",
     "market_share", "streaming_sliding_counts", "streaming_enriched_counts",
-    "cosine_near_pairs", "multimodal_features", "streaming_session_windows",
+    "cosine_near_pairs", "embedding_dup_clusters", "multimodal_features",
+    "streaming_session_windows",
     "dedup_minhash_lsh", "streaming_track_snapshot", "state_store_snapshot",
     "dedup_jaccard_pairs", "dedup_clusters", "streaming_event_pairs",
     "cosine_near_pairs_lsh", "dedup_simhash", "training_pipeline",
