@@ -217,8 +217,9 @@ def md5_h60(col, seed: int | str | None = None):
     numeric order (so ``min()`` over it is a valid MinHash), 15 chars keeps
     the numeric form under 2^63 for engines that convert, and — the point —
     DuckDB reproduces it verbatim (``substring(md5(...), 1, 15)``), which
-    xxhash64 never could.  Shared by MinHash signatures and SimHash token
-    hashes so their catalog queries carry exact oracles."""
+    xxhash64 never could.  Used by SimHash token hashes (MinHash derives
+    its families from the same md5 via double hashing — see
+    ``minhash_signatures``) so both catalog queries carry exact oracles."""
     base = col if seed is None else F.concat(F.lit(f"{seed}:"), col)
     return F.substring(F.md5(base), 1, 15)
 
