@@ -108,6 +108,9 @@ CHECKS = {
     # sequence packing: ONE exchange (the per-stream window), no join —
     # the cumsum is a local sort + running fold per stream
     "pack_sequences": ([], ["Join"], 1),
+    # materialize path: the layout window (1) + the (stream, pack_id)
+    # reassembly aggregate (1) — and still no join anywhere
+    "pack_sequences_emit": ([], ["Join"], 2),
     # profiling: all columns in ONE pass — a single Expand feeding hash
     # aggregates, never one job per column; no join
     "profile_columns": (["Expand"], ["Join"], None),
