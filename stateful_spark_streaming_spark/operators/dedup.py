@@ -484,30 +484,54 @@ def dup_clusters(
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     labels.count()
+
+    def _ckpt_rdd(df: DataFrame):
+        """Handle on a localCheckpointed frame's block-backed RDD — the
+        ONLY way to free its storage: ``DataFrame.unpersist()`` on a
+        checkpointed frame is a no-op in Spark 4 (the blocks belong to the
+        LogicalRDD, not the cache manager), verified by probe; without
+        this, block-manager storage grows by one full label set per
+        checkpoint round (ADVICE r3).  Classic (non-Connect) API only —
+        degrade to GC-driven cleanup if the internals move."""
+        try:
+            return df._jdf.queryExecution().analyzed().rdd()
+        except Exception:  # noqa: BLE001
+            return None
+
     changed = -1
-    for _ in range(max_iter):
+    last_ckpt_rdd = None
+    for i in range(max_iter):
         neighbor_min = (
             sym.join(labels, sym.dst == labels.node)
             .groupBy("src")
             .agg(F.min("label").alias("nlabel"))
         )
-        new_labels = (
-            labels.join(neighbor_min, labels.node == neighbor_min.src, "left")
-            .select(
-                "node",
-                F.least(
-                    F.col("label"), F.coalesce(F.col("nlabel"), F.col("label"))
-                ).alias("label"),
-            )
-            # TRUNCATE LINEAGE each round: persist() caches data but keeps
-            # the logical plan, so round k's plan nests round k-1's join
-            # tree — exponential growth that OOMs the driver merely
-            # stringifying the plan once the graph diameter passes ~10
-            # (caught by the skewed-component test).  localCheckpoint
-            # materializes the round and cuts plan history — the required
-            # shape for ANY iterative DataFrame algorithm at scale.
-            .localCheckpoint(eager=True)
+        new_labels = labels.join(
+            neighbor_min, labels.node == neighbor_min.src, "left"
+        ).select(
+            "node",
+            F.least(
+                F.col("label"), F.coalesce(F.col("nlabel"), F.col("label"))
+            ).alias("label"),
         )
+        # TRUNCATE LINEAGE periodically: each round's plan references the
+        # previous round TWICE (neighbor join + left join), so plan size
+        # doubles per round — exponential growth that OOMs the driver
+        # merely stringifying the plan once the graph diameter passes ~10
+        # (caught by the skewed-component test).  Checkpointing EVERY
+        # round fixed that but cost an extra eager count()+block write per
+        # round (+47 % on dedup_clusters at sf0.1, VERDICT r3); every 3rd
+        # round bounds the un-truncated plan at 2^3 sub-plans over cached
+        # blocks while keeping per-round cost to one persist + one action.
+        # localCheckpoint is deliberate (in-executor blocks, no DFS): on a
+        # real cluster an executor loss mid-iteration kills the job — use
+        # reliable .checkpoint() + spark.sparkContext.setCheckpointDir for
+        # the fault-tolerant variant.
+        do_ckpt = (i + 1) % 3 == 0
+        if do_ckpt:
+            new_labels = new_labels.localCheckpoint(eager=True)
+        else:
+            new_labels = new_labels.persist(StorageLevel.MEMORY_AND_DISK)
         changed = (
             new_labels.alias("n")
             .join(labels.alias("o"), "node")
@@ -516,6 +540,12 @@ def dup_clusters(
         )
         labels.unpersist()
         labels = new_labels
+        if do_ckpt:
+            # the new checkpoint cut lineage, so the PREVIOUS checkpoint's
+            # blocks are now unreachable — free them explicitly
+            if last_ckpt_rdd is not None:
+                last_ckpt_rdd.unpersist(False)
+            last_ckpt_rdd = _ckpt_rdd(new_labels)
         if changed == 0:
             break
     sym.unpersist()

@@ -198,7 +198,12 @@ def pack_sequences_emit(
     last_pack = F.floor(
         (F.col("start_offset") + F.col("_nt") - 1) / F.lit(seq_len)
     ).cast("long")
-    packs = laid.withColumn(
+    # Zero-token (or null-array) docs must emit NO pack rows: F.sequence with
+    # stop < start generates a DESCENDING array (sequence(0,-1) = [0,-1]),
+    # which would fabricate negative pack_ids, while the DuckDB oracle's
+    # generate_series is empty in that case.  _nt > 0 also excludes null
+    # token arrays (F.size = -1).
+    packs = laid.filter(F.col("_nt") > 0).withColumn(
         "p", F.explode(F.sequence(F.col("pack_id"), last_pack))
     )
     local_start = F.greatest(

@@ -1765,8 +1765,13 @@ _MH_JACCARD = (
     bands AS (SELECT doc_id,
              unnest([{_MH_BAND_LIST}]) AS bh
              FROM sig),
+    -- mirror the operator's hot-bucket guard (banded_candidate_pairs
+    -- max_bucket_size=2000): buckets outside [2, 2000] emit no pairs
+    okb AS (SELECT bh FROM bands GROUP BY bh
+            HAVING count(*) BETWEEN 2 AND 2000),
     cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-             FROM bands a JOIN bands b ON a.bh = b.bh AND a.doc_id < b.doc_id)
+             FROM bands a JOIN bands b ON a.bh = b.bh AND a.doc_id < b.doc_id
+             WHERE a.bh IN (SELECT bh FROM okb))
     SELECT c.doc_a, c.doc_b,
            CAST(len(list_intersect(sa.s, sb.s)) AS INT) AS n_common,
            {_MH_JACCARD} AS jaccard
@@ -1805,10 +1810,15 @@ _SH_CHUNK_LIST = ", ".join(f"(f >> {c * 15}) & 32767" for c in range(4))
     ch AS (SELECT doc_id, f, unnest([{_SH_CHUNK_LIST}]) AS cv,
                   unnest(range(4)) AS cid
            FROM fp),
+    -- mirror the operator's hot-bucket guard (banded_candidate_pairs
+    -- max_bucket_size=2000): buckets outside [2, 2000] emit no pairs
+    okc AS (SELECT cid, cv FROM ch GROUP BY cid, cv
+            HAVING count(*) BETWEEN 2 AND 2000),
     cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
                     a.f AS fa, b.f AS fb
              FROM ch a JOIN ch b
-               ON a.cid = b.cid AND a.cv = b.cv AND a.doc_id < b.doc_id)
+               ON a.cid = b.cid AND a.cv = b.cv AND a.doc_id < b.doc_id
+             JOIN okc ON okc.cid = a.cid AND okc.cv = a.cv)
     SELECT doc_a, doc_b, CAST(bit_count(xor(fa, fb)) AS INT) AS hamming
     FROM cand WHERE bit_count(xor(fa, fb)) <= 3
     """,

@@ -216,3 +216,38 @@ def test_pack_sequences_emit_materializes_windows(spark):
         )
         got = " ".join(p.seq_text for p in packs)
         assert got == want
+
+
+def test_pack_sequences_emit_zero_token_docs(spark):
+    """Zero-token and null-token docs must emit NO pack rows and must not
+    corrupt neighbors: F.sequence(start, stop) with stop < start generates
+    a DESCENDING array (sequence(0,-1) = [0,-1]), which used to fabricate
+    negative pack_ids and inflate n_docs (ADVICE r3)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import ArrayType, LongType, StringType, StructField, StructType
+
+    from stateful_spark_streaming_spark.operators.sampling import pack_sequences_emit
+
+    schema = StructType([
+        StructField("doc_id", LongType()),
+        StructField("toks", ArrayType(StringType())),
+    ])
+    rows = [
+        (1, ["a", "b", "c"]),
+        (2, []),            # zero tokens
+        (3, None),          # null array (F.size = -1)
+        (4, ["d", "e"]),
+    ]
+    out = pack_sequences_emit(
+        spark.createDataFrame(rows, schema),
+        tokens_array_col="toks", seq_len=4, n_streams=1,
+    ).collect()
+    assert all(r.pack_id >= 0 for r in out)
+    # 5 real tokens -> packs hold exactly those, nothing fabricated
+    assert sum(r.seq_filled for r in out) == 5
+    # n_docs counts doc-pack incidences: 5 tokens over seq_len=4 => 2 packs,
+    # one non-empty doc spans the boundary => 3 incidences; the empty/null
+    # docs contribute none
+    assert sum(r.n_docs for r in out) == 3
+    toks = " ".join(r.seq_text for r in sorted(out, key=lambda r: r.pack_id)).split()
+    assert sorted(toks) == ["a", "b", "c", "d", "e"]
