@@ -315,6 +315,63 @@ def minhash_signatures(
     return idx.groupBy(F.col("doc"), F.col("set_size")).agg(*aggs)
 
 
+def minhash_bands_mapside(
+    text, k: int = 3, num_hashes: int = 32, bands: int = 8
+):
+    """Per-ROW MinHash band hashes as an ``array<string>`` column — the
+    map-side twin of ``minhash_signatures`` + banding, for STREAMING
+    pipelines where the explode→groupBy signature aggregation would be a
+    stateful shuffle.  Same md5 double-hashing constants, same
+    ``md5(band_id | h…)`` band encoding, so the bands are bit-identical to
+    the batch path (and to the DuckDB oracles).
+
+    Shape notes: one ``aggregate`` HOF pass over the shingle set folds all
+    ``num_hashes`` minima at once (md5 evaluated once per shingle, 32
+    multiply-adds per element); the signature array is then bound ONCE via
+    a single-element ``transform`` wrapper — referencing it directly from
+    the 8 band lambdas would duplicate the whole fold expression per use
+    site.  Empty shingle sets (< k tokens) yield an EMPTY band array —
+    callers decide the no-shingle policy (the streaming dedup gives those
+    docs a per-doc sentinel band so they pass through uniquely).
+    Everything is JVM-side HOFs: no UDF, no shuffle, streaming-safe."""
+    rows_per_band = num_hashes // bands
+    sh = shingles(text, k)
+    hp = F.transform(
+        sh,
+        lambda s: F.struct(
+            F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long").alias("h1"),
+            F.conv(F.substring(F.md5(s), 16, 14), 16, 10).cast("long").alias("h2"),
+        ),
+    )
+    idxs = F.sequence(F.lit(0), F.lit(num_hashes - 1))
+    init = F.array_repeat(F.lit(1 << 62).cast("long"), num_hashes)
+    sig = F.aggregate(
+        hp,
+        init,
+        lambda acc, x: F.zip_with(
+            acc, idxs, lambda a, i: F.least(a, x["h1"] + i.cast("long") * x["h2"])
+        ),
+    )
+    def _bands_of(s):
+        return F.transform(
+            F.sequence(F.lit(0), F.lit(bands - 1)),
+            lambda b: F.md5(
+                F.concat_ws(
+                    "|",
+                    b.cast("string"),
+                    *[
+                        F.element_at(s, b * rows_per_band + r + 1).cast("string")
+                        for r in range(rows_per_band)
+                    ],
+                )
+            ),
+        )
+    banded = F.element_at(F.transform(F.array(sig), _bands_of), 1)
+    return F.when(F.size(sh) > 0, banded).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     text_col: str = "text",

@@ -1044,6 +1044,55 @@ def q_streaming_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "streaming_session_windows_append",
+    oracle="""
+    WITH marked AS (
+      SELECT user_id, ts, value,
+             CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                       < INTERVAL '30 minutes' THEN 0 ELSE 1 END AS new_session
+      FROM events),
+    numbered AS (
+      SELECT *, sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                 ROWS UNBOUNDED PRECEDING) AS session_no
+      FROM marked),
+    sess AS (
+      SELECT user_id,
+             min(ts) AS s,
+             max(ts) + INTERVAL '30 minutes' AS e,
+             count(*) AS n_events,
+             round(sum(value), 2) AS sum_value
+      FROM numbered GROUP BY user_id, session_no),
+    wm AS (SELECT max(ts) - INTERVAL '1 hour' AS w FROM events)
+    SELECT user_id,
+           epoch_ms(s) AS session_start_ms,
+           epoch_ms(e) AS session_end_ms,
+           n_events, sum_value
+    FROM sess, wm WHERE e < w
+    """,
+)
+def q_streaming_session_windows_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """APPEND-mode watermarked session windows — the bounded-state scale
+    path (complete mode re-emits and retains everything forever).  Exact
+    contract: emits precisely the batch sessions whose end (last event +
+    gap) falls before the final watermark (max event time − 1 h); open
+    sessions are withheld, and state for emitted sessions is evicted.
+    The oracle is the batch session query restricted to those finalized
+    sessions."""
+    import os as _os
+
+    from stateful_spark_streaming_spark.streaming.pipeline import (
+        run_streaming_session_windows_append,
+    )
+
+    out = run_streaming_session_windows_append(
+        spark, _os.path.join(sf_dir, "events.parquet")
+    )
+    return out.select(
+        "user_id", "session_start_ms", "session_end_ms", "n_events", "sum_value"
+    )
+
+
+@query(
     "streaming_event_pairs",
     oracle="""
     SELECT a.user_id AS user_id, a.event_id AS id_a, b.event_id AS id_b,
@@ -1783,6 +1832,52 @@ _MH_JACCARD = (
 )
 def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return DD.minhash_lsh_pairs(_t(spark, sf_dir, "documents"), threshold=0.6)
+
+
+@query(
+    "streaming_dedup_minhash",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, {_TOKS_SQL} AS t FROM documents),
+    sh AS (SELECT doc_id, {_SHINGLES_SQL} AS s FROM toks WHERE len(t) >= 3),
+    ex AS (SELECT doc_id, unnest(s) AS shingle FROM sh),
+    hx AS (SELECT doc_id,
+           ('0x' || substring(md5(shingle), 1, 15))::BIGINT AS h1,
+           ('0x' || substring(md5(shingle), 16, 14))::BIGINT AS h2
+           FROM ex),
+    sig AS (SELECT doc_id,
+           {_MH_SIG_COLS}
+           FROM hx GROUP BY doc_id),
+    bands AS (SELECT doc_id,
+             unnest([{_MH_BAND_LIST}]) AS bh
+             FROM sig),
+    cl AS (SELECT bh, min(doc_id) AS claimant FROM bands GROUP BY bh),
+    kept AS (SELECT b.doc_id
+             FROM bands b JOIN cl USING (bh)
+             GROUP BY b.doc_id
+             HAVING max(CASE WHEN cl.claimant <> b.doc_id THEN 1 ELSE 0 END) = 0)
+    SELECT doc_id FROM kept
+    UNION ALL
+    SELECT doc_id FROM toks WHERE len(t) < 3
+    """,
+)
+def q_streaming_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming near-dup ingest: incremental MinHash+LSH admission filter
+    — a doc is admitted iff it claims all 8 of its band hashes first
+    (min-doc_id tie-break), i.e. no LSH collision with anything already
+    ingested.  Single-pass replay ≡ the oracle: per band the min doc_id
+    claims it, a doc survives iff it is the claimant of every band; docs
+    with < 3 tokens (no shingles) get a unique sentinel band and always
+    pass."""
+    import os as _os
+
+    from stateful_spark_streaming_spark.streaming.pipeline import (
+        run_streaming_dedup_minhash,
+    )
+
+    out = run_streaming_dedup_minhash(
+        spark, _os.path.join(sf_dir, "documents.parquet")
+    )
+    return out.select("doc_id")
 
 
 _SH_SUM_COLS = ",\n           ".join(

@@ -119,3 +119,51 @@ def test_stream_static_enrichment_matches_batch_across_batches(spark, sf_dir, sp
     cols = ["c_mktsegment", "event_type", "n_events", "sum_value"]
     assert _norm(got, cols) == _norm(want, cols)
     assert len(_norm(got, cols)) > 0
+
+
+def test_streaming_sessions_append_finalized_and_bounded(spark, sf_dir, split_events_dir, tmp_path):
+    """APPEND-mode watermarked sessions across 3 micro-batches: the output
+    must equal the batch sessions whose end falls before the final
+    watermark (max event time - 1h), each emitted exactly ONCE; and the
+    state store must hold strictly fewer sessions than complete mode would
+    retain (finalized sessions are evicted) — the bounded-state contract
+    complete mode can't give (VERDICT r3 #3)."""
+    from stateful_spark_streaming_spark.streaming import pipeline as _P
+    from stateful_spark_streaming_spark.streaming.pipeline import (
+        run_streaming_session_windows_append,
+    )
+
+    got = run_streaming_session_windows_append(
+        spark,
+        split_events_dir,
+        checkpoint_dir=str(tmp_path / "ckpt_sess_ap"),
+        max_files_per_trigger=1,
+    )
+    cols = ["user_id", "session_start_ms", "session_end_ms", "n_events", "sum_value"]
+    got_rows = _norm(got, cols)
+
+    ev = load_table(spark, sf_dir, "events")
+    all_sessions = session_windows(ev)
+    wm_ms = (
+        ev.agg((F.unix_millis(F.max("ts")) - F.lit(3600 * 1000)).alias("w"))
+        .collect()[0]["w"]
+    )
+    want = all_sessions.filter(F.col("session_end_ms") < F.lit(wm_ms))
+    assert got_rows == _norm(want, cols)
+    # exactly-once append: no session emitted twice across batches
+    assert len(got_rows) == len(set(got_rows))
+    # non-trivial: some sessions finalized, some withheld (open at EOI)
+    n_all = all_sessions.count()
+    assert 0 < len(got_rows) < n_all
+    # bounded state: after the final batch the store holds only sessions
+    # the watermark hasn't closed — strictly fewer than the total complete
+    # mode would retain (evidence eviction actually happened)
+    last = None
+    for p in _P._last_session_append_progress:
+        d = p if isinstance(p, dict) else p.asDict() if hasattr(p, "asDict") else {}
+        ops = d.get("stateOperators") or []
+        if ops:
+            last = ops[0]
+    assert last is not None
+    state_rows = last.get("numRowsTotal")
+    assert state_rows is not None and state_rows < n_all

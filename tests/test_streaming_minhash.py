@@ -1,0 +1,113 @@
+"""Streaming MinHash near-dup ingest: multi-batch replays must match a
+sequential simulation of the band-claim protocol (claims persist in the
+state store between micro-batches), and the single-batch replay must match
+the batch oracle semantics (min-doc claimant per band)."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from stateful_spark_streaming_spark.operators.dedup import minhash_bands_mapside
+from stateful_spark_streaming_spark.streaming.pipeline import (
+    run_streaming_dedup_minhash,
+)
+
+
+def _doc_bands(spark, docs_df):
+    """(doc_id -> band list) via the shared map-side builder, sentinel for
+    shingle-less docs — the same inputs the stream sees."""
+    band_arr = minhash_bands_mapside(F.col("text"))
+    sentinel = F.array(F.md5(F.concat(F.lit("uniq:"), F.col("doc_id").cast("string"))))
+    rows = docs_df.select(
+        "doc_id",
+        F.when(F.size(band_arr) > 0, band_arr).otherwise(sentinel).alias("bh"),
+    ).collect()
+    return {r["doc_id"]: list(r["bh"]) for r in rows}
+
+
+def _simulate(batches: list[list[int]], bands_of: dict[int, list[str]]) -> set[int]:
+    """Sequential replay of _band_claim_fold: per batch, the min doc_id in
+    the batch claims an unclaimed band; a doc is admitted iff it claims
+    every one of its bands."""
+    claimed: set[str] = set()
+    admitted: set[int] = set()
+    for batch in batches:
+        flags = {d: False for d in batch}
+        groups: dict[str, list[int]] = {}
+        for d in batch:
+            for b in bands_of[d]:
+                groups.setdefault(b, []).append(d)
+        for b, ds in groups.items():
+            winner = min(ds)
+            for d in ds:
+                if d != winner or b in claimed:
+                    flags[d] = True
+            claimed.add(b)
+        admitted |= {d for d, f in flags.items() if not f}
+    return admitted
+
+
+def test_streaming_minhash_multibatch_matches_simulation(spark, sf_dir, tmp_path):
+    """3 interleaved micro-batches (doc_id % 3 — NOT id-ordered, so the
+    sequential result genuinely differs from a single global pass): the
+    streaming run must equal the simulation, proving band claims cross the
+    state store between batches."""
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    src = str(tmp_path / "docs_split")
+    os.makedirs(src, exist_ok=True)
+    base = os.stat(src).st_mtime
+    batches = []
+    for i in range(3):
+        part = docs.filter(F.col("doc_id") % 3 == i)
+        seg_dir = str(tmp_path / f"seg{i}")
+        part.coalesce(1).write.mode("overwrite").parquet(seg_dir)
+        import glob
+        import shutil
+
+        f = glob.glob(os.path.join(seg_dir, "part-*.parquet"))[0]
+        dst = os.path.join(src, f"{i:03d}.parquet")
+        shutil.copy(f, dst)
+        os.utime(dst, (base + i * 10, base + i * 10))  # mtime replay order
+        batches.append([r["doc_id"] for r in part.select("doc_id").collect()])
+
+    got = {
+        r["doc_id"]
+        for r in run_streaming_dedup_minhash(
+            spark,
+            src,
+            checkpoint_dir=str(tmp_path / "ckpt_mh"),
+            max_files_per_trigger=1,
+        ).collect()
+    }
+    bands_of = _doc_bands(spark, docs)
+    want = _simulate(batches, bands_of)
+    assert got == want
+    assert 0 < len(got) < docs.count()
+    # the interleaved split must make the sequential result differ from the
+    # single-pass one, or this test would not prove cross-batch state
+    single = _simulate([sorted(b for bs in batches for b in bs)], bands_of)
+    assert want != single
+
+
+def test_streaming_minhash_sentinel_admits_short_docs(spark, tmp_path):
+    """Docs with < 3 tokens (no shingles) get a unique sentinel band and
+    are always admitted; identical long docs collide on all bands and only
+    the min doc_id survives."""
+    rows = [
+        (1, "alpha beta gamma delta epsilon zeta eta theta"),
+        (2, "alpha beta gamma delta epsilon zeta eta theta"),  # exact dup of 1
+        (3, "hi"),  # < 3 tokens -> sentinel
+        (4, ""),  # empty -> sentinel
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    p = str(tmp_path / "tiny.parquet")
+    df.coalesce(1).write.mode("overwrite").parquet(p)
+    got = {
+        r["doc_id"]
+        for r in run_streaming_dedup_minhash(
+            spark, p, checkpoint_dir=str(tmp_path / "ckpt_tiny")
+        ).collect()
+    }
+    assert got == {1, 3, 4}
