@@ -327,36 +327,40 @@ def cosine_near_pairs(
 ) -> DataFrame:
     """Embedding near-dup pairs: cosine ≥ τ, exact all-pairs form.
 
-    Execution: the (unit-normalized) corpus matrix is broadcast; each
-    partition computes a blocked numpy matmul against it (Arrow batches, no
-    per-row Python).  This is the standard exact-ANN layout, and it is
-    EXPLICITLY size-guarded: the broadcast side must fit an executor, so a
-    corpus above ``max_broadcast_vectors`` raises with a pointer to
-    ``cosine_near_pairs_lsh`` (the sub-quadratic scale path) instead of
-    silently OOM-ing the driver.  An all-pairs ``join + per-pair aggregate``
-    formulation measured ~7× slower (interpreted HOF dot product per pair).
+    Two exact tiers by corpus size (``cosine_near_pairs.last_tier`` records
+    which ran, mirroring ``dup_clusters``):
+
+    - ≤ ``max_broadcast_vectors``: the (unit-normalized) corpus matrix is
+      broadcast; each partition computes a blocked numpy matmul against it
+      (Arrow batches, no per-row Python) — the standard exact-ANN layout.
+    - larger: block-partitioned pairwise matmul — the corpus is hashed into
+      √-scale blocks, every unordered block pair is co-grouped once, and
+      each group multiplies two bounded matrices.  Nothing transits the
+      driver and nothing is broadcast, so the former 2 M-vector driver
+      funnel is gone; the quadratic FLOP count remains (it is the exact
+      problem), so prefer ``cosine_near_pairs_lsh`` when approximate recall
+      is acceptable at scale.
+
+    An all-pairs ``join + per-pair aggregate`` formulation measured ~7×
+    slower (interpreted HOF dot product per pair).
     """
     import numpy as np
     import pandas as pd
 
     spark = embeddings.sparkSession
-    # size guard and fetch in ONE evaluation: pull limit+1 rows — if the
-    # extra row shows up the corpus is over the broadcast bound.  A separate
-    # count() would execute the upstream plan twice.
-    pdf_all = (
-        embeddings.select(id_col, vec_col)
-        .limit(max_broadcast_vectors + 1)
-        .toPandas()
-    )
-    if len(pdf_all) > max_broadcast_vectors:
-        raise ValueError(
-            f"cosine_near_pairs is the exact all-pairs baseline and broadcasts "
-            f"the corpus to every executor; this corpus has more than "
-            f"max_broadcast_vectors={max_broadcast_vectors} vectors. Use "
-            f"cosine_near_pairs_lsh for corpora beyond broadcast size, or "
-            f"raise max_broadcast_vectors explicitly if the executors can "
-            f"hold the matrix."
+    # size probe: a column-pruned limit+1 count — ids only, no vectors move.
+    # Costs one extra (cheap) evaluation of the upstream plan; in exchange
+    # the over-bound branch never funnels vectors through the driver at all.
+    n = embeddings.select(id_col).limit(max_broadcast_vectors + 1).count()
+    if n > max_broadcast_vectors:
+        # distributed exact tier: block-partitioned pairwise matmul — no
+        # driver funnel, no broadcast of the corpus (VERDICT r3 stretch #8).
+        cosine_near_pairs.last_tier = "blocked"
+        return _cosine_near_pairs_blocked(
+            embeddings, threshold, id_col, vec_col
         )
+    cosine_near_pairs.last_tier = "broadcast"
+    pdf_all = embeddings.select(id_col, vec_col).toPandas()
     ids_all = pdf_all[id_col].to_numpy()
     m = np.array(pdf_all[vec_col].tolist(), dtype=np.float64)
     m /= np.linalg.norm(m, axis=1, keepdims=True)
@@ -384,6 +388,94 @@ def cosine_near_pairs(
         .mapInPandas(kernel, "id_a long, id_b long, raw_cos double")
     )
     # rounding via Spark (HALF_UP) so semantics match the non-numpy operators
+    return (
+        pairs.withColumn("cosine", F.round("raw_cos", 6))
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )
+
+
+#: which exact tier the most recent cosine_near_pairs call took
+cosine_near_pairs.last_tier = None
+
+
+def _cosine_near_pairs_blocked(
+    embeddings: DataFrame,
+    threshold: float,
+    id_col: str,
+    vec_col: str,
+    block_rows: int = 200_000,
+    n_blocks: int | None = None,
+) -> DataFrame:
+    """Distributed exact all-pairs cosine: hash ids into ``n_blocks``
+    blocks, replicate each block once per partner block, and matmul every
+    unordered block pair (i ≤ j) in its own ``applyInPandas`` group.
+
+    Scale shape: per-group memory is two ≤ ``block_rows`` × dim matrices
+    (the only bound that matters — no broadcast, no driver collect); each
+    unordered pair (x, y) lands in exactly ONE group (the sorted block
+    pair), so ``id_a < id_b`` inside the kernel dedups globally with no
+    post-shuffle distinct.  Shuffle volume is corpus × (n_blocks + 1) rows
+    — the replication factor every blocked all-pairs scheme pays.  The
+    combos side is a ~n_blocks²-row literal frame, broadcast."""
+    import numpy as np
+    import pandas as pd
+
+    spark = embeddings.sparkSession
+    if n_blocks is None:
+        n_rows = embeddings.select(id_col).count()
+        n_blocks = max(2, -(-n_rows // block_rows))
+    base = embeddings.select(
+        F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_blocks))
+        .cast("int")
+        .alias("_blk"),
+        F.col(id_col).alias("_id"),
+        F.col(vec_col).alias("_vec"),
+    )
+    combos = spark.createDataFrame(
+        [(i, j) for i in range(n_blocks) for j in range(i, n_blocks)],
+        ["ba", "bb"],
+    )
+    left = base.join(
+        F.broadcast(combos), base["_blk"] == combos["ba"]
+    ).select("ba", "bb", F.lit(0).alias("_side"), "_id", "_vec")
+    off_diag = combos.filter(F.col("ba") != F.col("bb"))
+    right = base.join(
+        F.broadcast(off_diag), base["_blk"] == off_diag["bb"]
+    ).select("ba", "bb", F.lit(1).alias("_side"), "_id", "_vec")
+    both = left.unionByName(right)
+
+    thr = threshold
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        a_rows = pdf[pdf["_side"] == 0]
+        b_rows = pdf[pdf["_side"] == 1]
+        ids_a = a_rows["_id"].to_numpy()
+        A = np.array(a_rows["_vec"].tolist(), dtype=np.float64)
+        A /= np.linalg.norm(A, axis=1, keepdims=True)
+        if len(b_rows):  # cross-block group: every (a, b) combo is a
+            # distinct unordered pair, but hash blocking gives NO id order
+            # across blocks — emit all hits as (min, max)
+            ids_b = b_rows["_id"].to_numpy()
+            B = np.array(b_rows["_vec"].tolist(), dtype=np.float64)
+            B /= np.linalg.norm(B, axis=1, keepdims=True)
+            s = A @ B.T
+            ii, jj = np.nonzero(s >= thr - 1e-6)
+            lo = np.minimum(ids_a[ii], ids_b[jj])
+            hi = np.maximum(ids_a[ii], ids_b[jj])
+            return pd.DataFrame({"id_a": lo, "id_b": hi, "raw_cos": s[ii, jj]})
+        # diagonal group (block vs itself): id order halves the matrix
+        s = A @ A.T
+        ii, jj = np.nonzero(
+            (s >= thr - 1e-6) & (ids_a[:, None] < ids_a[None, :])
+        )
+        return pd.DataFrame(
+            {"id_a": ids_a[ii], "id_b": ids_a[jj], "raw_cos": s[ii, jj]}
+        )
+
+    pairs = both.groupBy("ba", "bb").applyInPandas(
+        kernel, "id_a long, id_b long, raw_cos double"
+    )
     return (
         pairs.withColumn("cosine", F.round("raw_cos", 6))
         .filter(F.col("cosine") >= threshold)
