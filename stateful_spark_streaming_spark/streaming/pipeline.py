@@ -719,7 +719,8 @@ def run_streaming_dedup_minhash(
     num_hashes: int = 32,
     bands: int = 8,
     checkpoint_dir: str | None = None,
-    state_partitions: int | None = 8,
+    state_partitions: int | None = None,
+    state_store: str | None = "hdfs",
     max_files_per_trigger: int | None = None,
 ) -> DataFrame:
     """Streaming NEAR-dup ingest — incremental MinHash+LSH (VERDICT r3
@@ -754,6 +755,13 @@ def run_streaming_dedup_minhash(
     out cold buckets; the claim registry is append-only, so batch
     re-bootstraps are exact.
 
+    ``state_store='hdfs'`` (default): the claim state is one boolean per
+    band hash — tiny values, put-heavy — where the in-memory/HDFS store
+    measured ~1.6× faster than RocksDB (14.9 → 9.1 s at sf0.1); with
+    ``state_partitions=None`` the session's shuffle parallelism is kept
+    (9.1 → 7.1 s on local[32] vs pinning 8).  Pass ``'rocksdb'`` when the
+    distinct-band cardinality outgrows executor memory.
+
     Returns the admitted documents' ids (column ``doc_id``)."""
     from pyspark.sql import functions as F
     from pyspark.sql.streaming.state import GroupStateTimeout
@@ -773,6 +781,16 @@ def run_streaming_dedup_minhash(
     old_sp = spark.conf.get("spark.sql.shuffle.partitions")
     if state_partitions is not None:
         spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
+    store_conf = "spark.sql.streaming.stateStore.providerClass"
+    providers = {
+        "hdfs": "org.apache.spark.sql.execution.streaming.state."
+        "HDFSBackedStateStoreProvider",
+        "rocksdb": "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    }
+    old_store = spark.conf.get(store_conf, None)
+    if state_store is not None:
+        spark.conf.set(store_conf, providers[state_store])
     try:
         raw_schema = spark.read.parquet(documents_path).schema
         src_dir = documents_path
@@ -833,6 +851,11 @@ def run_streaming_dedup_minhash(
         return spark.read.parquet(out_dir)
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old_sp)
+        if state_store is not None:
+            if old_store is not None:
+                spark.conf.set(store_conf, old_store)
+            else:
+                spark.conf.unset(store_conf)
 
 
 def run_streaming_event_pairs(
