@@ -44,7 +44,14 @@ def main() -> None:
     # The chained mapInPandas warms a SECOND worker tier: each Python stage in
     # a task pipeline gets its own worker pool, and spawning ~32 extra
     # interpreters costs seconds that belong to process startup, not a query.
-    spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).count()
+    # touch every table once (footers + page cache; ≤ 11 MB each at sf0.1)
+    # so first-scan IO lands in cold_total, not on whichever query now runs
+    # first — the r4 rotation put heavy queries at the head of the order.
+    for t in (
+        "region nation customer supplier part orders lineitem events "
+        "documents embeddings"
+    ).split():
+        spark.read.parquet(os.path.join(sf_dir, f"{t}.parquet")).count()
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     (
         spark.range(256)
