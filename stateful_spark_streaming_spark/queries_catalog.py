@@ -1956,6 +1956,47 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "streaming_decontaminate",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, {_TOKS_SQL} AS t FROM documents),
+    g AS (SELECT doc_id,
+                 CASE WHEN len(t) >= 5
+                      THEN list_transform(range(1, len(t) - 3), i ->
+                           t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]
+                           || ' ' || t[i+4])
+                      ELSE [] END AS s
+          FROM toks),
+    ev AS (SELECT DISTINCT unnest(s) AS shingle FROM g WHERE doc_id % 97 = 0),
+    tr AS (SELECT doc_id, s FROM g WHERE doc_id % 97 <> 0)
+    SELECT DISTINCT t.doc_id
+    FROM (SELECT doc_id, unnest(s) AS shingle FROM tr) t
+    JOIN ev USING (shingle)
+    """,
+)
+def q_streaming_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming decontamination — ingest-time form of ``decontaminate``:
+    training docs stream in, the eval suite's distinct 5-gram shingles are
+    a static broadcast side, and any stream doc sharing a shingle is
+    emitted as contaminated.  Stateless stream-static semi join: the
+    training firehose never shuffles."""
+    import os as _os
+
+    from stateful_spark_streaming_spark.streaming.pipeline import (
+        run_streaming_decontaminate,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    out = run_streaming_decontaminate(
+        spark,
+        _os.path.join(sf_dir, "documents.parquet"),
+        eval_df=docs.filter(F.col("doc_id") % 97 == 0),
+        k=5,
+        train_filter=F.col("doc_id") % 97 != 0,
+    )
+    return out.select("doc_id")
+
+
+@query(
     "token_budget_mix",
     oracle=f"""
     WITH base AS (
@@ -2326,6 +2367,7 @@ _CHEAP_FIRST = [
     "embedding_dup_clusters", "streaming_session_windows",
     # new this round — must land inside the 50-entry window
     "streaming_session_windows_append", "streaming_dedup_minhash",
+    "streaming_decontaminate",
     "cosine_near_pairs_lsh", "dedup_minhash_lsh",
     "streaming_track_snapshot", "state_store_snapshot",
     "dedup_simhash", "streaming_event_pairs", "training_pipeline",

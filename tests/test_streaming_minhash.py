@@ -111,3 +111,53 @@ def test_streaming_minhash_sentinel_admits_short_docs(spark, tmp_path):
         ).collect()
     }
     assert got == {1, 3, 4}
+
+
+def test_streaming_decontaminate_multibatch(spark, tmp_path):
+    """Stream-static decontamination across 2 micro-batches: contaminated
+    docs from BOTH batches are flagged exactly once; clean docs never
+    appear.  The eval side is static/broadcast — no state store involved."""
+    from pyspark.sql import functions as F
+
+    from stateful_spark_streaming_spark.streaming.pipeline import (
+        run_streaming_decontaminate,
+    )
+
+    eval_rows = [(100, "the quick brown fox jumps over the lazy dog")]
+    train_rows = [
+        (1, "a quick brown fox jumped over a fence"),  # no shared 5-gram
+        (2, "quick brown fox jumps over the lazy dog today"),  # batch 1 hit
+        (3, "completely unrelated text about spark streaming state stores"),
+        (4, "the quick brown fox jumps over the moon"),  # batch 2 hit
+    ]
+    eval_df = spark.createDataFrame(eval_rows, ["doc_id", "text"])
+    src = str(tmp_path / "train_stream")
+    os.makedirs(src, exist_ok=True)
+    base = os.stat(src).st_mtime
+    for i, batch in enumerate([train_rows[:2], train_rows[2:]]):
+        seg = str(tmp_path / f"tseg{i}")
+        spark.createDataFrame(batch, ["doc_id", "text"]).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(seg)
+        import glob
+        import shutil
+
+        f = glob.glob(os.path.join(seg, "part-*.parquet"))[0]
+        dst = os.path.join(src, f"{i:03d}.parquet")
+        shutil.copy(f, dst)
+        os.utime(dst, (base + i * 10, base + i * 10))
+
+    got = {
+        r["doc_id"]
+        for r in run_streaming_decontaminate(
+            spark,
+            src,
+            eval_df=eval_df,
+            k=5,
+            checkpoint_dir=str(tmp_path / "ckpt_decon"),
+            max_files_per_trigger=1,
+        ).collect()
+    }
+    # doc 2 (batch 1) shares "quick brown fox jumps over"; doc 4 (batch 2)
+    # shares "the quick brown fox jumps"; docs 1 and 3 have no shared 5-gram
+    assert got == {2, 4}
