@@ -942,7 +942,10 @@ def run_streaming_decontaminate(
         .distinct()
     )
     hits = (
-        stream.select(
+        # spread first: a single-file replay batch is ONE partition, which
+        # would serialize the per-row shingle HOFs into one task
+        stream.repartition(spark.sparkContext.defaultParallelism)
+        .select(
             F.col(id_col).alias("doc_id"),
             F.explode(shingles(F.col(text_col), k)).alias("shingle"),
         )
