@@ -285,3 +285,33 @@ def test_minhash_band_kernels_bit_identical(spark, sf_dir):
     }
     assert np_rows == hof
     assert len(np_rows) > 0
+
+
+def test_dup_clusters_frees_superseded_checkpoints(spark):
+    """The distributed tier localCheckpoints every 3rd round; a long chain
+    (diameter 12 -> >=4 checkpoint rounds) must leave at most ONE
+    checkpoint's blocks in the block manager afterwards — superseded
+    checkpoints are freed via the LogicalRDD handle (DataFrame.unpersist
+    is a no-op on checkpointed frames in Spark 4, so without the explicit
+    free they'd accumulate one label-set per checkpoint round)."""
+    from pyspark.sql import Row
+
+    from stateful_spark_streaming_spark.operators.dedup import dup_clusters
+
+    jsc = spark.sparkContext._jsc.sc()
+
+    def n_cached_rdds():
+        return len([i for i in jsc.getRDDStorageInfo()])
+
+    before = n_cached_rdds()
+    chain = spark.createDataFrame(
+        [Row(doc_a=i, doc_b=i + 1) for i in range(100, 112)]
+    )
+    got = {r.doc_id: r.cluster_rep
+           for r in dup_clusters(chain, max_driver_edges=0).collect()}
+    assert got == {i: 100 for i in range(100, 113)}
+    # allowed residue: the final checkpoint + the returned frame's cache
+    # (+ sym was unpersisted); anything more means superseded checkpoint
+    # blocks leaked
+    after = n_cached_rdds()
+    assert after - before <= 2, f"leaked cached RDDs: {before} -> {after}"
