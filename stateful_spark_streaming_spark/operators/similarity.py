@@ -483,6 +483,31 @@ def _cosine_near_pairs_blocked(
     )
 
 
+def _rademacher_planes(n_planes_total: int, dim: int, seed: int):
+    """±1 hyperplane matrix with md5-derived entries: plane p, component d
+    is +1 iff the first hex char of md5('hp:<seed>:<p>:<d>') is even.
+    Deterministic across processes and re-derivable in SQL (DuckDB:
+    ('0x' || substring(md5(...), 1, 1))::INT % 2)."""
+    import hashlib
+
+    import numpy as np
+
+    return np.array(
+        [
+            [
+                1.0
+                if int(hashlib.md5(f"hp:{seed}:{p}:{d}".encode()).hexdigest()[0], 16)
+                % 2
+                == 0
+                else -1.0
+                for d in range(dim)
+            ]
+            for p in range(n_planes_total)
+        ],
+        dtype=np.float64,
+    )
+
+
 def cosine_near_pairs_lsh(
     embeddings: DataFrame,
     threshold: float = 0.9,
@@ -495,9 +520,11 @@ def cosine_near_pairs_lsh(
     """Random-hyperplane LSH: bucket = sign pattern of n_planes projections;
     pairs colliding in ≥1 of n_tables tables are verified exactly.
 
-    Hyperplanes are deterministic (numpy seeded) and live in the UDF
-    closure — broadcast cost is n_tables × n_planes × dim floats,
-    independent of data.
+    Hyperplanes are md5-derived ±1 Rademacher matrices (see
+    ``_rademacher_planes``) living in the UDF closure — deterministic
+    across processes, re-derivable in DuckDB (the catalog query carries a
+    full hash-matched oracle), broadcast cost n_tables × n_planes × dim
+    floats, independent of data.
 
     All n_tables × n_planes sign bits come from ONE Arrow-batched matmul
     per partition (batch × (n_tables·n_planes) GEMM, then bit-packing) —
@@ -516,9 +543,14 @@ def cosine_near_pairs_lsh(
     from stateful_spark_streaming_spark.operators.dedup import banded_candidate_pairs
 
     dim = len(embeddings.select(vec_col).first()[0])
-    rng = np.random.RandomState(seed)
-    # (n_tables*n_planes, dim) — one GEMM computes every table's projections
-    all_planes = rng.randn(n_tables * n_planes, dim)
+    # (n_tables*n_planes, dim) — one GEMM computes every table's projections.
+    # RADEMACHER (±1) planes derived from md5, not numpy Gaussians: sign-of-
+    # projection against ±1 planes is the same SRP-LSH family for angular
+    # similarity, and md5 derivation makes every plane entry reproducible in
+    # DuckDB — which upgrades this query from rows-only to a full
+    # hash-matched oracle (signatures → banding → candidates → exact
+    # verification), the same move that made MinHash oracle-exact in r3.
+    all_planes = _rademacher_planes(n_tables * n_planes, dim, seed)
     weights = (1 << np.arange(n_planes, dtype=np.int64))
 
     @F.pandas_udf(ArrayType(LongType()))

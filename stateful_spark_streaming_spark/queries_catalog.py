@@ -2241,7 +2241,49 @@ def q_cosine_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.ivf_topk(emb, queries_df, k=5, n_centroids=8, nprobe=2, index=index)
 
 
-@query("cosine_near_pairs_lsh")  # approximate candidate gen → rows-only check
+# EXACT oracle for hyperplane LSH (r4): the planes are md5-derived ±1
+# Rademacher entries, so DuckDB re-derives the ENTIRE pipeline —
+# projections, sign patterns, banding (with the operator's 2000 hot-bucket
+# cap), candidate enumeration, exact-cosine verification.  Sign bits are
+# robust to summation-order FP differences because every product is
+# EXACTLY ±v[d] (no multiply rounding); a flip would need |projection|
+# within ~1e-16 of zero.
+@query(
+    "cosine_near_pairs_lsh",
+    oracle="""
+    WITH pw AS (
+      SELECT p, d,
+             CASE WHEN ('0x' || substring(md5('hp:42:' || CAST(p AS VARCHAR)
+                        || ':' || CAST(d AS VARCHAR)), 1, 1))::INT % 2 = 0
+                  THEN 1.0 ELSE -1.0 END AS w
+      FROM range(32) tp(p) CROSS JOIN range(64) td(d)),
+    planes AS (SELECT p, list(w ORDER BY d) AS wl FROM pw GROUP BY p),
+    proj AS (SELECT e.vec_id, pl.p,
+                    list_inner_product(e.embedding::DOUBLE[], pl.wl) AS s
+             FROM embeddings e CROSS JOIN planes pl),
+    keys AS (SELECT vec_id, p // 4 AS band_id,
+                    CAST(sum(CASE WHEN s > 0 THEN 1 << (p % 4) ELSE 0 END)
+                         AS BIGINT) AS band_hash
+             FROM proj GROUP BY vec_id, p // 4),
+    okb AS (SELECT band_id, band_hash FROM keys GROUP BY band_id, band_hash
+            HAVING count(*) BETWEEN 2 AND 2000),
+    cand AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+             FROM keys a
+             JOIN keys b ON a.band_id = b.band_id
+                        AND a.band_hash = b.band_hash
+                        AND a.vec_id < b.vec_id
+             JOIN okb ON okb.band_id = a.band_id
+                     AND okb.band_hash = a.band_hash)
+    SELECT c.id_a, c.id_b,
+           round(list_cosine_similarity(ea.embedding::DOUBLE[],
+                                        eb.embedding::DOUBLE[]), 6) AS cosine
+    FROM cand c
+    JOIN embeddings ea ON ea.vec_id = c.id_a
+    JOIN embeddings eb ON eb.vec_id = c.id_b
+    WHERE round(list_cosine_similarity(ea.embedding::DOUBLE[],
+                                       eb.embedding::DOUBLE[]), 6) >= 0.4
+    """,
+)
 def q_cosine_near_pairs_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # few planes / many tables: this corpus's "near" pairs top out at cosine
     # ~0.5, so per-plane agreement is only ~0.63 — shorter signatures keep
