@@ -2241,6 +2241,33 @@ def q_cosine_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.ivf_topk(emb, queries_df, k=5, n_centroids=8, nprobe=2, index=index)
 
 
+@query("streaming_ivf_topk")  # approximate by construction → rows-only check
+def q_streaming_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Micro-batch ANN serving: the query vectors arrive as a STREAM and
+    probe the same persisted IVF index the batch query uses — streaming ≡
+    batch for the same query set (asserted by pytest; approximate vs
+    brute force by construction, hence rows-only here)."""
+    import tempfile
+
+    from stateful_spark_streaming_spark.streaming.pipeline import (
+        run_streaming_ivf_topk,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    tag = _fixture_tag(sf_dir, "embeddings")
+    idx_path = os.path.join(tempfile.gettempdir(), f"sss_ivf_idx_{tag}_c8")
+    SIM.ivf_build_or_load(emb, idx_path, n_centroids=8)  # ensure built
+    out = run_streaming_ivf_topk(
+        spark,
+        os.path.join(sf_dir, "embeddings.parquet"),
+        idx_path,
+        k=5,
+        nprobe=2,
+        query_filter=F.col("vec_id") < 20,
+    )
+    return out.select("query_id", "rank", "neighbor_id", "cosine")
+
+
 # EXACT oracle for hyperplane LSH (r4): the planes are md5-derived ±1
 # Rademacher entries, so DuckDB re-derives the ENTIRE pipeline —
 # projections, sign patterns, banding (with the operator's 2000 hot-bucket
@@ -2409,7 +2436,7 @@ _CHEAP_FIRST = [
     "embedding_dup_clusters", "streaming_session_windows",
     # new this round — must land inside the 50-entry window
     "streaming_session_windows_append", "streaming_dedup_minhash",
-    "streaming_decontaminate",
+    "streaming_decontaminate", "streaming_ivf_topk",
     "cosine_near_pairs_lsh", "dedup_minhash_lsh",
     "streaming_track_snapshot", "state_store_snapshot",
     "dedup_simhash", "streaming_event_pairs", "training_pipeline",

@@ -967,6 +967,88 @@ def run_streaming_decontaminate(
     return spark.read.parquet(out_dir)
 
 
+def run_streaming_ivf_topk(
+    spark: SparkSession,
+    queries_path: str,
+    index_path: str,
+    k: int = 5,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_filter=None,
+    checkpoint_dir: str | None = None,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """Micro-batch ANN SERVING: a stream of query vectors probed against a
+    PERSISTED IVF index — the online lifecycle (`ivf_build_or_load` at
+    ingest time, probe-only at query time) driven by Structured Streaming.
+    Each micro-batch runs the identical probe plan the batch
+    ``cosine_topk_ivf`` query runs (centroid assignment map-side, cell
+    equi-join against the cell-partitioned index, per-query top-k), so
+    streaming ≡ batch exactly for the same query set — asserted by pytest.
+
+    The top-k window is per-query and every query lives wholly inside its
+    arrival batch, so running it inside ``foreachBatch`` is batch-local
+    and exact — this is how rank-per-key logic (unsupported on unbounded
+    streams without a watermark) is expressed in the serving shape.  At
+    scale the index side is the big one (cell-partitioned parquet, probe
+    prunes partitions at the scan) and the per-batch query side is small."""
+    from pyspark.sql import functions as F
+
+    from stateful_spark_streaming_spark.operators.similarity import (
+        ivf_load_index,
+        ivf_topk,
+    )
+
+    checkpoint_dir = checkpoint_dir or tempfile.mkdtemp(prefix="sss_ckpt_ivfq_")
+    out_dir = checkpoint_dir + "_out"
+    index = ivf_load_index(spark, index_path)
+    raw_schema = spark.read.parquet(queries_path).schema
+    src_dir = queries_path
+    if os.path.isfile(queries_path):
+        src_dir = tempfile.mkdtemp(prefix="sss_stream_q_")
+        os.symlink(
+            os.path.abspath(queries_path), os.path.join(src_dir, "part-0.parquet")
+        )
+    reader = spark.readStream.schema(raw_schema).format("parquet")
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    stream = reader.load(src_dir)
+    if query_filter is not None:
+        stream = stream.filter(query_filter)
+
+    # embeddings frame for the corpus side of ivf_topk: the index itself
+    emb = index[0].drop("cell")
+
+    def _probe(bdf: DataFrame, batch_id: int) -> None:
+        if not bdf.take(1):
+            return
+        (
+            ivf_topk(
+                emb,
+                bdf,
+                k=k,
+                nprobe=nprobe,
+                id_col=id_col,
+                vec_col=vec_col,
+                index=index,
+            )
+            .coalesce(2)
+            .write.mode("append")
+            .parquet(out_dir)
+        )
+
+    q = (
+        stream.writeStream.foreachBatch(_probe)
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.read.parquet(out_dir)
+
+
 def run_streaming_event_pairs(
     spark: SparkSession,
     events_path: str,

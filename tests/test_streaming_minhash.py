@@ -161,3 +161,59 @@ def test_streaming_decontaminate_multibatch(spark, tmp_path):
     # doc 2 (batch 1) shares "quick brown fox jumps over"; doc 4 (batch 2)
     # shares "the quick brown fox jumps"; docs 1 and 3 have no shared 5-gram
     assert got == {2, 4}
+
+
+def test_streaming_ivf_topk_equals_batch(spark, sf_dir, tmp_path):
+    """Micro-batch ANN serving across 2 query micro-batches must equal the
+    batch ivf_topk on the same query set against the same persisted index
+    — probe plans are identical, only the driver differs."""
+    from stateful_spark_streaming_spark.operators import similarity as SIM
+    from stateful_spark_streaming_spark.sources.tables import load_table
+    from stateful_spark_streaming_spark.streaming.pipeline import (
+        run_streaming_ivf_topk,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    idx_path = str(tmp_path / "ivf_idx")
+    index = SIM.ivf_build_or_load(emb, idx_path, n_centroids=8)
+
+    queries = emb.filter(F.col("vec_id") < 20)
+    want = sorted(
+        tuple(r)
+        for r in SIM.ivf_topk(emb, queries, k=5, nprobe=2, index=index)
+        .select("query_id", "rank", "neighbor_id", "cosine")
+        .collect()
+    )
+
+    # split queries into 2 files replayed one per micro-batch
+    src = str(tmp_path / "qstream")
+    os.makedirs(src, exist_ok=True)
+    base = os.stat(src).st_mtime
+    for i, cond in enumerate([F.col("vec_id") < 10,
+                              (F.col("vec_id") >= 10) & (F.col("vec_id") < 20)]):
+        seg = str(tmp_path / f"qseg{i}")
+        queries.filter(cond).coalesce(1).write.mode("overwrite").parquet(seg)
+        import glob
+        import shutil
+
+        f = glob.glob(os.path.join(seg, "part-*.parquet"))[0]
+        dst = os.path.join(src, f"{i:03d}.parquet")
+        shutil.copy(f, dst)
+        os.utime(dst, (base + i * 10, base + i * 10))
+
+    got = sorted(
+        tuple(r)
+        for r in run_streaming_ivf_topk(
+            spark,
+            src,
+            idx_path,
+            k=5,
+            nprobe=2,
+            checkpoint_dir=str(tmp_path / "ckpt_ivfq"),
+            max_files_per_trigger=1,
+        )
+        .select("query_id", "rank", "neighbor_id", "cosine")
+        .collect()
+    )
+    assert got == want
+    assert len(got) > 0
