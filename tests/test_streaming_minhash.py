@@ -217,3 +217,44 @@ def test_streaming_ivf_topk_equals_batch(spark, sf_dir, tmp_path):
     )
     assert got == want
     assert len(got) > 0
+
+
+def test_streaming_minhash_restart_resumes_claims(spark, tmp_path):
+    """The ingest filter's claim state must survive a RESTART: a second
+    availableNow run over new files, same checkpoint, must suppress docs
+    colliding with bands claimed in the FIRST run — the incremental-corpus
+    lifecycle (data lands, job restarts, claims persist in the store)."""
+    text = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    src = str(tmp_path / "ingest")
+    os.makedirs(src, exist_ok=True)
+    ck = str(tmp_path / "ckpt_restart")
+
+    def land(fname, rows, mtime):
+        seg = str(tmp_path / ("seg_" + fname))
+        spark.createDataFrame(rows, ["doc_id", "text"]).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(seg)
+        import glob
+        import shutil
+
+        f = glob.glob(os.path.join(seg, "part-*.parquet"))[0]
+        dst = os.path.join(src, fname)
+        shutil.copy(f, dst)
+        os.utime(dst, (mtime, mtime))
+
+    base = os.stat(src).st_mtime
+    land("000.parquet", [(1, text), (2, "totally different words here entirely")], base)
+    got1 = {
+        r["doc_id"]
+        for r in run_streaming_dedup_minhash(spark, src, checkpoint_dir=ck).collect()
+    }
+    assert got1 == {1, 2}
+
+    # second run: doc 3 duplicates doc 1's text (suppressed by claims from
+    # run ONE), doc 4 is new (admitted)
+    land("001.parquet", [(3, text), (4, "yet another unrelated document body")], base + 10)
+    got2 = {
+        r["doc_id"]
+        for r in run_streaming_dedup_minhash(spark, src, checkpoint_dir=ck).collect()
+    }
+    assert got2 == {1, 2, 4}, "claims from the first run did not survive restart"
