@@ -458,27 +458,23 @@ def minhash_lsh_pairs(
     persisted and stay cached past the caller's action (see jaccard_pairs
     docstring for the clearCache / write-to-storage guidance).
     """
-    rows_per_band = num_hashes // bands
-    sig = minhash_signatures(df, text_col, id_col, k, num_hashes)
-    # band hash = md5 over (band id, the band's signature slice): the band id
-    # inside the hash makes cross-band collisions impossible, so a DuckDB
-    # oracle may join on band_hash alone and enumerate the SAME candidates
-    band_hashes = F.array(
-        *[
-            F.md5(
-                F.concat_ws(
-                    "|",
-                    F.lit(str(b)),
-                    *[F.col(f"h{b * rows_per_band + r}") for r in range(rows_per_band)],
-                )
-            )
-            for b in range(bands)
-        ]
+    # Band hashes come MAP-SIDE from the Arrow numpy kernel (bit-identical
+    # to the explode→groupBy minhash_signatures path — pytested), which
+    # ELIMINATES the signature-aggregation shuffle entirely: the only
+    # shuffle left before verification is the candidate bucket grouping.
+    # The band md5 embeds the band id, so cross-band collisions are
+    # impossible and band_id can be constant in the bucket key (the DuckDB
+    # oracle joins on band_hash alone and enumerates the SAME candidates).
+    # Sentinel rows for < k-token docs are unique per doc — they can never
+    # form a bucket of 2, so they contribute no pairs, matching the old
+    # path which dropped shingle-less docs before signatures.
+    band_rows = minhash_band_rows_mapinpandas(
+        _spread(df), text_col, id_col, k, num_hashes, bands
     )
-    # candidates: one posexplode to (band_id, band_hash), ONE bucket shuffle
-    items = sig.select(
-        F.struct(F.col("doc").alias("id")).alias("item"),
-        F.posexplode(band_hashes).alias("band_id", "band_hash"),
+    items = band_rows.select(
+        F.lit(0).alias("band_id"),
+        "band_hash",
+        F.struct(F.col("doc_id").alias("id")).alias("item"),
     )
     cands = banded_candidate_pairs(items).select(
         F.col("a.id").alias("doc_a"), F.col("b.id").alias("doc_b")
@@ -721,6 +717,50 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> Da
     return sums.select(F.col("doc").alias("doc_id"), fp.alias("simhash64"))
 
 
+def simhash_fingerprints_mapinpandas(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(doc_id, simhash64) via an Arrow numpy kernel — BIT-IDENTICAL to
+    ``simhash`` (pytested) but with NO shuffle: the explode→60-conditional-
+    sum aggregation becomes one md5 per token plus a vectorized
+    bit-matrix column sum per doc.  Token MULTISET semantics preserved
+    (duplicates count; the empty-string token from empty text included),
+    matching the exploded batch path and the DuckDB oracle."""
+    import hashlib
+    import re as _re
+
+    import numpy as np
+    import pandas as pd
+
+    nonword = _re.compile(r"[^a-z0-9]+")
+    bit_idx = np.arange(SIMHASH_BITS, dtype=np.int64)
+
+    def kernel(batches):
+        for pdf in batches:
+            ids: list = []
+            fps: list = []
+            for doc_id, text in zip(pdf[id_col], pdf[text_col]):
+                toks = nonword.sub(" ", str(text).lower()).strip().split(" ")
+                hs = np.array(
+                    [
+                        int(hashlib.md5(t.encode()).hexdigest()[:15], 16)
+                        for t in toks
+                    ],
+                    dtype=np.int64,
+                )
+                signs = (((hs[:, None] >> bit_idx[None, :]) & 1) * 2 - 1).sum(
+                    axis=0
+                )
+                fp = int(((signs > 0).astype(np.int64) << bit_idx).sum())
+                ids.append(doc_id)
+                fps.append(fp)
+            yield pd.DataFrame({"doc_id": ids, "simhash64": fps})
+
+    return df.select(F.col(id_col).alias(id_col), F.col(text_col)).mapInPandas(
+        kernel, "doc_id long, simhash64 long"
+    )
+
+
 def simhash_near_pairs(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id", max_hamming: int = 3
 ) -> DataFrame:
@@ -730,7 +770,12 @@ def simhash_near_pairs(
     chunk, verify with popcount."""
     n_chunks = max_hamming + 1
     chunk_bits = SIMHASH_BITS // n_chunks
-    fps = simhash(df, text_col, id_col)
+    # map-side numpy fingerprints (bit-identical to simhash(), pytested):
+    # removes the 60-conditional-sum aggregation shuffle — the only
+    # shuffle left is the candidate bucket grouping
+    fps = simhash_fingerprints_mapinpandas(_spread(df), text_col, id_col).select(
+        F.col("doc_id"), F.col("simhash64")
+    )
     chunk_vals = F.array(
         *[
             F.shiftrightunsigned(F.col("simhash64"), c * chunk_bits).bitwiseAND(

@@ -315,3 +315,21 @@ def test_dup_clusters_frees_superseded_checkpoints(spark):
     # blocks leaked
     after = n_cached_rdds()
     assert after - before <= 2, f"leaked cached RDDs: {before} -> {after}"
+
+
+def test_simhash_kernels_bit_identical(spark, sf_dir):
+    """The numpy fingerprint kernel must equal the JVM explode+aggregate
+    simhash exactly — token multiset semantics (duplicates count) and the
+    empty-text token included."""
+    from pyspark.sql import functions as F  # noqa: F401
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    extra = spark.createDataFrame(
+        [(90001, "dup dup dup words"), (90002, ""), (90003, "a b a b a")],
+        ["doc_id", "text"],
+    )
+    both = docs.select("doc_id", "text").unionByName(extra)
+    jvm = {(r[0], r[1]) for r in DD.simhash(both).collect()}
+    np_ = {(r[0], r[1]) for r in DD.simhash_fingerprints_mapinpandas(both).collect()}
+    assert np_ == jvm
+    assert len(np_) > 0
