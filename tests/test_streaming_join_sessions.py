@@ -167,3 +167,43 @@ def test_streaming_sessions_append_finalized_and_bounded(spark, sf_dir, split_ev
     assert last is not None
     state_rows = last.get("numRowsTotal")
     assert state_rows is not None and state_rows < n_all
+
+
+def test_streaming_sessions_append_restart_merges_state(spark, sf_dir, split_events_dir, tmp_path):
+    """Append-mode sessions across a RESTART: replay file 1 in one run,
+    then files 2-3 in a second run on the same checkpoint — the union of
+    both runs' appended output must equal the single-run result (sessions
+    spanning the cut merge through the restored state store; the
+    watermark resumes from the checkpoint, never regressing)."""
+    import glob
+    import shutil
+
+    from stateful_spark_streaming_spark.streaming.pipeline import (
+        run_streaming_session_windows_append,
+    )
+
+    ck = str(tmp_path / "ckpt_sess_restart")
+    src = str(tmp_path / "staged_events")
+    os.makedirs(src, exist_ok=True)
+    files = sorted(glob.glob(os.path.join(split_events_dir, "*.parquet")))
+    assert len(files) == 3
+
+    # run 1: only the first time-slice present
+    shutil.copy(files[0], os.path.join(src, "000.parquet"))
+    os.utime(os.path.join(src, "000.parquet"), (1000, 1000))
+    run_streaming_session_windows_append(spark, src, checkpoint_dir=ck)
+
+    # land the rest, run 2 on the SAME checkpoint
+    for i, f in enumerate(files[1:], start=1):
+        dst = os.path.join(src, f"{i:03d}.parquet")
+        shutil.copy(f, dst)
+        os.utime(dst, (1000 + i * 10, 1000 + i * 10))
+    got = run_streaming_session_windows_append(spark, src, checkpoint_dir=ck)
+
+    # reference: one uninterrupted run over all three files
+    want = run_streaming_session_windows_append(
+        spark, split_events_dir, checkpoint_dir=str(tmp_path / "ckpt_sess_single")
+    )
+    cols = ["user_id", "session_start_ms", "session_end_ms", "n_events", "sum_value"]
+    assert _norm(got, cols) == _norm(want, cols)
+    assert len(_norm(got, cols)) > 0
