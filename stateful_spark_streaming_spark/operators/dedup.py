@@ -55,11 +55,48 @@ def _spread(df: DataFrame) -> DataFrame:
 
 
 def _shingle_index(df: DataFrame, text_col: str, id_col: str, k: int) -> DataFrame:
-    """(id, shingle) inverted index with per-doc set sizes."""
-    sh = _spread(df).select(
-        F.col(id_col).alias("doc"), shingles(F.col(text_col), k).alias("sh")
-    ).withColumn("set_size", F.size("sh"))
-    return sh.select("doc", "set_size", F.explode("sh").alias("shingle"))
+    """(id, shingle) inverted index with per-doc set sizes — via an Arrow
+    numpy/python kernel, NOT the ``shingles()`` HOF + explode: the
+    interpreted zip_with chain measured 3.4 s ALONE at sf0.1 (the single
+    largest cost in the jaccard family: jaccard_pairs, dedup_clusters,
+    training_pipeline all sit on this index).  Set semantics preserved
+    exactly: normalized whitespace tokens, k-gram join by single space,
+    DISTINCT shingles per doc, set_size = distinct count, < k-token docs
+    emit nothing — pytested equal to the HOF form."""
+    import re as _re
+
+    import pandas as pd
+
+    nonword = _re.compile(r"[^a-z0-9]+")
+
+    def kernel(batches):
+        for pdf in batches:
+            docs: list = []
+            sizes: list = []
+            shs: list = []
+            for doc_id, text in zip(pdf[id_col], pdf[text_col]):
+                toks = nonword.sub(" ", str(text).lower()).strip().split(" ")
+                if len(toks) < k:
+                    continue
+                uniq = list(
+                    dict.fromkeys(
+                        " ".join(toks[i : i + k])
+                        for i in range(len(toks) - k + 1)
+                    )
+                )
+                n = len(uniq)
+                docs.extend([doc_id] * n)
+                sizes.extend([n] * n)
+                shs.extend(uniq)
+            yield pd.DataFrame(
+                {"doc": docs, "set_size": sizes, "shingle": shs}
+            )
+
+    return (
+        _spread(df)
+        .select(F.col(id_col), F.col(text_col))
+        .mapInPandas(kernel, "doc long, set_size int, shingle string")
+    )
 
 
 def jaccard_pairs(

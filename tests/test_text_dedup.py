@@ -333,3 +333,29 @@ def test_simhash_kernels_bit_identical(spark, sf_dir):
     np_ = {(r[0], r[1]) for r in DD.simhash_fingerprints_mapinpandas(both).collect()}
     assert np_ == jvm
     assert len(np_) > 0
+
+
+def test_shingle_index_kernel_matches_hof(spark, sf_dir):
+    """The numpy shingle-index kernel must equal the shingles() HOF +
+    explode form exactly: distinct per-doc shingles, set_size = distinct
+    count, <k-token docs emit nothing."""
+    from pyspark.sql import functions as F
+
+    from stateful_spark_streaming_spark.operators.dedup import _shingle_index
+    from stateful_spark_streaming_spark.operators.text import shingles
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    extra = spark.createDataFrame(
+        [(90001, "a b"), (90002, ""), (90003, "x y z x y z x y z")],
+        ["doc_id", "text"],
+    )
+    both = docs.select("doc_id", "text").unionByName(extra)
+    hof = (
+        both.select(F.col("doc_id").alias("doc"), shingles(F.col("text"), 3).alias("sh"))
+        .withColumn("set_size", F.size("sh"))
+        .select("doc", "set_size", F.explode("sh").alias("shingle"))
+    )
+    want = {tuple(r) for r in hof.collect()}
+    got = {tuple(r) for r in _shingle_index(both, "text", "doc_id", 3).collect()}
+    assert got == want
+    assert len(got) > 0
