@@ -230,8 +230,11 @@ def decontaminate(
         eval_df.select(F.explode(shingles(F.col(text_col), k)).alias("shingle"))
         .distinct()
     )
-    tr_sh = _spread(train).select(
-        F.col(id_col).alias("doc_id"), F.explode(shingles(F.col(text_col), k)).alias("shingle")
+    # train side through the Arrow shingle-index kernel (distinct per doc,
+    # identical set semantics — see _shingle_index): the train corpus is
+    # the big side, and the interpreted HOF chain was its dominant cost
+    tr_sh = _shingle_index(train, text_col, id_col, k).select(
+        F.col("doc").alias("doc_id"), "shingle"
     )
     hits = (
         tr_sh.join(F.broadcast(ev_sh), "shingle", "left_semi")

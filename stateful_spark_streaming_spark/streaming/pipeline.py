@@ -941,14 +941,14 @@ def run_streaming_decontaminate(
         eval_df.select(F.explode(shingles(F.col(text_col), k)).alias("shingle"))
         .distinct()
     )
+    # stream side through the Arrow shingle-index kernel (identical distinct
+    # set semantics, pytested; it spreads the single-file replay batch
+    # itself) — the interpreted HOF chain was the stream's dominant cost
+    from stateful_spark_streaming_spark.operators.dedup import _shingle_index
+
     hits = (
-        # spread first: a single-file replay batch is ONE partition, which
-        # would serialize the per-row shingle HOFs into one task
-        stream.repartition(spark.sparkContext.defaultParallelism)
-        .select(
-            F.col(id_col).alias("doc_id"),
-            F.explode(shingles(F.col(text_col), k)).alias("shingle"),
-        )
+        _shingle_index(stream, text_col, id_col, k)
+        .select(F.col("doc").alias("doc_id"), "shingle")
         .join(F.broadcast(ev_shingles), "shingle", "left_semi")
         .select("doc_id")
     )
