@@ -1,0 +1,82 @@
+"""Property-based equivalence of the Arrow kernels vs their JVM forms.
+
+The r4 perf work moved shingle/MinHash/SimHash computation into Python
+kernels that re-implement normalize→tokenize→hash by hand; the synthetic
+corpus is ASCII-ish, so these hypothesis tests drive adversarial text
+(unicode, punctuation runs, digits, whitespace shapes) through BOTH
+implementations and require exact equality — the property the DuckDB
+oracles stand on."""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+TEXT = st.text(
+    alphabet=st.characters(
+        codec="utf-8", exclude_categories=("Cs",), max_codepoint=0x2FFF
+    ),
+    max_size=80,
+)
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(st.lists(TEXT, min_size=1, max_size=8))
+def test_shingle_index_kernel_property(spark, texts):
+    from stateful_spark_streaming_spark.operators.dedup import _shingle_index
+    from stateful_spark_streaming_spark.operators.text import shingles
+
+    df = spark.createDataFrame(list(enumerate(texts)), ["doc_id", "text"])
+    hof = (
+        df.select(F.col("doc_id").alias("doc"), shingles(F.col("text"), 3).alias("sh"))
+        .withColumn("set_size", F.size("sh"))
+        .select("doc", "set_size", F.explode("sh").alias("shingle"))
+    )
+    want = {tuple(r) for r in hof.collect()}
+    got = {tuple(r) for r in _shingle_index(df, "text", "doc_id", 3).collect()}
+    assert got == want
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(st.lists(TEXT, min_size=1, max_size=6))
+def test_simhash_kernel_property(spark, texts):
+    from stateful_spark_streaming_spark.operators import dedup as DD
+
+    df = spark.createDataFrame(list(enumerate(texts)), ["doc_id", "text"])
+    jvm = {(r[0], r[1]) for r in DD.simhash(df).collect()}
+    np_ = {(r[0], r[1]) for r in DD.simhash_fingerprints_mapinpandas(df).collect()}
+    assert np_ == jvm
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(st.lists(TEXT, min_size=1, max_size=6))
+def test_minhash_band_kernel_property(spark, texts):
+    from stateful_spark_streaming_spark.operators import dedup as DD
+
+    df = spark.createDataFrame(list(enumerate(texts)), ["doc_id", "text"])
+    band_arr = DD.minhash_bands_mapside(F.col("text"))
+    sentinel = F.array(F.md5(F.concat(F.lit("uniq:"), F.col("doc_id").cast("string"))))
+    hof = {
+        (r[0], r[1])
+        for r in df.select(
+            "doc_id",
+            F.explode(
+                F.when(F.size(band_arr) > 0, band_arr).otherwise(sentinel)
+            ).alias("band_hash"),
+        ).collect()
+    }
+    np_ = {(r[0], r[1]) for r in DD.minhash_band_rows_mapinpandas(df).collect()}
+    assert np_ == hof
