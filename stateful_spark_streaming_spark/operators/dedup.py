@@ -251,6 +251,95 @@ def decontaminate(
     )
 
 
+def _gram_positions(df: DataFrame, text_col: str, id_col: str, k: int) -> DataFrame:
+    """(doc, pos, gram) — every k-gram occurrence with its 0-based token
+    position (the MULTISET-with-positions sibling of ``_shingle_index``).
+    Same Arrow-kernel rationale: the interpreted ``zip_with`` chain +
+    posexplode re-evaluates the tokenizer per element; one python/numpy
+    pass per batch is ~3× cheaper and tokenizes once per row.  Docs with
+    fewer than ``k`` tokens emit nothing (no k-gram exists)."""
+    import re as _re
+
+    import pandas as pd
+
+    nonword = _re.compile(r"[^a-z0-9]+")
+
+    def kernel(batches):
+        for pdf in batches:
+            docs: list = []
+            poss: list = []
+            grams: list = []
+            for doc_id, text in zip(pdf[id_col], pdf[text_col]):
+                toks = nonword.sub(" ", str(text).lower()).strip().split(" ")
+                n = len(toks) - k + 1
+                if n <= 0:
+                    continue
+                docs.extend([doc_id] * n)
+                poss.extend(range(n))
+                grams.extend(" ".join(toks[i : i + k]) for i in range(n))
+            yield pd.DataFrame({"doc": docs, "pos": poss, "gram": grams})
+
+    return (
+        _spread(df)
+        .select(F.col(id_col), F.col(text_col))
+        .mapInPandas(kernel, "doc long, pos int, gram string")
+    )
+
+
+def dup_ngram_spans(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Span-level duplicate detection: maximal token ranges covered by
+    ``k``-grams that also occur in at least ``min_docs - 1`` OTHER
+    documents — the token-granular approximation of exact-substring
+    training-data dedup (public recipe: Lee et al. 2022, "Deduplicating
+    Training Data Makes Language Models Better", which uses suffix arrays;
+    k-gram position merging is the standard distributed re-expression).
+    Doc-level near-dup (MinHash et al.) misses exactly these: boilerplate
+    headers, license blocks, quoted passages inside otherwise-unique docs.
+
+    Returns (doc_id, span_start, span_end, span_len, n_dup_grams) with
+    positions in 0-based token indices; adjacent/overlapping duplicated
+    grams merge into one maximal span via the gaps-and-islands window
+    (pos - row_number is constant within a run of consecutive positions).
+
+    Scale shape: gram occurrences are linear in corpus token count — no
+    pair enumeration anywhere, so unlike pair mining this needs no hot-
+    bucket cap (a gram in a million docs contributes a million SPAN rows,
+    not a million² pair rows).  The cross-doc document count is a
+    dense_rank-max window over the gram partition — the gram kernel is
+    evaluated exactly ONCE and nothing is joined back or persisted (the
+    groupBy+join-back alternative either recomputes the kernel or pins the
+    index in cache).  Two exchanges total: (gram) for the count window,
+    (doc) for the island window — the final island aggregate reuses the
+    doc partitioning."""
+    g = _gram_positions(df, text_col, id_col, k)
+    w_sorted = Window.partitionBy("gram").orderBy("doc")
+    w_gram = Window.partitionBy("gram")
+    hit = (
+        g.withColumn("dr", F.dense_rank().over(w_sorted))
+        .withColumn("nd", F.max("dr").over(w_gram))
+        .filter(F.col("nd") >= min_docs)
+        .select("doc", "pos")
+    )
+    w = Window.partitionBy("doc").orderBy("pos")
+    isl = hit.withColumn("grp", F.col("pos") - F.row_number().over(w))
+    return (
+        isl.groupBy(F.col("doc").alias("doc_id"), "grp")
+        .agg(
+            F.min("pos").alias("span_start"),
+            (F.max("pos") + F.lit(k - 1)).alias("span_end"),
+            (F.max("pos") - F.min("pos") + F.lit(k)).alias("span_len"),
+            F.count("*").alias("n_dup_grams"),
+        )
+        .drop("grp")
+    )
+
+
 def md5_h60(col, seed: int | str | None = None):
     """60-bit hash as a FIXED-WIDTH hex string: first 15 hex chars of
     md5((seed ':')? || col).  Fixed width makes lexicographic order equal

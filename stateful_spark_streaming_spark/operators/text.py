@@ -8,7 +8,7 @@ asks for one.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 # Tiny per-language stopword lists for the n-gram/stopword language heuristic.
@@ -286,6 +286,152 @@ def repetition_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
         top_c.alias("top_bigram_count"),
         F.round(top_c / safe, 4).alias("top_bigram_frac"),
         _max_run(t).alias("max_word_run"),
+    )
+
+
+def _token_occurrences(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """(id, token) with one row per occurrence (multiset), empty tokens
+    dropped — the shared input of vocabulary building, unigram-LM scoring
+    and TF-IDF.  Map-only explode: no shuffle until the caller aggregates."""
+    return (
+        df.select(F.col(id_col).alias("doc_id"), F.explode(tokens(F.col(text_col))).alias("token"))
+        .filter(F.col("token") != "")
+    )
+
+
+def vocab_topk(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", top_n: int = 100
+) -> DataFrame:
+    """Corpus vocabulary building (the tokenizer-training precursor): for the
+    ``top_n`` most frequent tokens, total occurrence count, document
+    frequency, and a deterministic frequency rank (ties broken by token).
+
+    Scale shape: two partial-aggregatable shuffles — (token, doc) then
+    (token) — instead of one ``countDistinct`` pass, so map-side combine
+    collapses within-doc repeats before anything moves; the top-N is
+    ``orderBy().limit()`` (TakeOrderedAndProject — per-partition heaps + a
+    driver merge of top_n rows, never a global sort) and the rank window
+    runs over the already-limited ``top_n`` rows only."""
+    per_doc = (
+        _token_occurrences(df, text_col, id_col)
+        .groupBy("token", "doc_id")
+        .agg(F.count("*").alias("c"))
+    )
+    v = per_doc.groupBy("token").agg(
+        F.sum("c").alias("term_count"), F.count("*").alias("doc_freq")
+    )
+    topped = v.orderBy(F.col("term_count").desc(), "token").limit(top_n)
+    w = Window.orderBy(F.col("term_count").desc(), "token")
+    return topped.select(
+        "token",
+        "term_count",
+        "doc_freq",
+        F.row_number().over(w).alias("rank"),
+    )
+
+
+def unigram_logprob(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Unigram language-model quality scoring: each document's mean (and
+    minimum) log-probability under the corpus's own unigram MLE — the
+    cheap, classifier-free fluency/surprisal signal every public pretraining
+    pipeline variant of "perplexity filtering" reduces to at the unigram
+    order.  Low mean ⇒ the doc is built from corpus-rare tokens (gibberish,
+    wrong language, binary soup); an unusually low min flags a single
+    out-of-place token.
+
+    Scale shape: token occurrences collapse to (doc, token, count) in ONE
+    aggregation and that compact frame is PERSISTED — the vocab, the
+    corpus total and the scoring join all read the cache, so the corpus is
+    scanned and tokenized exactly once (the naive occurrence-row
+    formulation re-tokenizes it three times; Spark does not exchange-reuse
+    across the differently-shaped aggregate branches — verified on the
+    executed plan).  The corpus total rides along as a scalar broadcast
+    (no driver collect); the occurrence↔vocab join shuffles by token (AQE
+    broadcasts the vocab side when small); the final per-doc aggregation
+    is the only other exchange.  Cache lifetime: same contract as
+    ``jaccard_pairs`` — one-shot callers should ``clearCache()`` between
+    calls (bench.py does), or at 100 TB write the (doc, token, c) frame
+    to storage and read it back."""
+    from pyspark import StorageLevel
+
+    per = (
+        _token_occurrences(df, text_col, id_col)
+        .groupBy("doc_id", "token")
+        .agg(F.count("*").alias("c"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    vocab = per.groupBy("token").agg(F.sum("c").alias("term_count"))
+    total = vocab.agg(F.sum("term_count").alias("corpus_tokens"))
+    scored = (
+        per.join(vocab, "token")
+        .crossJoin(F.broadcast(total))  # scalar broadcast, no driver collect
+        .select(
+            "doc_id",
+            "c",
+            F.log(F.col("term_count").cast("double") / F.col("corpus_tokens")).alias(
+                "lp"
+            ),
+        )
+    )
+    # occurrence-weighted moments over the compact (doc, token) frame are
+    # exactly the per-occurrence mean/min the oracle computes row-wise
+    return scored.groupBy("doc_id").agg(
+        F.sum("c").alias("n_tokens"),
+        F.round(F.sum(F.col("c") * F.col("lp")) / F.sum("c"), 4).alias(
+            "mean_logprob"
+        ),
+        F.round(F.min("lp"), 4).alias("min_logprob"),
+    )
+
+
+def tfidf_topterms(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    top_k: int = 3,
+    max_df_frac: float = 0.5,
+) -> DataFrame:
+    """Per-document keyword extraction: the ``top_k`` terms by TF-IDF with
+    the RAW inverse document frequency ``tf * N / df`` (no log damping) —
+    deliberately rational arithmetic so Spark and the DuckDB oracle compute
+    bit-identical doubles and the per-doc ranking can never flip on a last-
+    ulp libm difference.  Terms appearing in more than ``max_df_frac`` of
+    documents are dropped (the stopword guard raw IDF needs).
+
+    Scale shape: one (token, doc) aggregation shuffle, then document
+    frequency via a count window over the token partition (one exchange —
+    half the movement of the groupBy+join-back alternative, which shuffles
+    the same rows by token twice), then the per-doc rank window.  Three
+    exchanges total, all partial-agg or window."""
+    per_doc = (
+        _token_occurrences(df, text_col, id_col)
+        .groupBy("doc_id", "token")
+        .agg(F.count("*").alias("tf"))
+    )
+    n_docs = df.select(F.count("*").alias("n_docs"))
+    wdf = Window.partitionBy("token")
+    scored = (
+        per_doc.withColumn("df", F.count("*").over(wdf))
+        .crossJoin(F.broadcast(n_docs))  # scalar broadcast, no driver collect
+        .filter(F.col("df") <= F.lit(max_df_frac) * F.col("n_docs"))
+        .select(
+            "doc_id",
+            "token",
+            "tf",
+            "df",
+            F.round(
+                F.col("tf").cast("double") * F.col("n_docs") / F.col("df"), 4
+            ).alias("tfidf"),
+        )
+    )
+    wr = Window.partitionBy("doc_id").orderBy(
+        F.col("tfidf").desc(), F.col("token")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(wr))
+        .filter(F.col("rank") <= top_k)
     )
 
 

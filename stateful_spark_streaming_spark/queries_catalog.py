@@ -2411,6 +2411,113 @@ def q_track_last_n(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Corpus-statistics / keyword / span-dedup operators (round-4 additions)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "vocab_topk",
+    oracle=f"""
+    WITH tk AS (SELECT doc_id, unnest(string_split({_NORM_SQL}, ' ')) AS token
+                FROM documents),
+     per AS (SELECT token, doc_id, count(*) AS c FROM tk
+             WHERE token <> '' GROUP BY token, doc_id),
+     v AS (SELECT token, sum(c) AS term_count, count(*) AS doc_freq
+           FROM per GROUP BY token)
+    SELECT token, term_count, doc_freq,
+           row_number() OVER (ORDER BY term_count DESC, token) AS rank
+    FROM v ORDER BY term_count DESC, token LIMIT 100
+    """,
+)
+def q_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary: top-100 tokens by occurrence count with document
+    frequency and deterministic rank — the tokenizer-training precursor."""
+    return TXT.vocab_topk(_t(spark, sf_dir, "documents"), top_n=100)
+
+
+@query(
+    "unigram_logprob",
+    oracle=f"""
+    WITH tk AS (SELECT doc_id, unnest(string_split({_NORM_SQL}, ' ')) AS token
+                FROM documents),
+     occ AS (SELECT doc_id, token FROM tk WHERE token <> ''),
+     v AS (SELECT token, count(*) AS term_count FROM occ GROUP BY token),
+     tot AS (SELECT sum(term_count) AS corpus_tokens FROM v),
+     s AS (SELECT occ.doc_id, ln(v.term_count::DOUBLE / tot.corpus_tokens) AS lp
+           FROM occ JOIN v USING (token) CROSS JOIN tot)
+    SELECT doc_id, count(*) AS n_tokens,
+           round(avg(lp), 4) AS mean_logprob,
+           round(min(lp), 4) AS min_logprob
+    FROM s GROUP BY doc_id
+    """,
+)
+def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM quality scoring: per-doc mean/min log-probability under
+    the corpus's own unigram MLE (classifier-free perplexity filtering at
+    unigram order)."""
+    return TXT.unigram_logprob(_t(spark, sf_dir, "documents"))
+
+
+@query(
+    "tfidf_topterms",
+    oracle=f"""
+    WITH tk AS (SELECT doc_id, unnest(string_split({_NORM_SQL}, ' ')) AS token
+                FROM documents),
+     per AS (SELECT doc_id, token, count(*) AS tf FROM tk
+             WHERE token <> '' GROUP BY doc_id, token),
+     wdf AS (SELECT *, count(*) OVER (PARTITION BY token) AS df FROM per),
+     n AS (SELECT count(*) AS n_docs FROM documents),
+     sc AS (SELECT doc_id, token, tf, df,
+                   round(tf::DOUBLE * n_docs / df, 4) AS tfidf
+            FROM wdf CROSS JOIN n
+            WHERE df <= 0.8 * n_docs)
+    SELECT doc_id, token, tf, df, tfidf, rank FROM (
+      SELECT *, row_number() OVER (PARTITION BY doc_id
+                                   ORDER BY tfidf DESC, token) AS rank
+      FROM sc) WHERE rank <= 3
+    """,
+)
+def q_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc keyword extraction: top-3 terms by raw-IDF TF-IDF
+    (tf * N / df, no log — exact cross-engine rational arithmetic).
+    max_df_frac=0.8 because the synthetic corpus's vocabulary is ~30
+    near-universal tokens (df ≈ 0.77·N) — the real-world 0.5 default
+    would leave almost every document keyword-less here."""
+    return TXT.tfidf_topterms(
+        _t(spark, sf_dir, "documents"), top_k=3, max_df_frac=0.8
+    )
+
+
+@query(
+    "dup_ngram_spans",
+    oracle=f"""
+    WITH tk AS (SELECT doc_id, string_split({_NORM_SQL}, ' ') AS toks
+                FROM documents),
+     g AS (SELECT doc_id, CAST(i - 1 AS INT) AS pos,
+                  array_to_string(toks[i:i+4], ' ') AS gram
+           FROM tk, unnest(range(1, len(toks) - 3)) AS r(i)
+           WHERE len(toks) >= 5),
+     shared AS (SELECT gram FROM g GROUP BY gram
+                HAVING count(DISTINCT doc_id) >= 2),
+     hit AS (SELECT g.doc_id, g.pos FROM g JOIN shared USING (gram)),
+     isl AS (SELECT doc_id, pos,
+                    pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+             FROM hit)
+    SELECT doc_id, CAST(min(pos) AS INT) AS span_start,
+           CAST(max(pos) + 4 AS INT) AS span_end,
+           CAST(max(pos) - min(pos) + 5 AS INT) AS span_len,
+           count(*) AS n_dup_grams
+    FROM isl GROUP BY doc_id, grp
+    """,
+)
+def q_dup_ngram_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-level duplicate detection: maximal 5-gram-covered token ranges
+    shared across documents (suffix-array substring dedup re-expressed as
+    distributed k-gram position merging — Lee et al. 2022 family)."""
+    return DD.dup_ngram_spans(_t(spark, sf_dir, "documents"), k=5, min_docs=2)
+
+
+# --------------------------------------------------------------------------
 # Catalog ordering: ROTATION first, then cheapest-first.  The driver's
 # correctness gate records exactly the FIRST 50 catalog entries (r2 cut 50
 # in declaration order, r3 cut 50 in cheapest-first order — same count

@@ -359,3 +359,103 @@ def test_shingle_index_kernel_matches_hof(spark, sf_dir):
     got = {tuple(r) for r in _shingle_index(both, "text", "doc_id", 3).collect()}
     assert got == want
     assert len(got) > 0
+
+
+def test_vocab_topk_counts_and_rank(spark):
+    df = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="apple banana apple"),
+            Row(doc_id=2, text="banana cherry"),
+            Row(doc_id=3, text="apple!"),
+            Row(doc_id=4, text=""),  # empty doc contributes nothing
+        ]
+    )
+    out = {r.token: r for r in TXT.vocab_topk(df, top_n=10).collect()}
+    assert set(out) == {"apple", "banana", "cherry"}
+    assert out["apple"].term_count == 3 and out["apple"].doc_freq == 2
+    assert out["banana"].term_count == 2 and out["banana"].doc_freq == 2
+    assert out["cherry"].term_count == 1 and out["cherry"].doc_freq == 1
+    assert [out[t].rank for t in ("apple", "banana", "cherry")] == [1, 2, 3]
+    # top_n truncates deterministically (ties broken by token asc)
+    top2 = {r.token for r in TXT.vocab_topk(df, top_n=2).collect()}
+    assert top2 == {"apple", "banana"}
+
+
+def test_unigram_logprob_matches_hand_mle(spark):
+    import math
+
+    df = spark.createDataFrame(
+        [Row(doc_id=1, text="a a b"), Row(doc_id=2, text="b c")]
+    )
+    # corpus counts: a=2 b=2 c=1, total=5
+    out = {r.doc_id: r for r in TXT.unigram_logprob(df).collect()}
+    assert out[1].n_tokens == 3 and out[2].n_tokens == 2
+    assert out[1].mean_logprob == round(math.log(2 / 5), 4)
+    assert out[2].mean_logprob == round((math.log(2 / 5) + math.log(1 / 5)) / 2, 4)
+    assert out[2].min_logprob == round(math.log(1 / 5), 4)
+    # rare-token doc scores strictly lower
+    assert out[2].mean_logprob < out[1].mean_logprob
+
+
+def test_tfidf_topterms_rank_and_df_filter(spark):
+    df = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="common rare rare"),
+            Row(doc_id=2, text="common other"),
+            Row(doc_id=3, text="common common thing"),
+            Row(doc_id=4, text="common word"),
+        ]
+    )
+    # 'common' is in 4/4 docs -> dropped by max_df_frac=0.5; others have df=1
+    out = TXT.tfidf_topterms(df, top_k=2, max_df_frac=0.5).collect()
+    assert all(r.token != "common" for r in out)
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    # doc 1: 'rare' tf=2 df=1 -> tfidf = 2*4/1 = 8.0, rank 1
+    r1 = by_doc[1][0]
+    assert (r1.token, r1.tf, r1.df, r1.tfidf, r1.rank) == ("rare", 2, 1, 8.0, 1)
+    # every doc's ranks are 1..n with scores non-increasing
+    for rows in by_doc.values():
+        rows.sort(key=lambda r: r.rank)
+        assert [r.rank for r in rows] == list(range(1, len(rows) + 1))
+        assert all(a.tfidf >= b.tfidf for a, b in zip(rows, rows[1:]))
+
+
+def test_dup_ngram_spans_merge_and_cross_doc_only(spark):
+    shared = "one two three four five six"  # 6 tokens -> two 5-grams, one span
+    df = spark.createDataFrame(
+        [
+            Row(doc_id=1, text=f"intro words here then {shared} trailing bits"),
+            Row(doc_id=2, text=f"{shared} and unrelated suffix content"),
+            # within-doc repetition ONLY (no other doc shares it): not flagged
+            Row(doc_id=3, text="p q r s t p q r s t p q r s t"),
+            Row(doc_id=4, text="totally different text with no overlap at all"),
+        ]
+    )
+    out = DD.dup_ngram_spans(df, k=5, min_docs=2).collect()
+    spans = {r.doc_id: r for r in out}
+    assert set(spans) == {1, 2}
+    # doc 1: shared phrase starts at token 4, covers tokens 4..9
+    assert (spans[1].span_start, spans[1].span_end, spans[1].span_len) == (4, 9, 6)
+    # two overlapping 5-grams merged into ONE maximal span
+    assert spans[1].n_dup_grams == 2
+    assert (spans[2].span_start, spans[2].span_end) == (0, 5)
+
+
+def test_dup_ngram_spans_splits_disjoint_islands(spark):
+    a = "alpha beta gamma delta epsilon"  # 5 tokens: exactly one 5-gram
+    b = "zeta eta theta iota kappa"
+    df = spark.createDataFrame(
+        [
+            Row(doc_id=1, text=f"{a} filler1 filler2 filler3 {b}"),
+            Row(doc_id=2, text=f"{a} completely other words then {b} again"),
+        ]
+    )
+    out = DD.dup_ngram_spans(df, k=5, min_docs=2).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append((r.span_start, r.span_end))
+    # both docs have TWO disjoint spans (the gap breaks the island)
+    assert len(by_doc[1]) == 2 and len(by_doc[2]) == 2
+    assert sorted(by_doc[1])[0] == (0, 4)

@@ -116,6 +116,24 @@ CHECKS = {
     "profile_columns": (["Expand"], ["Join"], None),
     # per-group fixed-size sample: ONE exchange (the group window), no join
     "sample_n_per_group": ([], ["Join"], 1),
+    # vocabulary: two partial-agg exchanges + the top-N via per-partition
+    # heaps (TakeOrderedAndProject, never a global Sort+Exchange) + the
+    # rank window over the already-limited rows
+    "vocab_topk": (["TakeOrderedAndProject"], ["Join"], 3),
+    # unigram LM scoring: the only nested-loop is the SCALAR corpus-total
+    # broadcast; the occurrence↔vocab join must be an equi-join
+    "unigram_logprob": (["BroadcastNestedLoopJoin"], ["CartesianProduct"], None),
+    # TF-IDF: document frequency via a token-partition window — no
+    # groupBy+join-back (the scalar n_docs broadcast is the only BNLJ)
+    "tfidf_topterms": (["BroadcastNestedLoopJoin"],
+                       ["CartesianProduct", "SortMergeJoin",
+                        "ShuffledHashJoin", "BroadcastHashJoin"], 4),
+    # span-level dedup: cross-doc counts via dense_rank window — no join of
+    # any kind, and the gram kernel subplan is evaluated exactly once.
+    # 3 exchanges = the _spread round-robin ahead of the Python kernel +
+    # (gram) window + (doc) window; the island aggregate reuses the doc
+    # partitioning (verified: back-to-back HashAggregates, no 4th exchange)
+    "dup_ngram_spans": ([], ["Join", "CartesianProduct"], 3),
 }
 
 #: upper bound on `Scan parquet` occurrences — "the signature subplan is
@@ -127,6 +145,15 @@ MAX_SCANS = {
     "cosine_near_pairs_lsh": 3,
     "dedup_jaccard_pairs": 2,  # persisted index: parquet scanned once, InMemory reused
     "cosine_near_pairs": 1,
+    # persisted (doc, token, c) frame: corpus tokenized once, cache reused
+    # by the vocab / total / join branches
+    "unigram_logprob": 1,
+    # the gram-position kernel feeds both windows through ONE evaluation
+    "dup_ngram_spans": 1,
+    # scan 2 is the scalar n_docs count (zero-column scan) — the corpus
+    # text is tokenized once
+    "tfidf_topterms": 2,
+    "vocab_topk": 1,
 }
 
 
