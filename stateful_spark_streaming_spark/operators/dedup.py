@@ -99,6 +99,87 @@ def _shingle_index(df: DataFrame, text_col: str, id_col: str, k: int) -> DataFra
     )
 
 
+def _bucketed_pair_counts(idx: DataFrame, max_shingle_df: int) -> DataFrame:
+    """Hot-shingle-capped candidate pair counts from a (doc, shingle)
+    inverted index: (doc_a, doc_b, size_a, size_b, n_common) with
+    doc_a < doc_b.  Shared by ``jaccard_pairs`` (scale path) and
+    ``containment_pairs``.
+
+    The bucket aggregation ITSELF is the hot-shingle stoplist — buckets
+    larger than max_shingle_df are dropped before pair expansion, which
+    bounds the O(df²) blowup per shingle.  Set sizes are then recomputed
+    over the surviving index so the scores stay self-consistent (identical
+    docs still score 1.0).  The buckets feed two subplans (sizes +
+    candidates), so they are persisted — at 100 TB the same role is played
+    by writing the bucketed index to parquet and reading it back for both
+    passes."""
+    from pyspark import StorageLevel
+
+    buckets = (
+        idx.groupBy("shingle")
+        .agg(F.collect_list("doc").alias("docs"))
+        .withColumn("df_", F.size("docs"))
+        .filter(F.col("df_") <= max_shingle_df)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    sizes = (
+        buckets.select(F.explode("docs").alias("doc"))
+        .groupBy("doc")
+        .agg(F.count(F.lit(1)).alias("set_size"))
+    )
+    cand = (
+        buckets.filter(F.col("df_") >= 2)
+        .select(F.explode("docs").alias("a"), "docs")
+        .select("a", F.explode("docs").alias("b"))
+        .filter(F.col("a") < F.col("b"))
+        .groupBy(F.col("a").alias("doc_a"), F.col("b").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    return cand.join(
+        sizes.select(F.col("doc").alias("doc_a"), F.col("set_size").alias("size_a")),
+        "doc_a",
+    ).join(
+        sizes.select(F.col("doc").alias("doc_b"), F.col("set_size").alias("size_b")),
+        "doc_b",
+    )
+
+
+def containment_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    threshold: float = 0.9,
+    max_shingle_df: int = 1000,
+) -> DataFrame:
+    """Sub/superset duplicate detection: pairs where the SMALLER document's
+    shingle set is mostly contained in the larger's — containment
+    C = |A∩B| / min(|A|, |B|) ≥ τ.  The asymmetric companion to Jaccard:
+    a short doc fully embedded in a long one (quoted article, excerpt,
+    scraped page inside an aggregator) scores C = 1.0 while its Jaccard is
+    tiny — symmetric near-dup passes miss exactly these, which is why
+    public pipelines (C4/RefinedWeb family) run a containment check
+    alongside MinHash.
+
+    No size-band prefilter — containment deliberately pairs very unequal
+    sizes (the band bound only holds for Jaccard).  The hot-shingle cap is
+    mandatory here (default 1000): without the band filter, boilerplate
+    shingles are the only thing standing between this and an O(df²) pair
+    blowup.  Same self-consistency contract as capped Jaccard: sizes are
+    recomputed over the surviving index.
+
+    Returns (doc_a, doc_b, size_a, size_b, n_common, containment),
+    doc_a < doc_b; the contained side is the one with the smaller size."""
+    idx = _shingle_index(df, text_col, id_col, k)
+    pairs = _bucketed_pair_counts(idx, max_shingle_df)
+    cont = F.col("n_common") / F.least(F.col("size_a"), F.col("size_b"))
+    return (
+        pairs.withColumn("containment", F.round(cont, 4))
+        .filter(F.col("containment") >= threshold)
+        .select("doc_a", "doc_b", "size_a", "size_b", "n_common", "containment")
+    )
+
+
 def jaccard_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -165,43 +246,7 @@ def jaccard_pairs(
             .agg(F.count(F.lit(1)).alias("n_common"))
         )
     else:
-        from pyspark import StorageLevel
-
-        # Scale path: the bucket aggregation ITSELF is the hot-shingle
-        # stoplist — buckets larger than max_shingle_df are dropped before
-        # pair expansion, which bounds the O(df²) blowup per shingle.  Set
-        # sizes are then recomputed over the surviving index so Jaccard
-        # stays self-consistent (identical docs still score 1.0).  The
-        # buckets feed two subplans (sizes + candidates), so they are
-        # persisted — at 100 TB the same role is played by writing the
-        # bucketed index to parquet and reading it back for both passes.
-        buckets = (
-            idx.groupBy("shingle")
-            .agg(F.collect_list("doc").alias("docs"))
-            .withColumn("df_", F.size("docs"))
-            .filter(F.col("df_") <= max_shingle_df)
-            .persist(StorageLevel.MEMORY_AND_DISK)
-        )
-        sizes = (
-            buckets.select(F.explode("docs").alias("doc"))
-            .groupBy("doc")
-            .agg(F.count(F.lit(1)).alias("set_size"))
-        )
-        cand = (
-            buckets.filter(F.col("df_") >= 2)
-            .select(F.explode("docs").alias("a"), "docs")
-            .select("a", F.explode("docs").alias("b"))
-            .filter(F.col("a") < F.col("b"))
-            .groupBy(F.col("a").alias("doc_a"), F.col("b").alias("doc_b"))
-            .agg(F.count(F.lit(1)).alias("n_common"))
-        )
-        pairs = cand.join(
-            sizes.select(F.col("doc").alias("doc_a"), F.col("set_size").alias("size_a")),
-            "doc_a",
-        ).join(
-            sizes.select(F.col("doc").alias("doc_b"), F.col("set_size").alias("size_b")),
-            "doc_b",
-        )
+        pairs = _bucketed_pair_counts(idx, max_shingle_df)
     jac = F.col("n_common") / (F.col("size_a") + F.col("size_b") - F.col("n_common"))
     return (
         pairs.withColumn("jaccard", F.round(jac, 4))

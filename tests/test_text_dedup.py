@@ -459,3 +459,36 @@ def test_dup_ngram_spans_splits_disjoint_islands(spark):
     # both docs have TWO disjoint spans (the gap breaks the island)
     assert len(by_doc[1]) == 2 and len(by_doc[2]) == 2
     assert sorted(by_doc[1])[0] == (0, 4)
+
+
+def test_containment_pairs_catches_subset_jaccard_misses(spark):
+    short = "alpha beta gamma delta epsilon zeta"
+    long_doc = (
+        short
+        + " plus many additional unique tokens stretching this document "
+        + " ".join(f"filler{i} pad{i} extra{i}" for i in range(12))
+    )
+    df = spark.createDataFrame(
+        [
+            Row(doc_id=1, text=short),
+            Row(doc_id=2, text=long_doc),
+            Row(doc_id=3, text="entirely unrelated content about query planning"),
+        ]
+    )
+    cont = {(r.doc_a, r.doc_b): r for r in DD.containment_pairs(df, threshold=0.9).collect()}
+    assert (1, 2) in cont, "short doc embedded in long doc must be flagged"
+    assert cont[(1, 2)].containment == 1.0
+    assert cont[(1, 2)].size_a < cont[(1, 2)].size_b
+    # the same pair is INVISIBLE to jaccard at its usual threshold
+    jac = {(r.doc_a, r.doc_b) for r in
+           DD.jaccard_pairs(df, threshold=0.6, max_shingle_df=None).collect()}
+    assert (1, 2) not in jac
+    assert all(a < b for a, b in cont)
+
+
+def test_containment_and_jaccard_agree_on_exact_dup(spark):
+    t = "one two three four five six seven eight nine ten"
+    df = spark.createDataFrame([Row(doc_id=1, text=t), Row(doc_id=2, text=t)])
+    cont = DD.containment_pairs(df, threshold=0.9).collect()
+    assert len(cont) == 1 and cont[0].containment == 1.0
+    assert cont[0].n_common == cont[0].size_a == cont[0].size_b

@@ -48,6 +48,9 @@ CHECKS = {
     # number of times (MAX_SCANS below) — the round-1 union-of-self-joins
     # regression would double these scan counts.
     "dedup_jaccard_pairs": ([], ["CartesianProduct", "BroadcastNestedLoopJoin"], None),
+    # containment: same bucketed machinery as capped jaccard — no pair
+    # self-join, no cartesian; the hot-shingle cap is mandatory here
+    "containment_pairs": ([], ["CartesianProduct", "BroadcastNestedLoopJoin"], None),
     "dedup_minhash_lsh": ([], ["CartesianProduct", "BroadcastNestedLoopJoin"], None),
     # simhash candidates come from ONE groupBy+explode — no join of any kind
     "dedup_simhash": ([], ["CartesianProduct", "BroadcastNestedLoopJoin",
@@ -144,6 +147,7 @@ MAX_SCANS = {
     "dedup_minhash_lsh": 3,
     "cosine_near_pairs_lsh": 3,
     "dedup_jaccard_pairs": 2,  # persisted index: parquet scanned once, InMemory reused
+    "containment_pairs": 2,
     "cosine_near_pairs": 1,
     # persisted (doc, token, c) frame: corpus tokenized once, cache reused
     # by the vocab / total / join branches
