@@ -318,6 +318,212 @@ def _assign_probe_cells(
     )
 
 
+def pq_train(
+    embeddings: DataFrame,
+    m: int = 8,
+    ks: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    iters: int = 5,
+    train_sample: int = 10_000,
+) -> list[list[list[float]]]:
+    """Train product-quantization codebooks (Jégou et al. 2011, "Product
+    Quantization for Nearest Neighbor Search"): L2-normalize, split the
+    dimension into ``m`` subspaces, k-means with ``ks`` codewords per
+    subspace — on the same bounded deterministic sample recipe as
+    ``ivf_build`` (first ``train_sample`` by id; driver memory capped
+    regardless of corpus size).  Returns ``m`` codebooks of ks × (dim/m).
+
+    PQ is the memory-bound half of the ANN scale story: IVF prunes WHICH
+    vectors are read, PQ shrinks WHAT is held — 64 float32 dims (256 B)
+    become m=8 nibble-codes (8 B, 32× smaller), so a 10⁹-vector corpus'
+    codes fit in cluster memory while the raw vectors never could."""
+    import numpy as np
+
+    rows = embeddings.orderBy(id_col).limit(train_sample).select(vec_col).collect()
+    X = np.array([r[0] for r in rows], dtype=np.float64)
+    X = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+    dim = X.shape[1]
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    dsub = dim // m
+    books = []
+    for j in range(m):
+        S = X[:, j * dsub : (j + 1) * dsub]
+        cents = S[:ks].copy()  # deterministic init, as in ivf_build
+        for _ in range(iters):
+            d2 = (S**2).sum(1)[:, None] - 2.0 * S @ cents.T + (cents**2).sum(1)[None, :]
+            a = d2.argmin(1)
+            for c in range(ks):
+                members = S[a == c]
+                if len(members):
+                    cents[c] = members.mean(0)
+        books.append([list(map(float, c)) for c in cents])
+    return books
+
+
+def pq_encode(
+    embeddings: DataFrame,
+    codebooks: list[list[list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, codes) — each vector compressed to ``m`` codebook indices.
+    Broadcast codebooks, one map-only Arrow pass, argmin per subspace on
+    the L2-normalized vector: no shuffle, no per-row Python."""
+    import numpy as np
+    import pandas as pd
+
+    B = np.asarray(codebooks, dtype=np.float64)  # (m, ks, dsub)
+    bc = embeddings.sparkSession.sparkContext.broadcast(B)
+
+    def kernel(batches):
+        cb = bc.value
+        m, ks, dsub = cb.shape
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            X = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+            codes = np.empty((len(X), m), dtype=np.int32)
+            for j in range(m):
+                S = X[:, j * dsub : (j + 1) * dsub]
+                C = cb[j]
+                d2 = (S**2).sum(1)[:, None] - 2.0 * S @ C.T + (C**2).sum(1)[None, :]
+                codes[:, j] = d2.argmin(1)
+            yield pd.DataFrame({"vec_id": pdf[id_col], "codes": list(codes)})
+
+    return embeddings.select(F.col(id_col), F.col(vec_col)).mapInPandas(
+        kernel, "vec_id long, codes array<int>"
+    )
+
+
+def pq_reconstruction_mse(
+    embeddings: DataFrame,
+    codebooks: list[list[list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, mse) — per-vector squared reconstruction error of the PQ code
+    against the L2-normalized original.  The quantization-quality metric:
+    more/larger codebooks must drive it down (pytested)."""
+    import numpy as np
+    import pandas as pd
+
+    B = np.asarray(codebooks, dtype=np.float64)
+    bc = embeddings.sparkSession.sparkContext.broadcast(B)
+
+    def kernel(batches):
+        cb = bc.value
+        m, ks, dsub = cb.shape
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            X = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+            err = np.zeros(len(X))
+            for j in range(m):
+                S = X[:, j * dsub : (j + 1) * dsub]
+                C = cb[j]
+                d2 = (S**2).sum(1)[:, None] - 2.0 * S @ C.T + (C**2).sum(1)[None, :]
+                err += d2.min(1)
+            yield pd.DataFrame({"vec_id": pdf[id_col], "mse": err / X.shape[1]})
+
+    return embeddings.select(F.col(id_col), F.col(vec_col)).mapInPandas(
+        kernel, "vec_id long, mse double"
+    )
+
+
+def pq_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    m: int = 8,
+    ks: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    codebooks: list[list[list[float]]] | None = None,
+) -> DataFrame:
+    """Approximate top-k by asymmetric distance computation (ADC) over PQ
+    codes: each query precomputes an m × ks lookup table of subspace
+    distances to every codeword; a corpus vector's distance is then m
+    table lookups on its codes — no float vector is ever touched at query
+    time.  On unit vectors ‖q−x‖² = 2 − 2·cos, so results are reported as
+    ``approx_cosine = 1 − d²/2`` and rank-compatible with the exact
+    cosine operators.
+
+    Scale shape: queries (bounded) broadcast as LUT tensors; ONE map-only
+    Arrow pass over the codes emits each partition's local top-k per query
+    (shuffle volume = partitions × queries × k rows, never the corpus);
+    a final per-query window keeps the global top-k.  Composable with IVF
+    (probe cells, then ADC inside them); approximate by construction →
+    rows-only at the gate, recall pytested against the brute-force exact
+    baseline."""
+    import numpy as np
+    import pandas as pd
+
+    if codebooks is None:
+        codebooks = pq_train(embeddings, m=m, ks=ks, id_col=id_col, vec_col=vec_col)
+    B = np.asarray(codebooks, dtype=np.float64)  # (m, ks, dsub)
+    mm, ks_, dsub = B.shape
+
+    q_rows = queries.select(id_col, vec_col).collect()  # bounded query set
+    qids = np.array([r[0] for r in q_rows], dtype=np.int64)
+    Q = np.array([r[1] for r in q_rows], dtype=np.float64)
+    Q = Q / np.maximum(np.linalg.norm(Q, axis=1, keepdims=True), 1e-12)
+    # LUT[q, j, c] = ||Q[q] subspace j - codeword c||²
+    lut = np.empty((len(Q), mm, ks_))
+    for j in range(mm):
+        S = Q[:, j * dsub : (j + 1) * dsub]
+        C = B[j]
+        lut[:, j, :] = (
+            (S**2).sum(1)[:, None] - 2.0 * S @ C.T + (C**2).sum(1)[None, :]
+        )
+    spark = embeddings.sparkSession
+    bc = spark.sparkContext.broadcast((qids, lut))
+
+    codes = pq_encode(embeddings, codebooks, id_col=id_col, vec_col=vec_col)
+
+    def kernel(batches):
+        qids_, lut_ = bc.value
+        nq = len(qids_)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            Cd = np.array(pdf["codes"].tolist(), dtype=np.int64)  # (n, m)
+            ids = pdf["vec_id"].to_numpy()
+            # D[q, i] = Σ_j LUT[q, j, codes[i, j]]
+            D = np.zeros((nq, len(Cd)))
+            for j in range(lut_.shape[1]):
+                D += lut_[:, j, Cd[:, j]]
+            kk = min(k + 1, len(Cd))  # +1: self may be among the candidates
+            part = np.argpartition(D, kk - 1, axis=1)[:, :kk]
+            out_q, out_i, out_d = [], [], []
+            for qi in range(nq):
+                out_q.extend([qids_[qi]] * kk)
+                out_i.extend(ids[part[qi]])
+                out_d.extend(D[qi, part[qi]])
+            yield pd.DataFrame(
+                {"query_id": out_q, "neighbor_id": out_i, "d2": out_d}
+            )
+
+    cand = codes.mapInPandas(kernel, "query_id long, neighbor_id long, d2 double")
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("d2").asc(), F.col("neighbor_id").asc()
+    )
+    return (
+        cand.filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "rank",
+            "neighbor_id",
+            F.round(F.lit(1.0) - F.col("d2") / F.lit(2.0), 6).alias("approx_cosine"),
+        )
+    )
+
+
 def cosine_near_pairs(
     embeddings: DataFrame,
     threshold: float = 0.95,

@@ -2241,6 +2241,18 @@ def q_cosine_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.ivf_topk(emb, queries_df, k=5, n_centroids=8, nprobe=2, index=index)
 
 
+@query("pq_topk")  # approximate by construction → rows-only check
+def q_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ADC top-k (Jégou et al. 2011): vectors
+    compressed 32× to m=8 codes, queries probe via per-query lookup
+    tables — the memory-bound half of the ANN scale story (IVF prunes
+    WHICH vectors are read; PQ shrinks WHAT is held).  Recall vs the
+    exact baseline is pytested; rows-only at the gate."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 20)
+    return SIM.pq_topk(emb, queries_df, k=5, m=8, ks=64)
+
+
 @query("streaming_ivf_topk")  # approximate by construction → rows-only check
 def q_streaming_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Micro-batch ANN serving: the query vectors arrive as a STREAM and

@@ -218,3 +218,50 @@ def test_cosine_near_pairs_blocked_tier_matches_broadcast(spark, sf_dir):
     assert SIM.cosine_near_pairs.last_tier == "blocked"
     assert got == want
     assert len(got) > 0
+
+
+def test_pq_codes_shape_and_range(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    books = SIM.pq_train(emb, m=8, ks=16)
+    assert len(books) == 8 and len(books[0]) == 16 and len(books[0][0]) == 8
+    codes = SIM.pq_encode(emb, books).collect()
+    assert len(codes) == emb.count()
+    for r in codes[:50]:
+        assert len(r.codes) == 8
+        assert all(0 <= c < 16 for c in r.codes)
+
+
+def test_pq_reconstruction_mse_decreases_with_codebook_size(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    mses = []
+    for ks in (4, 16, 64):
+        books = SIM.pq_train(emb, m=8, ks=ks)
+        mses.append(
+            SIM.pq_reconstruction_mse(emb, books).agg(F.avg("mse")).first()[0]
+        )
+    assert mses[0] > mses[1] > mses[2], f"MSE must fall with ks: {mses}"
+
+
+def test_pq_topk_recall_vs_bruteforce(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter("vec_id < 20")
+    truth: dict = {}
+    for r in SIM.cosine_topk_bruteforce(emb, q, k=5).collect():
+        truth.setdefault(r.query_id, set()).add(r.neighbor_id)
+    out = SIM.pq_topk(emb, q, k=5, m=8, ks=64).collect()
+    got: dict = {}
+    for r in out:
+        got.setdefault(r.query_id, set()).add(r.neighbor_id)
+        assert r.neighbor_id != r.query_id
+    recall = sum(len(truth[i] & got.get(i, set())) for i in truth) / sum(
+        len(v) for v in truth.values()
+    )
+    # random baseline is ~5/500 = 0.01 on these synthetic unstructured
+    # vectors; measured 0.34 with m=8/ks=64 — assert well clear of chance
+    # with headroom for box-to-box numeric drift
+    assert recall >= 0.2, f"recall@5 {recall}"
+    # per-query contract: exactly k ranked rows, ranks 1..k
+    per_q = {}
+    for r in out:
+        per_q.setdefault(r.query_id, []).append(r.rank)
+    assert all(sorted(v) == [1, 2, 3, 4, 5] for v in per_q.values())

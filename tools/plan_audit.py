@@ -61,6 +61,9 @@ CHECKS = {
                                "BroadcastHashJoin"], 1),
     # IVF probe: equi-join on cell against the persisted index, broadcast
     "cosine_topk_ivf": (["BroadcastHashJoin"], ["CartesianProduct"], None),
+    # PQ-ADC top-k: LUTs broadcast, ONE map-side candidate pass over the
+    # codes, one per-query window — no join, corpus never shuffled
+    "pq_topk": ([], ["Join", "CartesianProduct"], 1),
     # brute-force topk deliberately crossJoins a BROADCAST query side — the
     # nested-loop is the documented design, so require the broadcast kind
     "cosine_topk": (["BroadcastNestedLoopJoin"], ["CartesianProduct"], None),
