@@ -82,13 +82,19 @@ def main() -> None:
         # corpus); build the TARGET corpus's index here so the timed loop
         # measures the probe path, not the one-time build.  The build cost
         # stays visible in cold_total.
-        try:
-            qs["cosine_topk_ivf"](spark, sf_dir).write.format("noop").mode(
-                "overwrite"
-            ).save()
-            spark.catalog.clearCache()
-        except Exception as e:  # noqa: BLE001
-            print(f"bench warmup error in ivf prebuild: {e}", file=sys.stderr)
+        # same build-once rationale for the multimodal binary table: the
+        # corpus is materialized to parquet once per (process, sf_dir) and
+        # then scanned — prebuild the TARGET corpus here so the timed loop
+        # measures decode+featurize, not the one-time fixture write (which
+        # stays in cold_total; measured +3.6 s on the timed query otherwise).
+        for prebuild in ("cosine_topk_ivf", "multimodal_features"):
+            try:
+                qs[prebuild](spark, sf_dir).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+                spark.catalog.clearCache()
+            except Exception as e:  # noqa: BLE001
+                print(f"bench warmup error in {prebuild} prebuild: {e}", file=sys.stderr)
 
     timings: dict[str, float] = {}
     t_all0 = time.perf_counter()

@@ -367,15 +367,25 @@ def pq_encode(
     codebooks: list[list[list[float]]],
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    keep_cols: tuple[str, ...] = (),
 ) -> DataFrame:
-    """(id, codes) — each vector compressed to ``m`` codebook indices.
-    Broadcast codebooks, one map-only Arrow pass, argmin per subspace on
-    the L2-normalized vector: no shuffle, no per-row Python."""
+    """(id, codes, *keep_cols) — each vector compressed to ``m`` codebook
+    indices.  Broadcast codebooks, one map-only Arrow pass, argmin per
+    subspace on the L2-normalized vector: no shuffle, no per-row Python.
+    ``keep_cols`` ride through unchanged (e.g. the IVF ``cell`` column for
+    the IVFADC composition)."""
     import numpy as np
     import pandas as pd
 
+    from pyspark.sql.types import ArrayType, IntegerType, StructField, StructType
+
     B = np.asarray(codebooks, dtype=np.float64)  # (m, ks, dsub)
     bc = embeddings.sparkSession.sparkContext.broadcast(B)
+    in_fields = {f.name: f for f in embeddings.schema.fields}
+    out_schema = StructType(
+        [in_fields[id_col], StructField("codes", ArrayType(IntegerType()))]
+        + [in_fields[c] for c in keep_cols]
+    )
 
     def kernel(batches):
         cb = bc.value
@@ -391,10 +401,13 @@ def pq_encode(
                 C = cb[j]
                 d2 = (S**2).sum(1)[:, None] - 2.0 * S @ C.T + (C**2).sum(1)[None, :]
                 codes[:, j] = d2.argmin(1)
-            yield pd.DataFrame({"vec_id": pdf[id_col], "codes": list(codes)})
+            out = {id_col: pdf[id_col], "codes": list(codes)}
+            for c in keep_cols:
+                out[c] = pdf[c]
+            yield pd.DataFrame(out)
 
-    return embeddings.select(F.col(id_col), F.col(vec_col)).mapInPandas(
-        kernel, "vec_id long, codes array<int>"
+    return embeddings.select(id_col, vec_col, *keep_cols).mapInPandas(
+        kernel, out_schema
     )
 
 
@@ -491,7 +504,7 @@ def pq_topk(
             if not len(pdf):
                 continue
             Cd = np.array(pdf["codes"].tolist(), dtype=np.int64)  # (n, m)
-            ids = pdf["vec_id"].to_numpy()
+            ids = pdf[id_col].to_numpy()
             # D[q, i] = Σ_j LUT[q, j, codes[i, j]]
             D = np.zeros((nq, len(Cd)))
             for j in range(lut_.shape[1]):
@@ -503,6 +516,114 @@ def pq_topk(
                 out_q.extend([qids_[qi]] * kk)
                 out_i.extend(ids[part[qi]])
                 out_d.extend(D[qi, part[qi]])
+            yield pd.DataFrame(
+                {"query_id": out_q, "neighbor_id": out_i, "d2": out_d}
+            )
+
+    cand = codes.mapInPandas(kernel, "query_id long, neighbor_id long, d2 double")
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("d2").asc(), F.col("neighbor_id").asc()
+    )
+    return (
+        cand.filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "rank",
+            "neighbor_id",
+            F.round(F.lit(1.0) - F.col("d2") / F.lit(2.0), 6).alias("approx_cosine"),
+        )
+    )
+
+
+def ivfpq_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_centroids: int = 8,
+    nprobe: int = 2,
+    m: int = 8,
+    ks: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    index: tuple[DataFrame, list[list[float]]] | None = None,
+    codebooks: list[list[list[float]]] | None = None,
+) -> DataFrame:
+    """IVFADC — the faiss-style composition of both index structures:
+    IVF decides WHICH vectors to read (queries probe only the ``nprobe``
+    nearest cells), PQ-ADC decides HOW they are scored (m lookup-table
+    adds per candidate, no float vector touched at query time).  This is
+    the standard billion-scale ANN serving shape.
+
+    Scale shape: the cell-partitioned persisted index (``ivf_build_or_
+    load``) means the scan reads only the probed partitions at 100 TB;
+    here the probe set is applied as a broadcast per-query cell mask
+    inside the same single map-only ADC pass as ``pq_topk`` — still no
+    join, still no corpus shuffle, one per-query window at the end.
+    Exactness anchor (pytested): with ``nprobe = n_centroids`` and shared
+    codebooks, IVFADC ≡ plain ``pq_topk``."""
+    import numpy as np
+    import pandas as pd
+
+    if index is not None:
+        assigned, cents = index
+    else:
+        assigned, cents = ivf_build(embeddings, n_centroids, id_col, vec_col)
+    cents_np = np.asarray(cents, dtype=np.float64)
+    if codebooks is None:
+        codebooks = pq_train(embeddings, m=m, ks=ks, id_col=id_col, vec_col=vec_col)
+    B = np.asarray(codebooks, dtype=np.float64)
+    mm, ks_, dsub = B.shape
+
+    q_rows = queries.select(id_col, vec_col).collect()  # bounded query set
+    qids = np.array([r[0] for r in q_rows], dtype=np.int64)
+    Qraw = np.array([r[1] for r in q_rows], dtype=np.float64)
+    # probe cells on the RAW query vector (the IVF cells were trained on
+    # raw vectors — mirrors _assign_probe_cells), ADC on the unit vector
+    d2c = (
+        (Qraw**2).sum(1)[:, None]
+        - 2.0 * Qraw @ cents_np.T
+        + (cents_np**2).sum(1)[None, :]
+    )
+    probe = np.argsort(d2c, axis=1)[:, :nprobe]  # (nq, nprobe)
+    Q = Qraw / np.maximum(np.linalg.norm(Qraw, axis=1, keepdims=True), 1e-12)
+    lut = np.empty((len(Q), mm, ks_))
+    for j in range(mm):
+        S = Q[:, j * dsub : (j + 1) * dsub]
+        C = B[j]
+        lut[:, j, :] = (
+            (S**2).sum(1)[:, None] - 2.0 * S @ C.T + (C**2).sum(1)[None, :]
+        )
+    spark = embeddings.sparkSession
+    bc = spark.sparkContext.broadcast((qids, lut, probe))
+
+    codes = pq_encode(
+        assigned, codebooks, id_col=id_col, vec_col=vec_col, keep_cols=("cell",)
+    )
+
+    def kernel(batches):
+        qids_, lut_, probe_ = bc.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            Cd = np.array(pdf["codes"].tolist(), dtype=np.int64)
+            ids = pdf[id_col].to_numpy()
+            cells = pdf["cell"].to_numpy()
+            out_q, out_i, out_d = [], [], []
+            for qi in range(len(qids_)):
+                mask = np.isin(cells, probe_[qi])
+                if not mask.any():
+                    continue
+                sub = Cd[mask]
+                d = np.zeros(len(sub))
+                for j in range(lut_.shape[1]):
+                    d += lut_[qi, j, sub[:, j]]
+                kk = min(k + 1, len(sub))
+                part = np.argpartition(d, kk - 1)[:kk]
+                out_q.extend([qids_[qi]] * kk)
+                out_i.extend(ids[mask][part])
+                out_d.extend(d[part])
             yield pd.DataFrame(
                 {"query_id": out_q, "neighbor_id": out_i, "d2": out_d}
             )

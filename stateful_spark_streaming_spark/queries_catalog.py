@@ -2253,6 +2253,25 @@ def q_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.pq_topk(emb, queries_df, k=5, m=8, ks=64)
 
 
+@query("ivfpq_topk")  # approximate by construction → rows-only check
+def q_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVFADC: the faiss-style composition — IVF probes nprobe cells
+    (reads nprobe/C of a cell-partitioned index at scale), PQ-ADC scores
+    candidates via lookup tables.  Reuses the same persisted IVF index as
+    cosine_topk_ivf; exactness anchored by the full-probe ≡ pq_topk
+    pytest, recall pytested vs brute force."""
+    import tempfile
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 20)
+    tag = _fixture_tag(sf_dir, "embeddings")
+    idx_path = os.path.join(tempfile.gettempdir(), f"sss_ivf_idx_{tag}_c8")
+    index = SIM.ivf_build_or_load(emb, idx_path, n_centroids=8)
+    return SIM.ivfpq_topk(
+        emb, queries_df, k=5, n_centroids=8, nprobe=2, m=8, ks=64, index=index
+    )
+
+
 @query("streaming_ivf_topk")  # approximate by construction → rows-only check
 def q_streaming_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Micro-batch ANN serving: the query vectors arrive as a STREAM and

@@ -80,3 +80,27 @@ def test_minhash_band_kernel_property(spark, texts):
     }
     np_ = {(r[0], r[1]) for r in DD.minhash_band_rows_mapinpandas(df).collect()}
     assert np_ == hof
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(st.lists(TEXT, min_size=1, max_size=6))
+def test_gram_positions_kernel_property(spark, texts):
+    """_gram_positions (multiset WITH positions) must equal the JVM HOF
+    form: posexplode of the non-deduped k-gram array over normalized
+    tokens, empty/<k-token docs emitting nothing."""
+    from stateful_spark_streaming_spark.operators.dedup import _gram_positions
+    from stateful_spark_streaming_spark.operators.text import _ngrams_raw, tokens
+
+    k = 3
+    df = spark.createDataFrame(list(enumerate(texts)), ["doc_id", "text"])
+    hof = df.select(
+        F.col("doc_id").alias("doc"),
+        F.posexplode(_ngrams_raw(tokens(F.col("text")), k)).alias("pos", "gram"),
+    )
+    want = {tuple(r) for r in hof.collect()}
+    got = {tuple(r) for r in _gram_positions(df, "text", "doc_id", k).collect()}
+    assert got == want

@@ -265,3 +265,41 @@ def test_pq_topk_recall_vs_bruteforce(spark, sf_dir):
     for r in out:
         per_q.setdefault(r.query_id, []).append(r.rank)
     assert all(sorted(v) == [1, 2, 3, 4, 5] for v in per_q.values())
+
+
+def test_ivfpq_equals_pq_at_full_probe(spark, sf_dir):
+    """IVFADC with nprobe = n_centroids and shared codebooks must equal
+    plain PQ-ADC exactly (ranks and scores) — the exactness anchor that
+    pins the composition's plumbing (cell masks, LUTs, tie-breaks)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter("vec_id < 20")
+    books = SIM.pq_train(emb, m=8, ks=64)
+    pq = {
+        (r.query_id, r.rank, r.neighbor_id, r.approx_cosine)
+        for r in SIM.pq_topk(emb, q, k=5, m=8, ks=64, codebooks=books).collect()
+    }
+    full = {
+        (r.query_id, r.rank, r.neighbor_id, r.approx_cosine)
+        for r in SIM.ivfpq_topk(
+            emb, q, k=5, n_centroids=8, nprobe=8, m=8, ks=64, codebooks=books
+        ).collect()
+    }
+    assert pq == full and len(pq) == 100
+
+
+def test_ivfpq_recall_above_chance(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter("vec_id < 20")
+    truth: dict = {}
+    for r in SIM.cosine_topk_bruteforce(emb, q, k=5).collect():
+        truth.setdefault(r.query_id, set()).add(r.neighbor_id)
+    out = SIM.ivfpq_topk(emb, q, k=5, n_centroids=8, nprobe=2, m=8, ks=64).collect()
+    got: dict = {}
+    for r in out:
+        got.setdefault(r.query_id, set()).add(r.neighbor_id)
+    recall = sum(len(truth[i] & got.get(i, set())) for i in truth) / sum(
+        len(v) for v in truth.values()
+    )
+    # measured 0.31 (vs ~0.01 chance); nprobe=2/8 costs little over pure
+    # PQ's 0.34 on these unstructured vectors
+    assert recall >= 0.15, f"recall@5 {recall}"

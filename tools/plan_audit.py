@@ -64,6 +64,9 @@ CHECKS = {
     # PQ-ADC top-k: LUTs broadcast, ONE map-side candidate pass over the
     # codes, one per-query window — no join, corpus never shuffled
     "pq_topk": ([], ["Join", "CartesianProduct"], 1),
+    # IVFADC: same shape — encode + cell-masked ADC are chained map stages
+    # over the persisted index scan, then the one per-query window
+    "ivfpq_topk": ([], ["Join", "CartesianProduct"], 1),
     # brute-force topk deliberately crossJoins a BROADCAST query side — the
     # nested-loop is the documented design, so require the broadcast kind
     "cosine_topk": (["BroadcastNestedLoopJoin"], ["CartesianProduct"], None),
