@@ -2610,6 +2610,11 @@ _CHEAP_FIRST = [
     "streaming_track_snapshot", "state_store_snapshot",
     "dedup_simhash", "streaming_event_pairs", "training_pipeline",
     "dedup_jaccard_pairs", "dedup_clusters",
+    # late-round-4 operators — also absent from every r1–r3 file, so they
+    # too must land inside the 50-entry window for the cross-round union
+    # to cover the catalog (cheapest-first; pq/ivfpq are rows-only checks)
+    "vocab_topk", "pq_topk", "ivfpq_topk", "containment_pairs",
+    "unigram_logprob", "tfidf_topterms", "dup_ngram_spans",
     # --- r3-recorded queries, cheapest-first (BENCH_r03 sf0.1 warm) ---
     "stratified_sample", "part_text_functions", "track_range",
     "fuzzy_part_match", "hash_split", "token_stats",
