@@ -2241,6 +2241,36 @@ def q_cosine_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.ivf_topk(emb, queries_df, k=5, n_centroids=8, nprobe=2, index=index)
 
 
+@query(
+    "streaming_vocab_topk",
+    oracle=f"""
+    WITH tk AS (SELECT doc_id, unnest(string_split({_NORM_SQL}, ' ')) AS token
+                FROM documents),
+     per AS (SELECT token, doc_id, count(*) AS c FROM tk
+             WHERE token <> '' GROUP BY token, doc_id),
+     v AS (SELECT token, sum(c) AS term_count, count(*) AS doc_freq
+           FROM per GROUP BY token)
+    SELECT token, term_count, doc_freq,
+           row_number() OVER (ORDER BY term_count DESC, token) AS rank
+    FROM v ORDER BY term_count DESC, token LIMIT 100
+    """,
+)
+def q_streaming_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental vocabulary maintenance during ingest — streaming twin
+    of vocab_topk (same oracle): per-batch exact partial aggregates
+    appended by foreachBatch, merged by summation on read.  Exact because
+    a doc's tokens never straddle micro-batches."""
+    import os as _os
+
+    from stateful_spark_streaming_spark.streaming.pipeline import (
+        run_streaming_vocab,
+    )
+
+    return run_streaming_vocab(
+        spark, _os.path.join(sf_dir, "documents.parquet"), top_n=100
+    )
+
+
 @query("pq_topk")  # approximate by construction → rows-only check
 def q_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantization ADC top-k (Jégou et al. 2011): vectors
@@ -2615,6 +2645,7 @@ _CHEAP_FIRST = [
     # to cover the catalog (cheapest-first; pq/ivfpq are rows-only checks)
     "vocab_topk", "pq_topk", "ivfpq_topk", "containment_pairs",
     "unigram_logprob", "tfidf_topterms", "dup_ngram_spans",
+    "streaming_vocab_topk",
     # --- r3-recorded queries, cheapest-first (BENCH_r03 sf0.1 warm) ---
     "stratified_sample", "part_text_functions", "track_range",
     "fuzzy_part_match", "hash_split", "token_stats",

@@ -967,6 +967,86 @@ def run_streaming_decontaminate(
     return spark.read.parquet(out_dir)
 
 
+def run_streaming_vocab(
+    spark: SparkSession,
+    documents_path: str,
+    top_n: int = 100,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    checkpoint_dir: str | None = None,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """Incremental corpus-vocabulary maintenance during ingest — the
+    streaming twin of ``text.vocab_topk`` (same oracle).
+
+    Shape: ADDITIVE PARTIAL AGGREGATES.  Spark disallows both distinct
+    aggregates and chained aggregations in a no-watermark stream, so the
+    (term_count, doc_freq) pair cannot be streaming state directly.
+    Instead each micro-batch computes its exact per-token partials with
+    ordinary batch aggregation in ``foreachBatch`` and APPENDS them; the
+    final vocabulary is the merge-on-read SUM over partials.  Exact — not
+    approximate — because a document's tokens all live in one micro-batch
+    (file sources never split a row group across triggers), so per-batch
+    doc_freq partials are disjoint and additive.  This is the standard
+    production shape for ingest-time corpus statistics: partials are tiny
+    (vocab-sized), the firehose is never shuffled twice, and compaction
+    (summing partials) can run at any cadence.
+
+    The top-N + rank is computed over the merged vocabulary exactly as the
+    batch operator does (TakeOrderedAndProject + rank window over N rows).
+    """
+    from pyspark.sql import functions as F
+
+    from stateful_spark_streaming_spark.operators.text import _token_occurrences
+
+    checkpoint_dir = checkpoint_dir or tempfile.mkdtemp(prefix="sss_ckpt_vocab_")
+    out_dir = checkpoint_dir + "_partials"
+    raw_schema = spark.read.parquet(documents_path).schema
+    src_dir = documents_path
+    if os.path.isfile(documents_path):
+        src_dir = tempfile.mkdtemp(prefix="sss_stream_docs_")
+        os.symlink(
+            os.path.abspath(documents_path),
+            os.path.join(src_dir, "part-0.parquet"),
+        )
+    reader = spark.readStream.schema(raw_schema).format("parquet")
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    stream = reader.load(src_dir)
+
+    def _sink(bdf: DataFrame, batch_id: int) -> None:
+        part = (
+            _token_occurrences(bdf, text_col, id_col)
+            .groupBy("token", "doc_id")
+            .agg(F.count("*").alias("c"))
+            .groupBy("token")
+            .agg(F.sum("c").alias("term_count"), F.count("*").alias("doc_freq"))
+        )
+        part.write.mode("append").parquet(out_dir)
+
+    q = (
+        stream.writeStream.foreachBatch(_sink)
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+
+    merged = (
+        spark.read.parquet(out_dir)
+        .groupBy("token")
+        .agg(F.sum("term_count").alias("term_count"), F.sum("doc_freq").alias("doc_freq"))
+    )
+    from pyspark.sql import Window
+
+    topped = merged.orderBy(F.col("term_count").desc(), "token").limit(top_n)
+    w = Window.orderBy(F.col("term_count").desc(), "token")
+    return topped.select(
+        "token", "term_count", "doc_freq", F.row_number().over(w).alias("rank")
+    )
+
+
 def run_streaming_ivf_topk(
     spark: SparkSession,
     queries_path: str,

@@ -258,3 +258,61 @@ def test_streaming_minhash_restart_resumes_claims(spark, tmp_path):
         for r in run_streaming_dedup_minhash(spark, src, checkpoint_dir=ck).collect()
     }
     assert got2 == {1, 2, 4}, "claims from the first run did not survive restart"
+
+
+def test_streaming_vocab_multibatch_equals_batch(spark, tmp_path):
+    """Incremental vocabulary across 3 micro-batches must equal the batch
+    vocab_topk on the union EXACTLY (counts, doc freqs, ranks) — the
+    additive-partials contract: per-batch partials are disjoint in
+    doc_freq because a doc's tokens never straddle batches, and summable
+    in term_count.  The shared token 'common' spans all three batches, so
+    cross-batch merging is actually exercised."""
+    from stateful_spark_streaming_spark.operators.text import vocab_topk
+    from stateful_spark_streaming_spark.streaming.pipeline import (
+        run_streaming_vocab,
+    )
+
+    rows = [
+        (1, "common alpha alpha beta"),
+        (2, "common beta gamma"),
+        (3, "common gamma gamma delta"),
+        (4, "common delta epsilon"),
+        (5, "common epsilon zeta zeta"),
+        (6, ""),  # empty doc contributes nothing
+    ]
+    src = str(tmp_path / "vocab_stream")
+    os.makedirs(src, exist_ok=True)
+    base = os.stat(src).st_mtime
+    for i, batch in enumerate([rows[:2], rows[2:4], rows[4:]]):
+        seg = str(tmp_path / f"vseg{i}")
+        spark.createDataFrame(batch, ["doc_id", "text"]).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(seg)
+        import glob
+        import shutil
+
+        f = glob.glob(os.path.join(seg, "part-*.parquet"))[0]
+        dst = os.path.join(src, f"{i:03d}.parquet")
+        shutil.copy(f, dst)
+        os.utime(dst, (base + i * 10, base + i * 10))
+
+    streamed = {
+        tuple(r)
+        for r in run_streaming_vocab(
+            spark,
+            src,
+            top_n=10,
+            checkpoint_dir=str(tmp_path / "ckpt_vocab"),
+            max_files_per_trigger=1,
+        ).collect()
+    }
+    batch = {
+        tuple(r)
+        for r in vocab_topk(
+            spark.createDataFrame(rows, ["doc_id", "text"]), top_n=10
+        ).collect()
+    }
+    assert streamed == batch
+    by_tok = {t[0]: t for t in streamed}
+    assert by_tok["common"][1] == 5 and by_tok["common"][2] == 5  # all 3 batches
+    assert by_tok["common"][3] == 1  # rank 1
