@@ -127,3 +127,55 @@ def range_join_pairs(
     )
     # no dedup needed: id_a's cell is fixed, so of id_b's 3 replicas exactly
     # one can land in it — each qualifying pair is emitted exactly once
+
+
+def funnel_steps(
+    df: DataFrame,
+    key: str = "user_id",
+    ts: str = "ts",
+    type_col: str = "event_type",
+    steps: tuple[str, ...] = ("view", "click", "purchase"),
+) -> DataFrame:
+    """Ordered funnel analysis: for each key, the earliest time each step
+    was reached GIVEN the previous step happened strictly before it —
+    step N's timestamp is the min event time of its type that is LATER
+    than step N-1's resolved timestamp (the standard product-analytics
+    conversion funnel, sequential semantics, not mere presence).
+
+    Scale shape: one exchange on the key, then one chained window select
+    per step over the SAME partitioning (no join, no re-shuffle — each
+    step's conditional min is a window aggregate referencing the previous
+    step's column), finished by a per-key aggregate that reuses the
+    partitioning.  Compare: the join formulation shuffles the event table
+    once per step."""
+    wu = Window.partitionBy(key)
+    out = df.select(key, ts, type_col)
+    prev = None
+    names = []
+    for i, step in enumerate(steps):
+        name = f"__t{i}"
+        cond = F.col(type_col) == step
+        if prev is not None:
+            cond = cond & (F.col(ts) > F.col(prev))
+        out = out.withColumn(name, F.min(F.when(cond, F.col(ts))).over(wu))
+        prev = name
+        names.append(name)
+    # build the CASE inside-out: ascending order leaves the DEEPEST step as
+    # the outermost branch (step i non-null implies step i-1 non-null, so
+    # the deepest non-null step must win)
+    reached = F.lit(0)
+    for i in range(len(steps)):
+        reached = F.when(F.col(f"__t{i}").isNotNull(), F.lit(i + 1)).otherwise(
+            reached
+        )
+    return (
+        out.withColumn("steps_completed", reached)
+        .groupBy(key)
+        .agg(
+            *[
+                F.unix_millis(F.min(n)).alias(f"t_{s}_ms")
+                for n, s in zip(names, steps)
+            ],
+            F.max("steps_completed").alias("steps_completed"),
+        )
+    )

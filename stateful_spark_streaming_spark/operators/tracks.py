@@ -200,3 +200,37 @@ def track_snapshot(
     for c in value_cols:
         aggs.append(F.max_by(F.col(c), F.col(ts)).alias(f"latest_{c}"))
     return tracks.groupBy(key).agg(*aggs)
+
+
+def track_rolling_stats(
+    df: DataFrame,
+    key: str = "user_id",
+    ts: str = "ts",
+    order_col: str = "event_id",
+    value_col: str = "value",
+    frame: int = 4,
+) -> DataFrame:
+    """Per-key rolling time-series features over the event stream: mean /
+    max / count of ``value_col`` over the current row and the ``frame``
+    preceding events (ROWS frame, (ts, order_col)-ordered, deterministic
+    under equal timestamps) — the classic feature-engineering shape
+    (moving averages for anomaly scores, rate features for models).
+
+    Scale shape: ONE exchange on the track key, then a single sorted
+    window pass computes all three frames — identical cost to any other
+    track operator regardless of frame width (ROWS frames are O(1)
+    per row for these aggregates)."""
+    w = (
+        Window.partitionBy(key)
+        .orderBy(ts, order_col)
+        .rowsBetween(-frame, Window.currentRow)
+    )
+    return df.select(
+        order_col,
+        key,
+        F.unix_millis(F.col(ts)).alias("ts_ms"),
+        F.col(value_col),
+        F.round(F.avg(value_col).over(w), 4).alias("roll_avg"),
+        F.round(F.max(value_col).over(w), 4).alias("roll_max"),
+        F.count(F.lit(1)).over(w).alias("roll_n"),
+    )

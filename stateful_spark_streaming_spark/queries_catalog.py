@@ -2471,6 +2471,52 @@ def q_track_last_n(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "track_rolling_stats",
+    oracle="""
+    SELECT event_id, user_id, epoch_ms(ts) AS ts_ms, value,
+           round(avg(value) OVER w, 4) AS roll_avg,
+           round(max(value) OVER w, 4) AS roll_max,
+           count(*) OVER w AS roll_n
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+    """,
+)
+def q_track_rolling_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-key rolling mean/max/count over the last 5 events — the moving-
+    average feature-engineering shape on the reference's track key (one
+    exchange, one sorted window pass)."""
+    return TR.track_rolling_stats(_t(spark, sf_dir, "events"), frame=4)
+
+
+@query(
+    "funnel_steps",
+    oracle="""
+    WITH t1 AS (SELECT user_id, min(ts) FILTER (WHERE event_type = 'view') AS tv
+                FROM events GROUP BY user_id),
+     t2 AS (SELECT e.user_id, min(e.ts) AS tc FROM events e JOIN t1 USING (user_id)
+            WHERE e.event_type = 'click' AND e.ts > t1.tv GROUP BY e.user_id),
+     t3 AS (SELECT e.user_id, min(e.ts) AS tp FROM events e JOIN t2 USING (user_id)
+            WHERE e.event_type = 'purchase' AND e.ts > t2.tc GROUP BY e.user_id)
+    SELECT t1.user_id,
+           epoch_ms(tv) AS t_view_ms, epoch_ms(tc) AS t_click_ms,
+           epoch_ms(tp) AS t_purchase_ms,
+           CASE WHEN tp IS NOT NULL THEN 3 WHEN tc IS NOT NULL THEN 2
+                WHEN tv IS NOT NULL THEN 1 ELSE 0 END AS steps_completed
+    FROM t1 LEFT JOIN t2 USING (user_id) LEFT JOIN t3 USING (user_id)
+    """,
+)
+def q_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequential conversion funnel view→click→purchase: step N counts
+    only if strictly after step N-1 — chained conditional window minima
+    over ONE key exchange (the join formulation re-shuffles the event
+    table once per step; the oracle uses it, the operator doesn't)."""
+    from stateful_spark_streaming_spark.operators import temporal as TMP
+
+    return TMP.funnel_steps(_t(spark, sf_dir, "events"))
+
+
 # --------------------------------------------------------------------------
 # Corpus-statistics / keyword / span-dedup operators (round-4 additions)
 # --------------------------------------------------------------------------
@@ -2645,7 +2691,7 @@ _CHEAP_FIRST = [
     # to cover the catalog (cheapest-first; pq/ivfpq are rows-only checks)
     "vocab_topk", "pq_topk", "ivfpq_topk", "containment_pairs",
     "unigram_logprob", "tfidf_topterms", "dup_ngram_spans",
-    "streaming_vocab_topk",
+    "streaming_vocab_topk", "track_rolling_stats", "funnel_steps",
     # --- r3-recorded queries, cheapest-first (BENCH_r03 sf0.1 warm) ---
     "stratified_sample", "part_text_functions", "track_range",
     "fuzzy_part_match", "hash_split", "token_stats",

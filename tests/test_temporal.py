@@ -59,3 +59,46 @@ def test_range_join_band_boundaries(spark):
     got2 = {(r.id_a, r.id_b) for r in TMP.range_join_pairs(
         ev, key="user_id", tolerance_seconds=121).collect()}
     assert got2 == {(1, 2), (2, 3), (1, 3)}
+
+
+def test_funnel_steps_sequential_semantics(spark):
+    import datetime as dt
+
+    def t(m):
+        return dt.datetime(2024, 1, 1, 10, m)
+
+    rows = [
+        # user 1: full funnel in order
+        (1, t(0), "view"), (1, t(5), "click"), (1, t(9), "purchase"),
+        # user 2: purchase BEFORE click -> only 2 steps count
+        (2, t(0), "view"), (2, t(3), "purchase"), (2, t(6), "click"),
+        # user 3: view only
+        (3, t(1), "view"),
+        # user 4: click with no prior view -> 0 steps
+        (4, t(2), "click"), (4, t(4), "purchase"),
+    ]
+    df = spark.createDataFrame(rows, ["user_id", "ts", "event_type"])
+    out = {r.user_id: r for r in TMP.funnel_steps(df).collect()}
+    assert out[1].steps_completed == 3
+    assert out[1].t_purchase_ms is not None
+    assert out[2].steps_completed == 2, "purchase before click must not count"
+    assert out[2].t_purchase_ms is None
+    assert out[3].steps_completed == 1 and out[3].t_click_ms is None
+    assert out[4].steps_completed == 0 and out[4].t_view_ms is None
+
+
+def test_track_rolling_stats_hand_computed(spark):
+    import datetime as dt
+
+    from stateful_spark_streaming_spark.operators import tracks as TR
+
+    rows = [
+        (i, dt.datetime(2024, 1, 1, 10, i), 7, float(v))
+        for i, v in enumerate([1.0, 3.0, 5.0, 7.0, 9.0, 11.0])
+    ]
+    df = spark.createDataFrame(rows, ["event_id", "ts", "user_id", "value"])
+    out = {r.event_id: r for r in TR.track_rolling_stats(df, frame=2).collect()}
+    assert out[0].roll_n == 1 and out[0].roll_avg == 1.0
+    assert out[2].roll_n == 3 and out[2].roll_avg == 3.0  # (1+3+5)/3
+    assert out[5].roll_n == 3 and out[5].roll_avg == 9.0  # (7+9+11)/3
+    assert out[5].roll_max == 11.0

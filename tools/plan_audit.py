@@ -125,6 +125,11 @@ CHECKS = {
     "profile_columns": (["Expand"], ["Join"], None),
     # per-group fixed-size sample: ONE exchange (the group window), no join
     "sample_n_per_group": ([], ["Join"], 1),
+    # rolling features: ONE key exchange, one sorted window pass, no join
+    "track_rolling_stats": ([], ["Join"], 1),
+    # funnel: chained conditional window minima over ONE key exchange —
+    # the per-step join formulation would shuffle events once per step
+    "funnel_steps": ([], ["Join"], 1),
     # vocabulary: two partial-agg exchanges + the top-N via per-partition
     # heaps (TakeOrderedAndProject, never a global Sort+Exchange) + the
     # rank window over the already-limited rows
