@@ -45,6 +45,27 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     )
 
 
+import re as _re
+
+#: the Python mirror of text.normalize_text()'s character class — ONE
+#: definition for every Arrow kernel, so the oracle-equality contract the
+#: hypothesis tests pin cannot desynchronize across kernels
+_NONWORD = _re.compile(r"[^a-z0-9]+")
+
+
+def _py_tokens(text) -> list | None:
+    """Python mirror of ``text.tokens()`` for the Arrow kernels,
+    byte-identical to the JVM form INCLUDING null semantics: None/NaN
+    text returns None (the JVM null token array — the doc emits nothing
+    from explode-based forms), empty text returns [''] (the JVM split
+    of '').  ``str(text)`` without the null guard would fabricate the
+    token 'none' and, e.g., pair two null-text docs as hamming-0
+    near-dups."""
+    if text is None or (isinstance(text, float) and text != text):
+        return None
+    return _NONWORD.sub(" ", str(text).lower()).strip().split(" ")
+
+
 def _spread(df: DataFrame) -> DataFrame:
     """Repartition ahead of heavy per-row compute.  The small test tables
     arrive as a single parquet row group = one task; at production scale the
@@ -63,11 +84,7 @@ def _shingle_index(df: DataFrame, text_col: str, id_col: str, k: int) -> DataFra
     exactly: normalized whitespace tokens, k-gram join by single space,
     DISTINCT shingles per doc, set_size = distinct count, < k-token docs
     emit nothing — pytested equal to the HOF form."""
-    import re as _re
-
     import pandas as pd
-
-    nonword = _re.compile(r"[^a-z0-9]+")
 
     def kernel(batches):
         for pdf in batches:
@@ -75,8 +92,8 @@ def _shingle_index(df: DataFrame, text_col: str, id_col: str, k: int) -> DataFra
             sizes: list = []
             shs: list = []
             for doc_id, text in zip(pdf[id_col], pdf[text_col]):
-                toks = nonword.sub(" ", str(text).lower()).strip().split(" ")
-                if len(toks) < k:
+                toks = _py_tokens(text)
+                if toks is None or len(toks) < k:
                     continue
                 uniq = list(
                     dict.fromkeys(
@@ -302,12 +319,9 @@ def _gram_positions(df: DataFrame, text_col: str, id_col: str, k: int) -> DataFr
     Same Arrow-kernel rationale: the interpreted ``zip_with`` chain +
     posexplode re-evaluates the tokenizer per element; one python/numpy
     pass per batch is ~3× cheaper and tokenizes once per row.  Docs with
-    fewer than ``k`` tokens emit nothing (no k-gram exists)."""
-    import re as _re
-
+    fewer than ``k`` tokens (or null text) emit nothing (no k-gram
+    exists)."""
     import pandas as pd
-
-    nonword = _re.compile(r"[^a-z0-9]+")
 
     def kernel(batches):
         for pdf in batches:
@@ -315,7 +329,9 @@ def _gram_positions(df: DataFrame, text_col: str, id_col: str, k: int) -> DataFr
             poss: list = []
             grams: list = []
             for doc_id, text in zip(pdf[id_col], pdf[text_col]):
-                toks = nonword.sub(" ", str(text).lower()).strip().split(" ")
+                toks = _py_tokens(text)
+                if toks is None:
+                    continue
                 n = len(toks) - k + 1
                 if n <= 0:
                     continue
@@ -564,13 +580,11 @@ def minhash_band_rows_mapinpandas(
     the output covers every input doc — this is the streaming ingest
     filter's input contract.  Stateless mapInPandas: streaming-safe."""
     import hashlib
-    import re as _re
 
     import numpy as np
     import pandas as pd
 
     rows_per_band = num_hashes // bands
-    nonword = _re.compile(r"[^a-z0-9]+")
 
     def kernel(batches):
         I = np.arange(num_hashes, dtype=np.int64)
@@ -578,7 +592,9 @@ def minhash_band_rows_mapinpandas(
             out_ids: list = []
             out_bands: list = []
             for doc_id, text in zip(pdf[id_col], pdf[text_col]):
-                toks = nonword.sub(" ", str(text).lower()).strip().split(" ")
+                # null text = empty shingle set in the JVM twin -> the same
+                # sentinel band (the doc passes through uniquely)
+                toks = _py_tokens(text) or []
                 if len(toks) < k:
                     out_ids.append(doc_id)
                     out_bands.append(
@@ -899,14 +915,15 @@ def simhash_fingerprints_mapinpandas(
     sum aggregation becomes one md5 per token plus a vectorized
     bit-matrix column sum per doc.  Token MULTISET semantics preserved
     (duplicates count; the empty-string token from empty text included),
-    matching the exploded batch path and the DuckDB oracle."""
+    matching the exploded batch path and the DuckDB oracle.  Null-text
+    docs emit NOTHING — the batch path's explode drops them, and without
+    the guard str(None) would fabricate the token 'none' and pair two
+    null-text docs as a hamming-0 near-dup."""
     import hashlib
-    import re as _re
 
     import numpy as np
     import pandas as pd
 
-    nonword = _re.compile(r"[^a-z0-9]+")
     bit_idx = np.arange(SIMHASH_BITS, dtype=np.int64)
 
     def kernel(batches):
@@ -914,7 +931,9 @@ def simhash_fingerprints_mapinpandas(
             ids: list = []
             fps: list = []
             for doc_id, text in zip(pdf[id_col], pdf[text_col]):
-                toks = nonword.sub(" ", str(text).lower()).strip().split(" ")
+                toks = _py_tokens(text)
+                if toks is None:
+                    continue
                 hs = np.array(
                     [
                         int(hashlib.md5(t.encode()).hexdigest()[:15], 16)

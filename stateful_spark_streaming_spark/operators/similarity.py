@@ -447,6 +447,51 @@ def pq_reconstruction_mse(
     )
 
 
+_ADC_EMPTY_SCHEMA = "query_id long, rank int, neighbor_id long, approx_cosine double"
+
+
+def _adc_lut(q_rows, codebooks_np):
+    """(qids, LUT) from collected query rows: L2-normalize, then
+    LUT[q, j, c] = ||Q[q] subspace j − codeword c||² — the shared ADC
+    preamble of ``pq_topk`` and ``ivfpq_topk`` (and the raw query matrix,
+    which IVF additionally needs for cell probing)."""
+    import numpy as np
+
+    mm, ks_, dsub = codebooks_np.shape
+    qids = np.array([r[0] for r in q_rows], dtype=np.int64)
+    Qraw = np.array([r[1] for r in q_rows], dtype=np.float64)
+    Q = Qraw / np.maximum(np.linalg.norm(Qraw, axis=1, keepdims=True), 1e-12)
+    lut = np.empty((len(Q), mm, ks_))
+    for j in range(mm):
+        S = Q[:, j * dsub : (j + 1) * dsub]
+        C = codebooks_np[j]
+        lut[:, j, :] = (
+            (S**2).sum(1)[:, None] - 2.0 * S @ C.T + (C**2).sum(1)[None, :]
+        )
+    return qids, Qraw, lut
+
+
+def _adc_finish(cand: DataFrame, k: int) -> DataFrame:
+    """Shared ADC tail: drop self-matches, per-query rank window with the
+    deterministic (d², neighbor_id) tie-break, report approx_cosine =
+    1 − d²/2 (valid on unit vectors).  Keeping this in ONE place is what
+    the full-probe ≡ pq_topk exactness anchor rests on."""
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("d2").asc(), F.col("neighbor_id").asc()
+    )
+    return (
+        cand.filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "rank",
+            "neighbor_id",
+            F.round(F.lit(1.0) - F.col("d2") / F.lit(2.0), 6).alias("approx_cosine"),
+        )
+    )
+
+
 def pq_topk(
     embeddings: DataFrame,
     queries: DataFrame,
@@ -478,21 +523,12 @@ def pq_topk(
     if codebooks is None:
         codebooks = pq_train(embeddings, m=m, ks=ks, id_col=id_col, vec_col=vec_col)
     B = np.asarray(codebooks, dtype=np.float64)  # (m, ks, dsub)
-    mm, ks_, dsub = B.shape
 
-    q_rows = queries.select(id_col, vec_col).collect()  # bounded query set
-    qids = np.array([r[0] for r in q_rows], dtype=np.int64)
-    Q = np.array([r[1] for r in q_rows], dtype=np.float64)
-    Q = Q / np.maximum(np.linalg.norm(Q, axis=1, keepdims=True), 1e-12)
-    # LUT[q, j, c] = ||Q[q] subspace j - codeword c||²
-    lut = np.empty((len(Q), mm, ks_))
-    for j in range(mm):
-        S = Q[:, j * dsub : (j + 1) * dsub]
-        C = B[j]
-        lut[:, j, :] = (
-            (S**2).sum(1)[:, None] - 2.0 * S @ C.T + (C**2).sum(1)[None, :]
-        )
     spark = embeddings.sparkSession
+    q_rows = queries.select(id_col, vec_col).collect()  # bounded query set
+    if not q_rows:  # empty query set: empty result, not a 1-D numpy crash
+        return spark.createDataFrame([], _ADC_EMPTY_SCHEMA)
+    qids, _qraw, lut = _adc_lut(q_rows, B)
     bc = spark.sparkContext.broadcast((qids, lut))
 
     codes = pq_encode(embeddings, codebooks, id_col=id_col, vec_col=vec_col)
@@ -521,20 +557,7 @@ def pq_topk(
             )
 
     cand = codes.mapInPandas(kernel, "query_id long, neighbor_id long, d2 double")
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("d2").asc(), F.col("neighbor_id").asc()
-    )
-    return (
-        cand.filter(F.col("neighbor_id") != F.col("query_id"))
-        .withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select(
-            "query_id",
-            "rank",
-            "neighbor_id",
-            F.round(F.lit(1.0) - F.col("d2") / F.lit(2.0), 6).alias("approx_cosine"),
-        )
-    )
+    return _adc_finish(cand, k)
 
 
 def ivfpq_topk(
@@ -574,28 +597,20 @@ def ivfpq_topk(
     if codebooks is None:
         codebooks = pq_train(embeddings, m=m, ks=ks, id_col=id_col, vec_col=vec_col)
     B = np.asarray(codebooks, dtype=np.float64)
-    mm, ks_, dsub = B.shape
 
+    spark = embeddings.sparkSession
     q_rows = queries.select(id_col, vec_col).collect()  # bounded query set
-    qids = np.array([r[0] for r in q_rows], dtype=np.int64)
-    Qraw = np.array([r[1] for r in q_rows], dtype=np.float64)
+    if not q_rows:  # empty query set: empty result, not a 1-D numpy crash
+        return spark.createDataFrame([], _ADC_EMPTY_SCHEMA)
+    qids, Qraw, lut = _adc_lut(q_rows, B)
     # probe cells on the RAW query vector (the IVF cells were trained on
-    # raw vectors — mirrors _assign_probe_cells), ADC on the unit vector
+    # raw vectors — mirrors _assign_probe_cells); the LUT is unit-vector
     d2c = (
         (Qraw**2).sum(1)[:, None]
         - 2.0 * Qraw @ cents_np.T
         + (cents_np**2).sum(1)[None, :]
     )
     probe = np.argsort(d2c, axis=1)[:, :nprobe]  # (nq, nprobe)
-    Q = Qraw / np.maximum(np.linalg.norm(Qraw, axis=1, keepdims=True), 1e-12)
-    lut = np.empty((len(Q), mm, ks_))
-    for j in range(mm):
-        S = Q[:, j * dsub : (j + 1) * dsub]
-        C = B[j]
-        lut[:, j, :] = (
-            (S**2).sum(1)[:, None] - 2.0 * S @ C.T + (C**2).sum(1)[None, :]
-        )
-    spark = embeddings.sparkSession
     bc = spark.sparkContext.broadcast((qids, lut, probe))
 
     codes = pq_encode(
@@ -629,20 +644,7 @@ def ivfpq_topk(
             )
 
     cand = codes.mapInPandas(kernel, "query_id long, neighbor_id long, d2 double")
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("d2").asc(), F.col("neighbor_id").asc()
-    )
-    return (
-        cand.filter(F.col("neighbor_id") != F.col("query_id"))
-        .withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select(
-            "query_id",
-            "rank",
-            "neighbor_id",
-            F.round(F.lit(1.0) - F.col("d2") / F.lit(2.0), 6).alias("approx_cosine"),
-        )
-    )
+    return _adc_finish(cand, k)
 
 
 def cosine_near_pairs(
@@ -675,16 +677,17 @@ def cosine_near_pairs(
     import pandas as pd
 
     spark = embeddings.sparkSession
-    # size probe: a column-pruned limit+1 count — ids only, no vectors move.
-    # Costs one extra (cheap) evaluation of the upstream plan; in exchange
-    # the over-bound branch never funnels vectors through the driver at all.
-    n = embeddings.select(id_col).limit(max_broadcast_vectors + 1).count()
+    # size probe: ONE column-pruned count decides the tier AND sizes the
+    # blocked tier's block count — a limit-probe here would force the
+    # blocked branch to re-count the upstream plan just for n_blocks,
+    # i.e. two full evaluations instead of one.
+    n = embeddings.select(id_col).count()
     if n > max_broadcast_vectors:
         # distributed exact tier: block-partitioned pairwise matmul — no
         # driver funnel, no broadcast of the corpus (VERDICT r3 stretch #8).
         cosine_near_pairs.last_tier = "blocked"
         return _cosine_near_pairs_blocked(
-            embeddings, threshold, id_col, vec_col
+            embeddings, threshold, id_col, vec_col, n_rows=n
         )
     cosine_near_pairs.last_tier = "broadcast"
     pdf_all = embeddings.select(id_col, vec_col).toPandas()
@@ -733,6 +736,7 @@ def _cosine_near_pairs_blocked(
     vec_col: str,
     block_rows: int = 200_000,
     n_blocks: int | None = None,
+    n_rows: int | None = None,
 ) -> DataFrame:
     """Distributed exact all-pairs cosine: hash ids into ``n_blocks``
     blocks, replicate each block once per partner block, and matmul every
@@ -750,7 +754,8 @@ def _cosine_near_pairs_blocked(
 
     spark = embeddings.sparkSession
     if n_blocks is None:
-        n_rows = embeddings.select(id_col).count()
+        if n_rows is None:  # direct callers; cosine_near_pairs passes it
+            n_rows = embeddings.select(id_col).count()
         n_blocks = max(2, -(-n_rows // block_rows))
     base = embeddings.select(
         F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_blocks))
@@ -774,13 +779,23 @@ def _cosine_near_pairs_blocked(
 
     thr = threshold
 
+    _empty = pd.DataFrame({"id_a": [], "id_b": [], "raw_cos": []})
+
     def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        # diagonal vs cross-block MUST come from the group key, never from
+        # side emptiness: a hash block with zero ids produces cross-block
+        # groups holding only one side, and routing those down the diagonal
+        # branch would re-emit the populated block's internal pairs (one
+        # duplicate set per empty partner block)
+        is_diag = pdf["ba"].iat[0] == pdf["bb"].iat[0]
         a_rows = pdf[pdf["_side"] == 0]
         b_rows = pdf[pdf["_side"] == 1]
+        if not len(a_rows) or (not is_diag and not len(b_rows)):
+            return _empty  # an empty block pairs with nothing
         ids_a = a_rows["_id"].to_numpy()
         A = np.array(a_rows["_vec"].tolist(), dtype=np.float64)
         A /= np.linalg.norm(A, axis=1, keepdims=True)
-        if len(b_rows):  # cross-block group: every (a, b) combo is a
+        if not is_diag:  # cross-block group: every (a, b) combo is a
             # distinct unordered pair, but hash blocking gives NO id order
             # across blocks — emit all hits as (min, max)
             ids_b = b_rows["_id"].to_numpy()

@@ -390,6 +390,25 @@ def run_snapshot_query(
         spark.conf.set("spark.sql.shuffle.partitions", old_sp)
 
 
+def _stage_parquet_stream(
+    spark: SparkSession, path: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
+    """Open a parquet path as a file-source STREAM: read the footer schema
+    (file sources need an explicit one), symlink a single file into a temp
+    dir (file sources need a directory), and apply the per-trigger file
+    cap.  One definition for every streaming entry point — a staging fix
+    (schema drift, deleted source) lands once."""
+    raw_schema = spark.read.parquet(path).schema
+    src_dir = path
+    if os.path.isfile(path):
+        src_dir = tempfile.mkdtemp(prefix="sss_stream_src_")
+        os.symlink(os.path.abspath(path), os.path.join(src_dir, "part-0.parquet"))
+    reader = spark.readStream.schema(raw_schema).format("parquet")
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    return reader.load(src_dir)
+
+
 def stream_events_source(
     spark: SparkSession,
     events_path: str,
@@ -412,15 +431,7 @@ def stream_events_source(
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     except Exception:  # noqa: BLE001
         pass
-    raw_schema = spark.read.parquet(events_path).schema
-    src_dir = events_path
-    if os.path.isfile(events_path):
-        src_dir = tempfile.mkdtemp(prefix="sss_stream_src_")
-        os.symlink(os.path.abspath(events_path), os.path.join(src_dir, "part-0.parquet"))
-    reader = spark.readStream.schema(raw_schema).format("parquet")
-    if max_files_per_trigger is not None:
-        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
-    stream_df = reader.load(src_dir)
+    stream_df = _stage_parquet_stream(spark, events_path, max_files_per_trigger)
     ts_type = dict(stream_df.dtypes).get("ts")
     if ts_type == "bigint":
         stream_df = stream_df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
@@ -717,6 +728,25 @@ def _band_claim_fold(key, pdfs, state):
     yield pd.DataFrame({"doc_id": rows["doc_id"], "is_dup": is_dup})
 
 
+
+#: streaming state-store provider aliases — resolved by _resolve_state_store
+_STATE_STORE_CONF = "spark.sql.streaming.stateStore.providerClass"
+_STATE_STORE_PROVIDERS = {
+    "hdfs": "org.apache.spark.sql.execution.streaming.state."
+    "HDFSBackedStateStoreProvider",
+    "rocksdb": "org.apache.spark.sql.execution.streaming.state."
+    "RocksDBStateStoreProvider",
+}
+
+
+def _resolve_state_store(name: str | None) -> str | None:
+    """Map a state-store alias to its provider class, raising on a bad
+    name BEFORE the caller mutates any session conf — the entry points
+    restore confs in a finally block, which cannot protect failures that
+    happen before the try begins."""
+    return None if name is None else _STATE_STORE_PROVIDERS[name]
+
+
 def run_streaming_dedup_minhash(
     spark: SparkSession,
     documents_path: str,
@@ -734,7 +764,9 @@ def run_streaming_dedup_minhash(
     """Streaming NEAR-dup ingest — incremental MinHash+LSH (VERDICT r3
     "missing" #4, the one LLM-pipeline shape that had no streaming twin):
     each arriving document computes its 8 band hashes MAP-SIDE
-    (``minhash_bands_mapside`` — bit-identical to the batch operator), and
+    (``minhash_band_rows_mapinpandas``, the Arrow kernel — bit-identical
+    to the batch operator and to the ``minhash_bands_mapside`` HOF form,
+    which measured ~6× slower on this hot path), and
     a document is admitted iff it claims ALL its bands first; any band
     collision with an earlier document (this batch or any previous one)
     marks it a near-duplicate and suppresses it.  This is the standard
@@ -786,6 +818,7 @@ def run_streaming_dedup_minhash(
 
     checkpoint_dir = checkpoint_dir or tempfile.mkdtemp(prefix="sss_ckpt_mhdedup_")
     out_dir = checkpoint_dir + "_out"
+    provider_class = _resolve_state_store(state_store)  # fail before conf set
     old_sp = spark.conf.get("spark.sql.shuffle.partitions")
     if state_partitions is None:
         # match core count, NOT the session's shuffle setting: a plain
@@ -795,29 +828,11 @@ def run_streaming_dedup_minhash(
         # (core-count measured fastest: 7.1 s vs 9.1 s at 8 on local[32])
         state_partitions = spark.sparkContext.defaultParallelism
     spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
-    store_conf = "spark.sql.streaming.stateStore.providerClass"
-    providers = {
-        "hdfs": "org.apache.spark.sql.execution.streaming.state."
-        "HDFSBackedStateStoreProvider",
-        "rocksdb": "org.apache.spark.sql.execution.streaming.state."
-        "RocksDBStateStoreProvider",
-    }
-    old_store = spark.conf.get(store_conf, None)
-    if state_store is not None:
-        spark.conf.set(store_conf, providers[state_store])
+    old_store = spark.conf.get(_STATE_STORE_CONF, None)
+    if provider_class is not None:
+        spark.conf.set(_STATE_STORE_CONF, provider_class)
     try:
-        raw_schema = spark.read.parquet(documents_path).schema
-        src_dir = documents_path
-        if os.path.isfile(documents_path):
-            src_dir = tempfile.mkdtemp(prefix="sss_stream_docs_")
-            os.symlink(
-                os.path.abspath(documents_path),
-                os.path.join(src_dir, "part-0.parquet"),
-            )
-        reader = spark.readStream.schema(raw_schema).format("parquet")
-        if max_files_per_trigger is not None:
-            reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
-        stream = reader.load(src_dir)
+        stream = _stage_parquet_stream(spark, documents_path, max_files_per_trigger)
 
         # numpy kernel, not the HOF fold: bit-identical bands (tested), but
         # the interpreted 32-way HOF fold measured 6.4 s vs 1.1 s for the
@@ -884,11 +899,11 @@ def run_streaming_dedup_minhash(
         return spark.read.parquet(out_dir)
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old_sp)
-        if state_store is not None:
+        if provider_class is not None:
             if old_store is not None:
-                spark.conf.set(store_conf, old_store)
+                spark.conf.set(_STATE_STORE_CONF, old_store)
             else:
-                spark.conf.unset(store_conf)
+                spark.conf.unset(_STATE_STORE_CONF)
 
 
 def run_streaming_decontaminate(
@@ -922,18 +937,7 @@ def run_streaming_decontaminate(
 
     checkpoint_dir = checkpoint_dir or tempfile.mkdtemp(prefix="sss_ckpt_decon_")
     out_dir = checkpoint_dir + "_out"
-    raw_schema = spark.read.parquet(documents_path).schema
-    src_dir = documents_path
-    if os.path.isfile(documents_path):
-        src_dir = tempfile.mkdtemp(prefix="sss_stream_docs_")
-        os.symlink(
-            os.path.abspath(documents_path),
-            os.path.join(src_dir, "part-0.parquet"),
-        )
-    reader = spark.readStream.schema(raw_schema).format("parquet")
-    if max_files_per_trigger is not None:
-        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
-    stream = reader.load(src_dir)
+    stream = _stage_parquet_stream(spark, documents_path, max_files_per_trigger)
     if train_filter is not None:
         stream = stream.filter(train_filter)
 
@@ -1001,18 +1005,7 @@ def run_streaming_vocab(
 
     checkpoint_dir = checkpoint_dir or tempfile.mkdtemp(prefix="sss_ckpt_vocab_")
     out_dir = checkpoint_dir + "_partials"
-    raw_schema = spark.read.parquet(documents_path).schema
-    src_dir = documents_path
-    if os.path.isfile(documents_path):
-        src_dir = tempfile.mkdtemp(prefix="sss_stream_docs_")
-        os.symlink(
-            os.path.abspath(documents_path),
-            os.path.join(src_dir, "part-0.parquet"),
-        )
-    reader = spark.readStream.schema(raw_schema).format("parquet")
-    if max_files_per_trigger is not None:
-        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
-    stream = reader.load(src_dir)
+    stream = _stage_parquet_stream(spark, documents_path, max_files_per_trigger)
 
     def _sink(bdf: DataFrame, batch_id: int) -> None:
         part = (
@@ -1083,17 +1076,7 @@ def run_streaming_ivf_topk(
     checkpoint_dir = checkpoint_dir or tempfile.mkdtemp(prefix="sss_ckpt_ivfq_")
     out_dir = checkpoint_dir + "_out"
     index = ivf_load_index(spark, index_path)
-    raw_schema = spark.read.parquet(queries_path).schema
-    src_dir = queries_path
-    if os.path.isfile(queries_path):
-        src_dir = tempfile.mkdtemp(prefix="sss_stream_q_")
-        os.symlink(
-            os.path.abspath(queries_path), os.path.join(src_dir, "part-0.parquet")
-        )
-    reader = spark.readStream.schema(raw_schema).format("parquet")
-    if max_files_per_trigger is not None:
-        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
-    stream = reader.load(src_dir)
+    stream = _stage_parquet_stream(spark, queries_path, max_files_per_trigger)
     if query_filter is not None:
         stream = stream.filter(query_filter)
 
@@ -1171,19 +1154,13 @@ def run_streaming_event_pairs(
 
     checkpoint_dir = checkpoint_dir or tempfile.mkdtemp(prefix="sss_ckpt_ssj_")
     out_dir = checkpoint_dir + "_out"
+    provider_class = _resolve_state_store(state_store)  # fail before conf set
     old_sp = spark.conf.get("spark.sql.shuffle.partitions")
     if state_partitions is not None:
         spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
-    store_conf = "spark.sql.streaming.stateStore.providerClass"
-    providers = {
-        "hdfs": "org.apache.spark.sql.execution.streaming.state."
-        "HDFSBackedStateStoreProvider",
-        "rocksdb": "org.apache.spark.sql.execution.streaming.state."
-        "RocksDBStateStoreProvider",
-    }
-    old_store = spark.conf.get(store_conf, None)
-    if state_store is not None:
-        spark.conf.set(store_conf, providers[state_store])
+    old_store = spark.conf.get(_STATE_STORE_CONF, None)
+    if provider_class is not None:
+        spark.conf.set(_STATE_STORE_CONF, provider_class)
     try:
         a = stream_events_source(
             spark, events_path, max_files_per_trigger=max_files_per_trigger
@@ -1233,11 +1210,11 @@ def run_streaming_event_pairs(
         return spark.read.parquet(out_dir)
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old_sp)
-        if state_store is not None:
+        if provider_class is not None:
             if old_store is not None:
-                spark.conf.set(store_conf, old_store)
+                spark.conf.set(_STATE_STORE_CONF, old_store)
             else:
-                spark.conf.unset(store_conf)
+                spark.conf.unset(_STATE_STORE_CONF)
 
 
 #: debug introspection: per-batch progress of the last stream-stream join run

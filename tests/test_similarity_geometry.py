@@ -303,3 +303,52 @@ def test_ivfpq_recall_above_chance(spark, sf_dir):
     # measured 0.31 (vs ~0.01 chance); nprobe=2/8 costs little over pure
     # PQ's 0.34 on these unstructured vectors
     assert recall >= 0.15, f"recall@5 {recall}"
+
+
+def test_cosine_near_pairs_blocked_handles_empty_blocks(spark):
+    """A hash block with zero ids must neither crash the cross-block
+    kernel (1-D empty matrix) nor duplicate the populated block's internal
+    pairs via the diagonal branch (regression: the branch was chosen by
+    side-emptiness, not the group key)."""
+    from pyspark.sql import functions as F
+
+    from stateful_spark_streaming_spark.operators.similarity import (
+        _cosine_near_pairs_blocked,
+        cosine_near_pairs,
+    )
+
+    n_blocks = 4
+    probe = spark.createDataFrame([(i,) for i in range(60)], ["vec_id"])
+    residues = {
+        r.vec_id: r.blk
+        for r in probe.select(
+            "vec_id",
+            F.pmod(F.xxhash64("vec_id"), F.lit(n_blocks)).cast("int").alias("blk"),
+        ).collect()
+    }
+    target = residues[0]
+    ids = [i for i, b in residues.items() if b == target][:6]
+    assert len(ids) >= 3, "need a few ids in one block"
+    # near-identical vectors (pairwise cosine ~1) all in ONE block -> the
+    # other 3 blocks are empty
+    rows = [(i, [1.0, 0.001 * k, 0.0]) for k, i in enumerate(ids)]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    got = sorted(
+        (r.id_a, r.id_b)
+        for r in _cosine_near_pairs_blocked(
+            df, 0.99, "vec_id", "embedding", n_blocks=n_blocks
+        ).collect()
+    )
+    want = sorted(
+        (r.id_a, r.id_b)
+        for r in cosine_near_pairs(df, threshold=0.99).collect()
+    )
+    assert cosine_near_pairs.last_tier == "broadcast"
+    assert got == want and len(got) == len(set(got)), "no dups, no misses"
+
+
+def test_pq_and_ivfpq_empty_query_set(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    none = emb.filter("vec_id < 0")
+    assert SIM.pq_topk(emb, none, k=5, m=8, ks=16).count() == 0
+    assert SIM.ivfpq_topk(emb, none, k=5, m=8, ks=16).count() == 0

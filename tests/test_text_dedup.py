@@ -492,3 +492,38 @@ def test_containment_and_jaccard_agree_on_exact_dup(spark):
     cont = DD.containment_pairs(df, threshold=0.9).collect()
     assert len(cont) == 1 and cont[0].containment == 1.0
     assert cont[0].n_common == cont[0].size_a == cont[0].size_b
+
+
+def test_kernels_null_text_semantics(spark):
+    """Null-text rows must behave exactly like the JVM forms: dropped by
+    the explode-based kernels (shingles / grams / simhash — str(None)
+    would otherwise fabricate the token 'none' and pair two null docs as
+    hamming-0 near-dups), sentinel-banded by the minhash ingest kernel
+    (its contract covers every input doc)."""
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from stateful_spark_streaming_spark.operators.dedup import (
+        _gram_positions,
+        _shingle_index,
+        minhash_band_rows_mapinpandas,
+        simhash_fingerprints_mapinpandas,
+    )
+
+    schema = StructType(
+        [StructField("doc_id", LongType()), StructField("text", StringType())]
+    )
+    df = spark.createDataFrame(
+        [(1, None), (2, None), (3, "real words appear here often")], schema
+    )
+    # JVM batch form drops null-text docs entirely
+    jvm = {r.doc_id for r in DD.simhash(df).collect()}
+    np_ = {r.doc_id for r in simhash_fingerprints_mapinpandas(df).collect()}
+    assert jvm == np_ == {3}
+    assert {r.doc for r in _shingle_index(df, "text", "doc_id", 3).collect()} == {3}
+    assert {r.doc for r in _gram_positions(df, "text", "doc_id", 3).collect()} == {3}
+    bands = minhash_band_rows_mapinpandas(df).collect()
+    per_doc = {}
+    for r in bands:
+        per_doc.setdefault(r.doc_id, []).append(r.band_hash)
+    assert set(per_doc) == {1, 2, 3}
+    assert len(per_doc[1]) == 1 and per_doc[1] != per_doc[2], "unique sentinels"
