@@ -2471,6 +2471,58 @@ def q_track_last_n(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+from stateful_spark_streaming_spark.operators import layout as LAY  # noqa: E402
+
+
+def _quant_sql(col: str, lo: float, hi: float, bits: int) -> str:
+    cells = 1 << bits
+    return (
+        f"CAST(least({cells - 1}, greatest(0, CAST(floor((({col}) - {lo}) "
+        f"/ {hi - lo} * {cells}) AS BIGINT))) AS BIGINT)"
+    )
+
+
+def _zorder_sql(c1: str, c2: str, bits: int) -> str:
+    terms = []
+    for b in range(bits):
+        terms.append(f"((({c1} >> {b}) & 1) << {2 * b})")
+        terms.append(f"((({c2} >> {b}) & 1) << {2 * b + 1})")
+    return " | ".join(terms)
+
+
+@query(
+    "zorder_key",
+    oracle=f"""
+    WITH q AS (SELECT event_id,
+                      {_quant_sql('user_id', 0, 2048, 10)} AS q_user,
+                      {_quant_sql('value', 0, 512, 10)} AS q_val
+               FROM events)
+    SELECT event_id, q_user, q_val,
+           {_zorder_sql('q_user', 'q_val', 10)} AS zkey
+    FROM q
+    """,
+)
+def q_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Morton/Z-order clustering key over (user_id, value) — the
+    write-side layout primitive that makes BOTH columns' parquet footer
+    stats tight (Delta/Iceberg OPTIMIZE ZORDER BY, as plain column
+    algebra).  Deterministic integer bit interleaving → exact oracle;
+    the pruning dominance itself is asserted from footer stats in
+    pytest."""
+    ev = _t(spark, sf_dir, "events")
+    q = ev.select(
+        "event_id",
+        LAY.quantize(F.col("user_id"), 0, 2048, 10).alias("q_user"),
+        LAY.quantize(F.col("value"), 0, 512, 10).alias("q_val"),
+    )
+    return q.select(
+        "event_id",
+        "q_user",
+        "q_val",
+        LAY.zorder_key(F.col("q_user"), F.col("q_val"), 10).alias("zkey"),
+    )
+
+
 @query(
     "track_rolling_stats",
     oracle="""
@@ -2692,6 +2744,7 @@ _CHEAP_FIRST = [
     "vocab_topk", "pq_topk", "ivfpq_topk", "containment_pairs",
     "unigram_logprob", "tfidf_topterms", "dup_ngram_spans",
     "streaming_vocab_topk", "track_rolling_stats", "funnel_steps",
+    "zorder_key",
     # --- r3-recorded queries, cheapest-first (BENCH_r03 sf0.1 warm) ---
     "stratified_sample", "part_text_functions", "track_range",
     "fuzzy_part_match", "hash_split", "token_stats",

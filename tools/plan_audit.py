@@ -125,6 +125,8 @@ CHECKS = {
     "profile_columns": (["Expand"], ["Join"], None),
     # per-group fixed-size sample: ONE exchange (the group window), no join
     "sample_n_per_group": ([], ["Join"], 1),
+    # z-order key: pure bit-interleave column algebra — map-only
+    "zorder_key": ([], ["Exchange", "Join", "Generate"], 0),
     # rolling features: ONE key exchange, one sorted window pass, no join
     "track_rolling_stats": ([], ["Join"], 1),
     # funnel: chained conditional window minima over ONE key exchange —
