@@ -1015,7 +1015,14 @@ def run_streaming_vocab(
             .groupBy("token")
             .agg(F.sum("c").alias("term_count"), F.count("*").alias("doc_freq"))
         )
-        part.write.mode("append").parquet(out_dir)
+        # batch-id stamp makes the append REPLAY-IDEMPOTENT: a crash
+        # between this append and the checkpoint commit re-runs the batch
+        # with the SAME id and re-appends byte-identical rows, and the
+        # merge below collapses per (token, batch) before summing — a
+        # plain sum over raw appends would double-count the replay
+        part.withColumn("_batch_id", F.lit(batch_id)).write.mode(
+            "append"
+        ).parquet(out_dir)
 
     q = (
         stream.writeStream.foreachBatch(_sink)
@@ -1028,6 +1035,14 @@ def run_streaming_vocab(
 
     merged = (
         spark.read.parquet(out_dir)
+        # replay dedupe: one row per (token, batch) — replayed appends are
+        # byte-identical (the partial agg is deterministic), so max == the
+        # single true value; then the cross-batch sum
+        .groupBy("token", "_batch_id")
+        .agg(
+            F.max("term_count").alias("term_count"),
+            F.max("doc_freq").alias("doc_freq"),
+        )
         .groupBy("token")
         .agg(F.sum("term_count").alias("term_count"), F.sum("doc_freq").alias("doc_freq"))
     )

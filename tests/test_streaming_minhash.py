@@ -316,3 +316,35 @@ def test_streaming_vocab_multibatch_equals_batch(spark, tmp_path):
     by_tok = {t[0]: t for t in streamed}
     assert by_tok["common"][1] == 5 and by_tok["common"][2] == 5  # all 3 batches
     assert by_tok["common"][3] == 1  # rank 1
+
+
+def test_streaming_vocab_replay_idempotent(spark, tmp_path):
+    """Crash-replay contract: if a batch's partials are appended TWICE
+    (crash between the parquet append and the checkpoint commit re-runs
+    the batch with the same id and byte-identical rows), the merged
+    vocabulary must not change — the (token, batch_id) dedupe makes the
+    additive sink exactly-once."""
+    import glob
+    import shutil
+
+    from stateful_spark_streaming_spark.streaming.pipeline import (
+        run_streaming_vocab,
+    )
+
+    rows = [(1, "alpha beta alpha"), (2, "beta gamma")]
+    src = str(tmp_path / "docs")
+    spark.createDataFrame(rows, ["doc_id", "text"]).coalesce(1).write.parquet(src)
+    ckpt = str(tmp_path / "ckpt")
+    before = {
+        tuple(r) for r in run_streaming_vocab(spark, src, checkpoint_dir=ckpt).collect()
+    }
+    # simulate the replayed append: duplicate the partial files in place
+    out_dir = ckpt + "_partials"
+    for f in glob.glob(os.path.join(out_dir, "part-*.parquet")):
+        shutil.copy(f, f.replace("part-", "replay-part-"))
+    merged_again = {
+        tuple(r) for r in run_streaming_vocab(spark, src, checkpoint_dir=ckpt).collect()
+    }
+    assert merged_again == before, "replayed partials must not double-count"
+    by_tok = {t[0]: t for t in before}
+    assert by_tok["alpha"][1] == 2 and by_tok["beta"][1] == 2
