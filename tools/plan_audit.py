@@ -95,6 +95,10 @@ CHECKS = {
     # the end-to-end composition must stay free of quadratic joins — its
     # near-dup stage is the bucketed jaccard, never an all-pairs product
     "training_pipeline": ([], ["CartesianProduct", "BroadcastNestedLoopJoin"], None),
+    # the decontaminating flagship variant: same contract, and the eval
+    # shingle probe must be a broadcast semi join
+    "training_pipeline_full": (["BroadcastHashJoin"],
+                               ["CartesianProduct", "BroadcastNestedLoopJoin"], None),
     # pivot with explicit values: Spark's two-phase pivot — a compact
     # (key, pivot-value) pre-aggregate exchange then the key exchange; the
     # explicit value list avoids a third job for distinct pivot values
