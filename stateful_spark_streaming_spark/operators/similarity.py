@@ -318,6 +318,56 @@ def _assign_probe_cells(
     )
 
 
+def sq8_encode(
+    embeddings: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Scalar int8 quantization: each dimension scaled to [0, 255] by its
+    corpus-wide min/max — the simplest 4× embedding compression (float32 →
+    uint8), and unlike PQ it is EXACTLY derivable in SQL, so the catalog
+    entry carries a full DuckDB oracle.
+
+    Scale shape: one posexplode aggregation computes the 2·dim stats
+    (64-key shuffle with map-side partials — volume is the vectors read
+    once), the dim-indexed stats broadcast (driver holds 2·dim doubles,
+    bounded by dimensionality not corpus size), then a single map-only
+    Arrow kernel quantizes.  The kernel mirrors the engines' arithmetic
+    exactly: same (x − mn) / (mx − mn) * 255 evaluation order, and
+    floor(v + 0.5) — which equals round-half-up for the non-negative
+    scaled values (numpy's own round is banker's and would diverge)."""
+    import numpy as np
+    import pandas as pd
+
+    u = embeddings.select(
+        F.col(id_col), F.posexplode(vec_col).alias("dim0", "v")
+    ).select(id_col, "dim0", F.col("v").cast("double").alias("v"))
+    st = (
+        u.groupBy("dim0")
+        .agg(F.min("v").alias("mn"), F.max("v").alias("mx"))
+        .orderBy("dim0")
+        .collect()
+    )
+    mn = np.array([r.mn for r in st])
+    mx = np.array([r.mx for r in st])
+    bc = embeddings.sparkSession.sparkContext.broadcast((mn, mx))
+
+    def kernel(batches):
+        mn_, mx_ = bc.value
+        ok = mx_ > mn_
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            scaled = np.where(ok, (X - mn_) / (mx_ - mn_) * 255.0, 0.0)
+            codes = np.floor(scaled + 0.5).astype(np.int32)
+            yield pd.DataFrame({id_col: pdf[id_col], "codes": list(codes)})
+
+    return embeddings.select(id_col, vec_col).mapInPandas(
+        kernel, f"{id_col} long, codes array<int>"
+    )
+
+
 def pq_train(
     embeddings: DataFrame,
     m: int = 8,

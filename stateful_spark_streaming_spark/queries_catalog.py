@@ -2271,6 +2271,29 @@ def q_streaming_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "sq8_encode",
+    oracle="""
+    WITH u AS (SELECT vec_id, embedding::DOUBLE[] AS e,
+                      unnest(range(1, len(embedding) + 1)) AS dim
+               FROM embeddings),
+     st AS (SELECT dim, min(e[dim]) AS mn, max(e[dim]) AS mx FROM u GROUP BY dim),
+     q AS (SELECT u.vec_id, u.dim,
+                  CAST(CASE WHEN mx > mn
+                       THEN round((e[dim] - mn) / (mx - mn) * 255, 0)
+                       ELSE 0 END AS INT) AS c
+           FROM u JOIN st USING (dim))
+    SELECT vec_id, list(c ORDER BY dim) AS codes FROM q GROUP BY vec_id
+    """,
+)
+def q_sq8_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar int8 embedding compression (4×: float32 → uint8 per dim,
+    corpus min/max grid) — the quantizer simple enough to carry a FULL
+    DuckDB oracle, complementing the trained-codebook PQ family which is
+    rows-only by construction."""
+    return SIM.sq8_encode(_t(spark, sf_dir, "embeddings"))
+
+
 @query("pq_topk")  # approximate by construction → rows-only check
 def q_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantization ADC top-k (Jégou et al. 2011): vectors
@@ -2844,7 +2867,7 @@ _CHEAP_FIRST = [
     "vocab_topk", "pq_topk", "ivfpq_topk", "containment_pairs",
     "unigram_logprob", "tfidf_topterms", "dup_ngram_spans",
     "streaming_vocab_topk", "track_rolling_stats", "funnel_steps",
-    "zorder_key", "training_pipeline_full",
+    "zorder_key", "training_pipeline_full", "sq8_encode",
     # --- r3-recorded queries, cheapest-first (BENCH_r03 sf0.1 warm) ---
     "stratified_sample", "part_text_functions", "track_range",
     "fuzzy_part_match", "hash_split", "token_stats",

@@ -104,3 +104,38 @@ def test_gram_positions_kernel_property(spark, texts):
     want = {tuple(r) for r in hof.collect()}
     got = {tuple(r) for r in _gram_positions(df, "text", "doc_id", k).collect()}
     assert got == want
+
+
+@settings(
+    max_examples=20,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=1023),
+            st.integers(min_value=0, max_value=1023),
+        ),
+        min_size=1,
+        max_size=12,
+    )
+)
+def test_zorder_key_property(spark, pairs):
+    """The JVM bit-interleave must equal the reference python interleave
+    for arbitrary 10-bit inputs."""
+    from stateful_spark_streaming_spark.operators import layout as LAY
+
+    def ref(a, b):
+        out = 0
+        for i in range(10):
+            out |= ((a >> i) & 1) << (2 * i)
+            out |= ((b >> i) & 1) << (2 * i + 1)
+        return out
+
+    df = spark.createDataFrame(pairs, ["a", "b"])
+    got = df.select(
+        "a", "b", LAY.zorder_key(F.col("a"), F.col("b"), 10).alias("z")
+    ).collect()
+    for r in got:
+        assert r.z == ref(r.a, r.b)

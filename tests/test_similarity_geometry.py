@@ -352,3 +352,21 @@ def test_pq_and_ivfpq_empty_query_set(spark, sf_dir):
     none = emb.filter("vec_id < 0")
     assert SIM.pq_topk(emb, none, k=5, m=8, ks=16).count() == 0
     assert SIM.ivfpq_topk(emb, none, k=5, m=8, ks=16).count() == 0
+
+
+def test_sq8_encode_bounds_and_reconstruction(spark, sf_dir):
+    import numpy as np
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = SIM.sq8_encode(emb).collect()
+    assert len(out) == emb.count()
+    raw = {r.vec_id: np.array(r.embedding, dtype=np.float64) for r in emb.collect()}
+    X = np.array(list(raw.values()))
+    mn, mx = X.min(0), X.max(0)
+    for r in out[:50]:
+        c = np.array(r.codes)
+        assert c.min() >= 0 and c.max() <= 255 and len(c) == X.shape[1]
+        # dequantize: each value within half a cell of the original
+        width = (mx - mn) / 255.0
+        deq = mn + c * width
+        assert np.all(np.abs(deq - raw[r.vec_id]) <= width * 0.5 + 1e-9)

@@ -131,6 +131,10 @@ CHECKS = {
     "sample_n_per_group": ([], ["Join"], 1),
     # z-order key: pure bit-interleave column algebra — map-only
     "zorder_key": ([], ["Exchange", "Join", "Generate"], 0),
+    # sq8: the dim-stats pass runs eagerly at build time (bounded 2·dim
+    # collect); the RETURNED plan is one broadcast-stats Arrow kernel —
+    # map-only, no join, no shuffle
+    "sq8_encode": ([], ["Exchange", "Join"], 0),
     # rolling features: ONE key exchange, one sorted window pass, no join
     "track_rolling_stats": ([], ["Join"], 1),
     # funnel: chained conditional window minima over ONE key exchange —
