@@ -401,6 +401,75 @@ def dup_ngram_spans(
     )
 
 
+def remove_dup_spans(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+    min_docs: int = 2,
+) -> DataFrame:
+    """The ACTION for span-level dedup: cut every maximal duplicated span
+    (from ``dup_ngram_spans``) out of every document EXCEPT the first
+    occurrence of its exact text — Lee et al.'s remove-all-but-one, at
+    token granularity.  "First" is deterministic: row_number over the
+    span's covered text ordered by (doc_id, span_start); spans whose
+    covered text differs (partial overlaps with different extents) are
+    separate groups and each keeps its own first occurrence.
+
+    Returns (doc_id, clean_text, n_removed) for EVERY input document
+    (untouched docs ride through with n_removed = 0).
+
+    Scale shape: all stages are linear in corpus tokens — the span list
+    (no pair enumeration, see dup_ngram_spans), one window over the
+    span-text group, position explosion bounded by removed-span length,
+    and a token-level anti join + per-doc ordered reassembly.  No stage
+    is quadratic in anything."""
+    from stateful_spark_streaming_spark.operators.text import tokens
+
+    spans = dup_ngram_spans(df, text_col, id_col, k, min_docs)
+    toks = df.select(F.col(id_col).alias("doc_id"), tokens(F.col(text_col)).alias("__toks"))
+    sptext = spans.join(toks, "doc_id").withColumn(
+        "span_text",
+        F.array_join(
+            F.slice(F.col("__toks"), F.col("span_start") + 1, F.col("span_len")), " "
+        ),
+    )
+    w = Window.partitionBy("span_text").orderBy("doc_id", "span_start")
+    cut = (
+        sptext.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") > 1)
+        .select(
+            "doc_id",
+            F.explode(F.sequence("span_start", "span_end")).alias("pos"),
+        )
+        .distinct()
+    )
+    tp = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(tokens(F.col(text_col))).alias("pos", "tok"),
+    )
+    kept = tp.join(cut, ["doc_id", "pos"], "left_anti")
+    rebuilt = kept.groupBy("doc_id").agg(
+        F.array_join(
+            F.array_sort(F.collect_list(F.struct("pos", "tok"))).getField("tok"), " "
+        ).alias("clean_text"),
+        F.count("*").alias("__kept"),
+    )
+    n_all = tp.groupBy("doc_id").agg(F.count("*").alias("__n"))
+    return (
+        df.select(F.col(id_col).alias("doc_id"))
+        .join(rebuilt, "doc_id", "left")
+        .join(n_all, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+            (F.coalesce("__n", F.lit(0)) - F.coalesce("__kept", F.lit(0)))
+            .cast("int")
+            .alias("n_removed"),
+        )
+    )
+
+
 def md5_h60(col, seed: int | str | None = None):
     """60-bit hash as a FIXED-WIDTH hex string: first 15 hex chars of
     md5((seed ':')? || col).  Fixed width makes lexicographic order equal

@@ -2800,6 +2800,56 @@ def q_dup_ngram_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "remove_dup_spans",
+    oracle=f"""
+    WITH tk AS (SELECT doc_id, string_split({_NORM_SQL}, ' ') AS toks
+                FROM documents),
+     g AS (SELECT doc_id, CAST(i - 1 AS INT) AS pos,
+                  array_to_string(toks[i:i+4], ' ') AS gram
+           FROM tk, unnest(range(1, len(toks) - 3)) AS r(i)
+           WHERE len(toks) >= 5),
+     shared AS (SELECT gram FROM g GROUP BY gram
+                HAVING count(DISTINCT doc_id) >= 2),
+     hit AS (SELECT g.doc_id, g.pos FROM g JOIN shared USING (gram)),
+     isl AS (SELECT doc_id, pos,
+                    pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+             FROM hit),
+     spans AS (SELECT doc_id, CAST(min(pos) AS INT) AS span_start,
+                      CAST(max(pos) + 4 AS INT) AS span_end
+               FROM isl GROUP BY doc_id, grp),
+     sptext AS (SELECT s.doc_id, s.span_start, s.span_end,
+                       array_to_string(t.toks[s.span_start + 1 : s.span_end + 1],
+                                       ' ') AS span_text
+                FROM spans s JOIN tk t USING (doc_id)),
+     own AS (SELECT *, row_number() OVER (PARTITION BY span_text
+                                          ORDER BY doc_id, span_start) AS rn
+             FROM sptext),
+     cutd AS (SELECT DISTINCT doc_id, CAST(pos AS INT) AS pos FROM
+              (SELECT doc_id, unnest(range(span_start, span_end + 1)) AS pos
+               FROM own WHERE rn > 1)),
+     tp AS (SELECT doc_id, CAST(i - 1 AS INT) AS pos, toks[i] AS tok
+            FROM tk, unnest(range(1, len(toks) + 1)) AS r(i)),
+     keep AS (SELECT tp.* FROM tp ANTI JOIN cutd USING (doc_id, pos)),
+     reb AS (SELECT doc_id,
+                    array_to_string(list(tok ORDER BY pos), ' ') AS clean_text,
+                    count(*) AS kept
+             FROM keep GROUP BY doc_id),
+     alln AS (SELECT doc_id, count(*) AS n FROM tp GROUP BY doc_id)
+    SELECT d.doc_id,
+           coalesce(reb.clean_text, '') AS clean_text,
+           CAST(coalesce(alln.n, 0) - coalesce(reb.kept, 0) AS INT) AS n_removed
+    FROM documents d LEFT JOIN reb USING (doc_id) LEFT JOIN alln USING (doc_id)
+    """,
+)
+def q_remove_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The span-dedup ACTION: cut every cross-doc duplicated 5-gram span
+    except the first occurrence of its exact text (Lee et al.
+    remove-all-but-one at token granularity); every doc rides through
+    with its rebuilt text and removed-token count."""
+    return DD.remove_dup_spans(_t(spark, sf_dir, "documents"), k=5, min_docs=2)
+
+
+@query(
     "containment_pairs",
     oracle=f"""
     WITH toks AS (SELECT doc_id, {_TOKS_SQL} AS t FROM documents),
@@ -2868,6 +2918,7 @@ _CHEAP_FIRST = [
     "unigram_logprob", "tfidf_topterms", "dup_ngram_spans",
     "streaming_vocab_topk", "track_rolling_stats", "funnel_steps",
     "zorder_key", "training_pipeline_full", "sq8_encode",
+    "remove_dup_spans",
     # --- r3-recorded queries, cheapest-first (BENCH_r03 sf0.1 warm) ---
     "stratified_sample", "part_text_functions", "track_range",
     "fuzzy_part_match", "hash_split", "token_stats",

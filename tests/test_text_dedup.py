@@ -527,3 +527,50 @@ def test_kernels_null_text_semantics(spark):
         per_doc.setdefault(r.doc_id, []).append(r.band_hash)
     assert set(per_doc) == {1, 2, 3}
     assert len(per_doc[1]) == 1 and per_doc[1] != per_doc[2], "unique sentinels"
+
+
+def test_remove_dup_spans_keeps_first_occurrence_only(spark):
+    shared = "one two three four five six"  # one maximal span in each doc
+    df = spark.createDataFrame(
+        [
+            Row(doc_id=1, text=f"{shared} unique tail for doc one"),
+            Row(doc_id=2, text=f"prefix words go here {shared} and more"),
+            Row(doc_id=3, text=f"{shared}"),  # exactly the span
+            Row(doc_id=4, text="no shared content at all in this document"),
+        ]
+    )
+    out = {r.doc_id: r for r in DD.remove_dup_spans(df, k=5).collect()}
+    # owner = (min doc_id, min start) -> doc 1 keeps the phrase
+    assert out[1].clean_text.startswith("one two three four five six")
+    assert out[1].n_removed == 0
+    # docs 2 and 3 lose exactly the 6 shared tokens
+    assert out[2].clean_text == "prefix words go here and more"
+    assert out[2].n_removed == 6
+    assert out[3].clean_text == "" and out[3].n_removed == 6
+    # untouched doc rides through verbatim (normalized tokens)
+    assert out[4].n_removed == 0
+    assert out[4].clean_text == "no shared content at all in this document"
+
+
+def test_remove_dup_spans_partial_overlap_groups_by_exact_text(spark):
+    # doc 5/6 share "a b c d e f"; doc 7 shares only "a b c d e" with them
+    # -> doc 7's span text differs, so it is its own group's first
+    # occurrence ONLY IF no identical span precedes it; here the 5-token
+    # span "a b c d e" also occurs (as a distinct maximal span) nowhere
+    # else, so doc 7 keeps its text
+    df = spark.createDataFrame(
+        [
+            Row(doc_id=5, text="a b c d e f xx yy zz qq"),
+            Row(doc_id=6, text="ll mm nn oo a b c d e f"),
+            Row(doc_id=7, text="a b c d e pp rr ss tt uu"),
+        ]
+    )
+    out = {r.doc_id: r for r in DD.remove_dup_spans(df, k=5).collect()}
+    assert out[5].n_removed == 0
+    assert out[6].n_removed == 6 and out[6].clean_text == "ll mm nn oo"
+    # doc 7's maximal span is "a b c d e" (5 tokens) - a different exact
+    # text, first occurrence by (doc_id, start) among equal texts...
+    # but "a b c d e" ALSO appears inside docs 5's span region; its
+    # maximal spans there are the 6-token ones, so the 5-token text group
+    # contains only doc 7 -> kept
+    assert out[7].n_removed == 0

@@ -152,6 +152,9 @@ CHECKS = {
     "tfidf_topterms": (["BroadcastNestedLoopJoin"],
                        ["CartesianProduct", "SortMergeJoin",
                         "ShuffledHashJoin", "BroadcastHashJoin"], 4),
+    # span removal: every stage linear in corpus tokens; the only joins
+    # are the position-level equi/anti joins — never a pair product
+    "remove_dup_spans": ([], ["CartesianProduct", "BroadcastNestedLoopJoin"], None),
     # span-level dedup: cross-doc counts via dense_rank window — no join of
     # any kind, and the gram kernel subplan is evaluated exactly once.
     # 3 exchanges = the _spread round-robin ahead of the Python kernel +
