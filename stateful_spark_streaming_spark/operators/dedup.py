@@ -453,19 +453,19 @@ def remove_dup_spans(
         F.array_join(
             F.array_sort(F.collect_list(F.struct("pos", "tok"))).getField("tok"), " "
         ).alias("clean_text"),
-        F.count("*").alias("__kept"),
     )
-    n_all = tp.groupBy("doc_id").agg(F.count("*").alias("__n"))
+    # n_removed = per-doc count of cut positions (every cut position IS a
+    # valid token position of its doc) — counting from the tiny cut frame
+    # instead of re-exploding the whole corpus a second time
+    n_rem = cut.groupBy("doc_id").agg(F.count("*").alias("__rem"))
     return (
         df.select(F.col(id_col).alias("doc_id"))
         .join(rebuilt, "doc_id", "left")
-        .join(n_all, "doc_id", "left")
+        .join(n_rem, "doc_id", "left")
         .select(
             "doc_id",
             F.coalesce("clean_text", F.lit("")).alias("clean_text"),
-            (F.coalesce("__n", F.lit(0)) - F.coalesce("__kept", F.lit(0)))
-            .cast("int")
-            .alias("n_removed"),
+            F.coalesce("__rem", F.lit(0)).cast("int").alias("n_removed"),
         )
     )
 

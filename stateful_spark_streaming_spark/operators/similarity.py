@@ -359,7 +359,11 @@ def sq8_encode(
             if not len(pdf):
                 continue
             X = np.array(pdf[vec_col].tolist(), dtype=np.float64)
-            scaled = np.where(ok, (X - mn_) / (mx_ - mn_) * 255.0, 0.0)
+            # denominator guarded where mx == mn: np.where alone would
+            # still evaluate the 0/0 branch and spam RuntimeWarnings
+            scaled = np.where(
+                ok, (X - mn_) / np.where(ok, mx_ - mn_, 1.0) * 255.0, 0.0
+            )
             codes = np.floor(scaled + 0.5).astype(np.int32)
             yield pd.DataFrame({id_col: pdf[id_col], "codes": list(codes)})
 

@@ -2039,14 +2039,16 @@ def q_token_budget_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "training_pipeline",
-    oracle=f"""
-    WITH RECURSIVE base AS (
+def _tp_base_sql(where: str = "") -> str:
+    """Shared flagship-oracle head: base docs (+ optional WHERE), quality
+    scoring, and the lang/quality filter — ONE definition for
+    training_pipeline and training_pipeline_full so the quality weights
+    can never desynchronize between the two."""
+    return f"""base AS (
       SELECT doc_id, text, lang, {_TOKS_SQL} AS toks, {_NORM_SQL} AS norm,
              CAST(length(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g')) AS INT) AS n_punct,
              CAST(length(text) AS INT) AS n_char
-      FROM documents),
+      FROM documents{where}),
     scored AS (
       SELECT *, round(least(len(toks) / 64.0, 1.0) * 0.4
             + (1.0 - least(n_punct / CAST(greatest(n_char, 1) AS DOUBLE), 1.0)) * 0.2
@@ -2056,9 +2058,15 @@ def q_token_budget_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
                     / CAST(greatest(len(toks), 1) AS DOUBLE), 4) * 0.2,
             4) AS q
       FROM base),
-    filtered AS (SELECT * FROM scored WHERE lang <> 'zh' AND q >= 0.55),
-    surv AS (SELECT min(doc_id) AS doc_id FROM filtered GROUP BY md5(norm)),
-    d2 AS (SELECT f.* FROM filtered f JOIN surv USING (doc_id)),
+    filtered AS (SELECT * FROM scored WHERE lang <> 'zh' AND q >= 0.55)"""
+
+
+def _tp_tail_sql(src: str) -> str:
+    """Shared flagship-oracle tail from a filtered-docs CTE ``src``: exact
+    dedup, Jaccard clustering with min-rep retention, 64/16 chunking and
+    the content-hash split — identical across both flagship variants."""
+    return f"""surv AS (SELECT min(doc_id) AS doc_id FROM {src} GROUP BY md5(norm)),
+    d2 AS (SELECT x.* FROM {src} x JOIN surv USING (doc_id)),
     tk AS (SELECT doc_id, toks AS t FROM d2),
     sh0 AS (SELECT doc_id, {_SHINGLES_SQL} AS s FROM tk WHERE len(t) >= 3),
     p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
@@ -2082,8 +2090,32 @@ def q_token_budget_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(least(64, n - start + 1) AS INT) AS chunk_len,
            CASE WHEN ('0x' || substring(md5(norm), 1, 8))::BIGINT % 100 < 90
                 THEN 'train' ELSE 'eval' END AS split
-    FROM st WHERE start = 1 OR start + 16 <= n
-    """,
+    FROM st WHERE start = 1 OR start + 16 <= n"""
+
+
+_TP_DECON_SQL = f"""evg AS (SELECT {_TOKS_SQL} AS t FROM documents WHERE doc_id % 97 = 0),
+    evs AS (SELECT DISTINCT unnest(
+              CASE WHEN len(t) >= 5
+                   THEN list_transform(range(1, len(t) - 3), i ->
+                        t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]
+                        || ' ' || t[i+4])
+                   ELSE [] END) AS shingle FROM evg),
+    trg AS (SELECT doc_id,
+                   CASE WHEN len(toks) >= 5
+                        THEN list_transform(range(1, len(toks) - 3), i ->
+                             toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+                             || ' ' || toks[i+3] || ' ' || toks[i+4])
+                        ELSE [] END AS s
+            FROM filtered),
+    cont AS (SELECT DISTINCT t.doc_id
+             FROM (SELECT doc_id, unnest(s) AS shingle FROM trg) t
+             JOIN evs USING (shingle)),
+    clean AS (SELECT f.* FROM filtered f ANTI JOIN cont USING (doc_id))"""
+
+
+@query(
+    "training_pipeline",
+    oracle="WITH RECURSIVE " + _tp_base_sql() + ",\n    " + _tp_tail_sql("filtered"),
 )
 def q_training_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """FLAGSHIP COMPOSITION: the end-to-end training-data build, chaining
@@ -2496,67 +2528,10 @@ def q_track_last_n(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "training_pipeline_full",
-    oracle=f"""
-    WITH RECURSIVE base AS (
-      SELECT doc_id, text, lang, {_TOKS_SQL} AS toks, {_NORM_SQL} AS norm,
-             CAST(length(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g')) AS INT) AS n_punct,
-             CAST(length(text) AS INT) AS n_char
-      FROM documents WHERE doc_id % 97 <> 0),
-    scored AS (
-      SELECT *, round(least(len(toks) / 64.0, 1.0) * 0.4
-            + (1.0 - least(n_punct / CAST(greatest(n_char, 1) AS DOUBLE), 1.0)) * 0.2
-            + least(len(list_intersect(list_distinct(toks),
-                  ['the','and','of','to','in','is','that','for'])) / 4.0, 1.0) * 0.2
-            + round(len(list_distinct(toks))
-                    / CAST(greatest(len(toks), 1) AS DOUBLE), 4) * 0.2,
-            4) AS q
-      FROM base),
-    filtered AS (SELECT * FROM scored WHERE lang <> 'zh' AND q >= 0.55),
-    evg AS (SELECT {_TOKS_SQL} AS t FROM documents WHERE doc_id % 97 = 0),
-    evs AS (SELECT DISTINCT unnest(
-              CASE WHEN len(t) >= 5
-                   THEN list_transform(range(1, len(t) - 3), i ->
-                        t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]
-                        || ' ' || t[i+4])
-                   ELSE [] END) AS shingle FROM evg),
-    trg AS (SELECT doc_id,
-                   CASE WHEN len(toks) >= 5
-                        THEN list_transform(range(1, len(toks) - 3), i ->
-                             toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
-                             || ' ' || toks[i+3] || ' ' || toks[i+4])
-                        ELSE [] END AS s
-            FROM filtered),
-    cont AS (SELECT DISTINCT t.doc_id
-             FROM (SELECT doc_id, unnest(s) AS shingle FROM trg) t
-             JOIN evs USING (shingle)),
-    clean AS (SELECT f.* FROM filtered f ANTI JOIN cont USING (doc_id)),
-    surv AS (SELECT min(doc_id) AS doc_id FROM clean GROUP BY md5(norm)),
-    d2 AS (SELECT c.* FROM clean c JOIN surv USING (doc_id)),
-    tk AS (SELECT doc_id, toks AS t FROM d2),
-    sh0 AS (SELECT doc_id, {_SHINGLES_SQL} AS s FROM tk WHERE len(t) >= 3),
-    p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
-          FROM sh0 a JOIN sh0 b ON a.doc_id < b.doc_id
-          WHERE len(list_intersect(a.s, b.s)) > 0
-            AND round(len(list_intersect(a.s, b.s))::DOUBLE
-                / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))), 4) >= 0.6),
-    e AS (SELECT doc_a AS a, doc_b AS b FROM p
-          UNION SELECT doc_b, doc_a FROM p),
-    r AS (SELECT a AS node, a AS m FROM e
-          UNION
-          SELECT r.node, e.b FROM r JOIN e ON r.m = e.a),
-    reps AS (SELECT node, min(m) AS rep FROM r GROUP BY node),
-    keep AS (SELECT d2.* FROM d2 LEFT JOIN reps ON d2.doc_id = reps.node
-             WHERE reps.node IS NULL OR reps.rep = d2.doc_id),
-    st AS (SELECT doc_id, norm, CAST(len(toks) AS INT) AS n,
-                  CAST(unnest(generate_series(1, greatest(CAST(len(toks) AS INT), 1), 48)) AS INT) AS start
-           FROM keep)
-    SELECT doc_id,
-           CAST((start - 1) / 48 AS INT) AS chunk_id,
-           CAST(least(64, n - start + 1) AS INT) AS chunk_len,
-           CASE WHEN ('0x' || substring(md5(norm), 1, 8))::BIGINT % 100 < 90
-                THEN 'train' ELSE 'eval' END AS split
-    FROM st WHERE start = 1 OR start + 16 <= n
-    """,
+    oracle="WITH RECURSIVE "
+    + _tp_base_sql(" WHERE doc_id % 97 <> 0")
+    + ",\n    " + _TP_DECON_SQL
+    + ",\n    " + _tp_tail_sql("clean"),
 )
 def q_training_pipeline_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The flagship chain WITH benchmark decontamination in line — the

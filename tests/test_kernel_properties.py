@@ -126,12 +126,7 @@ def test_zorder_key_property(spark, pairs):
     for arbitrary 10-bit inputs."""
     from stateful_spark_streaming_spark.operators import layout as LAY
 
-    def ref(a, b):
-        out = 0
-        for i in range(10):
-            out |= ((a >> i) & 1) << (2 * i)
-            out |= ((b >> i) & 1) << (2 * i + 1)
-        return out
+    from tests.conftest import ref_interleave as ref
 
     df = spark.createDataFrame(pairs, ["a", "b"])
     got = df.select(

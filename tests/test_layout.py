@@ -11,22 +11,16 @@ from stateful_spark_streaming_spark.operators import layout as LAY
 from stateful_spark_streaming_spark.sources.tables import load_table
 
 
-def _interleave(a: int, b: int, bits: int) -> int:
-    out = 0
-    for i in range(bits):
-        out |= ((a >> i) & 1) << (2 * i)
-        out |= ((b >> i) & 1) << (2 * i + 1)
-    return out
-
-
 def test_zorder_key_matches_hand_interleave(spark):
+    from tests.conftest import ref_interleave
+
     rows = [(0b1010, 0b0110), (0, 0), (1023, 1023), (1, 0), (0, 1)]
     df = spark.createDataFrame(rows, ["a", "b"])
     out = df.select(
         "a", "b", LAY.zorder_key(F.col("a"), F.col("b"), 10).alias("z")
     ).collect()
     for r in out:
-        assert r.z == _interleave(r.a, r.b, 10), (r.a, r.b)
+        assert r.z == ref_interleave(r.a, r.b, 10), (r.a, r.b)
 
 
 def test_quantize_clamps_and_grids(spark):
