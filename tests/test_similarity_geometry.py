@@ -370,3 +370,29 @@ def test_sq8_encode_bounds_and_reconstruction(spark, sf_dir):
         width = (mx - mn) / 255.0
         deq = mn + c * width
         assert np.all(np.abs(deq - raw[r.vec_id]) <= width * 0.5 + 1e-9)
+
+
+def test_fixture_tag_invalidates_on_data_change(spark, tmp_path):
+    """Derived per-corpus fixtures (IVF index, image table) are cached
+    under a tag of (path, mtime, size) — regenerating data at the SAME
+    path must change the tag, or a stale index would silently serve
+    results for the old corpus."""
+    import os
+    import shutil
+    import time
+
+    from stateful_spark_streaming_spark.queries_catalog import _fixture_tag
+
+    src = "/root/testdata/sf0.001/embeddings.parquet"
+    d = str(tmp_path / "sfX")
+    os.makedirs(d)
+    dst = os.path.join(d, "embeddings.parquet")
+    shutil.copy(src, dst)
+    t1 = _fixture_tag(d, "embeddings")
+    assert t1 == _fixture_tag(d, "embeddings"), "tag is stable"
+    # regenerate at the same path: same bytes, new mtime -> NEW tag
+    os.utime(dst, (time.time() + 1000, time.time() + 1000))
+    t2 = _fixture_tag(d, "embeddings")
+    assert t2 != t1, "mtime change must invalidate the fixture tag"
+    # missing file degrades to the path (no crash)
+    assert _fixture_tag(str(tmp_path / "nope"), "embeddings")
