@@ -896,7 +896,11 @@ def run_streaming_dedup_minhash(
             .start()
         )
         q.awaitTermination(300)
-        return spark.read.parquet(out_dir)
+        # distinct-on-read = replay idempotency: a crash between the
+        # foreachBatch append and the checkpoint commit re-appends the
+        # SAME byte-identical rows (each admitted doc belongs to exactly
+        # one batch), so distinct restores exactly-once
+        return spark.read.parquet(out_dir).distinct()
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old_sp)
         if provider_class is not None:
@@ -968,7 +972,8 @@ def run_streaming_decontaminate(
         .start()
     )
     q.awaitTermination(300)
-    return spark.read.parquet(out_dir)
+    # distinct-on-read = replay idempotency (see run_streaming_dedup_minhash)
+    return spark.read.parquet(out_dir).distinct()
 
 
 def run_streaming_vocab(
@@ -1124,7 +1129,9 @@ def run_streaming_ivf_topk(
         .start()
     )
     q.awaitTermination(300)
-    return spark.read.parquet(out_dir)
+    # distinct-on-read = replay idempotency (see run_streaming_dedup_minhash);
+    # a (query_id, rank) pair exists once, duplicates can only be replays
+    return spark.read.parquet(out_dir).distinct()
 
 
 def run_streaming_event_pairs(

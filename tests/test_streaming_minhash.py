@@ -348,3 +348,44 @@ def test_streaming_vocab_replay_idempotent(spark, tmp_path):
     assert merged_again == before, "replayed partials must not double-count"
     by_tok = {t[0]: t for t in before}
     assert by_tok["alpha"][1] == 2 and by_tok["beta"][1] == 2
+
+
+def test_streaming_decontaminate_replay_idempotent(spark, tmp_path):
+    """Same crash-replay contract as the vocab sink: duplicating a
+    batch's appended output files (replayed byte-identical rows) must not
+    change the contaminated-id result."""
+    import glob
+    import shutil
+
+    from stateful_spark_streaming_spark.streaming.pipeline import (
+        run_streaming_decontaminate,
+    )
+
+    eval_df = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the lazy dog")],
+        ["doc_id", "text"],
+    )
+    rows = [
+        (1, "quick brown fox jumps over the lazy dog today"),  # contaminated
+        (2, "entirely different content with no overlap here at all"),
+    ]
+    src = str(tmp_path / "docs")
+    spark.createDataFrame(rows, ["doc_id", "text"]).coalesce(1).write.parquet(src)
+    ckpt = str(tmp_path / "ckpt")
+    got1 = sorted(
+        r.doc_id
+        for r in run_streaming_decontaminate(
+            spark, src, eval_df=eval_df, k=5, checkpoint_dir=ckpt
+        ).collect()
+    )
+    assert got1 == [1]
+    out_dir = ckpt + "_out"
+    for f in glob.glob(os.path.join(out_dir, "part-*.parquet")):
+        shutil.copy(f, f.replace("part-", "replay-part-"))
+    got2 = sorted(
+        r.doc_id
+        for r in run_streaming_decontaminate(
+            spark, src, eval_df=eval_df, k=5, checkpoint_dir=ckpt
+        ).collect()
+    )
+    assert got2 == got1, "replayed appends must not duplicate results"
