@@ -457,3 +457,34 @@ def shingles(col: Column, k: int = 3) -> Column:
     """k-word shingles of normalized text (distinct), the MinHash/Jaccard
     input set.  Pure higher-order functions — no UDF."""
     return shingles_from_tokens(tokens(col), k)
+
+
+def corpus_report(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-source corpus data card: doc/token volume, mean quality, exact-
+    duplicate count (corpus-wide content groups, non-survivors), and
+    language mix — the summary table every dataset release ships.
+
+    Composes the existing per-doc signals (quality_score carries source/
+    lang through keep_cols; the dup flag is a min-over-content-hash
+    window) into ONE per-source aggregate.  Shuffles: the content-hash
+    window, the doc_id join, the source aggregate — all keyed, no pair
+    enumeration, volume linear in docs."""
+    base = quality_score(df, keep_cols=("source", "lang"))
+    fp = df.select(
+        "doc_id", F.md5(normalize_text(F.col(text_col))).alias("fp")
+    )
+    w = Window.partitionBy("fp")
+    dup = fp.withColumn(
+        "is_dup", (F.col("doc_id") != F.min("doc_id").over(w)).cast("int")
+    ).select("doc_id", "is_dup")
+    return (
+        base.join(dup, "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+            F.round(F.avg("quality_score"), 4).alias("avg_quality"),
+            F.sum("is_dup").alias("n_exact_dup"),
+            F.sum((F.col("lang") == "en").cast("int")).alias("n_en"),
+        )
+    )

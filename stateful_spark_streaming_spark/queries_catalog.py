@@ -2746,6 +2746,47 @@ def q_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "corpus_report",
+    oracle=f"""
+    WITH base AS (
+      SELECT doc_id, source, lang,
+             {_TOKS_SQL} AS toks, {_NORM_SQL} AS norm,
+             CAST(length(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g')) AS INT) AS n_punct,
+             CAST(length(text) AS INT) AS n_char
+      FROM documents),
+     scored AS (
+      SELECT doc_id, source, lang, CAST(len(toks) AS INT) AS n_tokens,
+             round(least(len(toks) / 64.0, 1.0) * 0.4
+                 + (1.0 - least(n_punct / CAST(greatest(n_char, 1) AS DOUBLE), 1.0)) * 0.2
+                 + least(len(list_intersect(list_distinct(toks),
+                       ['the','and','of','to','in','is','that','for'])) / 4.0, 1.0) * 0.2
+                 + round(len(list_distinct(toks))
+                         / CAST(greatest(len(toks), 1) AS DOUBLE), 4) * 0.2,
+                 4) AS q,
+             md5(norm) AS fp
+      FROM base),
+     dup AS (SELECT doc_id,
+                    CASE WHEN doc_id <> min(doc_id) OVER (PARTITION BY fp)
+                         THEN 1 ELSE 0 END AS is_dup
+             FROM scored)
+    SELECT source,
+           count(*) AS n_docs,
+           sum(n_tokens) AS total_tokens,
+           round(avg(q), 4) AS avg_quality,
+           sum(is_dup) AS n_exact_dup,
+           sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS n_en
+    FROM scored JOIN dup USING (doc_id)
+    GROUP BY source
+    """,
+)
+def q_corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source corpus data card: volume, mean quality, exact-dup count
+    (corpus-wide content groups), language mix — the dataset-release
+    summary, composed from the per-doc signal operators."""
+    return TXT.corpus_report(_t(spark, sf_dir, "documents"))
+
+
+@query(
     "dup_ngram_spans",
     oracle=f"""
     WITH tk AS (SELECT doc_id, string_split({_NORM_SQL}, ' ') AS toks
@@ -2893,7 +2934,7 @@ _CHEAP_FIRST = [
     "unigram_logprob", "tfidf_topterms", "dup_ngram_spans",
     "streaming_vocab_topk", "track_rolling_stats", "funnel_steps",
     "zorder_key", "training_pipeline_full", "sq8_encode",
-    "remove_dup_spans",
+    "remove_dup_spans", "corpus_report",
     # --- r3-recorded queries, cheapest-first (BENCH_r03 sf0.1 warm) ---
     "stratified_sample", "part_text_functions", "track_range",
     "fuzzy_part_match", "hash_split", "token_stats",

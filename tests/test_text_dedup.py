@@ -574,3 +574,21 @@ def test_remove_dup_spans_partial_overlap_groups_by_exact_text(spark):
     # maximal spans there are the 6-token ones, so the 5-token text group
     # contains only doc 7 -> kept
     assert out[7].n_removed == 0
+
+
+def test_corpus_report_hand_computed(spark):
+    df = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="the quick brown fox is here", lang="en", source="a"),
+            Row(doc_id=2, text="the quick brown fox is here", lang="en", source="a"),  # dup of 1
+            Row(doc_id=3, text="totally different words now", lang="de", source="a"),
+            Row(doc_id=4, text="short text", lang="en", source="b"),
+        ]
+    )
+    out = {r.source: r for r in TXT.corpus_report(df).collect()}
+    assert out["a"].n_docs == 3 and out["b"].n_docs == 1
+    assert out["a"].n_exact_dup == 1, "doc 2 duplicates doc 1"
+    assert out["b"].n_exact_dup == 0
+    assert out["a"].n_en == 2 and out["b"].n_en == 1
+    assert out["a"].total_tokens == 6 + 6 + 4
+    assert 0.0 < out["a"].avg_quality <= 1.0

@@ -140,6 +140,9 @@ CHECKS = {
     # funnel: chained conditional window minima over ONE key exchange —
     # the per-step join formulation would shuffle events once per step
     "funnel_steps": ([], ["Join"], 1),
+    # corpus data card: keyed window + join + source aggregate — no pair
+    # enumeration, no cartesian
+    "corpus_report": ([], ["CartesianProduct", "BroadcastNestedLoopJoin"], None),
     # vocabulary: two partial-agg exchanges + the top-N via per-partition
     # heaps (TakeOrderedAndProject, never a global Sort+Exchange) + the
     # rank window over the already-limited rows
