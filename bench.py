@@ -47,11 +47,17 @@ def main() -> None:
     # touch every table once (footers + page cache; ≤ 11 MB each at sf0.1)
     # so first-scan IO lands in cold_total, not on whichever query now runs
     # first — the r4 rotation put heavy queries at the head of the order.
+    # Through load_table, NOT a raw read: events.parquet carries
+    # TIMESTAMP(NANOS), and on builds where that only scans under the
+    # legacy nanosAsLong conf a raw read here would crash the whole bench
+    # before any loader had set it (the same env drift plan_audit guards).
+    from stateful_spark_streaming_spark.sources.tables import load_table
+
     for t in (
         "region nation customer supplier part orders lineitem events "
         "documents embeddings"
     ).split():
-        spark.read.parquet(os.path.join(sf_dir, f"{t}.parquet")).count()
+        load_table(spark, sf_dir, t).count()
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     (
         spark.range(256)

@@ -66,6 +66,19 @@ def _py_tokens(text) -> list | None:
     return _NONWORD.sub(" ", str(text).lower()).strip().split(" ")
 
 
+def _id_typed_schema(df: DataFrame, id_col: str, out_name: str, rest: str):
+    """Kernel output schema with the id field TYPED FROM THE INPUT — the
+    Arrow kernels must honor the advertised ``id_col`` genericity (string
+    ids are legitimate document keys); a hardcoded ``long`` would fail the
+    Arrow conversion at runtime."""
+    from pyspark.sql.types import StructField, StructType, _parse_datatype_string
+
+    rest_fields = list(_parse_datatype_string(f"struct<{rest}>").fields)
+    return StructType(
+        [StructField(out_name, df.schema[id_col].dataType)] + rest_fields
+    )
+
+
 def _spread(df: DataFrame) -> DataFrame:
     """Repartition ahead of heavy per-row compute.  The small test tables
     arrive as a single parquet row group = one task; at production scale the
@@ -112,7 +125,9 @@ def _shingle_index(df: DataFrame, text_col: str, id_col: str, k: int) -> DataFra
     return (
         _spread(df)
         .select(F.col(id_col), F.col(text_col))
-        .mapInPandas(kernel, "doc long, set_size int, shingle string")
+        .mapInPandas(
+            kernel, _id_typed_schema(df, id_col, "doc", "set_size int, shingle string")
+        )
     )
 
 
@@ -343,7 +358,9 @@ def _gram_positions(df: DataFrame, text_col: str, id_col: str, k: int) -> DataFr
     return (
         _spread(df)
         .select(F.col(id_col), F.col(text_col))
-        .mapInPandas(kernel, "doc long, pos int, gram string")
+        .mapInPandas(
+            kernel, _id_typed_schema(df, id_col, "doc", "pos int, gram string")
+        )
     )
 
 
@@ -693,7 +710,7 @@ def minhash_band_rows_mapinpandas(
             yield pd.DataFrame({"doc_id": out_ids, "band_hash": out_bands})
 
     return df.select(F.col(id_col).alias(id_col), F.col(text_col)).mapInPandas(
-        kernel, "doc_id long, band_hash string"
+        kernel, _id_typed_schema(df, id_col, "doc_id", "band_hash string")
     )
 
 
@@ -1019,7 +1036,7 @@ def simhash_fingerprints_mapinpandas(
             yield pd.DataFrame({"doc_id": ids, "simhash64": fps})
 
     return df.select(F.col(id_col).alias(id_col), F.col(text_col)).mapInPandas(
-        kernel, "doc_id long, simhash64 long"
+        kernel, _id_typed_schema(df, id_col, "doc_id", "simhash64 long")
     )
 
 

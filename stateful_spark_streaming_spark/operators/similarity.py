@@ -731,17 +731,18 @@ def cosine_near_pairs(
     import pandas as pd
 
     spark = embeddings.sparkSession
-    # size probe: ONE column-pruned count decides the tier AND sizes the
-    # blocked tier's block count — a limit-probe here would force the
-    # blocked branch to re-count the upstream plan just for n_blocks,
-    # i.e. two full evaluations instead of one.
-    n = embeddings.select(id_col).count()
+    # size probe: a column-pruned limit+1 count — the BROADCAST tier (the
+    # common case) must not pay a full evaluation of an expensive upstream
+    # plan just to learn the tier; the blocked branch re-counts for
+    # n_blocks, where a second pass is negligible next to the quadratic
+    # matmul it sizes.
+    n = embeddings.select(id_col).limit(max_broadcast_vectors + 1).count()
     if n > max_broadcast_vectors:
         # distributed exact tier: block-partitioned pairwise matmul — no
         # driver funnel, no broadcast of the corpus (VERDICT r3 stretch #8).
         cosine_near_pairs.last_tier = "blocked"
         return _cosine_near_pairs_blocked(
-            embeddings, threshold, id_col, vec_col, n_rows=n
+            embeddings, threshold, id_col, vec_col
         )
     cosine_near_pairs.last_tier = "broadcast"
     pdf_all = embeddings.select(id_col, vec_col).toPandas()

@@ -320,7 +320,15 @@ def vocab_topk(
     v = per_doc.groupBy("token").agg(
         F.sum("c").alias("term_count"), F.count("*").alias("doc_freq")
     )
-    topped = v.orderBy(F.col("term_count").desc(), "token").limit(top_n)
+    return vocab_rank(v, top_n)
+
+
+def vocab_rank(merged: DataFrame, top_n: int) -> DataFrame:
+    """Shared vocabulary tail: top-N by (term_count DESC, token) with a
+    deterministic rank — ONE definition of the ordering/tie-break
+    contract for batch ``vocab_topk`` and the streaming twin, so the two
+    can never desynchronize from their shared oracle."""
+    topped = merged.orderBy(F.col("term_count").desc(), "token").limit(top_n)
     w = Window.orderBy(F.col("term_count").desc(), "token")
     return topped.select(
         "token",

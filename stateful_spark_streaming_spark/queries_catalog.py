@@ -1857,7 +1857,11 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
              HAVING max(CASE WHEN cl.claimant <> b.doc_id THEN 1 ELSE 0 END) = 0)
     SELECT doc_id FROM kept
     UNION ALL
-    SELECT doc_id FROM toks WHERE len(t) < 3
+    -- sentinel-band branch: <k-token docs are always admitted, and NULL
+    -- text means a NULL token array — len(NULL) < 3 is NULL, so the null
+    -- check must be explicit or null-text docs vanish from the oracle
+    -- while the operator admits them via their sentinel
+    SELECT doc_id FROM toks WHERE t IS NULL OR len(t) < 3
     """,
 )
 def q_streaming_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2273,9 +2277,9 @@ def q_cosine_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.ivf_topk(emb, queries_df, k=5, n_centroids=8, nprobe=2, index=index)
 
 
-@query(
-    "streaming_vocab_topk",
-    oracle=f"""
+#: ONE source-level definition of the vocabulary oracle — the batch and
+#: streaming twins share it (and text.vocab_rank shares the code-side tail)
+_VOCAB_ORACLE = f"""
     WITH tk AS (SELECT doc_id, unnest(string_split({_NORM_SQL}, ' ')) AS token
                 FROM documents),
      per AS (SELECT token, doc_id, count(*) AS c FROM tk
@@ -2285,7 +2289,12 @@ def q_cosine_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT token, term_count, doc_freq,
            row_number() OVER (ORDER BY term_count DESC, token) AS rank
     FROM v ORDER BY term_count DESC, token LIMIT 100
-    """,
+    """
+
+
+@query(
+    "streaming_vocab_topk",
+    oracle=_VOCAB_ORACLE,
 )
 def q_streaming_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental vocabulary maintenance during ingest — streaming twin
@@ -2674,17 +2683,7 @@ def q_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "vocab_topk",
-    oracle=f"""
-    WITH tk AS (SELECT doc_id, unnest(string_split({_NORM_SQL}, ' ')) AS token
-                FROM documents),
-     per AS (SELECT token, doc_id, count(*) AS c FROM tk
-             WHERE token <> '' GROUP BY token, doc_id),
-     v AS (SELECT token, sum(c) AS term_count, count(*) AS doc_freq
-           FROM per GROUP BY token)
-    SELECT token, term_count, doc_freq,
-           row_number() OVER (ORDER BY term_count DESC, token) AS rank
-    FROM v ORDER BY term_count DESC, token LIMIT 100
-    """,
+    oracle=_VOCAB_ORACLE,
 )
 def q_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus vocabulary: top-100 tokens by occurrence count with document

@@ -1051,13 +1051,9 @@ def run_streaming_vocab(
         .groupBy("token")
         .agg(F.sum("term_count").alias("term_count"), F.sum("doc_freq").alias("doc_freq"))
     )
-    from pyspark.sql import Window
+    from stateful_spark_streaming_spark.operators.text import vocab_rank
 
-    topped = merged.orderBy(F.col("term_count").desc(), "token").limit(top_n)
-    w = Window.orderBy(F.col("term_count").desc(), "token")
-    return topped.select(
-        "token", "term_count", "doc_freq", F.row_number().over(w).alias("rank")
-    )
+    return vocab_rank(merged, top_n)
 
 
 def run_streaming_ivf_topk(
@@ -1129,6 +1125,13 @@ def run_streaming_ivf_topk(
         .start()
     )
     q.awaitTermination(300)
+    if not os.path.exists(out_dir):
+        # every micro-batch was empty (e.g. a query_filter matching no
+        # rows): nothing was ever appended — return the empty frame the
+        # batch ANN twins return, not a PATH_NOT_FOUND crash
+        return spark.createDataFrame(
+            [], "query_id long, rank int, neighbor_id long, cosine double"
+        )
     # distinct-on-read = replay idempotency (see run_streaming_dedup_minhash);
     # a (query_id, rank) pair exists once, duplicates can only be replays
     return spark.read.parquet(out_dir).distinct()

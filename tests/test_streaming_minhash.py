@@ -389,3 +389,34 @@ def test_streaming_decontaminate_replay_idempotent(spark, tmp_path):
         ).collect()
     )
     assert got2 == got1, "replayed appends must not duplicate results"
+
+
+def test_streaming_dedup_minhash_admits_null_text(spark, tmp_path):
+    """A null-text doc has no shingles — it gets a unique sentinel band
+    and must always be admitted (the oracle's short-doc branch needs the
+    explicit t IS NULL check for the same reason: len(NULL) < k is NULL,
+    not true)."""
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from stateful_spark_streaming_spark.streaming.pipeline import (
+        run_streaming_dedup_minhash,
+    )
+
+    schema = StructType(
+        [StructField("doc_id", LongType()), StructField("text", StringType())]
+    )
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox jumps over the lazy dog"),  # near-dup, dropped
+        (3, None),  # sentinel-banded, admitted
+        (4, None),  # also admitted: sentinels are per-doc unique
+    ]
+    src = str(tmp_path / "docs")
+    spark.createDataFrame(rows, schema).coalesce(1).write.parquet(src)
+    got = sorted(
+        r.doc_id
+        for r in run_streaming_dedup_minhash(
+            spark, src, checkpoint_dir=str(tmp_path / "ckpt")
+        ).collect()
+    )
+    assert got == [1, 3, 4]

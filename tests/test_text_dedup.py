@@ -592,3 +592,26 @@ def test_corpus_report_hand_computed(spark):
     assert out["a"].n_en == 2 and out["b"].n_en == 1
     assert out["a"].total_tokens == 6 + 6 + 4
     assert 0.0 < out["a"].avg_quality <= 1.0
+
+
+def test_kernels_accept_string_doc_ids(spark):
+    """The id_col contract is generic — string ids (URLs, hashes) are
+    legitimate document keys, and the Arrow kernels must type their
+    output id from the INPUT schema instead of hardcoding long."""
+    df = spark.createDataFrame(
+        [
+            ("url/a", "the quick brown fox jumps over the lazy dog"),
+            ("url/b", "the quick brown fox jumps over the lazy dog"),
+            ("url/c", "completely different content about query planning"),
+        ],
+        ["doc_id", "text"],
+    )
+    pairs = DD.jaccard_pairs(df, threshold=0.9, max_shingle_df=None).collect()
+    assert {(r.doc_a, r.doc_b) for r in pairs} == {("url/a", "url/b")}
+    fps = {r.doc_id: r.simhash64 for r in
+           DD.simhash_fingerprints_mapinpandas(df).collect()}
+    assert fps["url/a"] == fps["url/b"] != fps["url/c"]
+    spans = DD.dup_ngram_spans(df, k=5).collect()
+    assert {r.doc_id for r in spans} == {"url/a", "url/b"}
+    bands = DD.minhash_band_rows_mapinpandas(df).collect()
+    assert {type(r.doc_id) for r in bands} == {str}
