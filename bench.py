@@ -14,9 +14,12 @@ Methodology (both totals reported so rounds stay comparable):
   cold process pays, the r01-comparable number.  ``SPARK_GRAFT_WARMUP=0``
   skips the warmup pass, making the timed loop itself cold.
 
-The JSON line is the LAST stdout line, compact separators, timings at 2
-decimals: the driver captures a bounded tail of stdout, and r02's
-pretty-printed 75-query line outgrew it (parsed=null).
+Two JSON lines, compact separators, timings at 2 decimals: first the full
+line with the per-query dict, then a ~150-byte totals-only line LAST.  The
+driver captures a bounded tail of stdout and parses from the end — r02's
+pretty-printed 75-query line and r04's totals-before-queries ordering both
+outgrew the tail (parsed=null); a tiny final line survives any catalog
+size while the big line's per-query timings stay greppable in the tail.
 """
 
 from __future__ import annotations
@@ -134,8 +137,27 @@ def main() -> None:
         },
         separators=(",", ":"),
     )
-    spark.stop()  # before the JSON line: Spark shutdown noise must not follow it
+    # a second, COMPACT totals line printed LAST: the driver keeps only a
+    # bounded tail of stdout, and r4's single big line put the totals BEFORE
+    # the 96-entry queries dict — the tail cut them off (parsed=null).  The
+    # totals-only line is ~150 bytes, so it survives any catalog size.
+    totals_line = json.dumps(
+        {
+            "metric": "total_query_wall_time",
+            "value": warm_total,
+            "unit": "sec",
+            "warm_total": warm_total,
+            "cold_total": cold_total,
+            "warmed": warmed,
+            "n_queries": len(timings),
+            "n_errors": sum(1 for v in timings.values() if v < 0),
+            "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        },
+        separators=(",", ":"),
+    )
+    spark.stop()  # before the JSON lines: Spark shutdown noise must not follow
     print(line, flush=True)
+    print(totals_line, flush=True)
 
 
 if __name__ == "__main__":

@@ -335,9 +335,16 @@ def sq8_encode(
     Arrow kernel quantizes.  The kernel mirrors the engines' arithmetic
     exactly: same (x − mn) / (mx − mn) * 255 evaluation order, and
     floor(v + 0.5) — which equals round-half-up for the non-negative
-    scaled values (numpy's own round is banker's and would diverge)."""
+    scaled values (numpy's own round is banker's and would diverge).
+
+    ``codes`` is emitted as a ','-joined STRING, not array<int>: the
+    catalog gate canonicalizes results through pandas, whose hash/sort
+    machinery cannot handle list cells — a scalar column is the
+    cross-engine-checkable form (split on ',' to recover the vector)."""
     import numpy as np
     import pandas as pd
+
+    from .dedup import _id_typed_schema
 
     u = embeddings.select(
         F.col(id_col), F.posexplode(vec_col).alias("dim0", "v")
@@ -365,10 +372,15 @@ def sq8_encode(
                 ok, (X - mn_) / np.where(ok, mx_ - mn_, 1.0) * 255.0, 0.0
             )
             codes = np.floor(scaled + 0.5).astype(np.int32)
-            yield pd.DataFrame({id_col: pdf[id_col], "codes": list(codes)})
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "codes": [",".join(map(str, row)) for row in codes],
+                }
+            )
 
     return embeddings.select(id_col, vec_col).mapInPandas(
-        kernel, f"{id_col} long, codes array<int>"
+        kernel, _id_typed_schema(embeddings, id_col, id_col, "codes string")
     )
 
 
@@ -494,10 +506,12 @@ def pq_reconstruction_mse(
                 C = cb[j]
                 d2 = (S**2).sum(1)[:, None] - 2.0 * S @ C.T + (C**2).sum(1)[None, :]
                 err += d2.min(1)
-            yield pd.DataFrame({"vec_id": pdf[id_col], "mse": err / X.shape[1]})
+            yield pd.DataFrame({id_col: pdf[id_col], "mse": err / X.shape[1]})
+
+    from .dedup import _id_typed_schema
 
     return embeddings.select(F.col(id_col), F.col(vec_col)).mapInPandas(
-        kernel, "vec_id long, mse double"
+        kernel, _id_typed_schema(embeddings, id_col, id_col, "mse double")
     )
 
 

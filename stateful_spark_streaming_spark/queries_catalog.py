@@ -2284,7 +2284,8 @@ _VOCAB_ORACLE = f"""
                 FROM documents),
      per AS (SELECT token, doc_id, count(*) AS c FROM tk
              WHERE token <> '' GROUP BY token, doc_id),
-     v AS (SELECT token, sum(c) AS term_count, count(*) AS doc_freq
+     v AS (SELECT token, CAST(sum(c) AS BIGINT) AS term_count,
+                  count(*) AS doc_freq
            FROM per GROUP BY token)
     SELECT token, term_count, doc_freq,
            row_number() OVER (ORDER BY term_count DESC, token) AS rank
@@ -2324,7 +2325,9 @@ def q_streaming_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                        THEN round((e[dim] - mn) / (mx - mn) * 255, 0)
                        ELSE 0 END AS INT) AS c
            FROM u JOIN st USING (dim))
-    SELECT vec_id, list(c ORDER BY dim) AS codes FROM q GROUP BY vec_id
+    SELECT vec_id,
+           array_to_string(list(c ORDER BY dim), ',') AS codes
+    FROM q GROUP BY vec_id
     """,
 )
 def q_sq8_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2770,10 +2773,10 @@ def q_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
              FROM scored)
     SELECT source,
            count(*) AS n_docs,
-           sum(n_tokens) AS total_tokens,
+           CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
            round(avg(q), 4) AS avg_quality,
-           sum(is_dup) AS n_exact_dup,
-           sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS n_en
+           CAST(sum(is_dup) AS BIGINT) AS n_exact_dup,
+           CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS n_en
     FROM scored JOIN dup USING (doc_id)
     GROUP BY source
     """,

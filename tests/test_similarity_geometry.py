@@ -364,7 +364,7 @@ def test_sq8_encode_bounds_and_reconstruction(spark, sf_dir):
     X = np.array(list(raw.values()))
     mn, mx = X.min(0), X.max(0)
     for r in out[:50]:
-        c = np.array(r.codes)
+        c = np.array([int(x) for x in r.codes.split(",")])
         assert c.min() >= 0 and c.max() <= 255 and len(c) == X.shape[1]
         # dequantize: each value within half a cell of the original
         width = (mx - mn) / 255.0
