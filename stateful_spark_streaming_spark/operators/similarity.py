@@ -805,7 +805,6 @@ def _cosine_near_pairs_blocked(
     vec_col: str,
     block_rows: int = 200_000,
     n_blocks: int | None = None,
-    n_rows: int | None = None,
 ) -> DataFrame:
     """Distributed exact all-pairs cosine: hash ids into ``n_blocks``
     blocks, replicate each block once per partner block, and matmul every
@@ -823,8 +822,9 @@ def _cosine_near_pairs_blocked(
 
     spark = embeddings.sparkSession
     if n_blocks is None:
-        if n_rows is None:  # direct callers; cosine_near_pairs passes it
-            n_rows = embeddings.select(id_col).count()
+        # a full count, NOT the caller's capped limit(max+1) tier probe —
+        # that probe undercounts above the cap and would under-block
+        n_rows = embeddings.select(id_col).count()
         n_blocks = max(2, -(-n_rows // block_rows))
     base = embeddings.select(
         F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_blocks))

@@ -477,7 +477,7 @@ def corpus_report(df: DataFrame, text_col: str = "text") -> DataFrame:
     window) into ONE per-source aggregate.  Shuffles: the content-hash
     window, the doc_id join, the source aggregate — all keyed, no pair
     enumeration, volume linear in docs."""
-    base = quality_score(df, keep_cols=("source", "lang"))
+    base = quality_score(df, text_col=text_col, keep_cols=("source", "lang"))
     fp = df.select(
         "doc_id", F.md5(normalize_text(F.col(text_col))).alias("fp")
     )

@@ -833,6 +833,10 @@ def run_streaming_dedup_minhash(
         spark.conf.set(_STATE_STORE_CONF, provider_class)
     try:
         stream = _stage_parquet_stream(spark, documents_path, max_files_per_trigger)
+        # id type FROM THE INPUT, like the band kernel itself: string-id
+        # corpora are legitimate, and a hardcoded LongType here would pass
+        # the (generic) kernel then crash at the state fold's Arrow boundary
+        id_type = stream.schema[id_col].dataType
 
         # numpy kernel, not the HOF fold: bit-identical bands (tested), but
         # the interpreted 32-way HOF fold measured 6.4 s vs 1.1 s for the
@@ -864,7 +868,7 @@ def run_streaming_dedup_minhash(
             _band_claim_fold,
             outputStructType=StructType(
                 [
-                    StructField("doc_id", LongType()),
+                    StructField("doc_id", id_type),
                     StructField("is_dup", BooleanType()),
                 ]
             ),
@@ -896,6 +900,13 @@ def run_streaming_dedup_minhash(
             .start()
         )
         q.awaitTermination(300)
+        if not os.path.exists(out_dir):
+            # zero micro-batches ever fired (e.g. empty source dir):
+            # nothing was appended — return a typed empty frame, not a
+            # PATH_NOT_FOUND crash (same guard as run_streaming_ivf_topk)
+            return spark.createDataFrame(
+                [], StructType([StructField("doc_id", id_type)])
+            )
         # distinct-on-read = replay idempotency: a crash between the
         # foreachBatch append and the checkpoint commit re-appends the
         # SAME byte-identical rows (each admitted doc belongs to exactly
@@ -972,6 +983,14 @@ def run_streaming_decontaminate(
         .start()
     )
     q.awaitTermination(300)
+    if not os.path.exists(out_dir):
+        # zero micro-batches (empty source / filter matched nothing):
+        # typed empty result, not a PATH_NOT_FOUND crash
+        from pyspark.sql.types import StructField, StructType
+
+        return spark.createDataFrame(
+            [], StructType([StructField("doc_id", stream.schema[id_col].dataType)])
+        )
     # distinct-on-read = replay idempotency (see run_streaming_dedup_minhash)
     return spark.read.parquet(out_dir).distinct()
 
@@ -1038,6 +1057,18 @@ def run_streaming_vocab(
     )
     q.awaitTermination(300)
 
+    from stateful_spark_streaming_spark.operators.text import vocab_rank
+
+    if not os.path.exists(out_dir):
+        # zero micro-batches: empty vocabulary in the final shape, not a
+        # PATH_NOT_FOUND crash
+        return vocab_rank(
+            spark.createDataFrame(
+                [], "token string, term_count bigint, doc_freq bigint"
+            ),
+            top_n,
+        )
+
     merged = (
         spark.read.parquet(out_dir)
         # replay dedupe: one row per (token, batch) — replayed appends are
@@ -1051,8 +1082,6 @@ def run_streaming_vocab(
         .groupBy("token")
         .agg(F.sum("term_count").alias("term_count"), F.sum("doc_freq").alias("doc_freq"))
     )
-    from stateful_spark_streaming_spark.operators.text import vocab_rank
-
     return vocab_rank(merged, top_n)
 
 

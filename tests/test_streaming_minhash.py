@@ -420,3 +420,60 @@ def test_streaming_dedup_minhash_admits_null_text(spark, tmp_path):
         ).collect()
     )
     assert got == [1, 3, 4]
+
+
+def test_streaming_dedup_minhash_string_ids(spark, tmp_path):
+    """String-id corpora must survive BOTH Arrow boundaries: the band
+    kernel (generic since r4) and the state-fold output struct, whose
+    doc_id type is now derived from the input schema instead of a
+    hardcoded LongType."""
+    rows = [
+        ("doc-a", "the quick brown fox jumps over the lazy dog"),
+        ("doc-b", "the quick brown fox jumps over the lazy dog"),  # dup
+        ("doc-c", "an entirely different document about spark streams"),
+    ]
+    src = str(tmp_path / "docs_str")
+    spark.createDataFrame(rows, ["doc_id", "text"]).coalesce(1).write.parquet(src)
+    out = run_streaming_dedup_minhash(
+        spark, src, checkpoint_dir=str(tmp_path / "ckpt_str")
+    )
+    assert dict(out.dtypes)["doc_id"] == "string"
+    assert sorted(r.doc_id for r in out.collect()) == ["doc-a", "doc-c"]
+
+
+def test_streaming_entries_zero_batch_restart_return_typed_empty(spark, tmp_path):
+    """Restart with a caught-up checkpoint and a cleaned output dir:
+    availableNow fires ZERO micro-batches, nothing is ever appended, and
+    each entry must return a typed empty frame — not crash with
+    PATH_NOT_FOUND on the missing output dir (the r4 guard existed only in
+    run_streaming_ivf_topk; ADVICE r4 asked for the other three)."""
+    import shutil
+
+    from stateful_spark_streaming_spark.streaming.pipeline import (
+        run_streaming_decontaminate,
+        run_streaming_vocab,
+    )
+
+    rows = [(1, "alpha beta gamma delta epsilon"), (2, "zeta eta theta iota kappa")]
+    src = str(tmp_path / "docs_zb")
+    spark.createDataFrame(rows, ["doc_id", "text"]).coalesce(1).write.parquet(src)
+    eval_df = spark.createDataFrame([(100, "alpha beta gamma delta epsilon")],
+                                    ["doc_id", "text"])
+
+    for name, suffix, run in (
+        ("vocab", "_partials",
+         lambda ck: run_streaming_vocab(spark, src, top_n=10, checkpoint_dir=ck)),
+        ("decon", "_out",
+         lambda ck: run_streaming_decontaminate(spark, src, eval_df, k=3,
+                                                checkpoint_dir=ck)),
+        ("minhash", "_out",
+         lambda ck: run_streaming_dedup_minhash(spark, src, checkpoint_dir=ck)),
+    ):
+        ck = str(tmp_path / f"ckpt_zb_{name}")
+        first = run(ck)
+        first_schema = first.schema
+        assert first.count() > 0
+        shutil.rmtree(ck + suffix)
+        second = run(ck)  # same checkpoint: no new files -> zero batches
+        assert second.count() == 0
+        assert second.schema == first_schema, name
