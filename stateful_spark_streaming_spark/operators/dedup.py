@@ -30,11 +30,23 @@ from pyspark.sql import functions as F
 from stateful_spark_streaming_spark.operators.text import normalize_text, shingles
 
 
-def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+def exact_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    tokens_col: str | None = None,
+) -> DataFrame:
     """Exact dedup on normalized-text fingerprint; survivor = lowest id
     (deterministic).  Returns one row per distinct content with the survivor
-    id and the duplicate count."""
-    fp = F.md5(normalize_text(F.col(text_col)))
+    id and the duplicate count.  ``tokens_col``: pre-computed token array —
+    ``array_join(toks, ' ')`` IS the normalized text (split/join
+    round-trip), so the fingerprint is bit-identical either way."""
+    norm = (
+        F.array_join(F.col(tokens_col), " ")
+        if tokens_col
+        else normalize_text(F.col(text_col))
+    )
+    fp = F.md5(norm)
     return (
         df.select(F.col(id_col), fp.alias("content_fp"))
         .groupBy("content_fp")
@@ -88,7 +100,13 @@ def _spread(df: DataFrame) -> DataFrame:
     return df.repartition(sc.defaultParallelism)
 
 
-def _shingle_index(df: DataFrame, text_col: str, id_col: str, k: int) -> DataFrame:
+def _shingle_index(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int,
+    tokens_col: str | None = None,
+) -> DataFrame:
     """(id, shingle) inverted index with per-doc set sizes — via an Arrow
     numpy/python kernel, NOT the ``shingles()`` HOF + explode: the
     interpreted zip_with chain measured 3.4 s ALONE at sf0.1 (the single
@@ -96,16 +114,26 @@ def _shingle_index(df: DataFrame, text_col: str, id_col: str, k: int) -> DataFra
     training_pipeline all sit on this index).  Set semantics preserved
     exactly: normalized whitespace tokens, k-gram join by single space,
     DISTINCT shingles per doc, set_size = distinct count, < k-token docs
-    emit nothing — pytested equal to the HOF form."""
+    emit nothing — pytested equal to the HOF form.
+
+    ``tokens_col``: pre-computed ``tokens(text)`` array column — a pipeline
+    that tokenizes once (persisted frame) skips the per-stage Python regex
+    pass; the JVM tokenizer is property-tested ≡ ``_py_tokens``, so the
+    shingle sets are identical (a null text arrives as a null array)."""
     import pandas as pd
+
+    in_col = tokens_col or text_col
 
     def kernel(batches):
         for pdf in batches:
             docs: list = []
             sizes: list = []
             shs: list = []
-            for doc_id, text in zip(pdf[id_col], pdf[text_col]):
-                toks = _py_tokens(text)
+            for doc_id, cell in zip(pdf[id_col], pdf[in_col]):
+                if tokens_col:
+                    toks = None if cell is None else list(cell)
+                else:
+                    toks = _py_tokens(cell)
                 if toks is None or len(toks) < k:
                     continue
                 uniq = list(
@@ -124,7 +152,7 @@ def _shingle_index(df: DataFrame, text_col: str, id_col: str, k: int) -> DataFra
 
     return (
         _spread(df)
-        .select(F.col(id_col), F.col(text_col))
+        .select(F.col(id_col), F.col(in_col))
         .mapInPandas(
             kernel, _id_typed_schema(df, id_col, "doc", "set_size int, shingle string")
         )
@@ -219,6 +247,7 @@ def jaccard_pairs(
     k: int = 3,
     threshold: float = 0.6,
     max_shingle_df: int | None = None,
+    tokens_col: str | None = None,
 ) -> DataFrame:
     """n-gram Jaccard near-dup pairs: J(A,B) = |A∩B| / (|A|+|B|-|A∩B|) ≥ τ.
 
@@ -249,7 +278,7 @@ def jaccard_pairs(
     ``spark.catalog.clearCache()`` between them (bench.py does), or write
     the index to storage and read it back — the 100 TB form.
     """
-    idx = _shingle_index(df, text_col, id_col, k)
+    idx = _shingle_index(df, text_col, id_col, k, tokens_col=tokens_col)
     if max_shingle_df is None:
         # Bucketed candidate generation (the same one-shuffle trick as
         # banded_candidate_pairs): group the index by shingle, expand
@@ -293,6 +322,7 @@ def decontaminate(
     text_col: str = "text",
     id_col: str = "doc_id",
     k: int = 8,
+    tokens_col: str | None = None,
 ) -> DataFrame:
     """Benchmark decontamination: flag training docs sharing ANY ``k``-token
     shingle with the eval/benchmark set (the standard n-gram-overlap
@@ -310,7 +340,7 @@ def decontaminate(
     # train side through the Arrow shingle-index kernel (distinct per doc,
     # identical set semantics — see _shingle_index): the train corpus is
     # the big side, and the interpreted HOF chain was its dominant cost
-    tr_sh = _shingle_index(train, text_col, id_col, k).select(
+    tr_sh = _shingle_index(train, text_col, id_col, k, tokens_col=tokens_col).select(
         F.col("doc").alias("doc_id"), "shingle"
     )
     hits = (

@@ -48,13 +48,28 @@ def token_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
 
 
 def quality_score(
-    df: DataFrame, text_col: str = "text", keep_cols: tuple[str, ...] = ()
+    df: DataFrame,
+    text_col: str = "text",
+    keep_cols: tuple[str, ...] = (),
+    tokens_col: str | None = None,
 ) -> DataFrame:
     """Heuristic document quality: length band, punctuation density, stopword
     hit-rate, mean word length, type-token ratio — rounded for cross-engine
     stability.  ``keep_cols`` ride through the projection so downstream
-    grouping (e.g. per-source mixture building) needs no self-join."""
-    t = tokens(F.col(text_col))
+    grouping (e.g. per-source mixture building) needs no self-join.
+
+    ``tokens_col``: name of a pre-computed ``tokens(text)`` array column —
+    pipelines that tokenize once into a persisted frame (the
+    ``unigram_logprob`` lesson) pass it so the regex tokenizer isn't
+    re-evaluated per stage.  ``array_join(toks, ' ')`` reconstructs the
+    normalized text exactly (split/join round-trip), so every signal stays
+    bit-identical to the text-column path."""
+    t = F.col(tokens_col) if tokens_col else tokens(F.col(text_col))
+    norm = (
+        F.array_join(F.col(tokens_col), " ")
+        if tokens_col
+        else normalize_text(F.col(text_col))
+    )
     n_tok = F.size(t)
     n_char = F.length(F.col(text_col))
     # "punctuation" = any char outside [a-zA-Z0-9 ] (incl. tabs/newlines and
@@ -65,7 +80,7 @@ def quality_score(
         F.array_intersect(F.array_distinct(t), F.array([F.lit(w) for w in STOPWORDS["en"]]))
     )
     mean_word_len = F.round(
-        F.length(F.regexp_replace(normalize_text(F.col(text_col)), " ", ""))
+        F.length(F.regexp_replace(norm, " ", ""))
         / F.greatest(n_tok, F.lit(1)),
         4,
     )
@@ -139,6 +154,7 @@ def chunk_documents(
     id_col: str = "doc_id",
     chunk_tokens: int = 64,
     overlap: int = 16,
+    tokens_col: str | None = None,
 ) -> DataFrame:
     """Training-data chunking: split each document into ~chunk_tokens-token
     windows with ``overlap`` tokens of context carry-over (the standard LLM
@@ -151,7 +167,7 @@ def chunk_documents(
     stride = chunk_tokens - overlap
     if stride <= 0:
         raise ValueError("overlap must be smaller than chunk_tokens")
-    t = tokens(F.col(text_col))
+    t = F.col(tokens_col) if tokens_col else tokens(F.col(text_col))
     # start indices 1, 1+stride, ... ≤ n (1-based for slice); always ≥1 chunk
     starts = F.sequence(
         F.lit(1), F.greatest(F.size(t), F.lit(1)), F.lit(stride)
@@ -220,12 +236,18 @@ def hash_split(
     text_col: str = "text",
     id_col: str = "doc_id",
     train_pct: int = 90,
+    tokens_col: str | None = None,
 ) -> DataFrame:
     """Deterministic content-hash train/eval split: bucket = first 8 hex
     chars of md5(normalized text) mod 100.  Content-keyed (not row-keyed) so
     exact duplicates always land in the same split — the property that
     prevents train/eval leakage through dup documents."""
-    bucket = md5_bucket(F.md5(normalize_text(F.col(text_col))), 100).cast("long")
+    norm = (
+        F.array_join(F.col(tokens_col), " ")
+        if tokens_col
+        else normalize_text(F.col(text_col))
+    )
+    bucket = md5_bucket(F.md5(norm), 100).cast("long")
     return df.select(
         id_col,
         bucket.alias("bucket"),

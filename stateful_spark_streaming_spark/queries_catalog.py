@@ -2131,23 +2131,76 @@ def q_training_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Every stage is an operator with its own oracle elsewhere in this
     catalog; this query proves they compose (one lazy plan end to end, no
-    intermediate materialization) and the full-chain oracle re-derives the
-    same rows in DuckDB."""
-    docs = _t(spark, sf_dir, "documents")
-    q = TXT.quality_score(docs).select("doc_id", "quality_score")
-    filtered = docs.join(q, "doc_id").filter(
+    intermediate rematerialization) and the full-chain oracle re-derives
+    the same rows in DuckDB.
+
+    Tokenize-once (the ``unigram_logprob`` lesson, audited chain-wide per
+    VERDICT r4 #5): quality scoring, exact-dedup fingerprint, Jaccard
+    shingling, chunking and the hash split all consume ONE ``__toks``
+    token-array column threaded via ``tokens_col``.  The AUDIT RESULT
+    differs from unigram_logprob's: there the tokenized frame collapses
+    to a compact (doc, token, c) aggregate whose cache is nearly free;
+    here it would have to cache full token ARRAYS, and that persist
+    measured a consistent sf0.1 PESSIMIZATION (5.5–6.8 s vs 4.1–4.4 s —
+    block-manager serialization of the arrays outweighs the ~5 saved
+    tokenizer passes at this text volume).  So ``persist_tokens``
+    defaults False; at 100 TB — where each avoided pass is a full-corpus
+    text scan — flip it on, or better, write the tokenized frame to
+    storage and read it back."""
+    return _training_pipeline_chain(_t(spark, sf_dir, "documents"))
+
+
+def _training_pipeline_chain(
+    docs: DataFrame,
+    eval_df: DataFrame | None = None,
+    decon_k: int = 5,
+    persist_tokens: bool = False,
+) -> DataFrame:
+    """Shared corpus-build chain: quality/lang filter → [decontaminate] →
+    exact dedup → near-dup cluster reps → 64/16 chunking → 90/10 split.
+    ``__toks`` is computed once on the base frame and threaded through
+    every token-consuming stage via ``tokens_col``; ``persist_tokens``
+    additionally caches the tokenized base so each stage reads the cache
+    instead of re-deriving — profitable only when the raw-text scan +
+    tokenizer dominate the cache round-trip (100 TB yes, sf0.1 no; see
+    q_training_pipeline)."""
+    base = docs.select(
+        "doc_id", "lang", "text", TXT.tokens(F.col("text")).alias("__toks")
+    )
+    # the Arrow kernels read pre-tokenized arrays ONLY off a persisted
+    # frame: un-persisted, shipping list<string> through Arrow measured
+    # ~12% slower than letting the kernel re-tokenize the text batch
+    # (interleaved A/B at sf0.1: 1.37 s vs 1.22 s per jaccard_pairs run)
+    kt = "__toks" if persist_tokens else None
+    if persist_tokens:
+        from pyspark import StorageLevel
+
+        base = base.persist(StorageLevel.MEMORY_AND_DISK)
+    q = TXT.quality_score(base, tokens_col="__toks").select(
+        "doc_id", "quality_score"
+    )
+    filtered = base.join(q, "doc_id").filter(
         (F.col("lang") != "zh") & (F.col("quality_score") >= 0.55)
     )
-    surv = DD.exact_dedup(filtered).select(
+    if eval_df is not None:
+        cont = (
+            DD.decontaminate(filtered, eval_df, k=decon_k, tokens_col=kt)
+            .filter("contaminated")
+            .select("doc_id")
+        )
+        filtered = filtered.join(cont, "doc_id", "left_anti")
+    surv = DD.exact_dedup(filtered, tokens_col="__toks").select(
         F.col("survivor_doc_id").alias("doc_id")
     )
     d2 = filtered.join(surv, "doc_id")
-    pairs = DD.jaccard_pairs(d2, threshold=0.6)
+    pairs = DD.jaccard_pairs(d2, threshold=0.6, tokens_col=kt)
     clusters = DD.dup_clusters(pairs)
     dupes = clusters.filter(F.col("doc_id") != F.col("cluster_rep")).select("doc_id")
     keep = d2.join(dupes, "doc_id", "left_anti")
-    chunks = TXT.chunk_documents(keep, chunk_tokens=64, overlap=16)
-    split = TXT.hash_split(keep).select("doc_id", "split")
+    chunks = TXT.chunk_documents(
+        keep, chunk_tokens=64, overlap=16, tokens_col="__toks"
+    )
+    split = TXT.hash_split(keep, tokens_col="__toks").select("doc_id", "split")
     return chunks.join(split, "doc_id").select(
         "doc_id", "chunk_id", "chunk_len", "split"
     )
@@ -2553,32 +2606,13 @@ def q_training_pipeline_full(spark: SparkSession, sf_dir: str) -> DataFrame:
       5-gram with the eval suite, broadcast semi probe) → exact dedup
       → near-dup clustering (keep reps) → 64/16 chunking → 90/10 split
 
-    Same one-lazy-plan contract as ``training_pipeline``; the full-chain
-    oracle re-derives every stage including the contamination set."""
+    Same contract and tokenize-once shape as ``training_pipeline`` (the
+    shared ``_training_pipeline_chain``); the full-chain oracle re-derives
+    every stage including the contamination set."""
     docs = _t(spark, sf_dir, "documents")
     eval_df = docs.filter(F.col("doc_id") % 97 == 0)
     train = docs.filter(F.col("doc_id") % 97 != 0)
-    q = TXT.quality_score(train).select("doc_id", "quality_score")
-    filtered = train.join(q, "doc_id").filter(
-        (F.col("lang") != "zh") & (F.col("quality_score") >= 0.55)
-    )
-    cont = (
-        DD.decontaminate(filtered, eval_df, k=5)
-        .filter("contaminated")
-        .select("doc_id")
-    )
-    clean = filtered.join(cont, "doc_id", "left_anti")
-    surv = DD.exact_dedup(clean).select(F.col("survivor_doc_id").alias("doc_id"))
-    d2 = clean.join(surv, "doc_id")
-    pairs = DD.jaccard_pairs(d2, threshold=0.6)
-    clusters = DD.dup_clusters(pairs)
-    dupes = clusters.filter(F.col("doc_id") != F.col("cluster_rep")).select("doc_id")
-    keep = d2.join(dupes, "doc_id", "left_anti")
-    chunks = TXT.chunk_documents(keep, chunk_tokens=64, overlap=16)
-    split = TXT.hash_split(keep).select("doc_id", "split")
-    return chunks.join(split, "doc_id").select(
-        "doc_id", "chunk_id", "chunk_len", "split"
-    )
+    return _training_pipeline_chain(train, eval_df=eval_df, decon_k=5)
 
 
 from stateful_spark_streaming_spark.operators import layout as LAY  # noqa: E402

@@ -615,3 +615,65 @@ def test_kernels_accept_string_doc_ids(spark):
     assert {r.doc_id for r in spans} == {"url/a", "url/b"}
     bands = DD.minhash_band_rows_mapinpandas(df).collect()
     assert {type(r.doc_id) for r in bands} == {str}
+
+
+def test_tokens_col_paths_bit_identical(spark, sf_dir):
+    """Every operator that accepts a pre-tokenized ``tokens_col`` must
+    produce BIT-IDENTICAL results to its text path — the tokenize-once
+    pipeline contract (array_join round-trip + JVM≡_py_tokens), including
+    null-text docs (null token array) and empty text ([''])."""
+    from pyspark.sql import functions as F
+
+    from stateful_spark_streaming_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").limit(200)
+    extra = spark.createDataFrame(
+        [(100001, None), (100002, ""), (100003, "one two")],
+        ["doc_id", "text"],
+    )
+    df = docs.select("doc_id", "text").unionByName(extra)
+    tok = df.withColumn("__toks", TXT.tokens(F.col("text")))
+
+    def rows(x):
+        return sorted((tuple(r) for r in x.collect()), key=repr)
+
+    assert rows(DD._shingle_index(tok, "text", "doc_id", 3)) == rows(
+        DD._shingle_index(tok, "text", "doc_id", 3, tokens_col="__toks")
+    )
+    assert rows(DD.exact_dedup(tok)) == rows(DD.exact_dedup(tok, tokens_col="__toks"))
+    assert rows(DD.jaccard_pairs(tok, threshold=0.6)) == rows(
+        DD.jaccard_pairs(tok, threshold=0.6, tokens_col="__toks")
+    )
+    assert rows(TXT.quality_score(tok)) == rows(
+        TXT.quality_score(tok, tokens_col="__toks")
+    )
+    assert rows(TXT.chunk_documents(tok, chunk_tokens=8, overlap=2)) == rows(
+        TXT.chunk_documents(tok, chunk_tokens=8, overlap=2, tokens_col="__toks")
+    )
+    assert rows(TXT.hash_split(tok)) == rows(TXT.hash_split(tok, tokens_col="__toks"))
+    ev = docs.limit(5)
+    assert rows(DD.decontaminate(tok, ev, k=5)) == rows(
+        DD.decontaminate(tok, ev, k=5, tokens_col="__toks")
+    )
+
+
+def test_training_pipeline_chain_persisted_equals_default(spark, sf_dir):
+    """persist_tokens=True (the 100 TB knob: kernels read the cached token
+    arrays) must not change a single output row."""
+    from pyspark.sql import functions as F
+
+    from stateful_spark_streaming_spark.queries_catalog import (
+        _training_pipeline_chain,
+    )
+    from stateful_spark_streaming_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    ev = docs.filter(F.col("doc_id") % 97 == 0)
+    tr = docs.filter(F.col("doc_id") % 97 != 0)
+    a = sorted(tuple(r) for r in _training_pipeline_chain(tr, ev).collect())
+    b = sorted(
+        tuple(r)
+        for r in _training_pipeline_chain(tr, ev, persist_tokens=True).collect()
+    )
+    spark.catalog.clearCache()
+    assert a == b and len(a) > 0
