@@ -163,6 +163,54 @@ def extract_image_features(images: DataFrame) -> DataFrame:
     return images.select("image_id", "data").mapInPandas(kernel, schema=out_schema)
 
 
+def image_stats(images: DataFrame) -> DataFrame:
+    """decode → EXACT integer pixel statistics per image: dimensions,
+    blob size, and per-channel pixel sums (uint8 summed in int64 — no
+    float in sight).  The scalar, integer-exact sibling of
+    ``extract_image_features``: because every value is an integer derived
+    from the decoded pixels, an independent engine that re-derives the
+    synthetic pattern can hash-match it EXACTLY, turning the multimodal
+    decode path from a rows-only check into a full-oracle one (float
+    feature means can't cross an engine boundary bit-stably; integer sums
+    can)."""
+    out_schema = StructType(
+        [
+            StructField("image_id", LongType(), False),
+            StructField("width", IntegerType(), True),
+            StructField("height", IntegerType(), True),
+            StructField("n_bytes", LongType(), True),
+            StructField("r_sum", LongType(), True),
+            StructField("g_sum", LongType(), True),
+            StructField("b_sum", LongType(), True),
+        ]
+    )
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {k: [] for k in
+                    ("image_id", "width", "height", "n_bytes",
+                     "r_sum", "g_sum", "b_sum")}
+            for iid, blob in zip(pdf["image_id"], pdf["data"]):
+                rows["image_id"].append(iid)
+                if blob is None:
+                    for k in ("width", "height", "n_bytes",
+                              "r_sum", "g_sum", "b_sum"):
+                        rows[k].append(0)
+                    continue
+                px = decode_ppm(blob)
+                h, w, _ = px.shape
+                sums = px.sum(axis=(0, 1), dtype=np.int64)
+                rows["width"].append(w)
+                rows["height"].append(h)
+                rows["n_bytes"].append(len(bytes(blob)))
+                rows["r_sum"].append(int(sums[0]))
+                rows["g_sum"].append(int(sums[1]))
+                rows["b_sum"].append(int(sums[2]))
+            yield pd.DataFrame(rows)
+
+    return images.select("image_id", "data").mapInPandas(kernel, schema=out_schema)
+
+
 def resize_nearest(images: DataFrame, target_w: int, target_h: int) -> DataFrame:
     """REAL nearest-neighbor resize for PPM blobs (numpy index sampling),
     re-encoded as PPM.  Non-PPM formats raise NotImplementedError from the

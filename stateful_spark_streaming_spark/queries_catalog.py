@@ -2507,14 +2507,43 @@ def q_cosine_near_pairs_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 from stateful_spark_streaming_spark.operators import multimodal as MM  # noqa: E402
 
 
-@query("multimodal_features")  # real PPM pixel decode; no DuckDB twin → rows-only check
+@query(
+    "multimodal_features",
+    oracle="""
+    WITH meta AS (
+      SELECT doc_id AS image_id,
+             CAST(n_chars % 64 + 32 AS INT) AS width,
+             CAST(n_chars % 48 + 24 AS INT) AS height
+      FROM documents),
+     px AS (
+      SELECT image_id, width, height,
+             (image_id * 7 + 3 * (i % width) + 5 * (i // width)) % 256 AS r
+      FROM meta, LATERAL unnest(range(0, width * height)) AS t(i))
+    SELECT image_id, width, height,
+           CAST(3 + length(CAST(width AS VARCHAR)) + 1
+                  + length(CAST(height AS VARCHAR)) + 5
+                  + 3 * width * height AS BIGINT) AS n_bytes,
+           CAST(sum(r) AS BIGINT) AS r_sum,
+           CAST(sum((r + 11) % 256) AS BIGINT) AS g_sum,
+           CAST(sum((r + 22) % 256) AS BIGINT) AS b_sum
+    FROM px GROUP BY image_id, width, height
+    """,
+)
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Decode + featurize a stored binary-column image table.  The synthetic
-    PPM corpus is materialized to parquet once per (process, sf_dir) — the
-    production shape: binaries live in storage and the decode kernel reads
-    them from a scan, one Python stage, not a chained synth→decode pipeline
-    (each mapInPandas tier spawns its own Python-worker pool; chaining two
-    paid ~15 s of spin-up at sf0.1 for zero semantic value)."""
+    """Decode a stored binary-column image table into EXACT per-image
+    pixel statistics.  The synthetic PPM corpus is materialized to parquet
+    once per (process, sf_dir) — the production shape: binaries live in
+    storage and the decode kernel reads them from a scan, one Python
+    stage, not a chained synth→decode pipeline (each mapInPandas tier
+    spawns its own Python-worker pool; chaining two paid ~15 s of spin-up
+    at sf0.1 for zero semantic value).
+
+    FULL oracle since r5 (was rows-only): the outputs are integer pixel
+    sums from the REAL decode, and the deterministic synth pattern
+    ((id·7 + 3x + 5y + 11c) mod 256) lets DuckDB re-derive them exactly —
+    so the gate now verifies the decode kernel's actual pixel arithmetic,
+    not just its row count.  Float feature means stay pytest-pinned
+    (golden checksum) since they can't cross engines bit-stably."""
     import tempfile
 
     key = _fixture_tag(sf_dir, "documents")
@@ -2527,13 +2556,7 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     images = spark.read.parquet(path).repartition(
         spark.sparkContext.defaultParallelism
     )
-    feats = MM.extract_image_features(images)
-    return feats.select(
-        "image_id",
-        "n_bytes",
-        F.round(F.element_at("features", 1), 6).alias("f0"),
-        F.round(F.element_at("features", 2), 6).alias("f1"),
-    )
+    return MM.image_stats(images)
 
 
 @query(

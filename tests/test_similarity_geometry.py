@@ -396,3 +396,56 @@ def test_fixture_tag_invalidates_on_data_change(spark, tmp_path):
     assert t2 != t1, "mtime change must invalidate the fixture tag"
     # missing file degrades to the path (no crash)
     assert _fixture_tag(str(tmp_path / "nope"), "embeddings")
+
+
+def test_multimodal_golden_checksum():
+    """Golden pin of the decode→featurize kernel on a FIXED synthetic image
+    (id=42, 8×6, the catalog synth pattern): any change to the pixel
+    arithmetic, the luma weights, the histogram binning, or the channel
+    order breaks this before it can drift the (pytest-only) float feature
+    path — the oracle-less half of the multimodal surface (the integer
+    half is gate-checked via the image_stats oracle)."""
+    import numpy as np
+
+    from stateful_spark_streaming_spark.operators import multimodal as MM
+
+    y, x, c = np.ogrid[0:6, 0:8, 0:3]
+    px = ((42 * 7 + x * 3 + y * 5 + c * 11) % 256).astype(np.uint8)
+    blob = MM.encode_ppm(px)
+    got = MM._image_features(blob)
+    golden = [
+        0.2392156863, 0.2823529412, 0.3254901961,       # channel means
+        0.042988454, 0.042988454, 0.042988454,          # channel stds
+        0.2762964706, 0.042988454,                      # luma mean/std
+        0.0, 0.2916666667, 0.7083333333, 0.0, 0.0, 0.0, 0.0, 0.0,  # histogram
+    ]
+    assert np.allclose(got, golden, atol=1e-9)
+
+
+def test_multimodal_image_stats_exact(spark):
+    """image_stats emits EXACT integers from the real decode — checked
+    against an independent numpy derivation for hand-built images,
+    including the null-blob row (all-zero stats)."""
+    import numpy as np
+
+    from stateful_spark_streaming_spark.operators import multimodal as MM
+
+    imgs = []
+    for iid, (w, h) in ((1, (8, 6)), (2, (33, 25))):
+        y, x, c = np.ogrid[0:h, 0:w, 0:3]
+        px = ((iid * 7 + x * 3 + y * 5 + c * 11) % 256).astype(np.uint8)
+        imgs.append((iid, bytearray(MM.encode_ppm(px)), px))
+    df = spark.createDataFrame(
+        [(i, bytes(b)) for i, b, _ in imgs] + [(3, None)],
+        "image_id long, data binary",
+    )
+    got = {r.image_id: r.asDict() for r in MM.image_stats(df).collect()}
+    for iid, blob, px in imgs:
+        h, w, _ = px.shape
+        sums = px.sum(axis=(0, 1), dtype=np.int64)
+        row = got[iid]
+        assert (row["width"], row["height"]) == (w, h)
+        assert row["n_bytes"] == len(blob)
+        assert (row["r_sum"], row["g_sum"], row["b_sum"]) == tuple(map(int, sums))
+    assert got[3] == {"image_id": 3, "width": 0, "height": 0, "n_bytes": 0,
+                      "r_sum": 0, "g_sum": 0, "b_sum": 0}
