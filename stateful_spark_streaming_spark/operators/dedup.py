@@ -426,8 +426,19 @@ def dup_ngram_spans(
     (doc) for the island window — the final island aggregate reuses the
     doc partitioning."""
     g = _gram_positions(df, text_col, id_col, k)
-    w_sorted = Window.partitionBy("gram").orderBy("doc")
-    w_gram = Window.partitionBy("gram")
+    return dup_spans_from_index(g, "gram", k, min_docs)
+
+
+def dup_spans_from_index(
+    g: DataFrame, gram_col: str, k: int, min_docs: int
+) -> DataFrame:
+    """Shared span-derivation tail over a (doc, pos, <gram identity>) index
+    — ONE definition of the cross-doc filter + gaps-and-islands merge for
+    batch ``dup_ngram_spans`` and the streaming ingest twin (which stores
+    gram HASHES in its staged index), so the two cannot desynchronize from
+    their shared oracle."""
+    w_sorted = Window.partitionBy(gram_col).orderBy("doc")
+    w_gram = Window.partitionBy(gram_col)
     hit = (
         g.withColumn("dr", F.dense_rank().over(w_sorted))
         .withColumn("nd", F.max("dr").over(w_gram))

@@ -2845,9 +2845,9 @@ def q_corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TXT.corpus_report(_t(spark, sf_dir, "documents"))
 
 
-@query(
-    "dup_ngram_spans",
-    oracle=f"""
+#: ONE source-level definition of the dup-span oracle — the batch and
+#: streaming-ingest twins share it (code side shares dup_spans_from_index)
+_DUP_SPANS_ORACLE = f"""
     WITH tk AS (SELECT doc_id, string_split({_NORM_SQL}, ' ') AS toks
                 FROM documents),
      g AS (SELECT doc_id, CAST(i - 1 AS INT) AS pos,
@@ -2865,13 +2865,38 @@ def q_corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(max(pos) - min(pos) + 5 AS INT) AS span_len,
            count(*) AS n_dup_grams
     FROM isl GROUP BY doc_id, grp
-    """,
+    """
+
+
+@query(
+    "dup_ngram_spans",
+    oracle=_DUP_SPANS_ORACLE,
 )
 def q_dup_ngram_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Span-level duplicate detection: maximal 5-gram-covered token ranges
     shared across documents (suffix-array substring dedup re-expressed as
     distributed k-gram position merging — Lee et al. 2022 family)."""
     return DD.dup_ngram_spans(_t(spark, sf_dir, "documents"), k=5, min_docs=2)
+
+
+@query(
+    "streaming_dup_spans",
+    oracle=_DUP_SPANS_ORACLE,
+)
+def q_streaming_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-level dedup at INGEST — streaming twin of dup_ngram_spans
+    (same oracle): the gram-position kernel runs per micro-batch and
+    appends a hashed (doc, pos, gram) index; the cross-doc span merge is
+    derived on read via the shared dup_spans_from_index tail."""
+    import os as _os
+
+    from stateful_spark_streaming_spark.streaming.pipeline import (
+        run_streaming_dup_spans,
+    )
+
+    return run_streaming_dup_spans(
+        spark, _os.path.join(sf_dir, "documents.parquet"), k=5, min_docs=2
+    )
 
 
 @query(

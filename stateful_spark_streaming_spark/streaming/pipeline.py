@@ -1085,6 +1085,106 @@ def run_streaming_vocab(
     return vocab_rank(merged, top_n)
 
 
+def run_streaming_dup_spans(
+    spark: SparkSession,
+    documents_path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+    min_docs: int = 2,
+    checkpoint_dir: str | None = None,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """Streaming span-level dedup ingest — the streaming twin of
+    ``dedup.dup_ngram_spans`` (same oracle), closing the last LLM-pipeline
+    family without one.
+
+    Shape: ADDITIVE PARTIAL INDEX (the ``run_streaming_vocab`` pattern
+    applied to the gram-position index).  A span is cross-doc evidence —
+    it cannot be finalized until the whole corpus is seen — but the
+    EXPENSIVE part (tokenize + k-gram extraction, the Arrow kernel) is
+    per-doc and runs once per micro-batch at ingest; each batch APPENDS
+    its (doc, pos, gram-hash) rows and the cheap cross-doc merge
+    (count-distinct filter + gaps-and-islands, the shared
+    ``dup_spans_from_index`` tail) is derived on read.  Exact because a
+    doc's grams never straddle micro-batches.
+
+    Gram identity is staged as ``xxhash64(gram)``, not the gram text —
+    span math needs equality only, and at 100 TB the staged index is
+    ~linear in corpus tokens, so 8-byte hashes vs ~5-word strings is the
+    difference between an index that compacts and one that doesn't (the
+    suffix-array literature this re-expresses — Lee et al. 2022 — hashes
+    grams for the same reason; a 64-bit collision across a corpus would
+    merge two unrelated spans, at odds ~n²/2⁶⁵).
+
+    Replay idempotency: appends are stamped with the batch id; replayed
+    batches re-append byte-identical rows (the kernel is deterministic and
+    a doc belongs to exactly one batch), so distinct-on-read restores
+    exactly-once."""
+    from pyspark.sql import functions as F
+
+    from stateful_spark_streaming_spark.operators.dedup import (
+        _gram_positions,
+        dup_spans_from_index,
+    )
+
+    checkpoint_dir = checkpoint_dir or tempfile.mkdtemp(prefix="sss_ckpt_spans_")
+    out_dir = checkpoint_dir + "_index"
+    stream = _stage_parquet_stream(spark, documents_path, max_files_per_trigger)
+
+    def _sink(bdf: DataFrame, batch_id: int) -> None:
+        (
+            _gram_positions(bdf, text_col, id_col, k)
+            .select("doc", "pos", F.xxhash64("gram").alias("gh"))
+            .withColumn("_batch_id", F.lit(batch_id))
+            # index rows are compact (id, int, long) — don't spray
+            # near-empty files per batch
+            .coalesce(4)
+            .write.mode("append")
+            .parquet(out_dir)
+        )
+
+    q = (
+        stream.writeStream.foreachBatch(_sink)
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+
+    if not os.path.exists(out_dir):
+        # zero micro-batches: empty span set (id typed from the input),
+        # not a PATH_NOT_FOUND crash
+        from pyspark.sql.types import (
+            IntegerType,
+            LongType,
+            StructField,
+            StructType,
+        )
+
+        return spark.createDataFrame(
+            [],
+            StructType(
+                [
+                    StructField("doc_id", stream.schema[id_col].dataType),
+                    StructField("span_start", IntegerType()),
+                    StructField("span_end", IntegerType()),
+                    StructField("span_len", IntegerType()),
+                    StructField("n_dup_grams", LongType()),
+                ]
+            ),
+        )
+    g = (
+        spark.read.parquet(out_dir)
+        # replay dedupe: a (doc, pos) gram occurrence exists once in the
+        # true stream; duplicates can only be replayed appends
+        .dropDuplicates(["doc", "pos", "gh"])
+        .drop("_batch_id")
+    )
+    return dup_spans_from_index(g, "gh", k, min_docs)
+
+
 def run_streaming_ivf_topk(
     spark: SparkSession,
     queries_path: str,

@@ -477,3 +477,92 @@ def test_streaming_entries_zero_batch_restart_return_typed_empty(spark, tmp_path
         second = run(ck)  # same checkpoint: no new files -> zero batches
         assert second.count() == 0
         assert second.schema == first_schema, name
+
+
+def test_streaming_dup_spans_multibatch_equals_batch(spark, tmp_path):
+    """Span-level dedup at ingest across 3 micro-batches must equal batch
+    dup_ngram_spans on the union EXACTLY — the staged hashed gram index is
+    additive because a doc's grams never straddle batches.  The shared
+    boilerplate sentence spans batches, so the cross-batch merge (a span
+    whose duplicate evidence arrives in a LATER batch) is actually
+    exercised."""
+    import glob
+    import shutil
+
+    from stateful_spark_streaming_spark.operators.dedup import dup_ngram_spans
+    from stateful_spark_streaming_spark.streaming.pipeline import (
+        run_streaming_dup_spans,
+    )
+
+    boiler = "this content is licensed under the creative commons attribution"
+    rows = [
+        (1, f"{boiler} and covers unique topic alpha beta gamma"),
+        (2, "totally unrelated document about query planning and shuffles"),
+        (3, f"another document reusing {boiler} in its middle section"),
+        (4, "short doc"),  # < k tokens: no grams
+        (5, f"{boiler}"),  # the boilerplate alone, third occurrence
+        (6, None),  # null text: no grams
+    ]
+    src = str(tmp_path / "spans_stream")
+    os.makedirs(src, exist_ok=True)
+    base = os.stat(src).st_mtime
+    for i, batch in enumerate([rows[:2], rows[2:4], rows[4:]]):
+        seg = str(tmp_path / f"sseg{i}")
+        spark.createDataFrame(batch, "doc_id long, text string").coalesce(
+            1
+        ).write.mode("overwrite").parquet(seg)
+        f = glob.glob(os.path.join(seg, "part-*.parquet"))[0]
+        dst = os.path.join(src, f"{i:03d}.parquet")
+        shutil.copy(f, dst)
+        os.utime(dst, (base + i * 10, base + i * 10))
+
+    streamed = {
+        tuple(r)
+        for r in run_streaming_dup_spans(
+            spark,
+            src,
+            k=5,
+            checkpoint_dir=str(tmp_path / "ckpt_spans"),
+            max_files_per_trigger=1,
+        ).collect()
+    }
+    batch = {
+        tuple(r)
+        for r in dup_ngram_spans(
+            spark.createDataFrame(rows, "doc_id long, text string"), k=5
+        ).collect()
+    }
+    assert streamed == batch
+    assert {t[0] for t in streamed} == {1, 3, 5}  # the boilerplate carriers
+
+
+def test_streaming_dup_spans_replay_idempotent(spark, tmp_path):
+    """Crash-replay contract: duplicating a batch's appended index files
+    (byte-identical replayed rows) must not change the derived spans —
+    the (doc, pos, gram-hash) distinct-on-read makes the sink
+    exactly-once."""
+    import glob
+    import shutil
+
+    from stateful_spark_streaming_spark.streaming.pipeline import (
+        run_streaming_dup_spans,
+    )
+
+    boiler = "the quick brown fox jumps over the lazy dog"
+    rows = [(1, f"{boiler} alpha"), (2, f"{boiler} beta")]
+    src = str(tmp_path / "docs_spans")
+    spark.createDataFrame(rows, ["doc_id", "text"]).coalesce(1).write.parquet(src)
+    ckpt = str(tmp_path / "ckpt_spans_replay")
+    before = {
+        tuple(r)
+        for r in run_streaming_dup_spans(spark, src, checkpoint_dir=ckpt).collect()
+    }
+    assert before, "crafted dup spans must exist"
+    out_dir = ckpt + "_index"
+    for f in glob.glob(os.path.join(out_dir, "part-*.parquet")):
+        shutil.copy(f, f.replace("part-", "replay-part-"))
+    again = {
+        tuple(r)
+        for r in run_streaming_dup_spans(spark, src, checkpoint_dir=ckpt).collect()
+    }
+    assert again == before, "replayed index rows must not change spans"
