@@ -2996,46 +2996,54 @@ def q_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # produces, so it follows it immediately.
 # --------------------------------------------------------------------------
 _CHEAP_FIRST = [
-    # --- rotation group: no row in CORRECTNESS_r03 (order: BENCH_r03) ---
+    # --- round-5 rotation: queries needing a FRESH driver row first ---
+    # the four r4 driver-gate type-incompatibility fixes (red → green):
+    "vocab_topk", "streaming_vocab_topk", "sq8_encode", "corpus_report",
+    # new oracle/schema this round (was rows-only) + the new streaming
+    # entry + the two pipelines whose plan changed (tokenize-once audit):
+    "multimodal_features", "streaming_dup_spans",
+    "training_pipeline_full", "training_pipeline",
+    # --- backfill: the 42 cheapest queries whose NEWEST green row is r3
+    # (re-recorded under current code; order = BENCH_r04 sf0.1 warm).
+    # The 4 left out (session_windows, pack_sequences_emit,
+    # event_pairs_within_10min, approx_distinct_stats) keep their valid
+    # r3 rows — their oracles and code paths are unchanged since.
+    "hash_split", "shuffle_shard", "sample_n_per_group",
+    "forecast_revenue", "geometry_construct_null", "label_centroids",
+    "token_stats", "embedding_norm_stats", "dedup_exact",
+    "web_mercator_roundtrip", "fingerprint", "order_stats_conditional",
+    "web_mercator_projection", "tumbling_window_counts", "revenue_cube",
+    "monthly_running_revenue", "customers_without_recent_orders",
+    "profile_columns", "sliding_window_counts", "pack_sequences",
+    "track_latest", "event_type_pivot", "track_last_n", "bucket_rollup",
+    "returns_rollup", "pricing_summary", "track_dedup", "track_oldest",
+    "events_json_extract", "chunk_documents", "priority_top_orders",
+    "quality_score", "track_neighbors", "redact_pii", "language_id",
+    "track_counts", "track_snapshot", "segment_set_ops",
+    "value_percentiles", "priority_top_orders_salted", "monthly_revenue",
+    "token_budget_mix",
+    # --- past the 50-entry gate window: r4-recorded queries (all green
+    # r4 rows under unchanged oracles), registration order except the one
+    # hard constraint — state_store_snapshot reads the checkpoint
+    # streaming_track_snapshot produces, so it follows it immediately ---
     "customer_value_distribution", "cosine_near_pairs",
     "asof_clicks_purchases", "decontaminate", "track_membership",
-    "shipping_priority", "local_supplier_volume", "multimodal_features",
-    "cosine_topk", "market_share", "repetition_stats", "cosine_topk_ivf",
+    "shipping_priority", "local_supplier_volume", "cosine_topk",
+    "market_share", "repetition_stats", "cosine_topk_ivf",
     "streaming_sliding_counts", "streaming_enriched_counts",
     "streaming_tumbling_counts", "streaming_dedup_events",
     "embedding_dup_clusters", "streaming_session_windows",
-    # new this round — must land inside the 50-entry window
     "streaming_session_windows_append", "streaming_dedup_minhash",
     "streaming_decontaminate", "streaming_ivf_topk",
     "cosine_near_pairs_lsh", "dedup_minhash_lsh",
     "streaming_track_snapshot", "state_store_snapshot",
-    "dedup_simhash", "streaming_event_pairs", "training_pipeline",
-    "dedup_jaccard_pairs", "dedup_clusters",
-    # late-round-4 operators — also absent from every r1–r3 file, so they
-    # too must land inside the 50-entry window for the cross-round union
-    # to cover the catalog (cheapest-first; pq/ivfpq are rows-only checks)
-    "vocab_topk", "pq_topk", "ivfpq_topk", "containment_pairs",
+    "dedup_simhash", "streaming_event_pairs", "dedup_jaccard_pairs",
+    "dedup_clusters", "pq_topk", "ivfpq_topk", "containment_pairs",
     "unigram_logprob", "tfidf_topterms", "dup_ngram_spans",
-    "streaming_vocab_topk", "track_rolling_stats", "funnel_steps",
-    "zorder_key", "training_pipeline_full", "sq8_encode",
-    "remove_dup_spans", "corpus_report",
-    # --- r3-recorded queries, cheapest-first (BENCH_r03 sf0.1 warm) ---
-    "stratified_sample", "part_text_functions", "track_range",
-    "fuzzy_part_match", "hash_split", "token_stats",
-    "geometry_construct_null", "sample_n_per_group",
-    "order_stats_conditional", "customers_without_recent_orders",
-    "shuffle_shard", "forecast_revenue", "embedding_norm_stats",
-    "label_centroids", "dedup_exact", "web_mercator_roundtrip",
-    "web_mercator_projection", "fingerprint", "tumbling_window_counts",
-    "revenue_cube", "track_last_n", "track_oldest", "profile_columns",
-    "monthly_running_revenue", "bucket_rollup", "sliding_window_counts",
-    "pack_sequences", "quality_score", "track_latest", "chunk_documents",
-    "redact_pii", "returns_rollup", "priority_top_orders",
-    "pricing_summary", "language_id", "events_json_extract",
-    "event_type_pivot", "track_counts", "track_dedup", "track_neighbors",
-    "token_budget_mix", "segment_set_ops", "value_percentiles",
-    "monthly_revenue", "track_snapshot", "priority_top_orders_salted",
-    "session_windows", "approx_distinct_stats", "pack_sequences_emit",
+    "track_rolling_stats", "funnel_steps", "zorder_key",
+    "remove_dup_spans", "stratified_sample", "part_text_functions",
+    "track_range", "fuzzy_part_match", "session_windows",
+    "approx_distinct_stats", "pack_sequences_emit",
     "event_pairs_within_10min",
 ]
 
