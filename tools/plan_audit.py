@@ -164,6 +164,13 @@ CHECKS = {
     # (gram) window + (doc) window; the island aggregate reuses the doc
     # partitioning (verified: back-to-back HashAggregates, no 4th exchange)
     "dup_ngram_spans": ([], ["Join", "CartesianProduct"], 3),
+    # multimodal decode: ONE exchange (the re-spread ahead of the Arrow
+    # kernel — a near-no-op when the scan has real splits), map-only after
+    "multimodal_features": ([], ["Join", "CartesianProduct"], 1),
+    # streaming span dedup READ-side derivation (the ingest side is
+    # foreachBatch): replay distinct + (gram-hash) window + (doc) window
+    # over the staged index — no join of any kind, 3 exchanges
+    "streaming_dup_spans": ([], ["Join", "CartesianProduct"], 3),
 }
 
 #: upper bound on `Scan parquet` occurrences — "the signature subplan is
