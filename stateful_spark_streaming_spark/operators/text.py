@@ -416,6 +416,129 @@ def unigram_logprob(
     )
 
 
+def bigram_logprob(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Bigram language-model quality scoring: per-doc mean/min log
+    P(wᵢ | wᵢ₋₁) under the corpus's own bigram MLE — the order-2 sibling
+    of ``unigram_logprob``.  Unigram surprisal flags rare WORDS; bigram
+    surprisal flags rare TRANSITIONS (shuffled/templated text scores low
+    here while its unigram profile looks normal).  MLE over observed
+    bigrams needs no smoothing: every scored bigram has count ≥ 1 by
+    construction.  Docs with < 2 tokens emit nothing (no bigram exists).
+
+    Scale shape (the ``unigram_logprob`` recipe, order 2): bigram
+    occurrences collapse to a compact persisted (doc, w1, w2, c) frame —
+    the corpus is scanned and tokenized ONCE; the bigram vocab and the
+    per-history totals aggregate off it; the scoring join shuffles the
+    compact frame by bigram (AQE broadcasts the vocab side when small);
+    occurrence-weighted moments equal the oracle's per-occurrence
+    mean/min row-wise."""
+    from pyspark import StorageLevel
+
+    t = tokens(F.col(text_col))
+    pairs = F.arrays_zip(
+        F.slice(t, 1, F.size(t) - 1).alias("w1"),
+        F.slice(t, 2, F.size(t) - 1).alias("w2"),
+    )
+    per = (
+        df.filter(F.size(t) >= 2)
+        .select(F.col(id_col).alias("doc_id"), F.explode(pairs).alias("p"))
+        .select("doc_id", F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+        .groupBy("doc_id", "w1", "w2")
+        .agg(F.count("*").alias("c"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    vb = per.groupBy("w1", "w2").agg(F.sum("c").alias("cb"))
+    vh = vb.groupBy("w1").agg(F.sum("cb").alias("ch"))
+    scored = (
+        per.join(vb, ["w1", "w2"])
+        .join(vh, "w1")
+        .select(
+            "doc_id",
+            "c",
+            F.log(F.col("cb").cast("double") / F.col("ch")).alias("lp"),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.sum("c").alias("n_bigrams"),
+        F.round(F.sum(F.col("c") * F.col("lp")) / F.sum("c"), 4).alias(
+            "mean_logprob"
+        ),
+        F.round(F.min("lp"), 4).alias("min_logprob"),
+    )
+
+
+#: the Gopher stop-word list (Rae et al. 2021, §A1.1: "the, be, to, of,
+#: and, that, have, with") — the "must contain ≥ N of these" rule
+GOPHER_STOPWORDS = ["the", "be", "to", "of", "and", "that", "have", "with"]
+
+
+def gopher_quality_filter(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_words: int = 30,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_ratio: float = 0.1,
+    min_alpha_frac: float = 0.8,
+    min_stop_hits: int = 1,
+) -> DataFrame:
+    """The Gopher rule-based document filter (Rae et al. 2021, §A1.1 —
+    the public heuristic suite C4/MassiveText-family pipelines start
+    from): word-count band, mean-word-length band, symbol-to-character
+    ratio cap, alphabetic-word fraction floor, and the stop-word
+    containment rule.  Emits every signal plus the per-rule verdicts so a
+    data-card can report WHICH rule dropped a document — the composed
+    ``keep`` is their conjunction.
+
+    Threshold defaults are the paper's where the synthetic corpus can
+    discriminate (mean-word-length 3–10, symbol ratio ≤ 0.1, alpha ≥ 0.8)
+    and adapted where it cannot: ``min_words=30`` (paper: 50; the corpus
+    spans 10–99 tokens) and ``min_stop_hits=1`` (paper: 2; corpus docs
+    contain 0–1 of the list).  Map-only: one projection, no shuffle."""
+    t = tokens(F.col(text_col))
+    norm = normalize_text(F.col(text_col))
+    n_words = F.size(t)
+    safe_n = F.greatest(n_words, F.lit(1))
+    mwl = F.round(
+        F.length(F.regexp_replace(norm, " ", "")) / safe_n, 4
+    )
+    n_char = F.greatest(F.length(F.col(text_col)), F.lit(1))
+    sym_ratio = F.round(
+        F.length(F.regexp_replace(F.col(text_col), "[a-zA-Z0-9 ]", "")) / n_char, 4
+    )
+    alpha_frac = F.round(
+        F.size(F.filter(t, lambda w: w.rlike("[a-z]"))) / safe_n, 4
+    )
+    stop_hits = F.size(
+        F.array_intersect(
+            F.array_distinct(t), F.array([F.lit(w) for w in GOPHER_STOPWORDS])
+        )
+    )
+    ok_words = (n_words >= min_words) & (n_words <= max_words)
+    ok_mwl = (mwl >= min_mean_word_len) & (mwl <= max_mean_word_len)
+    ok_sym = sym_ratio <= max_symbol_ratio
+    ok_alpha = alpha_frac >= min_alpha_frac
+    ok_stop = stop_hits >= min_stop_hits
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        n_words.alias("n_words"),
+        mwl.alias("mean_word_len"),
+        sym_ratio.alias("symbol_ratio"),
+        alpha_frac.alias("alpha_frac"),
+        stop_hits.alias("stop_hits"),
+        ok_words.alias("ok_words"),
+        ok_mwl.alias("ok_word_len"),
+        ok_sym.alias("ok_symbols"),
+        ok_alpha.alias("ok_alpha"),
+        ok_stop.alias("ok_stopwords"),
+        (ok_words & ok_mwl & ok_sym & ok_alpha & ok_stop).alias("keep"),
+    )
+
+
 def tfidf_topterms(
     df: DataFrame,
     text_col: str = "text",

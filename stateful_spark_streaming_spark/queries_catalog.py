@@ -2775,6 +2775,72 @@ def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "bigram_logprob",
+    oracle=f"""
+    WITH tk AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
+     occ AS (SELECT doc_id, toks[i] AS w1, toks[i + 1] AS w2
+             FROM tk, unnest(range(1, len(toks))) AS r(i)
+             WHERE len(toks) >= 2),
+     vb AS (SELECT w1, w2, count(*) AS cb FROM occ GROUP BY w1, w2),
+     vh AS (SELECT w1, CAST(sum(cb) AS BIGINT) AS ch FROM vb GROUP BY w1),
+     s AS (SELECT occ.doc_id, ln(vb.cb::DOUBLE / vh.ch) AS lp
+           FROM occ JOIN vb USING (w1, w2) JOIN vh USING (w1))
+    SELECT doc_id, count(*) AS n_bigrams,
+           round(avg(lp), 4) AS mean_logprob,
+           round(min(lp), 4) AS min_logprob
+    FROM s GROUP BY doc_id
+    """,
+)
+def q_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-2 LM quality scoring: per-doc mean/min log P(w|prev) under
+    the corpus's own bigram MLE — flags rare TRANSITIONS (templated or
+    shuffled text) that the unigram profile misses."""
+    return TXT.bigram_logprob(_t(spark, sf_dir, "documents"))
+
+
+@query(
+    "gopher_quality_filter",
+    oracle=f"""
+    WITH base AS (
+      SELECT doc_id, {_TOKS_SQL} AS toks, {_NORM_SQL} AS norm, text
+      FROM documents),
+     sig AS (
+      SELECT doc_id,
+             CAST(len(toks) AS INT) AS n_words,
+             round(length(replace(norm, ' ', ''))
+                   / greatest(len(toks), 1), 4) AS mean_word_len,
+             round(length(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g'))
+                   / CAST(greatest(length(text), 1) AS DOUBLE), 4)
+                 AS symbol_ratio,
+             round(len(list_filter(toks, w -> regexp_matches(w, '[a-z]')))
+                   / CAST(greatest(len(toks), 1) AS DOUBLE), 4) AS alpha_frac,
+             CAST(len(list_intersect(list_distinct(toks),
+                  ['the','be','to','of','and','that','have','with'])) AS INT)
+                 AS stop_hits
+      FROM base)
+    SELECT doc_id, n_words, mean_word_len, symbol_ratio, alpha_frac,
+           stop_hits,
+           (n_words BETWEEN 30 AND 100000) AS ok_words,
+           (mean_word_len BETWEEN 3.0 AND 10.0) AS ok_word_len,
+           (symbol_ratio <= 0.1) AS ok_symbols,
+           (alpha_frac >= 0.8) AS ok_alpha,
+           (stop_hits >= 1) AS ok_stopwords,
+           ((n_words BETWEEN 30 AND 100000)
+            AND (mean_word_len BETWEEN 3.0 AND 10.0)
+            AND (symbol_ratio <= 0.1) AND (alpha_frac >= 0.8)
+            AND (stop_hits >= 1)) AS keep
+    FROM sig
+    """,
+)
+def q_gopher_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Gopher rule-based document filter (Rae et al. 2021 §A1.1):
+    word-count and mean-word-length bands, symbol-ratio cap, alphabetic
+    fraction floor, stop-word containment — per-rule verdicts plus the
+    composed keep, map-only."""
+    return TXT.gopher_quality_filter(_t(spark, sf_dir, "documents"))
+
+
+@query(
     "tfidf_topterms",
     oracle=f"""
     WITH tk AS (SELECT doc_id, unnest(string_split({_NORM_SQL}, ' ')) AS token
@@ -3003,6 +3069,8 @@ _CHEAP_FIRST = [
     # entry + the two pipelines whose plan changed (tokenize-once audit):
     "multimodal_features", "streaming_dup_spans",
     "training_pipeline_full", "training_pipeline",
+    # new round-5 operators (Gopher filter, bigram LM) — fresh rows needed
+    "gopher_quality_filter", "bigram_logprob",
     # --- backfill: the 42 cheapest queries whose NEWEST green row is r3
     # (re-recorded under current code; order = BENCH_r04 sf0.1 warm).
     # The 4 left out (session_windows, pack_sequences_emit,
@@ -3020,12 +3088,14 @@ _CHEAP_FIRST = [
     "events_json_extract", "chunk_documents", "priority_top_orders",
     "quality_score", "track_neighbors", "redact_pii", "language_id",
     "track_counts", "track_snapshot", "segment_set_ops",
-    "value_percentiles", "priority_top_orders_salted", "monthly_revenue",
-    "token_budget_mix",
-    # --- past the 50-entry gate window: r4-recorded queries (all green
+    "value_percentiles", "priority_top_orders_salted",
+    # --- past the 50-entry gate window: monthly_revenue/token_budget_mix
+    # (evicted for the two new operators; their r3 rows stay valid under
+    # byte-identical oracles), then r4-recorded queries (all green
     # r4 rows under unchanged oracles), registration order except the one
     # hard constraint — state_store_snapshot reads the checkpoint
     # streaming_track_snapshot produces, so it follows it immediately ---
+    "monthly_revenue", "token_budget_mix",
     "customer_value_distribution", "cosine_near_pairs",
     "asof_clicks_purchases", "decontaminate", "track_membership",
     "shipping_priority", "local_supplier_volume", "cosine_topk",

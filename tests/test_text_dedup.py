@@ -677,3 +677,52 @@ def test_training_pipeline_chain_persisted_equals_default(spark, sf_dir):
     )
     spark.catalog.clearCache()
     assert a == b and len(a) > 0
+
+
+def test_bigram_logprob_hand_mle(spark):
+    """Hand-checked bigram MLE: corpus 'a b a b' + 'a b c' — history 'a'
+    is followed by b 3×/3 (lp 0), 'b' by a 1× and c 1× of 2 (lp ln .5)."""
+    import math
+
+    df = spark.createDataFrame(
+        [(1, "a b a b"), (2, "a b c"), (3, "solo"), (4, None)],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in TXT.bigram_logprob(df).collect()}
+    assert set(got) == {1, 2}, "sub-2-token and null docs emit nothing"
+    # doc 1: bigrams ab, ba, ab -> lp(ab)=ln(3/3)=0 (x2), lp(ba)=ln(1/2)
+    l_half = math.log(0.5)
+    assert got[1].n_bigrams == 3
+    assert got[1].mean_logprob == round(l_half / 3, 4)
+    assert got[1].min_logprob == round(l_half, 4)
+    # doc 2: ab (0), bc ln(1/2)
+    assert got[2].n_bigrams == 2
+    assert got[2].mean_logprob == round(l_half / 2, 4)
+
+
+def test_gopher_quality_filter_rules(spark):
+    """Each Gopher rule trips on its crafted violator and the composed
+    keep is the conjunction (Rae et al. 2021 §A1.1 semantics)."""
+    good = "the quick brown foxes jumped over many lazy dogs " * 4  # 36 words
+    rows = [
+        (1, good),                                  # keeps
+        (2, "the short doc"),                       # too few words
+        (3, ("a " * 40).strip()),                   # mean word len 1 < 3
+        (4, good.replace(" ", "!!! ", 12)),         # symbol ratio > 0.1
+        (5, ("42 " * 40 + "the").strip()),          # alpha frac < 0.8
+        (6, ("quick brown foxes jumped " * 9).strip()),  # no stopword
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in TXT.gopher_quality_filter(df).collect()}
+    assert got[1].keep
+    assert not got[2].ok_words and not got[2].keep
+    assert not got[3].ok_word_len and not got[3].keep
+    assert not got[4].ok_symbols and not got[4].keep
+    assert not got[5].ok_alpha and not got[5].keep
+    assert not got[6].ok_stopwords and not got[6].keep
+    # the corpus-facing mix check lives in the oracle gate; here assert the
+    # flags are genuinely independent: every violator passes ≥3 other rules
+    for d in (2, 3, 4, 5, 6):
+        r = got[d]
+        assert sum([r.ok_words, r.ok_word_len, r.ok_symbols,
+                    r.ok_alpha, r.ok_stopwords]) >= 3

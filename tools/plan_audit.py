@@ -171,6 +171,11 @@ CHECKS = {
     # foreachBatch): replay distinct + (gram-hash) window + (doc) window
     # over the staged index — no join of any kind, 3 exchanges
     "streaming_dup_spans": ([], ["Join", "CartesianProduct"], 3),
+    # Gopher rule filter: one projection over the scan — map-only
+    "gopher_quality_filter": ([], ["Exchange", "Join"], 0),
+    # bigram LM: compact persisted (doc,w1,w2,c) frame feeds the vocab /
+    # history / scoring branches — equi-joins only, never a pair product
+    "bigram_logprob": ([], ["CartesianProduct", "BroadcastNestedLoopJoin"], None),
 }
 
 #: upper bound on `Scan parquet` occurrences — "the signature subplan is
@@ -188,6 +193,9 @@ MAX_SCANS = {
     "unigram_logprob": 1,
     # the gram-position kernel feeds both windows through ONE evaluation
     "dup_ngram_spans": 1,
+    # persisted (doc, w1, w2, c) frame: corpus tokenized once, cache
+    # reused by the bigram-vocab / history / scoring branches
+    "bigram_logprob": 1,
     # scan 2 is the scalar n_docs count (zero-column scan) — the corpus
     # text is tokenized once
     "tfidf_topterms": 2,
