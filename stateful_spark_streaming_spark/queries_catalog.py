@@ -2798,6 +2798,25 @@ def q_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TXT.bigram_logprob(_t(spark, sf_dir, "documents"))
 
 
+#: single source of truth for the catalog's Gopher thresholds — fed to
+#: BOTH the operator call and the oracle f-string below, and the stop-word
+#: list interpolates from the operator module, so neither can go stale
+_GOPHER = dict(
+    min_words=30, max_words=100_000, min_mean_word_len=3.0,
+    max_mean_word_len=10.0, max_symbol_ratio=0.1, min_alpha_frac=0.8,
+    min_stop_hits=1,
+)
+_GOPHER_STOPS_SQL = "[" + ",".join(f"'{w}'" for w in TXT.GOPHER_STOPWORDS) + "]"
+_GOPHER_KEEP_SQL = (
+    f"(n_words BETWEEN {_GOPHER['min_words']} AND {_GOPHER['max_words']})"
+    f" AND (mean_word_len BETWEEN {_GOPHER['min_mean_word_len']}"
+    f" AND {_GOPHER['max_mean_word_len']})"
+    f" AND (symbol_ratio <= {_GOPHER['max_symbol_ratio']})"
+    f" AND (alpha_frac >= {_GOPHER['min_alpha_frac']})"
+    f" AND (stop_hits >= {_GOPHER['min_stop_hits']})"
+)
+
+
 @query(
     "gopher_quality_filter",
     oracle=f"""
@@ -2815,20 +2834,19 @@ def q_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
              round(len(list_filter(toks, w -> regexp_matches(w, '[a-z]')))
                    / CAST(greatest(len(toks), 1) AS DOUBLE), 4) AS alpha_frac,
              CAST(len(list_intersect(list_distinct(toks),
-                  ['the','be','to','of','and','that','have','with'])) AS INT)
+                  {_GOPHER_STOPS_SQL})) AS INT)
                  AS stop_hits
       FROM base)
     SELECT doc_id, n_words, mean_word_len, symbol_ratio, alpha_frac,
            stop_hits,
-           (n_words BETWEEN 30 AND 100000) AS ok_words,
-           (mean_word_len BETWEEN 3.0 AND 10.0) AS ok_word_len,
-           (symbol_ratio <= 0.1) AS ok_symbols,
-           (alpha_frac >= 0.8) AS ok_alpha,
-           (stop_hits >= 1) AS ok_stopwords,
-           ((n_words BETWEEN 30 AND 100000)
-            AND (mean_word_len BETWEEN 3.0 AND 10.0)
-            AND (symbol_ratio <= 0.1) AND (alpha_frac >= 0.8)
-            AND (stop_hits >= 1)) AS keep
+           (n_words BETWEEN {_GOPHER['min_words']} AND {_GOPHER['max_words']})
+               AS ok_words,
+           (mean_word_len BETWEEN {_GOPHER['min_mean_word_len']}
+               AND {_GOPHER['max_mean_word_len']}) AS ok_word_len,
+           (symbol_ratio <= {_GOPHER['max_symbol_ratio']}) AS ok_symbols,
+           (alpha_frac >= {_GOPHER['min_alpha_frac']}) AS ok_alpha,
+           (stop_hits >= {_GOPHER['min_stop_hits']}) AS ok_stopwords,
+           ({_GOPHER_KEEP_SQL}) AS keep
     FROM sig
     """,
 )
@@ -2837,7 +2855,7 @@ def q_gopher_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     word-count and mean-word-length bands, symbol-ratio cap, alphabetic
     fraction floor, stop-word containment — per-rule verdicts plus the
     composed keep, map-only."""
-    return TXT.gopher_quality_filter(_t(spark, sf_dir, "documents"))
+    return TXT.gopher_quality_filter(_t(spark, sf_dir, "documents"), **_GOPHER)
 
 
 @query(

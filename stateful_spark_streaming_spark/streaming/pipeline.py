@@ -1137,9 +1137,12 @@ def run_streaming_dup_spans(
             _gram_positions(bdf, text_col, id_col, k)
             .select("doc", "pos", F.xxhash64("gram").alias("gh"))
             .withColumn("_batch_id", F.lit(batch_id))
-            # index rows are compact (id, int, long) — don't spray
-            # near-empty files per batch
-            .coalesce(4)
+            # REPARTITION, not coalesce, to avoid spraying near-empty
+            # files: coalesce would collapse the expensive gram kernel
+            # above it into 4 tasks (no exchange between them), undoing
+            # the _spread that keeps per-batch tokenization wide; the
+            # exchange here moves only compact (id, int, long) rows
+            .repartition(4)
             .write.mode("append")
             .parquet(out_dir)
         )
@@ -1154,8 +1157,9 @@ def run_streaming_dup_spans(
     q.awaitTermination(300)
 
     if not os.path.exists(out_dir):
-        # zero micro-batches: empty span set (id typed from the input),
-        # not a PATH_NOT_FOUND crash
+        # zero micro-batches: empty span set, not a PATH_NOT_FOUND crash.
+        # Schema DERIVED through the shared tail over a typed empty index
+        # (not hand-written) so it can never drift from the normal path.
         from pyspark.sql.types import (
             IntegerType,
             LongType,
@@ -1163,18 +1167,17 @@ def run_streaming_dup_spans(
             StructType,
         )
 
-        return spark.createDataFrame(
+        empty_index = spark.createDataFrame(
             [],
             StructType(
                 [
-                    StructField("doc_id", stream.schema[id_col].dataType),
-                    StructField("span_start", IntegerType()),
-                    StructField("span_end", IntegerType()),
-                    StructField("span_len", IntegerType()),
-                    StructField("n_dup_grams", LongType()),
+                    StructField("doc", stream.schema[id_col].dataType),
+                    StructField("pos", IntegerType()),
+                    StructField("gh", LongType()),
                 ]
             ),
         )
+        return dup_spans_from_index(empty_index, "gh", k, min_docs)
     g = (
         spark.read.parquet(out_dir)
         # replay dedupe: a (doc, pos) gram occurrence exists once in the

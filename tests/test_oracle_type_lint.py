@@ -21,10 +21,12 @@ import pytest
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 SF_DIR = "/root/testdata/sf0.001"
-TABLES = (
-    "region nation customer supplier part orders lineitem events "
-    "documents embeddings"
-).split()
+
+sys.path.insert(
+    0,
+    os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "tools"),
+)
+from check_oracle import TABLES  # noqa: E402  (one source of truth)
 
 BANNED_DUCK = ("HUGEINT", "STRUCT(", "MAP(", "[]", "UNION(")
 

@@ -451,10 +451,11 @@ def test_streaming_entries_zero_batch_restart_return_typed_empty(spark, tmp_path
 
     from stateful_spark_streaming_spark.streaming.pipeline import (
         run_streaming_decontaminate,
+        run_streaming_dup_spans,
         run_streaming_vocab,
     )
 
-    rows = [(1, "alpha beta gamma delta epsilon"), (2, "zeta eta theta iota kappa")]
+    rows = [(1, "alpha beta gamma delta epsilon"), (2, "alpha beta gamma delta epsilon")]
     src = str(tmp_path / "docs_zb")
     spark.createDataFrame(rows, ["doc_id", "text"]).coalesce(1).write.parquet(src)
     eval_df = spark.createDataFrame([(100, "alpha beta gamma delta epsilon")],
@@ -468,6 +469,8 @@ def test_streaming_entries_zero_batch_restart_return_typed_empty(spark, tmp_path
                                                 checkpoint_dir=ck)),
         ("minhash", "_out",
          lambda ck: run_streaming_dedup_minhash(spark, src, checkpoint_dir=ck)),
+        ("spans", "_index",
+         lambda ck: run_streaming_dup_spans(spark, src, checkpoint_dir=ck)),
     ):
         ck = str(tmp_path / f"ckpt_zb_{name}")
         first = run(ck)

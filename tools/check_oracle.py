@@ -121,6 +121,14 @@ def main() -> int:
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
         )
 
+    unknown = only - set(qs)
+    if unknown:
+        # a typo'd name must FAIL loudly, not report "0/0 pass" with
+        # exit 0 from the pre-gate assurance tool
+        print(f"FAIL: unknown query name(s): {sorted(unknown)}")
+        spark.stop()
+        return 1
+
     n_checked = 0
     failures = []
     for name, fn in qs.items():
