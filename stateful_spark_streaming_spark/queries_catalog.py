@@ -2888,9 +2888,9 @@ def q_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "corpus_report",
-    oracle=f"""
+#: ONE source-level definition of the data-card oracle — the batch and
+#: streaming-ingest twins share it
+_CORPUS_REPORT_ORACLE = f"""
     WITH base AS (
       SELECT doc_id, source, lang,
              {_TOKS_SQL} AS toks, {_NORM_SQL} AS norm,
@@ -2920,13 +2920,32 @@ def q_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS n_en
     FROM scored JOIN dup USING (doc_id)
     GROUP BY source
-    """,
-)
+    """
+
+
+@query("corpus_report", oracle=_CORPUS_REPORT_ORACLE)
 def q_corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source corpus data card: volume, mean quality, exact-dup count
     (corpus-wide content groups), language mix — the dataset-release
     summary, composed from the per-doc signal operators."""
     return TXT.corpus_report(_t(spark, sf_dir, "documents"))
+
+
+@query("streaming_corpus_report", oracle=_CORPUS_REPORT_ORACLE)
+def q_streaming_corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental data card at INGEST — streaming twin of corpus_report
+    (same oracle): per-batch additive scalar partials plus compact
+    content-fp partials; the cross-batch exact-dup count derives on read
+    from the corpus-wide min-doc per fingerprint."""
+    import os as _os
+
+    from stateful_spark_streaming_spark.streaming.pipeline import (
+        run_streaming_corpus_report,
+    )
+
+    return run_streaming_corpus_report(
+        spark, _os.path.join(sf_dir, "documents.parquet")
+    )
 
 
 #: ONE source-level definition of the dup-span oracle — the batch and
@@ -3087,8 +3106,9 @@ _CHEAP_FIRST = [
     # entry + the two pipelines whose plan changed (tokenize-once audit):
     "multimodal_features", "streaming_dup_spans",
     "training_pipeline_full", "training_pipeline",
-    # new round-5 operators (Gopher filter, bigram LM) — fresh rows needed
-    "gopher_quality_filter", "bigram_logprob",
+    # new round-5 operators (Gopher filter, bigram LM, streaming data
+    # card) — fresh rows needed
+    "gopher_quality_filter", "bigram_logprob", "streaming_corpus_report",
     # --- backfill: the 42 cheapest queries whose NEWEST green row is r3
     # (re-recorded under current code; order = BENCH_r04 sf0.1 warm).
     # The 4 left out (session_windows, pack_sequences_emit,
@@ -3106,14 +3126,15 @@ _CHEAP_FIRST = [
     "events_json_extract", "chunk_documents", "priority_top_orders",
     "quality_score", "track_neighbors", "redact_pii", "language_id",
     "track_counts", "track_snapshot", "segment_set_ops",
-    "value_percentiles", "priority_top_orders_salted",
-    # --- past the 50-entry gate window: monthly_revenue/token_budget_mix
-    # (evicted for the two new operators; their r3 rows stay valid under
-    # byte-identical oracles), then r4-recorded queries (all green
+    "value_percentiles",
+    # --- past the 50-entry gate window: priority_top_orders_salted /
+    # monthly_revenue / token_budget_mix (evicted for the three new
+    # operators; their r3 rows stay valid under byte-identical oracles),
+    # then r4-recorded queries (all green
     # r4 rows under unchanged oracles), registration order except the one
     # hard constraint — state_store_snapshot reads the checkpoint
     # streaming_track_snapshot produces, so it follows it immediately ---
-    "monthly_revenue", "token_budget_mix",
+    "priority_top_orders_salted", "monthly_revenue", "token_budget_mix",
     "customer_value_distribution", "cosine_near_pairs",
     "asof_clicks_purchases", "decontaminate", "track_membership",
     "shipping_priority", "local_supplier_volume", "cosine_topk",

@@ -1085,6 +1085,161 @@ def run_streaming_vocab(
     return vocab_rank(merged, top_n)
 
 
+def run_streaming_corpus_report(
+    spark: SparkSession,
+    documents_path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    checkpoint_dir: str | None = None,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """Incremental per-source corpus data card during ingest — the
+    streaming twin of ``text.corpus_report`` (same oracle), closing the
+    data-card family's ingest story.
+
+    Shape: ADDITIVE PARTIAL AGGREGATES, two staged frames.
+    (1) Per-(source, batch) scalars — doc count, token sum, quality sum,
+    English count — are plainly additive because the per-doc signals are
+    map-only and a doc lives in exactly one batch.  (2) The exact-dup
+    count is CROSS-BATCH evidence (a batch-2 doc duplicates a batch-1
+    doc), so per batch the sink appends compact (content-fp, source,
+    n, min_doc) partials; on read the corpus-wide min-doc per fp is
+    derived and each (fp, source) group contributes ``n`` minus one iff
+    it owns that minimum — exactly the batch operator's
+    min-over-content-window semantics.  The fp partials are vocab-sized
+    per batch (distinct contents, not docs), so the staged state stays
+    compact and compaction can run at any cadence.
+
+    Replay idempotency: both appends are batch-stamped; replays re-append
+    byte-identical rows (per-doc quality is deterministic and rounded
+    before summing), collapsed by the per-(key, batch) dedupe on read."""
+    from pyspark.sql import functions as F
+
+    from stateful_spark_streaming_spark.operators.text import (
+        normalize_text,
+        quality_score,
+    )
+
+    checkpoint_dir = checkpoint_dir or tempfile.mkdtemp(prefix="sss_ckpt_creport_")
+    stats_dir = checkpoint_dir + "_stats"
+    fps_dir = checkpoint_dir + "_fps"
+    stream = _stage_parquet_stream(spark, documents_path, max_files_per_trigger)
+
+    def _sink(bdf: DataFrame, batch_id: int) -> None:
+        scored = quality_score(
+            bdf, text_col=text_col, keep_cols=("source", "lang")
+        ).select("doc_id", "source", "lang", "n_tokens", "quality_score")
+        (
+            scored.groupBy("source")
+            .agg(
+                F.count("*").alias("n_docs"),
+                F.sum("n_tokens").alias("total_tokens"),
+                F.sum("quality_score").alias("sum_q"),
+                F.sum((F.col("lang") == "en").cast("int")).alias("n_en"),
+            )
+            .withColumn("_batch_id", F.lit(batch_id))
+            .coalesce(1)  # partials are source-cardinality tiny
+            .write.mode("append")
+            .parquet(stats_dir)
+        )
+        (
+            bdf.select(
+                F.col(id_col).alias("doc_id"),
+                F.col("source"),
+                F.md5(normalize_text(F.col(text_col))).alias("fp"),
+            )
+            .groupBy("fp", "source")
+            .agg(F.count("*").alias("n"), F.min("doc_id").alias("min_doc"))
+            .withColumn("_batch_id", F.lit(batch_id))
+            .coalesce(1)
+            .write.mode("append")
+            .parquet(fps_dir)
+        )
+
+    q = (
+        stream.writeStream.foreachBatch(_sink)
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+
+    if not os.path.exists(stats_dir):
+        # zero micro-batches: empty card through the SAME merge code over
+        # typed empty staged frames (schema incl. nullability can never
+        # drift from the normal path), not a PATH_NOT_FOUND crash
+        raw_stats = spark.createDataFrame(
+            [],
+            "source string, n_docs bigint, total_tokens bigint, "
+            "sum_q double, n_en bigint, _batch_id long",
+        )
+        from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+        raw_fps = spark.createDataFrame(
+            [],
+            StructType(
+                [
+                    StructField("fp", StringType()),
+                    StructField("source", StringType()),
+                    StructField("n", LongType()),
+                    # id-typed from the input: string doc ids are legitimate
+                    StructField("min_doc", stream.schema[id_col].dataType),
+                    StructField("_batch_id", LongType()),
+                ]
+            ),
+        )
+    else:
+        raw_stats = spark.read.parquet(stats_dir)
+        raw_fps = spark.read.parquet(fps_dir)
+
+    stats = (
+        raw_stats
+        # replay dedupe: one partial row per (source, batch)
+        .groupBy("source", "_batch_id")
+        .agg(
+            F.max("n_docs").alias("n_docs"),
+            F.max("total_tokens").alias("total_tokens"),
+            F.max("sum_q").alias("sum_q"),
+            F.max("n_en").alias("n_en"),
+        )
+        .groupBy("source")
+        .agg(
+            F.sum("n_docs").alias("n_docs"),
+            F.sum("total_tokens").alias("total_tokens"),
+            F.sum("sum_q").alias("sum_q"),
+            F.sum("n_en").alias("n_en"),
+        )
+    )
+    fps = (
+        raw_fps
+        .dropDuplicates(["fp", "source", "_batch_id"])
+        .groupBy("fp", "source")
+        .agg(F.sum("n").alias("n"), F.min("min_doc").alias("min_doc_src"))
+    )
+    gmin = fps.groupBy("fp").agg(F.min("min_doc_src").alias("gmin"))
+    ndup = (
+        fps.join(gmin, "fp")
+        .select(
+            "source",
+            (
+                F.col("n")
+                - (F.col("min_doc_src") == F.col("gmin")).cast("long")
+            ).alias("d"),
+        )
+        .groupBy("source")
+        .agg(F.sum("d").alias("n_exact_dup"))
+    )
+    return stats.join(ndup, "source", "left").select(
+        "source",
+        "n_docs",
+        "total_tokens",
+        F.round(F.col("sum_q") / F.col("n_docs"), 4).alias("avg_quality"),
+        F.coalesce("n_exact_dup", F.lit(0)).alias("n_exact_dup"),
+        "n_en",
+    )
+
+
 def run_streaming_dup_spans(
     spark: SparkSession,
     documents_path: str,

@@ -450,6 +450,7 @@ def test_streaming_entries_zero_batch_restart_return_typed_empty(spark, tmp_path
     import shutil
 
     from stateful_spark_streaming_spark.streaming.pipeline import (
+        run_streaming_corpus_report,
         run_streaming_decontaminate,
         run_streaming_dup_spans,
         run_streaming_vocab,
@@ -460,6 +461,11 @@ def test_streaming_entries_zero_batch_restart_return_typed_empty(spark, tmp_path
     spark.createDataFrame(rows, ["doc_id", "text"]).coalesce(1).write.parquet(src)
     eval_df = spark.createDataFrame([(100, "alpha beta gamma delta epsilon")],
                                     ["doc_id", "text"])
+    src_card = str(tmp_path / "docs_zb_card")
+    spark.createDataFrame(
+        [(1, "web", "en", "alpha beta gamma")],
+        "doc_id long, source string, lang string, text string",
+    ).coalesce(1).write.parquet(src_card)
 
     for name, suffix, run in (
         ("vocab", "_partials",
@@ -471,6 +477,9 @@ def test_streaming_entries_zero_batch_restart_return_typed_empty(spark, tmp_path
          lambda ck: run_streaming_dedup_minhash(spark, src, checkpoint_dir=ck)),
         ("spans", "_index",
          lambda ck: run_streaming_dup_spans(spark, src, checkpoint_dir=ck)),
+        ("card", "_stats",
+         lambda ck: run_streaming_corpus_report(spark, src_card,
+                                                checkpoint_dir=ck)),
     ):
         ck = str(tmp_path / f"ckpt_zb_{name}")
         first = run(ck)
@@ -569,3 +578,88 @@ def test_streaming_dup_spans_replay_idempotent(spark, tmp_path):
         for r in run_streaming_dup_spans(spark, src, checkpoint_dir=ckpt).collect()
     }
     assert again == before, "replayed index rows must not change spans"
+
+
+def test_streaming_corpus_report_multibatch_equals_batch(spark, tmp_path):
+    """Ingest-time data card across 3 micro-batches must equal batch
+    corpus_report on the union EXACTLY — including the CROSS-BATCH
+    exact-dup count: doc 4 (batch 2) duplicates doc 1 (batch 1) and must
+    count as a dup in ITS source, while doc 1 (corpus-min) must not."""
+    import glob
+    import shutil
+
+    from stateful_spark_streaming_spark.operators.text import corpus_report
+    from stateful_spark_streaming_spark.streaming.pipeline import (
+        run_streaming_corpus_report,
+    )
+
+    rows = [
+        (1, "web", "en", "the quick brown fox jumps over the lazy dog"),
+        (2, "web", "de", "ein ganz anderes deutsches dokument"),
+        (3, "books", "en", "a long and entirely unique book excerpt"),
+        (4, "books", "en", "The QUICK brown fox -- jumps over the lazy dog!"),
+        (5, "web", "en", "another unique web document about spark"),
+        (6, "books", "en", "the quick brown fox jumps over the lazy dog"),
+    ]
+    schema = "doc_id long, source string, lang string, text string"
+    src = str(tmp_path / "card_stream")
+    os.makedirs(src, exist_ok=True)
+    base = os.stat(src).st_mtime
+    for i, batch in enumerate([rows[:2], rows[2:4], rows[4:]]):
+        seg = str(tmp_path / f"cseg{i}")
+        spark.createDataFrame(batch, schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(seg)
+        f = glob.glob(os.path.join(seg, "part-*.parquet"))[0]
+        dst = os.path.join(src, f"{i:03d}.parquet")
+        shutil.copy(f, dst)
+        os.utime(dst, (base + i * 10, base + i * 10))
+
+    streamed = {
+        r.source: tuple(r)
+        for r in run_streaming_corpus_report(
+            spark, src,
+            checkpoint_dir=str(tmp_path / "ckpt_card"),
+            max_files_per_trigger=1,
+        ).collect()
+    }
+    batch = {
+        r.source: tuple(r)
+        for r in corpus_report(spark.createDataFrame(rows, schema)).collect()
+    }
+    assert streamed == batch
+    # docs 4 and 6 normalize to doc 1's content; 1 is the corpus min →
+    # both dups land in 'books' (cross-batch evidence), none in 'web'
+    assert streamed["books"][4] == 2 and streamed["web"][4] == 0
+
+
+def test_streaming_corpus_report_replay_idempotent(spark, tmp_path):
+    """Duplicating a batch's appended partial files (byte-identical
+    replayed rows) must not change the card — the per-(key, batch)
+    dedupe makes both additive sinks exactly-once."""
+    import glob
+    import shutil
+
+    from stateful_spark_streaming_spark.streaming.pipeline import (
+        run_streaming_corpus_report,
+    )
+
+    rows = [
+        (1, "web", "en", "the quick brown fox"),
+        (2, "web", "en", "the quick brown fox"),  # exact dup of 1
+        (3, "web", "de", "etwas anderes hier"),
+    ]
+    schema = "doc_id long, source string, lang string, text string"
+    src = str(tmp_path / "docs_card")
+    spark.createDataFrame(rows, schema).coalesce(1).write.parquet(src)
+    ck = str(tmp_path / "ckpt_card_replay")
+    before = {tuple(r) for r in run_streaming_corpus_report(
+        spark, src, checkpoint_dir=ck).collect()}
+    for d in (ck + "_stats", ck + "_fps"):
+        for f in glob.glob(os.path.join(d, "part-*.parquet")):
+            shutil.copy(f, f.replace("part-", "replay-part-"))
+    again = {tuple(r) for r in run_streaming_corpus_report(
+        spark, src, checkpoint_dir=ck).collect()}
+    assert again == before
+    (row,) = before
+    assert row[1] == 3 and row[4] == 1  # 3 docs, 1 exact dup
