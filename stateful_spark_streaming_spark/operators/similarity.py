@@ -235,6 +235,43 @@ def ivf_build_or_load(
     return ivf_load_index(embeddings.sparkSession, path)
 
 
+def ivf_append(
+    new_vectors: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[DataFrame, list[list[float]]]:
+    """Incremental index maintenance: assign NEW vectors to their nearest
+    existing cell (centroids FROZEN — the standard faiss ``add`` recipe:
+    retraining on every insert would invalidate the whole layout, and
+    k-means cells drift slowly, so production IVF appends under frozen
+    centroids and retrains on a cadence) and append them to the
+    cell-partitioned parquet.  Probes immediately see old + new vectors;
+    the assignment pass is the same Arrow kernel the build uses, so an
+    appended vector lands in exactly the cell a full rebuild (with these
+    centroids) would give it — pytested as append ≡ rebuild-assignment.
+
+    Returns the reloaded (assigned, centroids) pair.  Scale shape:
+    map-only assignment over the new batch + one cell-partitioned append
+    write; nothing rewrites existing cells, nothing collects.  NOT a
+    catalog query by design: gate queries must be pure functions of the
+    sf_dir fixture, and an appending query would mutate the shared
+    per-corpus index across runs."""
+    import json
+    import os
+
+    import numpy as np
+
+    with open(os.path.join(path, "centroids.json")) as f:
+        cents = json.load(f)
+    assigned_new = _assign_cells(new_vectors, np.asarray(cents), id_col, vec_col)
+    # same file-hygiene repartition as the build-time write
+    assigned_new.repartition("cell").write.mode("append").partitionBy(
+        "cell"
+    ).parquet(os.path.join(path, "cells"))
+    return ivf_load_index(new_vectors.sparkSession, path)
+
+
 def ivf_topk(
     embeddings: DataFrame,
     queries: DataFrame,

@@ -1424,6 +1424,51 @@ def run_streaming_ivf_topk(
     return spark.read.parquet(out_dir).distinct()
 
 
+def run_streaming_ivf_ingest(
+    spark: SparkSession,
+    vectors_path: str,
+    index_path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    checkpoint_dir: str | None = None,
+    max_files_per_trigger: int | None = None,
+):
+    """Incremental ANN index maintenance at INGEST: new vectors arrive as
+    a stream and are appended to the persisted cell-partitioned IVF index
+    under frozen centroids (``similarity.ivf_append`` per micro-batch) —
+    the missing half of the ANN lifecycle next to ``run_streaming_ivf_topk``
+    (build once → APPEND continuously → probe continuously; retrain on a
+    cadence, not per insert).  The index must already exist at
+    ``index_path`` (bootstrap via ``ivf_build_or_load``).
+
+    Returns the reloaded (assigned, centroids) with a per-id dedupe
+    applied: a crash between a batch's append and its checkpoint commit
+    re-appends byte-identical rows (frozen centroids ⇒ deterministic
+    assignment), so id-distinct restores exactly-once for probing;
+    offline compaction can make it physical at any cadence."""
+    from stateful_spark_streaming_spark.operators.similarity import (
+        ivf_append,
+        ivf_load_index,
+    )
+
+    checkpoint_dir = checkpoint_dir or tempfile.mkdtemp(prefix="sss_ckpt_ivfing_")
+    stream = _stage_parquet_stream(spark, vectors_path, max_files_per_trigger)
+
+    def _sink(bdf: DataFrame, batch_id: int) -> None:
+        ivf_append(bdf, index_path, id_col=id_col, vec_col=vec_col)
+
+    q = (
+        stream.writeStream.foreachBatch(_sink)
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    assigned, cents = ivf_load_index(spark, index_path)
+    return assigned.dropDuplicates([id_col]), cents
+
+
 def run_streaming_event_pairs(
     spark: SparkSession,
     events_path: str,

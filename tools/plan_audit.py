@@ -173,6 +173,10 @@ CHECKS = {
     "streaming_dup_spans": ([], ["Join", "CartesianProduct"], 3),
     # Gopher rule filter: one projection over the scan — map-only
     "gopher_quality_filter": ([], ["Exchange", "Join"], 0),
+    # streaming data card READ-side merge: keyed aggregates + equi-joins
+    # over the compact staged partials — never a pair product
+    "streaming_corpus_report": ([], ["CartesianProduct",
+                                     "BroadcastNestedLoopJoin"], None),
     # bigram LM: compact persisted (doc,w1,w2,c) frame feeds the vocab /
     # history / scoring branches — equi-joins only, never a pair product
     "bigram_logprob": ([], ["CartesianProduct", "BroadcastNestedLoopJoin"], None),
