@@ -156,21 +156,30 @@ CHECKS = {
                        ["CartesianProduct", "SortMergeJoin",
                         "ShuffledHashJoin", "BroadcastHashJoin"], 4),
     # span removal: every stage linear in corpus tokens; the only joins
-    # are the position-level equi/anti joins — never a pair product
-    "remove_dup_spans": ([], ["CartesianProduct", "BroadcastNestedLoopJoin"], None),
-    # span-level dedup: cross-doc counts via dense_rank window — no join of
-    # any kind, and the gram kernel subplan is evaluated exactly once.
-    # 3 exchanges = the _spread round-robin ahead of the Python kernel +
-    # (gram) window + (doc) window; the island aggregate reuses the doc
-    # partitioning (verified: back-to-back HashAggregates, no 4th exchange)
-    "dup_ngram_spans": ([], ["Join", "CartesianProduct"], 3),
+    # are the span/position-level equi/anti joins — never a pair product,
+    # and (r6) never a window keyed on span_text or the gram: both
+    # first-occurrence and cross-doc counting are partial-aggregatable
+    # min(struct)/count aggregates + AQE-skew-handled equi-joins, so no
+    # corpus-wide boilerplate block can funnel one task
+    "remove_dup_spans": ([], ["CartesianProduct", "BroadcastNestedLoopJoin",
+                              "dense_rank"], None),
+    # span-level dedup (r6 skew-proof shape): cross-doc counts via
+    # distinct(gram,doc) → count-per-gram (both partial-aggregatable — the
+    # map-side combine absorbs a hot gram) + LEFT SEMI join back (AQE
+    # skew-split), NEVER a window over the gram key (window partitions are
+    # exempt from AQE skew mitigation).  4 exchanges = _spread + the
+    # (gh,doc) distinct + the (gh) count + the semi-join probe side; the
+    # only window is the per-doc island merge
+    "dup_ngram_spans": ([], ["CartesianProduct", "BroadcastNestedLoopJoin",
+                             "dense_rank"], 4),
     # multimodal decode: ONE exchange (the re-spread ahead of the Arrow
     # kernel — a near-no-op when the scan has real splits), map-only after
     "multimodal_features": ([], ["Join", "CartesianProduct"], 1),
     # streaming span dedup READ-side derivation (the ingest side is
-    # foreachBatch): replay distinct + (gram-hash) window + (doc) window
-    # over the staged index — no join of any kind, 3 exchanges
-    "streaming_dup_spans": ([], ["Join", "CartesianProduct"], 3),
+    # foreachBatch): replay distinct + the same skew-proof count/semi-join
+    # tail as dup_ngram_spans over the staged index — no gram-key window
+    "streaming_dup_spans": ([], ["CartesianProduct", "BroadcastNestedLoopJoin",
+                                 "dense_rank"], 6),
     # Gopher rule filter: one projection over the scan — map-only
     "gopher_quality_filter": ([], ["Exchange", "Join"], 0),
     # streaming data card READ-side merge: keyed aggregates + equi-joins
@@ -195,8 +204,13 @@ MAX_SCANS = {
     # persisted (doc, token, c) frame: corpus tokenized once, cache reused
     # by the vocab / total / join branches
     "unigram_logprob": 1,
-    # the gram-position kernel feeds both windows through ONE evaluation
+    # the gram-position kernel is persisted: parquet scanned once, the
+    # count / semi-join branches read the cache
     "dup_ngram_spans": 1,
+    # kernel scan + the __toks slice scan + the positional re-assembly
+    # scan + the final id ride-through scan; the span-cardinality sptext /
+    # cut frames are persisted so the span tail is never re-derived
+    "remove_dup_spans": 4,
     # persisted (doc, w1, w2, c) frame: corpus tokenized once, cache
     # reused by the bigram-vocab / history / scoring branches
     "bigram_logprob": 1,
