@@ -546,17 +546,15 @@ def remove_dup_spans(
     the default recompute wins on this box (full-array persists pay more
     in block-manager serialization than the regex pass costs), the knob
     exists for the 100 TB case where a scan is the expensive part."""
+    from pyspark import StorageLevel
+
     from stateful_spark_streaming_spark.operators.text import tokens
 
     spans = dup_ngram_spans(df, text_col, id_col, k, min_docs, tokens_col=tokens_col)
     tok_expr = F.col(tokens_col) if tokens_col else tokens(F.col(text_col))
     toks = df.select(F.col(id_col).alias("doc_id"), tok_expr.alias("__toks"))
     if persist_tokens:
-        from pyspark import StorageLevel
-
         toks = toks.persist(StorageLevel.MEMORY_AND_DISK)
-    from pyspark import StorageLevel
-
     # spans-cardinality frames (one row per duplicated span / removed
     # position — proportional to DUP content, not the corpus): persisted
     # because each is consumed twice (sptext by the min-struct aggregate

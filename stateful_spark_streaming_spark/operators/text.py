@@ -392,6 +392,14 @@ def unigram_logprob(
         .agg(F.count("*").alias("c"))
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    return unigram_score_from_counts(per)
+
+
+def unigram_score_from_counts(per: DataFrame) -> DataFrame:
+    """Scoring tail over a compact (doc_id, token, c) count frame — ONE
+    definition shared by batch ``unigram_logprob`` (persisted aggregate)
+    and the streaming ingest twin (staged parquet partials), so the two
+    cannot desynchronize from their shared oracle."""
     vocab = per.groupBy("token").agg(F.sum("c").alias("term_count"))
     total = vocab.agg(F.sum("term_count").alias("corpus_tokens"))
     scored = (
@@ -433,22 +441,43 @@ def bigram_logprob(
     per-history totals aggregate off it; the scoring join shuffles the
     compact frame by bigram (AQE broadcasts the vocab side when small);
     occurrence-weighted moments equal the oracle's per-occurrence
-    mean/min row-wise."""
+    mean/min row-wise.  Cache lifetime: same contract as
+    ``unigram_logprob`` — one-shot callers ``clearCache()`` between
+    queries (bench.py does); at 100 TB stage the (doc, w1, w2, c) frame
+    to storage instead (the streaming ingest twin does exactly that)."""
     from pyspark import StorageLevel
 
+    per = (
+        bigram_occurrence_counts(df, text_col, id_col)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    return bigram_score_from_counts(per)
+
+
+def bigram_occurrence_counts(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Compact (doc_id, w1, w2, c) bigram counts — one tokenizer pass,
+    slice/zip bigram expansion, per-doc aggregation.  Docs with < 2
+    tokens emit nothing (no bigram exists)."""
     t = tokens(F.col(text_col))
     pairs = F.arrays_zip(
         F.slice(t, 1, F.size(t) - 1).alias("w1"),
         F.slice(t, 2, F.size(t) - 1).alias("w2"),
     )
-    per = (
+    return (
         df.filter(F.size(t) >= 2)
         .select(F.col(id_col).alias("doc_id"), F.explode(pairs).alias("p"))
         .select("doc_id", F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
         .groupBy("doc_id", "w1", "w2")
         .agg(F.count("*").alias("c"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
     )
+
+
+def bigram_score_from_counts(per: DataFrame) -> DataFrame:
+    """Scoring tail over a compact (doc_id, w1, w2, c) count frame — ONE
+    definition shared by batch ``bigram_logprob`` and the streaming
+    ingest twin (same oracle)."""
     vb = per.groupBy("w1", "w2").agg(F.sum("c").alias("cb"))
     vh = vb.groupBy("w1").agg(F.sum("cb").alias("ch"))
     scored = (

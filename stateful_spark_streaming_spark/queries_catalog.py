@@ -2751,9 +2751,10 @@ def q_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TXT.vocab_topk(_t(spark, sf_dir, "documents"), top_n=100)
 
 
-@query(
-    "unigram_logprob",
-    oracle=f"""
+#: ONE source-level definition of each LM-scoring oracle — the batch and
+#: streaming-ingest twins share them (and the ``*_score_from_counts``
+#: tails share the code side), mirroring the _VOCAB_ORACLE pattern
+_UNIGRAM_ORACLE = f"""
     WITH tk AS (SELECT doc_id, unnest(string_split({_NORM_SQL}, ' ')) AS token
                 FROM documents),
      occ AS (SELECT doc_id, token FROM tk WHERE token <> ''),
@@ -2765,18 +2766,9 @@ def q_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
            round(avg(lp), 4) AS mean_logprob,
            round(min(lp), 4) AS min_logprob
     FROM s GROUP BY doc_id
-    """,
-)
-def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Unigram-LM quality scoring: per-doc mean/min log-probability under
-    the corpus's own unigram MLE (classifier-free perplexity filtering at
-    unigram order)."""
-    return TXT.unigram_logprob(_t(spark, sf_dir, "documents"))
+    """
 
-
-@query(
-    "bigram_logprob",
-    oracle=f"""
+_BIGRAM_ORACLE = f"""
     WITH tk AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
      occ AS (SELECT doc_id, toks[i] AS w1, toks[i + 1] AS w2
              FROM tk, unnest(range(1, len(toks))) AS r(i)
@@ -2789,13 +2781,56 @@ def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
            round(avg(lp), 4) AS mean_logprob,
            round(min(lp), 4) AS min_logprob
     FROM s GROUP BY doc_id
-    """,
-)
+    """
+
+
+@query("unigram_logprob", oracle=_UNIGRAM_ORACLE)
+def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM quality scoring: per-doc mean/min log-probability under
+    the corpus's own unigram MLE (classifier-free perplexity filtering at
+    unigram order)."""
+    return TXT.unigram_logprob(_t(spark, sf_dir, "documents"))
+
+
+@query("bigram_logprob", oracle=_BIGRAM_ORACLE)
 def q_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Order-2 LM quality scoring: per-doc mean/min log P(w|prev) under
     the corpus's own bigram MLE — flags rare TRANSITIONS (templated or
     shuffled text) that the unigram profile misses."""
     return TXT.bigram_logprob(_t(spark, sf_dir, "documents"))
+
+
+@query("streaming_unigram_logprob", oracle=_UNIGRAM_ORACLE)
+def q_streaming_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingest-time unigram-LM scoring — streaming twin of unigram_logprob
+    (same oracle): per-batch (doc, token, c) count partials appended by
+    foreachBatch, scored on read through the shared counts tail.  Exact
+    because a doc's tokens never straddle micro-batches."""
+    import os as _os
+
+    from stateful_spark_streaming_spark.streaming.pipeline import (
+        run_streaming_lm_logprob,
+    )
+
+    return run_streaming_lm_logprob(
+        spark, _os.path.join(sf_dir, "documents.parquet"), order=1
+    )
+
+
+@query("streaming_bigram_logprob", oracle=_BIGRAM_ORACLE)
+def q_streaming_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingest-time bigram-LM scoring — streaming twin of bigram_logprob
+    (same oracle): per-batch (doc, w1, w2, c) count partials appended by
+    foreachBatch, scored on read through the shared counts tail."""
+    import os as _os
+
+    from stateful_spark_streaming_spark.streaming.pipeline import (
+        run_streaming_lm_logprob,
+    )
+
+    return run_streaming_lm_logprob(
+        spark, _os.path.join(sf_dir, "documents.parquet"), order=2
+    )
 
 
 #: single source of truth for the catalog's Gopher thresholds — fed to

@@ -350,6 +350,96 @@ def test_streaming_vocab_replay_idempotent(spark, tmp_path):
     assert by_tok["alpha"][1] == 2 and by_tok["beta"][1] == 2
 
 
+def test_streaming_lm_logprob_multibatch_equals_batch(spark, tmp_path):
+    """Ingest-time LM scoring across 3 micro-batches must equal the batch
+    unigram_logprob / bigram_logprob on the union EXACTLY — the staged
+    (doc, gram, c) counts are final per doc (a doc never straddles
+    batches) and every corpus-level term is a sum over them.  The token
+    'common' spans all batches so the cross-batch vocabulary merge is
+    actually exercised."""
+    import glob
+    import shutil
+
+    from stateful_spark_streaming_spark.operators.text import (
+        bigram_logprob,
+        unigram_logprob,
+    )
+    from stateful_spark_streaming_spark.streaming.pipeline import (
+        run_streaming_lm_logprob,
+    )
+
+    rows = [
+        (1, "common alpha alpha beta"),
+        (2, "common beta gamma"),
+        (3, "common gamma gamma delta"),
+        (4, "common delta epsilon"),
+        (5, "solo"),  # 1 token: unigram-scored, emits no bigram
+        (6, ""),  # empty doc contributes nothing
+    ]
+    src = str(tmp_path / "lm_stream")
+    os.makedirs(src, exist_ok=True)
+    base = os.stat(src).st_mtime
+    for i, batch in enumerate([rows[:2], rows[2:4], rows[4:]]):
+        seg = str(tmp_path / f"lmseg{i}")
+        spark.createDataFrame(batch, ["doc_id", "text"]).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(seg)
+        f = glob.glob(os.path.join(seg, "part-*.parquet"))[0]
+        dst = os.path.join(src, f"{i:03d}.parquet")
+        shutil.copy(f, dst)
+        os.utime(dst, (base + i * 10, base + i * 10))
+
+    batch_df = spark.createDataFrame(rows, ["doc_id", "text"])
+    for order, batch_op in ((1, unigram_logprob), (2, bigram_logprob)):
+        streamed = {
+            tuple(r)
+            for r in run_streaming_lm_logprob(
+                spark,
+                src,
+                order=order,
+                checkpoint_dir=str(tmp_path / f"ckpt_lm{order}"),
+                max_files_per_trigger=1,
+            ).collect()
+        }
+        expected = {tuple(r) for r in batch_op(batch_df).collect()}
+        assert streamed == expected, f"order={order} streaming != batch"
+    spark.catalog.clearCache()
+
+
+def test_streaming_lm_logprob_replay_idempotent(spark, tmp_path):
+    """Crash-replay contract (same as the vocab sink): duplicating a
+    batch's appended count files must not change any score — the
+    (doc, gram) distinct-on-read makes the additive sink exactly-once."""
+    import glob
+    import shutil
+
+    from stateful_spark_streaming_spark.streaming.pipeline import (
+        run_streaming_lm_logprob,
+    )
+
+    rows = [(1, "alpha beta alpha"), (2, "beta gamma")]
+    src = str(tmp_path / "docs")
+    spark.createDataFrame(rows, ["doc_id", "text"]).coalesce(1).write.parquet(src)
+    ckpt = str(tmp_path / "ckpt_lm1")
+    before = {
+        tuple(r)
+        for r in run_streaming_lm_logprob(
+            spark, src, order=1, checkpoint_dir=ckpt
+        ).collect()
+    }
+    out_dir = ckpt + "_counts"
+    for f in glob.glob(os.path.join(out_dir, "part-*.parquet")):
+        shutil.copy(f, f.replace("part-", "replay-part-"))
+    again = {
+        tuple(r)
+        for r in run_streaming_lm_logprob(
+            spark, src, order=1, checkpoint_dir=ckpt
+        ).collect()
+    }
+    assert again == before, "replayed count partials must not change scores"
+    assert len(before) == 2
+
+
 def test_streaming_decontaminate_replay_idempotent(spark, tmp_path):
     """Same crash-replay contract as the vocab sink: duplicating a
     batch's appended output files (replayed byte-identical rows) must not

@@ -189,6 +189,14 @@ CHECKS = {
     # bigram LM: compact persisted (doc,w1,w2,c) frame feeds the vocab /
     # history / scoring branches — equi-joins only, never a pair product
     "bigram_logprob": ([], ["CartesianProduct", "BroadcastNestedLoopJoin"], None),
+    # streaming LM scoring READ side (the ingest side is foreachBatch):
+    # the SHARED counts tail over staged parquet — same contracts as the
+    # batch twins (unigram: scalar corpus-total broadcast is the only
+    # nested-loop; bigram: equi-joins only)
+    "streaming_unigram_logprob": (["BroadcastNestedLoopJoin"],
+                                  ["CartesianProduct"], None),
+    "streaming_bigram_logprob": ([], ["CartesianProduct",
+                                      "BroadcastNestedLoopJoin"], None),
 }
 
 #: upper bound on `Scan parquet` occurrences — "the signature subplan is
