@@ -232,6 +232,111 @@ class ParquetSnapshotSink:
         self._register()
 
 
+def compact_partial_log(
+    spark: SparkSession,
+    path: str,
+    keys: list[str] | tuple[str, ...],
+    sums: tuple[str, ...] = (),
+    mins: tuple[str, ...] = (),
+    maxs: tuple[str, ...] = (),
+    batch_col: str | None = "_batch_id",
+) -> None:
+    """Fold a batch-stamped additive partial log into ONE compacted
+    generation — the shared compaction the staged ``foreachBatch`` sinks
+    (vocab, LM counts, span index, corpus-report stats/fps, minhash
+    admitted log) advertise: without it an always-on ingest stream grows
+    an append log forever and the read path degrades into a
+    many-small-files scan (the 100 TB regression SCALE.md warns about).
+
+    Semantics — read-result IDENTICAL before/after, by construction:
+    1. replay dedupe exactly as the read paths do (one row per
+       (keys, batch); replayed appends are byte-identical so ``max`` of
+       each value column is the single true value — or plain DISTINCT
+       when the log carries no batch stamp);
+    2. cross-batch fold per ``keys``: ``sums`` columns are summed (the
+       additive partials), ``mins``/``maxs`` folded respectively — a
+       column whose rows are FINAL per key (e.g. per-doc counts that
+       live in exactly one batch) goes in ``maxs``, where the fold is a
+       no-op collapse of replays;
+    3. the folded row is stamped with the max batch id seen, so the
+       unchanged per-(keys, batch) dedupe on the read path treats the
+       compacted generation exactly like one big committed batch.
+    Every log column must be declared in keys/sums/mins/maxs — an
+    undeclared column is a schema drift and raises instead of being
+    silently dropped.
+
+    The swap is the ``ParquetSnapshotSink.compact`` pattern: write the
+    folded generation to ``<path>.tmp``, atomic directory rename.  Run it
+    ONLY after the owning stream has terminated cleanly (these sinks are
+    availableNow one-shots; for an always-on stream, between triggers):
+    compacting between a crash and its restart would fold the
+    uncommitted batch's rows and then see the replay re-append them —
+    the (keys, batch) dedupe can no longer collapse the pair because the
+    folded row carries the max stamp, and sums would double-count."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    if not os.path.exists(path):
+        return  # nothing staged yet — zero-batch streams have no log
+    df = spark.read.parquet(path)
+    orig_cols = list(df.columns)
+    value_cols = [*sums, *mins, *maxs]
+    declared = set(keys) | set(value_cols) | ({batch_col} if batch_col else set())
+    if set(orig_cols) != declared:
+        raise ValueError(
+            f"partial log at {path} has columns {sorted(df.columns)}, "
+            f"declared {sorted(declared)} — refusing to drop data silently"
+        )
+    if batch_col is None:
+        folded = df.distinct()
+    else:
+        # identity-only logs (no value columns): the per-(keys, batch)
+        # dedupe degenerates to DISTINCT and the fold keeps the max stamp
+        per_batch = (
+            df.distinct()
+            if not value_cols
+            else df.groupBy(*keys, batch_col).agg(
+                *[F.max(c).alias(c) for c in value_cols]
+            )
+        )
+        folded = per_batch.groupBy(*keys).agg(
+            *[F.sum(c).alias(c) for c in sums],
+            *[F.min(c).alias(c) for c in mins],
+            *[F.max(c).alias(c) for c in maxs],
+            F.max(batch_col).alias(batch_col),
+        )
+    tmp = path + ".tmp"
+    folded.select(*orig_cols).write.mode("overwrite").parquet(tmp)
+    shutil.rmtree(path)
+    os.rename(tmp, path)
+
+
+#: per-sink compaction parameter sets — the declared identity/fold class
+#: of every column each staged sink appends.  ``<ckpt>`` is the
+#: checkpoint_dir the run_streaming_* call used; pytest drives each spec
+#: and asserts byte-identical read results + a file-count drop.
+STAGED_SINK_COMPACTION = {
+    # run_streaming_vocab: <ckpt>_partials
+    "vocab": dict(keys=["token"], sums=("term_count", "doc_freq")),
+    # run_streaming_lm_logprob order=1: <ckpt>_counts (per-doc rows are
+    # final — one batch owns a doc — so the fold class is max-of-replays)
+    "lm_unigram": dict(keys=["doc_id", "token"], maxs=("c",)),
+    # run_streaming_lm_logprob order=2: <ckpt>_counts
+    "lm_bigram": dict(keys=["doc_id", "w1", "w2"], maxs=("c",)),
+    # run_streaming_dup_spans: <ckpt>_index (pure identity rows)
+    "span_index": dict(keys=["doc", "pos", "gh"]),
+    # run_streaming_corpus_report: <ckpt>_stats and <ckpt>_fps
+    "corpus_stats": dict(
+        keys=["source"], sums=("n_docs", "total_tokens", "sum_q", "n_en")
+    ),
+    "corpus_fps": dict(keys=["fp", "source"], sums=("n",), mins=("min_doc",)),
+    # run_streaming_dedup_minhash: <ckpt>_out (no batch stamp — admitted
+    # ids only; replay dedupe IS the whole fold)
+    "minhash_admitted": dict(keys=["doc_id"], batch_col=None),
+}
+
+
 @dataclass
 class StreamHandle:
     query: "pyspark.sql.streaming.StreamingQuery"  # noqa: F821
@@ -1018,7 +1123,8 @@ def run_streaming_vocab(
     doc_freq partials are disjoint and additive.  This is the standard
     production shape for ingest-time corpus statistics: partials are tiny
     (vocab-sized), the firehose is never shuffled twice, and compaction
-    (summing partials) can run at any cadence.
+    runs at any cadence via ``compact_partial_log`` (spec
+    ``STAGED_SINK_COMPACTION['vocab']``; pytested read-identical).
 
     The top-N + rank is computed over the merged vocabulary exactly as the
     batch operator does (TakeOrderedAndProject + rank window over N rows).
@@ -1201,7 +1307,8 @@ def run_streaming_corpus_report(
     it owns that minimum — exactly the batch operator's
     min-over-content-window semantics.  The fp partials are vocab-sized
     per batch (distinct contents, not docs), so the staged state stays
-    compact and compaction can run at any cadence.
+    compact and compaction runs at any cadence via ``compact_partial_log``
+    (specs ``STAGED_SINK_COMPACTION['corpus_stats'/'corpus_fps']``).
 
     Replay idempotency: both appends are batch-stamped; replays re-append
     byte-identical rows (per-doc quality is deterministic and rounded
@@ -1538,7 +1645,8 @@ def run_streaming_ivf_ingest(
     applied: a crash between a batch's append and its checkpoint commit
     re-appends byte-identical rows (frozen centroids ⇒ deterministic
     assignment), so id-distinct restores exactly-once for probing;
-    offline compaction can make it physical at any cadence."""
+    ``compact_partial_log`` (or an ``ivf_retrain``) makes it physical at
+    any cadence."""
     from stateful_spark_streaming_spark.operators.similarity import (
         ivf_append,
         ivf_load_index,

@@ -1,0 +1,175 @@
+"""Staged-sink compaction: folding the batch-stamped partial logs must be
+invisible to the read path (byte-identical results) while physically
+shrinking the log — closing the SCALE.md "partials can compact at any
+cadence" claim with executable proof for every staged sink family."""
+
+from __future__ import annotations
+
+import glob
+import os
+import shutil
+
+from stateful_spark_streaming_spark.streaming.pipeline import (
+    STAGED_SINK_COMPACTION,
+    compact_partial_log,
+    run_streaming_corpus_report,
+    run_streaming_dup_spans,
+    run_streaming_lm_logprob,
+    run_streaming_vocab,
+)
+
+
+def _land_batches(spark, tmp_path, name, batches, cols):
+    """One parquet file per micro-batch, mtimes spread so FileStreamSource
+    replays them in order (see test_streaming_join_sessions)."""
+    src = str(tmp_path / name)
+    os.makedirs(src, exist_ok=True)
+    base = os.stat(src).st_mtime
+    for i, rows in enumerate(batches):
+        seg = str(tmp_path / f"{name}_seg{i}")
+        spark.createDataFrame(rows, list(cols)).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(seg)
+        f = glob.glob(os.path.join(seg, "part-*.parquet"))[0]
+        dst = os.path.join(src, f"{i:03d}.parquet")
+        shutil.copy(f, dst)
+        os.utime(dst, (base + i * 10, base + i * 10))
+    return src
+
+
+def _n_files(path: str) -> int:
+    return len(glob.glob(os.path.join(path, "*.parquet")))
+
+
+def _roundtrip(spark, run, staged_dirs_and_specs):
+    """Result before == result after compacting every staged dir, and the
+    total file count drops (the fold is physical, not a no-op)."""
+    before = sorted(map(tuple, run().collect()))
+    n_before = sum(_n_files(d) for d, _ in staged_dirs_and_specs)
+    for d, spec in staged_dirs_and_specs:
+        compact_partial_log(spark, d, **spec)
+    n_after = sum(_n_files(d) for d, _ in staged_dirs_and_specs)
+    after = sorted(map(tuple, run().collect()))
+    assert after == before, "compaction changed the read result"
+    assert n_after < n_before, f"no physical fold: {n_before} -> {n_after}"
+    assert before, "fixture produced an empty result — test proves nothing"
+
+
+def test_vocab_and_lm_compaction(spark, tmp_path):
+    batches = [
+        [("d1", "common alpha alpha beta"), ("d2", "common beta gamma")],
+        [("d3", "common gamma gamma delta")],
+        [("d4", "common delta epsilon"), ("d5", "common epsilon zeta zeta")],
+        [("d6", "common zeta alpha")],
+    ]
+    src = _land_batches(spark, tmp_path, "vl", batches, ("doc_id", "text"))
+
+    ck_v = str(tmp_path / "ck_vocab")
+    _roundtrip(
+        spark,
+        lambda: run_streaming_vocab(
+            spark, src, top_n=10, checkpoint_dir=ck_v, max_files_per_trigger=1
+        ),
+        [(ck_v + "_partials", STAGED_SINK_COMPACTION["vocab"])],
+    )
+
+    for order, spec in ((1, "lm_unigram"), (2, "lm_bigram")):
+        ck = str(tmp_path / f"ck_lm{order}")
+        _roundtrip(
+            spark,
+            lambda ck=ck, order=order: run_streaming_lm_logprob(
+                spark, src, order=order, checkpoint_dir=ck, max_files_per_trigger=1
+            ),
+            [(ck + "_counts", STAGED_SINK_COMPACTION[spec])],
+        )
+
+
+def test_span_index_compaction(spark, tmp_path):
+    shared = "one two three four five"
+    batches = [
+        [("a", f"{shared} alpha beta gamma")],
+        [("b", f"{shared} delta epsilon zeta")],
+        [("c", "nothing shared in this document at all")],
+        [("d", f"prefix words then {shared} suffix")],
+    ]
+    src = _land_batches(spark, tmp_path, "spans", batches, ("doc_id", "text"))
+    ck = str(tmp_path / "ck_spans")
+    _roundtrip(
+        spark,
+        lambda: run_streaming_dup_spans(
+            spark, src, checkpoint_dir=ck, max_files_per_trigger=1
+        ),
+        [(ck + "_index", STAGED_SINK_COMPACTION["span_index"])],
+    )
+
+
+def test_corpus_report_compaction(spark, tmp_path):
+    dup = "this exact text appears twice across batches"
+    batches = [
+        [("d1", dup, "web", "en"), ("d2", "unique first text", "web", "en")],
+        [("d3", dup, "books", "en")],
+        [("d4", "mas texto unico aqui", "books", "es")],
+        [("d5", "another unique document body", "web", "en")],
+    ]
+    src = _land_batches(
+        spark, tmp_path, "card", batches, ("doc_id", "text", "source", "lang")
+    )
+    ck = str(tmp_path / "ck_card")
+    _roundtrip(
+        spark,
+        lambda: run_streaming_corpus_report(
+            spark, src, checkpoint_dir=ck, max_files_per_trigger=1
+        ),
+        [
+            (ck + "_stats", STAGED_SINK_COMPACTION["corpus_stats"]),
+            (ck + "_fps", STAGED_SINK_COMPACTION["corpus_fps"]),
+        ],
+    )
+
+
+def test_minhash_admitted_log_compaction(spark, tmp_path):
+    from stateful_spark_streaming_spark.streaming.pipeline import (
+        run_streaming_dedup_minhash,
+    )
+
+    batches = [
+        [(1, "the quick brown fox jumps over the lazy dog today")],
+        [(2, "a completely different document about query planning")],
+    ]
+    src = _land_batches(spark, tmp_path, "mh", batches, ("doc_id", "text"))
+    ck = str(tmp_path / "ck_mh")
+    out_dir = ck + "_out"
+
+    def run():
+        return run_streaming_dedup_minhash(
+            spark, src, checkpoint_dir=ck, max_files_per_trigger=1
+        )
+
+    before = sorted(r.doc_id for r in run().collect())
+    # simulate a crash-replay: duplicate the appended files, then compact —
+    # the distinct fold must absorb the replay AND shrink the log
+    for f in glob.glob(os.path.join(out_dir, "part-*.parquet")):
+        shutil.copy(f, f.replace("part-", "replay-part-"))
+    n_dirty = _n_files(out_dir)
+    compact_partial_log(spark, out_dir, **STAGED_SINK_COMPACTION["minhash_admitted"])
+    assert _n_files(out_dir) < n_dirty
+    assert sorted(r.doc_id for r in run().collect()) == before == [1, 2]
+
+
+def test_compaction_rejects_undeclared_columns(spark, tmp_path):
+    """Schema drift between a sink and its compaction spec must raise, not
+    silently drop a column from the log."""
+    import pytest
+
+    p = str(tmp_path / "bad_log")
+    spark.createDataFrame(
+        [("t", 1, 7, 0)], ["token", "term_count", "surprise", "_batch_id"]
+    ).write.parquet(p)
+    with pytest.raises(ValueError, match="refusing to drop"):
+        compact_partial_log(spark, p, **STAGED_SINK_COMPACTION["vocab"])
+
+
+def test_compaction_missing_log_is_noop(spark, tmp_path):
+    compact_partial_log(
+        spark, str(tmp_path / "never_written"), **STAGED_SINK_COMPACTION["vocab"]
+    )
