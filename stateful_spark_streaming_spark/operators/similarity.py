@@ -16,6 +16,8 @@ Two tiers, same results contract:
 
 from __future__ import annotations
 
+import os
+
 import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
@@ -235,6 +237,40 @@ def ivf_build_or_load(
     return ivf_load_index(embeddings.sparkSession, path)
 
 
+def _ivf_assign_and_append(
+    new_vectors: DataFrame,
+    path: str,
+    cents,
+    stored_cols: list[str],
+    id_col: str,
+    vec_col: str,
+) -> None:
+    """Write half of ``ivf_append``: assign under the given (frozen)
+    centroids and append to the cell-partitioned parquet — split out so a
+    per-micro-batch streaming caller loads centroids + stored schema ONCE
+    instead of re-reading the sidecar and re-inferring the index schema
+    every trigger (ADVICE r5).
+
+    The appended frame is PROJECTED to the stored index schema, and a
+    column-set mismatch raises: parquet schema inference resolves
+    mixed-schema files by whichever file wins, so an extra or missing
+    column would silently null out or drop data on read."""
+    import numpy as np
+
+    assigned_new = _assign_cells(new_vectors, np.asarray(cents), id_col, vec_col)
+    if set(assigned_new.columns) != set(stored_cols):
+        raise ValueError(
+            f"ivf_append schema mismatch: new vectors produce columns "
+            f"{sorted(assigned_new.columns)} but the index at {path} stores "
+            f"{sorted(stored_cols)} — project the input to the index schema"
+        )
+    # same file-hygiene repartition as the build-time write; stored column
+    # order so every file in cells/ is layout-identical
+    assigned_new.select(*stored_cols).repartition("cell").write.mode(
+        "append"
+    ).partitionBy("cell").parquet(os.path.join(path, "cells"))
+
+
 def ivf_append(
     new_vectors: DataFrame,
     path: str,
@@ -245,11 +281,19 @@ def ivf_append(
     existing cell (centroids FROZEN — the standard faiss ``add`` recipe:
     retraining on every insert would invalidate the whole layout, and
     k-means cells drift slowly, so production IVF appends under frozen
-    centroids and retrains on a cadence) and append them to the
-    cell-partitioned parquet.  Probes immediately see old + new vectors;
-    the assignment pass is the same Arrow kernel the build uses, so an
-    appended vector lands in exactly the cell a full rebuild (with these
-    centroids) would give it — pytested as append ≡ rebuild-assignment.
+    centroids and retrains on a cadence — ``ivf_retrain``) and append
+    them to the cell-partitioned parquet.  Probes immediately see
+    old + new vectors; the assignment pass is the same Arrow kernel the
+    build uses, so an appended vector lands in exactly the cell a full
+    rebuild (with these centroids) would give it — pytested as
+    append ≡ rebuild-assignment.
+
+    Caller-side id contract: appends are NOT deduplicated here — a direct
+    caller re-appending an id creates a duplicate row in the index
+    (the streaming ingest path dedupes on its returned probe frame, and
+    ``ivf_retrain`` folds duplicates physically).  The new frame must
+    carry exactly the stored index columns (checked; see
+    ``_ivf_assign_and_append``).
 
     Returns the reloaded (assigned, centroids) pair.  Scale shape:
     map-only assignment over the new batch + one cell-partitioned append
@@ -260,16 +304,60 @@ def ivf_append(
     import json
     import os
 
-    import numpy as np
-
     with open(os.path.join(path, "centroids.json")) as f:
         cents = json.load(f)
-    assigned_new = _assign_cells(new_vectors, np.asarray(cents), id_col, vec_col)
-    # same file-hygiene repartition as the build-time write
-    assigned_new.repartition("cell").write.mode("append").partitionBy(
-        "cell"
-    ).parquet(os.path.join(path, "cells"))
-    return ivf_load_index(new_vectors.sparkSession, path)
+    spark = new_vectors.sparkSession
+    stored_cols = list(spark.read.parquet(os.path.join(path, "cells")).columns)
+    _ivf_assign_and_append(new_vectors, path, cents, stored_cols, id_col, vec_col)
+    return ivf_load_index(spark, path)
+
+
+def ivf_retrain(
+    spark,
+    path: str,
+    n_centroids: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    iters: int = 3,
+    train_sample: int = 10_000,
+) -> tuple[DataFrame, list[list[float]]]:
+    """The OTHER half of the append-then-retrain lifecycle (faiss recipe:
+    ``add`` continuously under frozen centroids, retrain on a cadence):
+    rebuild the centroids from the CURRENT grown corpus, reassign every
+    vector, and atomically swap in the new index generation.
+
+    Also the physical fold for appended state: vectors are id-deduped
+    before retraining, so replayed streaming appends and the append log
+    itself collapse into one clean cell-partitioned generation (the
+    "offline compaction" the ingest path's docstring defers to).
+
+    Swap protocol: the new generation is fully materialized at
+    ``<path>.retrain`` BEFORE the live directory is touched (the rebuild
+    reads the live index lazily — overwriting in place would corrupt the
+    self-read), then two directory renames make the cutover atomic for
+    any subsequent ``ivf_load_index``.
+
+    Recall drift under frozen-vs-retrained centroids is measured in
+    pytest (tests/test_similarity_geometry.py) — retraining exists
+    precisely because append-only drift degrades cell balance as the
+    corpus distribution moves."""
+    import shutil
+
+    assigned, cents = ivf_load_index(spark, path)
+    vectors = assigned.drop("cell").dropDuplicates([id_col])
+    n = n_centroids or len(cents)
+    new_assigned, new_cents = ivf_build(
+        vectors, n, id_col, vec_col, iters=iters, train_sample=train_sample
+    )
+    tmp = path + ".retrain"
+    shutil.rmtree(tmp, ignore_errors=True)
+    ivf_write_index(new_assigned, new_cents, tmp, vec_col)  # materializes
+    old = path + ".old"
+    shutil.rmtree(old, ignore_errors=True)
+    os.rename(path, old)
+    os.rename(tmp, path)
+    shutil.rmtree(old)
+    return ivf_load_index(spark, path)
 
 
 def ivf_topk(

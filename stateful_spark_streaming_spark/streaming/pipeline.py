@@ -1647,16 +1647,37 @@ def run_streaming_ivf_ingest(
     assignment), so id-distinct restores exactly-once for probing;
     ``compact_partial_log`` (or an ``ivf_retrain``) makes it physical at
     any cadence."""
+    import json
+
     from stateful_spark_streaming_spark.operators.similarity import (
-        ivf_append,
+        _ivf_assign_and_append,
         ivf_load_index,
+    )
+
+    # precondition OUTSIDE the stream: a missing index must fail here as a
+    # clear error, not as an exception buried inside a StreamingQuery
+    sidecar = os.path.join(index_path, "centroids.json")
+    if not os.path.exists(sidecar):
+        raise FileNotFoundError(
+            f"no IVF index at {index_path} (missing {sidecar}) — bootstrap "
+            "with ivf_build_or_load before streaming appends into it"
+        )
+    # load centroids + stored schema ONCE; the per-batch sink is then
+    # write-only (the old per-batch ivf_append reloaded the sidecar and
+    # re-inferred the index schema every trigger only to discard them)
+    with open(sidecar) as f:
+        cents = json.load(f)
+    stored_cols = list(
+        spark.read.parquet(os.path.join(index_path, "cells")).columns
     )
 
     checkpoint_dir = checkpoint_dir or tempfile.mkdtemp(prefix="sss_ckpt_ivfing_")
     stream = _stage_parquet_stream(spark, vectors_path, max_files_per_trigger)
 
     def _sink(bdf: DataFrame, batch_id: int) -> None:
-        ivf_append(bdf, index_path, id_col=id_col, vec_col=vec_col)
+        _ivf_assign_and_append(
+            bdf, index_path, cents, stored_cols, id_col, vec_col
+        )
 
     q = (
         stream.writeStream.foreachBatch(_sink)
