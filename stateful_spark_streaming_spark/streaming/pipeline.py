@@ -1326,8 +1326,15 @@ def run_streaming_corpus_report(
     stream = _stage_parquet_stream(spark, documents_path, max_files_per_trigger)
 
     def _sink(bdf: DataFrame, batch_id: int) -> None:
+        # normalize the id ONCE so both sinks honor a non-default id_col
+        # (quality_score's projection is doc_id-fixed; ADVICE r5)
+        b = (
+            bdf.withColumnRenamed(id_col, "doc_id")
+            if id_col != "doc_id"
+            else bdf
+        )
         scored = quality_score(
-            bdf, text_col=text_col, keep_cols=("source", "lang")
+            b, text_col=text_col, keep_cols=("source", "lang")
         ).select("doc_id", "source", "lang", "n_tokens", "quality_score")
         (
             scored.groupBy("source")
@@ -1343,8 +1350,8 @@ def run_streaming_corpus_report(
             .parquet(stats_dir)
         )
         (
-            bdf.select(
-                F.col(id_col).alias("doc_id"),
+            b.select(
+                F.col("doc_id"),
                 F.col("source"),
                 F.md5(normalize_text(F.col(text_col))).alias("fp"),
             )

@@ -753,3 +753,32 @@ def test_streaming_corpus_report_replay_idempotent(spark, tmp_path):
     assert again == before
     (row,) = before
     assert row[1] == 3 and row[4] == 1  # 3 docs, 1 exact dup
+
+
+def test_streaming_corpus_report_generic_id_col(spark, tmp_path):
+    """A non-default id_col must work end to end — the stats sink used to
+    hardcode doc_id while the fps sink honored id_col (ADVICE r5)."""
+    from stateful_spark_streaming_spark.streaming.pipeline import (
+        run_streaming_corpus_report,
+    )
+
+    rows = [
+        ("a1", "some english text with the and that words", "web", "en"),
+        ("a2", "some english text with the and that words", "web", "en"),
+        ("b1", "mas texto unico en espanol aqui", "books", "es"),
+    ]
+    src = str(tmp_path / "gid_docs")
+    spark.createDataFrame(rows, ["docid", "text", "source", "lang"]).coalesce(
+        1
+    ).write.parquet(src)
+    out = {
+        r.source: r
+        for r in run_streaming_corpus_report(
+            spark,
+            src,
+            id_col="docid",
+            checkpoint_dir=str(tmp_path / "ck_gid"),
+        ).collect()
+    }
+    assert out["web"].n_docs == 2 and out["web"].n_exact_dup == 1
+    assert out["books"].n_docs == 1 and out["books"].n_en == 0

@@ -43,6 +43,13 @@ def norm_cell(v) -> str:
         return "NULL"
     try:
         if v != v:  # NaN / NaT — both fail self-equality
+            # Deliberately the SAME token as NULL: the driver gate
+            # canonicalizes through pandas, and pandas represents SQL NULL
+            # in a float64 column as NaN — the two are indistinguishable
+            # on BOTH sides of the driver's compare, so a replica that
+            # split them would report divergences the gate cannot see
+            # (and the repo's own convention rounds/coalesces floats so a
+            # genuine NaN-vs-NULL split never reaches an oracle).
             return "NULL"
     except Exception:
         pass  # e.g. ndarray truth ambiguity — handled below
