@@ -3134,61 +3134,63 @@ def q_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # produces, so it follows it immediately.
 # --------------------------------------------------------------------------
 _CHEAP_FIRST = [
-    # --- round-5 rotation: queries needing a FRESH driver row first ---
-    # the four r4 driver-gate type-incompatibility fixes (red → green):
+    # --- round-6 rotation (the gate records the FIRST 50 entries).
+    # Front: (a) the 6 queries whose newest driver row is r3 — VERDICT r5
+    # "what's missing" #2: three rounds of window pressure is the limit;
+    "session_windows", "pack_sequences_emit", "event_pairs_within_10min",
+    "approx_distinct_stats", "monthly_revenue", "token_budget_mix",
+    # (b) the span-dedup family, whose tail was redesigned this round
+    # (skew-proof aggregate+semi-join — fresh rows required per VERDICT
+    # "done =" criteria);
+    "dup_ngram_spans", "remove_dup_spans", "streaming_dup_spans",
+    # (c) the NEW round-6 streaming LM entries;
+    "streaming_unigram_logprob", "streaming_bigram_logprob",
+    # (d) queries whose code path was refactored this round (LM scoring
+    # tails extracted; corpus-report id normalization):
+    "unigram_logprob", "bigram_logprob", "streaming_corpus_report",
+    # --- backfill: 36 queries whose newest green row is r4, cheapest
+    # first (BENCH sf0.01 warm — hedge against a secondary wall-clock
+    # cap).  Left on their valid r4 rows (code + oracles unchanged since):
+    # streaming_dedup_minhash, streaming_ivf_topk, streaming_track_snapshot,
+    # state_store_snapshot, streaming_event_pairs — the 5 most expensive
+    # unchanged entries.
+    "track_range", "part_text_functions", "stratified_sample",
+    "fuzzy_part_match", "customer_value_distribution",
+    "priority_top_orders_salted", "repetition_stats",
+    "track_rolling_stats", "zorder_key", "asof_clicks_purchases",
+    "funnel_steps", "cosine_near_pairs", "track_membership",
+    "shipping_priority", "tfidf_topterms", "cosine_topk", "decontaminate",
+    "dedup_simhash", "pq_topk", "local_supplier_volume",
+    "dedup_minhash_lsh", "containment_pairs", "ivfpq_topk",
+    "market_share", "dedup_jaccard_pairs", "cosine_topk_ivf",
+    "dedup_clusters", "embedding_dup_clusters",
+    "streaming_tumbling_counts", "streaming_decontaminate",
+    "streaming_dedup_events", "streaming_session_windows",
+    "streaming_sliding_counts", "streaming_enriched_counts",
+    "cosine_near_pairs_lsh", "streaming_session_windows_append",
+    # --- past the 50-entry gate window: the round-5 window (valid r5
+    # rows) then the 5 expensive unchanged entries; registration order
+    # except the one hard constraint — state_store_snapshot reads the
+    # checkpoint streaming_track_snapshot produces, so it follows it
+    # immediately ---
     "vocab_topk", "streaming_vocab_topk", "sq8_encode", "corpus_report",
-    # new oracle/schema this round (was rows-only) + the new streaming
-    # entry + the two pipelines whose plan changed (tokenize-once audit):
-    "multimodal_features", "streaming_dup_spans",
-    "training_pipeline_full", "training_pipeline",
-    # new round-5 operators (Gopher filter, bigram LM, streaming data
-    # card) — fresh rows needed
-    "gopher_quality_filter", "bigram_logprob", "streaming_corpus_report",
-    # --- backfill: the 42 cheapest queries whose NEWEST green row is r3
-    # (re-recorded under current code; order = BENCH_r04 sf0.1 warm).
-    # The 4 left out (session_windows, pack_sequences_emit,
-    # event_pairs_within_10min, approx_distinct_stats) keep their valid
-    # r3 rows — their oracles and code paths are unchanged since.
-    "hash_split", "shuffle_shard", "sample_n_per_group",
-    "forecast_revenue", "geometry_construct_null", "label_centroids",
-    "token_stats", "embedding_norm_stats", "dedup_exact",
-    "web_mercator_roundtrip", "fingerprint", "order_stats_conditional",
-    "web_mercator_projection", "tumbling_window_counts", "revenue_cube",
-    "monthly_running_revenue", "customers_without_recent_orders",
-    "profile_columns", "sliding_window_counts", "pack_sequences",
-    "track_latest", "event_type_pivot", "track_last_n", "bucket_rollup",
-    "returns_rollup", "pricing_summary", "track_dedup", "track_oldest",
+    "multimodal_features", "training_pipeline_full", "training_pipeline",
+    "gopher_quality_filter", "hash_split", "shuffle_shard",
+    "sample_n_per_group", "forecast_revenue", "geometry_construct_null",
+    "label_centroids", "token_stats", "embedding_norm_stats",
+    "dedup_exact", "web_mercator_roundtrip", "fingerprint",
+    "order_stats_conditional", "web_mercator_projection",
+    "tumbling_window_counts", "revenue_cube", "monthly_running_revenue",
+    "customers_without_recent_orders", "profile_columns",
+    "sliding_window_counts", "pack_sequences", "track_latest",
+    "event_type_pivot", "track_last_n", "bucket_rollup", "returns_rollup",
+    "pricing_summary", "track_dedup", "track_oldest",
     "events_json_extract", "chunk_documents", "priority_top_orders",
     "quality_score", "track_neighbors", "redact_pii", "language_id",
     "track_counts", "track_snapshot", "segment_set_ops",
-    "value_percentiles",
-    # --- past the 50-entry gate window: priority_top_orders_salted /
-    # monthly_revenue / token_budget_mix (evicted for the three new
-    # operators; their r3 rows stay valid under byte-identical oracles),
-    # then r4-recorded queries (all green
-    # r4 rows under unchanged oracles), registration order except the one
-    # hard constraint — state_store_snapshot reads the checkpoint
-    # streaming_track_snapshot produces, so it follows it immediately ---
-    "priority_top_orders_salted", "monthly_revenue", "token_budget_mix",
-    "customer_value_distribution", "cosine_near_pairs",
-    "asof_clicks_purchases", "decontaminate", "track_membership",
-    "shipping_priority", "local_supplier_volume", "cosine_topk",
-    "market_share", "repetition_stats", "cosine_topk_ivf",
-    "streaming_sliding_counts", "streaming_enriched_counts",
-    "streaming_tumbling_counts", "streaming_dedup_events",
-    "embedding_dup_clusters", "streaming_session_windows",
-    "streaming_session_windows_append", "streaming_dedup_minhash",
-    "streaming_decontaminate", "streaming_ivf_topk",
-    "cosine_near_pairs_lsh", "dedup_minhash_lsh",
+    "value_percentiles", "streaming_dedup_minhash", "streaming_ivf_topk",
     "streaming_track_snapshot", "state_store_snapshot",
-    "dedup_simhash", "streaming_event_pairs", "dedup_jaccard_pairs",
-    "dedup_clusters", "pq_topk", "ivfpq_topk", "containment_pairs",
-    "unigram_logprob", "tfidf_topterms", "dup_ngram_spans",
-    "track_rolling_stats", "funnel_steps", "zorder_key",
-    "remove_dup_spans", "stratified_sample", "part_text_functions",
-    "track_range", "fuzzy_part_match", "session_windows",
-    "approx_distinct_stats", "pack_sequences_emit",
-    "event_pairs_within_10min",
+    "streaming_event_pairs",
 ]
 
 
