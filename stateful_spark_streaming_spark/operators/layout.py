@@ -51,6 +51,74 @@ def zorder_key(c1: Column, c2: Column, bits: int = 10) -> Column:
     return key
 
 
+def zorder_compact(
+    spark,
+    path: str,
+    c1: str,
+    c2: str,
+    bits: int = 10,
+    n_files: int | None = None,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    sort_extra: tuple[str, ...] = (),
+) -> None:
+    """OPTIMIZE ZORDER for a GROWN parquet directory — the layout analog
+    of ``ivf_retrain``: appends land cheap in arrival order (footer
+    min/max stats near-useless, small files accumulate), and this cadence
+    job rewrites the table z-clustered so range predicates on either
+    clustered column prune row groups again.  Public recipe: Delta /
+    Iceberg ``OPTIMIZE ZORDER BY`` (bin-pack + multi-dimensional
+    cluster), expressed with plain Spark primitives + the directory-swap
+    atomics the staged-sink compactions use.
+
+    Grid bounds come from the table's own column stats (one aggregate —
+    the standard recipe; a grid sized to a larger domain wastes curve
+    bits), and ``n_files`` defaults to bin-packing the current bytes into
+    ~``target_file_bytes`` files, so a thousand drip-appended small files
+    compact into few well-sized ones in the same pass.  A constant
+    column degrades gracefully to a single sort on the other axis (its
+    quantized cell is 0 everywhere).
+
+    Run between appends (same contract as ``compact_partial_log``): the
+    rewritten generation is fully materialized at ``<path>.tmp`` before
+    the live directory is replaced, so a crash leaves either the old or
+    the new generation, never a mix."""
+    import os
+    import shutil
+
+    if not os.path.isdir(path):
+        raise FileNotFoundError(f"no parquet table at {path}")
+    df = spark.read.parquet(path)
+    lo1, hi1, lo2, hi2 = df.agg(
+        F.min(c1), F.max(c1), F.min(c2), F.max(c2)
+    ).first()
+    if lo1 is None:  # zero rows: nothing to lay out
+        return
+    if n_files is None:
+        total = sum(
+            os.path.getsize(os.path.join(r, f))
+            for r, _, fs in os.walk(path)
+            for f in fs
+            if f.endswith(".parquet")
+        )
+        n_files = max(1, -(-total // target_file_bytes))
+    span1, span2 = float(hi1) - float(lo1), float(hi2) - float(lo2)
+    q1 = (
+        quantize(F.col(c1), float(lo1), float(hi1), bits)
+        if span1 > 0
+        else F.lit(0).cast("long")
+    )
+    q2 = (
+        quantize(F.col(c2), float(lo2), float(hi2), bits)
+        if span2 > 0
+        else F.lit(0).cast("long")
+    )
+    laid = zorder_layout(df, zorder_key(q1, q2, bits), n_files, sort_extra)
+    tmp = path + ".tmp"
+    laid.write.mode("overwrite").parquet(tmp)  # materialized BEFORE the swap
+    shutil.rmtree(path)
+    os.rename(tmp, path)
+
+
 def zorder_layout(
     df: DataFrame,
     key_col: Column,

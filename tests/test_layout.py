@@ -168,3 +168,88 @@ def test_zorder_measured_rowgroup_skip_sf01(spark, tmp_path):
         f"rowgroup skip: value-pred z {z_tot - z_v}/{z_tot} vs linear "
         f"{u_tot - u_v}/{u_tot}; box z reads {z_b} vs linear {u_b}"
     )
+
+
+def test_zorder_compact_restores_pruning_on_grown_table(spark, tmp_path):
+    """The OPTIMIZE-ZORDER cadence job: a table grown by arrival-order
+    appends is blind to range predicates (every file spans ~the full
+    value domain) and full of small files; zorder_compact must rewrite it
+    so a mid-domain value box skips >=50% of row groups, bin-pack the
+    file count down, and keep the row multiset byte-identical."""
+    import os as _os
+
+    import pytest as _pytest
+
+    sf_dir = "/root/testdata/sf0.1"
+    if not _os.path.isdir(sf_dir):
+        _pytest.skip("sf0.1 testdata not present")
+    ev = load_table(spark, sf_dir, "events").select("event_id", "user_id", "value")
+    tbl = str(tmp_path / "grown")
+    # 4 arrival-order appends (by event_id slice): each lands files whose
+    # user_id/value footer ranges are ~full-width
+    n = ev.count()
+    for i in range(4):
+        ev.filter((F.col("event_id") % 4) == i).repartition(16).write.mode(
+            "append"
+        ).parquet(tbl)
+    before = spark.read.parquet(tbl)
+    lo_v, hi_v = before.agg(F.min("value"), F.max("value")).first()
+    dv = (hi_v - lo_v) / 8
+    v_box = (lo_v + 3 * dv, lo_v + 4 * dv)
+    must0, tot0 = _rowgroups_must_read(tbl, {"value": v_box})
+    assert must0 >= 0.9 * tot0, "arrival-order layout should be blind"
+    n_files_before = len(glob.glob(os.path.join(tbl, "part-*.parquet")))
+    # materialize the content fingerprint BEFORE the swap deletes the old
+    # files: order-insensitive row-hash sum + column sums + count
+    def fingerprint(df):
+        # xor-fold of row hashes: order-insensitive, overflow-free (rows
+        # are unique by event_id, so pairwise cancellation can't hide)
+        return df.agg(
+            F.count("*"),
+            F.expr("bit_xor(xxhash64(event_id, user_id, value))"),
+            F.sum("event_id"),
+            F.round(F.sum("value"), 3),
+        ).first()
+
+    checksum = fingerprint(before)
+
+    LAY.zorder_compact(spark, tbl, "user_id", "value", bits=10, n_files=16)
+
+    after = spark.read.parquet(tbl)
+    assert fingerprint(after) == checksum, "compaction changed the row multiset"
+    must1, tot1 = _rowgroups_must_read(tbl, {"value": v_box})
+    assert must1 <= 0.5 * tot1, f"compacted layout skipped only {tot1-must1}/{tot1}"
+    n_files_after = len(glob.glob(os.path.join(tbl, "part-*.parquet")))
+    assert n_files_after <= 16 < n_files_before
+    assert not _os.path.exists(tbl + ".tmp")
+
+
+def test_zorder_compact_binpacks_by_bytes_and_handles_edge_cases(spark, tmp_path):
+    """Default n_files derives from table bytes (small-file compaction in
+    the same pass); zero-row tables are a no-op; constant columns degrade
+    to a single sort instead of dividing by zero."""
+    import os as _os
+
+    rows = [(i, i % 7, float(i % 13)) for i in range(2000)]
+    df = spark.createDataFrame(rows, ["event_id", "user_id", "value"])
+    tbl = str(tmp_path / "drip")
+    for i in range(5):  # 5 drips x 8 partitions = 40 tiny files
+        df.filter((F.col("event_id") % 5) == i).repartition(8).write.mode(
+            "append"
+        ).parquet(tbl)
+    assert len(glob.glob(os.path.join(tbl, "part-*.parquet"))) == 40
+    LAY.zorder_compact(spark, tbl, "user_id", "value")  # bytes << 128MB -> 1 file
+    assert len(glob.glob(os.path.join(tbl, "part-*.parquet"))) == 1
+    assert spark.read.parquet(tbl).count() == 2000
+
+    const = str(tmp_path / "const")
+    spark.createDataFrame(
+        [(i, 1, float(i)) for i in range(100)], ["event_id", "user_id", "value"]
+    ).write.parquet(const)
+    LAY.zorder_compact(spark, const, "user_id", "value")  # constant user_id
+    assert spark.read.parquet(const).count() == 100
+
+    empty = str(tmp_path / "empty")
+    spark.createDataFrame([], "event_id long, user_id long, value double").write.parquet(empty)
+    LAY.zorder_compact(spark, empty, "user_id", "value")  # no-op, no crash
+    assert spark.read.parquet(empty).count() == 0
