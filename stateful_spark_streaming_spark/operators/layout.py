@@ -80,18 +80,33 @@ def zorder_compact(
 
     Run between appends (same contract as ``compact_partial_log``): the
     rewritten generation is fully materialized at ``<path>.tmp`` before
-    the live directory is replaced, so a crash leaves either the old or
-    the new generation, never a mix."""
+    the swap, and the swap itself goes through ``generations`` —
+    rename-only promotion with crash recovery on the next call, never a
+    half-deleted live directory."""
     import os
-    import shutil
 
+    from stateful_spark_streaming_spark.generations import (
+        recover_generation,
+        swap_generation,
+    )
+
+    recover_generation(path)
     if not os.path.isdir(path):
         raise FileNotFoundError(f"no parquet table at {path}")
     df = spark.read.parquet(path)
-    lo1, hi1, lo2, hi2 = df.agg(
-        F.min(c1), F.max(c1), F.min(c2), F.max(c2)
+    # NaN-safe stats (nanvl → NULL, which min/max skip): a single NaN row
+    # would otherwise poison max() and silently drop that axis from the
+    # curve.  n_rows distinguishes an empty table (no-op) from an
+    # all-NULL column (still compacted, that axis degraded to constant).
+    stats = df.agg(
+        F.count(F.lit(1)),
+        F.min(F.nanvl(F.col(c1).cast("double"), F.lit(None))),
+        F.max(F.nanvl(F.col(c1).cast("double"), F.lit(None))),
+        F.min(F.nanvl(F.col(c2).cast("double"), F.lit(None))),
+        F.max(F.nanvl(F.col(c2).cast("double"), F.lit(None))),
     ).first()
-    if lo1 is None:  # zero rows: nothing to lay out
+    n_rows, lo1, hi1, lo2, hi2 = stats
+    if n_rows == 0:  # zero rows: nothing to lay out
         return
     if n_files is None:
         total = sum(
@@ -101,22 +116,19 @@ def zorder_compact(
             if f.endswith(".parquet")
         )
         n_files = max(1, -(-total // target_file_bytes))
-    span1, span2 = float(hi1) - float(lo1), float(hi2) - float(lo2)
-    q1 = (
-        quantize(F.col(c1), float(lo1), float(hi1), bits)
-        if span1 > 0
-        else F.lit(0).cast("long")
+
+    def axis(col_name, lo, hi):
+        # all-NULL/NaN column or constant: contribute nothing to the key
+        if lo is None or hi is None or float(hi) - float(lo) <= 0:
+            return F.lit(0).cast("long")
+        return quantize(F.col(col_name), float(lo), float(hi), bits)
+
+    laid = zorder_layout(
+        df, zorder_key(axis(c1, lo1, hi1), axis(c2, lo2, hi2), bits),
+        n_files, sort_extra,
     )
-    q2 = (
-        quantize(F.col(c2), float(lo2), float(hi2), bits)
-        if span2 > 0
-        else F.lit(0).cast("long")
-    )
-    laid = zorder_layout(df, zorder_key(q1, q2, bits), n_files, sort_extra)
-    tmp = path + ".tmp"
-    laid.write.mode("overwrite").parquet(tmp)  # materialized BEFORE the swap
-    shutil.rmtree(path)
-    os.rename(tmp, path)
+    laid.write.mode("overwrite").parquet(path + ".tmp")  # materialized first
+    swap_generation(path)
 
 
 def zorder_layout(

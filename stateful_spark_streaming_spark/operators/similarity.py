@@ -208,10 +208,16 @@ def ivf_write_index(
 
 
 def ivf_load_index(spark, path: str) -> tuple[DataFrame, list[list[float]]]:
-    """Load a persisted IVF index written by ``ivf_write_index``."""
+    """Load a persisted IVF index written by ``ivf_write_index``.  Runs
+    generation recovery first: a crash mid-``ivf_retrain`` leaves the
+    index as ``.tmp``/``.old`` generations, which this repairs (forward
+    if the new generation committed, rollback otherwise)."""
     import json
     import os
 
+    from stateful_spark_streaming_spark.generations import recover_generation
+
+    recover_generation(path)
     with open(os.path.join(path, "centroids.json")) as f:
         cents = json.load(f)
     assigned = spark.read.parquet(os.path.join(path, "cells"))
@@ -332,10 +338,13 @@ def ivf_retrain(
     "offline compaction" the ingest path's docstring defers to).
 
     Swap protocol: the new generation is fully materialized at
-    ``<path>.retrain`` BEFORE the live directory is touched (the rebuild
+    ``<path>.tmp`` BEFORE the live directory is touched (the rebuild
     reads the live index lazily — overwriting in place would corrupt the
-    self-read), then two directory renames make the cutover atomic for
-    any subsequent ``ivf_load_index``.
+    self-read), stamped with a ``_SUCCESS`` commit marker covering both
+    the cells and the centroid sidecar, then promoted through
+    ``generations.swap_generation`` — rename-only, with crash recovery
+    (forward to a complete new generation, else rollback to the old one)
+    on the next retrain or load.
 
     Recall drift under frozen-vs-retrained centroids is measured in
     pytest (tests/test_similarity_geometry.py) — retraining exists
@@ -343,20 +352,25 @@ def ivf_retrain(
     corpus distribution moves."""
     import shutil
 
+    from stateful_spark_streaming_spark.generations import (
+        recover_generation,
+        swap_generation,
+    )
+
+    recover_generation(path)
     assigned, cents = ivf_load_index(spark, path)
     vectors = assigned.drop("cell").dropDuplicates([id_col])
     n = n_centroids or len(cents)
     new_assigned, new_cents = ivf_build(
         vectors, n, id_col, vec_col, iters=iters, train_sample=train_sample
     )
-    tmp = path + ".retrain"
+    tmp = path + ".tmp"
     shutil.rmtree(tmp, ignore_errors=True)
     ivf_write_index(new_assigned, new_cents, tmp, vec_col)  # materializes
-    old = path + ".old"
-    shutil.rmtree(old, ignore_errors=True)
-    os.rename(path, old)
-    os.rename(tmp, path)
-    shutil.rmtree(old)
+    # commit marker LAST, after both the cells parquet and the sidecar:
+    # swap_generation refuses to promote a generation without it
+    open(os.path.join(tmp, "_SUCCESS"), "w").close()
+    swap_generation(path)
     return ivf_load_index(spark, path)
 
 

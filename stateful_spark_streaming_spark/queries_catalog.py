@@ -3148,9 +3148,11 @@ _CHEAP_FIRST = [
     # (d) queries whose code path was refactored this round (LM scoring
     # tails extracted; corpus-report id normalization):
     "unigram_logprob", "bigram_logprob", "streaming_corpus_report",
-    # --- backfill: 36 queries whose newest green row is r4, cheapest
-    # first (BENCH sf0.01 warm — hedge against a secondary wall-clock
-    # cap).  Left on their valid r4 rows (code + oracles unchanged since):
+    # --- backfill: 36 queries whose newest green row is r4 or older
+    # (priority_top_orders_salted sat past the r5 window, so its newest
+    # row may be r3 — in-window here either way), cheapest first (BENCH
+    # sf0.01 warm — hedge against a secondary wall-clock cap).  Left on
+    # their valid r4 rows (code + oracles unchanged since):
     # streaming_dedup_minhash, streaming_ivf_topk, streaming_track_snapshot,
     # state_store_snapshot, streaming_event_pairs — the 5 most expensive
     # unchanged entries.

@@ -162,6 +162,13 @@ class ParquetSnapshotSink:
         it as absent rather than failing schema inference."""
         from pyspark.errors import AnalysisException
 
+        from stateful_spark_streaming_spark.generations import (
+            recover_generation,
+        )
+
+        # a crash mid-compact leaves the base as .tmp/.old generations;
+        # repair before reading so the snapshot never silently shrinks
+        recover_generation(self.base_dir)
         dfs = []
         for d in (self.base_dir, self.log_dir):
             if not os.path.exists(d):
@@ -217,17 +224,27 @@ class ParquetSnapshotSink:
 
     def compact(self) -> None:
         """Fold the upsert log into the base table (base := merged(base, log)).
-        Run between triggers / while the stream is stopped — the swap below
-        is not concurrent with an in-flight append."""
+        Run between triggers / while the stream is stopped — the swap is
+        not concurrent with an in-flight append.  Goes through
+        ``generations`` (rename-only promotion + crash recovery): a kill
+        mid-compact can no longer leave a half-deleted base that reads as
+        a silently smaller snapshot.  A crash AFTER the swap but before
+        the log removal is benign: the folded base rows and the
+        still-present log rows are byte-identical per key+batch, and the
+        latest-per-key merge collapses them."""
         import shutil
 
+        from stateful_spark_streaming_spark.generations import (
+            recover_generation,
+            swap_generation,
+        )
+
+        recover_generation(self.base_dir)
         merged = self._merged(keep_batch_id=True)
         if merged is None:
             return
-        tmp = self.base_dir + ".tmp"
-        merged.write.mode("overwrite").parquet(tmp)
-        shutil.rmtree(self.base_dir, ignore_errors=True)
-        os.rename(tmp, self.base_dir)
+        merged.write.mode("overwrite").parquet(self.base_dir + ".tmp")
+        swap_generation(self.base_dir)
         shutil.rmtree(self.log_dir, ignore_errors=True)
         self._register()
 
@@ -265,18 +282,24 @@ def compact_partial_log(
     undeclared column is a schema drift and raises instead of being
     silently dropped.
 
-    The swap is the ``ParquetSnapshotSink.compact`` pattern: write the
-    folded generation to ``<path>.tmp``, atomic directory rename.  Run it
-    ONLY after the owning stream has terminated cleanly (these sinks are
-    availableNow one-shots; for an always-on stream, between triggers):
-    compacting between a crash and its restart would fold the
-    uncommitted batch's rows and then see the replay re-append them —
-    the (keys, batch) dedupe can no longer collapse the pair because the
-    folded row carries the max stamp, and sums would double-count."""
-    import shutil
-
+    The swap goes through ``generations``: the folded generation is
+    fully written to ``<path>.tmp`` (parquet ``_SUCCESS`` as the commit
+    marker), promoted by renames only, with crash recovery on the next
+    call — never a half-deleted live log.  Run it ONLY after the owning
+    stream has terminated cleanly (these sinks are availableNow
+    one-shots; for an always-on stream, between triggers): compacting
+    between a crash and its restart would fold the uncommitted batch's
+    rows and then see the replay re-append them — the (keys, batch)
+    dedupe can no longer collapse the pair because the folded row
+    carries the max stamp, and sums would double-count."""
     from pyspark.sql import functions as F
 
+    from stateful_spark_streaming_spark.generations import (
+        recover_generation,
+        swap_generation,
+    )
+
+    recover_generation(path)
     if not os.path.exists(path):
         return  # nothing staged yet — zero-batch streams have no log
     df = spark.read.parquet(path)
@@ -306,10 +329,8 @@ def compact_partial_log(
             *[F.max(c).alias(c) for c in maxs],
             F.max(batch_col).alias(batch_col),
         )
-    tmp = path + ".tmp"
-    folded.select(*orig_cols).write.mode("overwrite").parquet(tmp)
-    shutil.rmtree(path)
-    os.rename(tmp, path)
+    folded.select(*orig_cols).write.mode("overwrite").parquet(path + ".tmp")
+    swap_generation(path)
 
 
 #: per-sink compaction parameter sets — the declared identity/fold class
@@ -1327,12 +1348,14 @@ def run_streaming_corpus_report(
 
     def _sink(bdf: DataFrame, batch_id: int) -> None:
         # normalize the id ONCE so both sinks honor a non-default id_col
-        # (quality_score's projection is doc_id-fixed; ADVICE r5)
-        b = (
-            bdf.withColumnRenamed(id_col, "doc_id")
-            if id_col != "doc_id"
-            else bdf
-        )
+        # (quality_score's projection is doc_id-fixed; ADVICE r5); drop
+        # any unrelated pre-existing doc_id payload column first — the
+        # rename would otherwise create an ambiguous duplicate name
+        b = bdf
+        if id_col != "doc_id":
+            if "doc_id" in b.columns:
+                b = b.drop("doc_id")
+            b = b.withColumnRenamed(id_col, "doc_id")
         scored = quality_score(
             b, text_col=text_col, keep_cols=("source", "lang")
         ).select("doc_id", "source", "lang", "n_tokens", "quality_score")
@@ -1652,8 +1675,10 @@ def run_streaming_ivf_ingest(
     applied: a crash between a batch's append and its checkpoint commit
     re-appends byte-identical rows (frozen centroids ⇒ deterministic
     assignment), so id-distinct restores exactly-once for probing;
-    ``compact_partial_log`` (or an ``ivf_retrain``) makes it physical at
-    any cadence."""
+    ``ivf_retrain`` makes it physical on the retrain cadence (the cells
+    parquet is cell-partitioned and unstamped, so the generic
+    ``compact_partial_log`` does NOT apply to it — it would rewrite away
+    the cell partitioning the probe path prunes on)."""
     import json
 
     from stateful_spark_streaming_spark.operators.similarity import (

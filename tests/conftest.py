@@ -33,3 +33,29 @@ def ref_interleave(a: int, b: int, bits: int = 10) -> int:
         out |= ((a >> i) & 1) << (2 * i)
         out |= ((b >> i) & 1) << (2 * i + 1)
     return out
+
+
+def land_batches(spark, tmp_path, name, batches, cols):
+    """Stage one parquet file per intended micro-batch under
+    tmp_path/name, mtimes spread so FileStreamSource replays them in
+    order (ties on the mtime tick make replay order nondeterministic —
+    see test_streaming_join_sessions).  THE shared batch-landing helper:
+    new streaming-twin tests should use this instead of re-inlining the
+    write-segment/copy/utime idiom."""
+    import glob
+    import os
+    import shutil
+
+    src = str(tmp_path / name)
+    os.makedirs(src, exist_ok=True)
+    base = os.stat(src).st_mtime
+    for i, rows in enumerate(batches):
+        seg = str(tmp_path / f"{name}_seg{i}")
+        spark.createDataFrame(rows, list(cols)).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(seg)
+        f = glob.glob(os.path.join(seg, "part-*.parquet"))[0]
+        dst = os.path.join(src, f"{i:03d}.parquet")
+        shutil.copy(f, dst)
+        os.utime(dst, (base + i * 10, base + i * 10))
+    return src

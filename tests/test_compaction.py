@@ -19,22 +19,7 @@ from stateful_spark_streaming_spark.streaming.pipeline import (
 )
 
 
-def _land_batches(spark, tmp_path, name, batches, cols):
-    """One parquet file per micro-batch, mtimes spread so FileStreamSource
-    replays them in order (see test_streaming_join_sessions)."""
-    src = str(tmp_path / name)
-    os.makedirs(src, exist_ok=True)
-    base = os.stat(src).st_mtime
-    for i, rows in enumerate(batches):
-        seg = str(tmp_path / f"{name}_seg{i}")
-        spark.createDataFrame(rows, list(cols)).coalesce(1).write.mode(
-            "overwrite"
-        ).parquet(seg)
-        f = glob.glob(os.path.join(seg, "part-*.parquet"))[0]
-        dst = os.path.join(src, f"{i:03d}.parquet")
-        shutil.copy(f, dst)
-        os.utime(dst, (base + i * 10, base + i * 10))
-    return src
+from tests.conftest import land_batches as _land_batches
 
 
 def _n_files(path: str) -> int:

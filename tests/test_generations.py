@@ -1,0 +1,115 @@
+"""Crash-state recovery for directory-generation swaps: every kill point
+of the compact/retrain swap protocol must leave a state the next call
+repairs — never a half-deleted live directory (silent row loss) and
+never an unrecoverable missing path."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from stateful_spark_streaming_spark.generations import (
+    recover_generation,
+    swap_generation,
+)
+
+
+def _mk(d: str, tag: str, complete: bool = True) -> None:
+    os.makedirs(d, exist_ok=True)
+    open(os.path.join(d, f"{tag}.parquet"), "w").write(tag)
+    if complete:
+        open(os.path.join(d, "_SUCCESS"), "w").close()
+
+
+def _tag(d: str) -> str:
+    return [f[:-8] for f in os.listdir(d) if f.endswith(".parquet")][0]
+
+
+def test_swap_promotes_and_cleans(tmp_path):
+    p = str(tmp_path / "t")
+    _mk(p, "old_gen")
+    _mk(p + ".tmp", "new_gen")
+    swap_generation(p)
+    assert _tag(p) == "new_gen"
+    assert not os.path.exists(p + ".tmp") and not os.path.exists(p + ".old")
+
+
+def test_swap_refuses_incomplete_tmp(tmp_path):
+    p = str(tmp_path / "t")
+    _mk(p, "old_gen")
+    _mk(p + ".tmp", "partial", complete=False)
+    with pytest.raises(ValueError, match="incomplete generation"):
+        swap_generation(p)
+    assert _tag(p) == "old_gen", "live generation must be untouched"
+
+
+def test_recover_rolls_forward_after_mid_swap_crash(tmp_path):
+    """Killed between `rename(path, .old)` and `rename(.tmp, path)`: the
+    new generation is complete, so recovery finishes the swap forward."""
+    p = str(tmp_path / "t")
+    _mk(p + ".old", "old_gen")
+    _mk(p + ".tmp", "new_gen")
+    recover_generation(p)
+    assert _tag(p) == "new_gen"
+    assert not os.path.exists(p + ".tmp") and not os.path.exists(p + ".old")
+
+
+def test_recover_rolls_back_when_tmp_incomplete(tmp_path):
+    """Killed during the tmp write after a (hypothetical) early move: an
+    uncommitted tmp is never promoted — the old generation comes back."""
+    p = str(tmp_path / "t")
+    _mk(p + ".old", "old_gen")
+    _mk(p + ".tmp", "partial", complete=False)
+    recover_generation(p)
+    assert _tag(p) == "old_gen"
+    assert not os.path.exists(p + ".tmp") and not os.path.exists(p + ".old")
+
+
+def test_recover_cleans_leftovers_beside_live_dir(tmp_path):
+    """Killed after the new generation went live but before cleanup: the
+    live dir wins, stale .tmp/.old are removed."""
+    p = str(tmp_path / "t")
+    _mk(p, "live_gen")
+    _mk(p + ".old", "old_gen")
+    _mk(p + ".tmp", "stale", complete=False)
+    recover_generation(p)
+    assert _tag(p) == "live_gen"
+    assert not os.path.exists(p + ".tmp") and not os.path.exists(p + ".old")
+
+
+def test_recover_noop_on_clean_or_absent(tmp_path):
+    recover_generation(str(tmp_path / "never_existed"))
+    p = str(tmp_path / "clean")
+    _mk(p, "gen")
+    recover_generation(p)
+    assert _tag(p) == "gen"
+
+
+def test_zorder_compact_recovers_from_simulated_crash(spark, tmp_path):
+    """End to end: simulate the kill between the two renames of a
+    previous zorder_compact, then call it again — the table must come
+    back (forward to the complete new generation) and compact cleanly."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from stateful_spark_streaming_spark.operators import layout as LAY
+
+    p = str(tmp_path / "tbl")
+    df = spark.createDataFrame(
+        [(i, i % 7, float(i % 13)) for i in range(500)],
+        ["event_id", "user_id", "value"],
+    )
+    df.write.parquet(p)
+    # simulate: a prior compact wrote a complete .tmp, moved live to .old,
+    # then died before promoting
+    df.write.parquet(p + ".tmp")
+    os.rename(p, p + ".old")
+    assert not os.path.exists(p)
+    LAY.zorder_compact(spark, p, "user_id", "value")
+    out = spark.read.parquet(p)
+    assert out.count() == 500
+    assert out.agg(F.sum("event_id")).first()[0] == sum(range(500))
+    assert not os.path.exists(p + ".tmp") and not os.path.exists(p + ".old")
+    shutil.rmtree(p)

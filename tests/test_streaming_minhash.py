@@ -376,18 +376,12 @@ def test_streaming_lm_logprob_multibatch_equals_batch(spark, tmp_path):
         (5, "solo"),  # 1 token: unigram-scored, emits no bigram
         (6, ""),  # empty doc contributes nothing
     ]
-    src = str(tmp_path / "lm_stream")
-    os.makedirs(src, exist_ok=True)
-    base = os.stat(src).st_mtime
-    for i, batch in enumerate([rows[:2], rows[2:4], rows[4:]]):
-        seg = str(tmp_path / f"lmseg{i}")
-        spark.createDataFrame(batch, ["doc_id", "text"]).coalesce(1).write.mode(
-            "overwrite"
-        ).parquet(seg)
-        f = glob.glob(os.path.join(seg, "part-*.parquet"))[0]
-        dst = os.path.join(src, f"{i:03d}.parquet")
-        shutil.copy(f, dst)
-        os.utime(dst, (base + i * 10, base + i * 10))
+    from tests.conftest import land_batches
+
+    src = land_batches(
+        spark, tmp_path, "lm_stream", [rows[:2], rows[2:4], rows[4:]],
+        ("doc_id", "text"),
+    )
 
     batch_df = spark.createDataFrame(rows, ["doc_id", "text"])
     for order, batch_op in ((1, unigram_logprob), (2, bigram_logprob)):
