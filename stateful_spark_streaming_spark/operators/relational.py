@@ -278,6 +278,29 @@ def approx_distinct_stats(
     )
 
 
+def distinct_sketch_stats(
+    df: DataFrame, key: str, count_col: str, lg_k: int = 12
+) -> DataFrame:
+    """Per-group distinct counting via Apache DataSketches HLL — the
+    MERGEABLE sibling of ``approx_distinct_stats``.  The difference that
+    matters at 100 TB: ``approx_count_distinct``'s HLL++ state is an
+    internal buffer you can never get out of a query, while
+    ``hll_sketch_agg`` emits a PUBLIC binary sketch whose union is
+    register-wise max — associative, commutative, idempotent — so
+    partials computed per ingest batch / per partition / per day union
+    into exactly the sketch a single global pass builds (estimates are
+    EQUAL, not just close; pytested, and the property the streaming
+    ingest twin rides on).  Public recipe: the Apache DataSketches HLL
+    paper set; Spark exposes it as hll_sketch_agg/hll_union_agg since
+    3.5."""
+    return df.groupBy(key).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.hll_sketch_estimate(F.hll_sketch_agg(count_col, F.lit(lg_k)))
+        .cast("long")
+        .alias("approx_distinct"),
+    )
+
+
 def revenue_cube(orders: DataFrame) -> DataFrame:
     """GROUP BY CUBE over (order year, order status): all four grouping
     sets in one pass.  Spark expands rows per grouping set BEFORE the

@@ -512,6 +512,34 @@ def q_approx_distinct_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("distinct_sketch_stats")  # DataSketches HLL: no cross-engine oracle
+def q_distinct_sketch_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type distinct-user counts via MERGEABLE DataSketches HLL
+    — the public-binary-sketch sibling of approx_distinct_stats, and the
+    batch side of the ingest-time cardinality twin (union-of-partials ≡
+    single-pass, pytested as exact equality)."""
+    return REL.distinct_sketch_stats(
+        _t(spark, sf_dir, "events"), key="event_type", count_col="user_id"
+    )
+
+
+@query("streaming_distinct_stats")  # sketch estimator: no cross-engine oracle
+def q_streaming_distinct_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingest-time cardinality tracking: per-batch (count, HLL sketch)
+    partials appended by foreachBatch, hll_union_agg on read — streaming
+    ≡ batch EXACTLY (register-max union is order-insensitive; pytested as
+    equality, not tolerance)."""
+    import os as _os
+
+    from stateful_spark_streaming_spark.streaming.pipeline import (
+        run_streaming_distinct_stats,
+    )
+
+    return run_streaming_distinct_stats(
+        spark, _os.path.join(sf_dir, "events.parquet")
+    )
+
+
 @query(
     "customers_without_recent_orders",
     oracle="""
@@ -3148,6 +3176,9 @@ _CHEAP_FIRST = [
     # (d) queries whose code path was refactored this round (LM scoring
     # tails extracted; corpus-report id normalization):
     "unigram_logprob", "bigram_logprob", "streaming_corpus_report",
+    # (e) the NEW mergeable-sketch pair (rows-only: sketch estimators
+    # have no cross-engine oracle; streaming ≡ batch pytested as EXACT):
+    "distinct_sketch_stats", "streaming_distinct_stats",
     # --- backfill: 36 queries whose newest green row is r4 or older
     # (priority_top_orders_salted sat past the r5 window, so its newest
     # row may be r3 — in-window here either way), cheapest first (BENCH
@@ -3169,12 +3200,14 @@ _CHEAP_FIRST = [
     "streaming_tumbling_counts", "streaming_decontaminate",
     "streaming_dedup_events", "streaming_session_windows",
     "streaming_sliding_counts", "streaming_enriched_counts",
+    # --- past the 50-entry gate window: cosine_near_pairs_lsh and
+    # streaming_session_windows_append (evicted for the two new sketch
+    # entries — they join the r4-row group, code + oracles unchanged),
+    # then the round-5 window (valid r5 rows) and the 5 expensive
+    # unchanged entries; registration order except the one hard
+    # constraint — state_store_snapshot reads the checkpoint
+    # streaming_track_snapshot produces, so it follows it immediately ---
     "cosine_near_pairs_lsh", "streaming_session_windows_append",
-    # --- past the 50-entry gate window: the round-5 window (valid r5
-    # rows) then the 5 expensive unchanged entries; registration order
-    # except the one hard constraint — state_store_snapshot reads the
-    # checkpoint streaming_track_snapshot produces, so it follows it
-    # immediately ---
     "vocab_topk", "streaming_vocab_topk", "sq8_encode", "corpus_report",
     "multimodal_features", "training_pipeline_full", "training_pipeline",
     "gopher_quality_filter", "hash_split", "shuffle_shard",

@@ -256,6 +256,7 @@ def compact_partial_log(
     sums: tuple[str, ...] = (),
     mins: tuple[str, ...] = (),
     maxs: tuple[str, ...] = (),
+    hlls: tuple[str, ...] = (),
     batch_col: str | None = "_batch_id",
 ) -> None:
     """Fold a batch-stamped additive partial log into ONE compacted
@@ -304,7 +305,7 @@ def compact_partial_log(
         return  # nothing staged yet — zero-batch streams have no log
     df = spark.read.parquet(path)
     orig_cols = list(df.columns)
-    value_cols = [*sums, *mins, *maxs]
+    value_cols = [*sums, *mins, *maxs, *hlls]
     declared = set(keys) | set(value_cols) | ({batch_col} if batch_col else set())
     if set(orig_cols) != declared:
         raise ValueError(
@@ -327,6 +328,9 @@ def compact_partial_log(
             *[F.sum(c).alias(c) for c in sums],
             *[F.min(c).alias(c) for c in mins],
             *[F.max(c).alias(c) for c in maxs],
+            # DataSketches HLL binaries fold by union (register-wise max
+            # — idempotent, so this is also safe on replayed rows)
+            *[F.hll_union_agg(c, F.lit(False)).alias(c) for c in hlls],
             F.max(batch_col).alias(batch_col),
         )
     folded.select(*orig_cols).write.mode("overwrite").parquet(path + ".tmp")
@@ -355,6 +359,9 @@ STAGED_SINK_COMPACTION = {
     # run_streaming_dedup_minhash: <ckpt>_out (no batch stamp — admitted
     # ids only; replay dedupe IS the whole fold)
     "minhash_admitted": dict(keys=["doc_id"], batch_col=None),
+    # run_streaming_distinct_stats: <ckpt>_sketches (HLL binaries fold by
+    # union; the row count is the additive half)
+    "distinct_sketch": dict(keys=["event_type"], sums=("n_rows",), hlls=("sk",)),
 }
 
 
@@ -1303,6 +1310,93 @@ def run_streaming_lm_logprob(
         .dropDuplicates(keys)
     )
     return score(per)
+
+
+def run_streaming_distinct_stats(
+    spark: SparkSession,
+    events_path: str,
+    key: str = "event_type",
+    count_col: str = "user_id",
+    lg_k: int = 12,
+    checkpoint_dir: str | None = None,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """Ingest-time cardinality tracking — the streaming twin of
+    ``relational.distinct_sketch_stats``, and the reason that operator
+    uses DataSketches HLL instead of ``approx_count_distinct``: the
+    binary sketches are a PUBLIC mergeable type, so each micro-batch
+    appends its per-key (count, sketch) partial and the read side unions
+    them with ``hll_union_agg``.  Union is register-wise max —
+    associative, commutative, idempotent — so the merged estimate is
+    EXACTLY the single-pass batch estimate (pytested as equality, the
+    strongest streaming ≡ batch claim a sketch can make), and the staged
+    state per key is one 2^lg_k-register sketch regardless of input
+    size.
+
+    Replay idempotency: appends are batch-stamped and the per-batch
+    partial is deterministic, so replays are byte-identical; the
+    (key, batch) dedupe on read restores exactly-once — and even a
+    missed duplicate would be absorbed by union idempotency for the
+    sketch (only the additive row count strictly needs the dedupe)."""
+    from pyspark.sql import functions as F
+
+    checkpoint_dir = checkpoint_dir or tempfile.mkdtemp(prefix="sss_ckpt_hll_")
+    out_dir = checkpoint_dir + "_sketches"
+    stream = _stage_parquet_stream(spark, events_path, max_files_per_trigger)
+
+    def _sink(bdf: DataFrame, batch_id: int) -> None:
+        (
+            bdf.groupBy(key)
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.hll_sketch_agg(count_col, F.lit(lg_k)).alias("sk"),
+            )
+            .withColumn("_batch_id", F.lit(batch_id))
+            .coalesce(1)  # partials are key-cardinality tiny
+            .write.mode("append")
+            .parquet(out_dir)
+        )
+
+    q = (
+        stream.writeStream.foreachBatch(_sink)
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+
+    if not os.path.exists(out_dir):
+        from pyspark.sql.types import (
+            BinaryType,
+            LongType,
+            StructField,
+            StructType,
+        )
+
+        staged = spark.createDataFrame(
+            [],
+            StructType(
+                [
+                    StructField(key, stream.schema[key].dataType),
+                    StructField("n_rows", LongType()),
+                    StructField("sk", BinaryType()),
+                    StructField("_batch_id", LongType()),
+                ]
+            ),
+        )
+    else:
+        staged = spark.read.parquet(out_dir)
+    return (
+        staged.dropDuplicates([key, "_batch_id"])
+        .groupBy(key)
+        .agg(
+            F.sum("n_rows").alias("n_rows"),
+            F.hll_sketch_estimate(F.hll_union_agg("sk", F.lit(False)))
+            .cast("long")
+            .alias("approx_distinct"),
+        )
+    )
 
 
 def run_streaming_corpus_report(

@@ -158,3 +158,56 @@ def test_compaction_missing_log_is_noop(spark, tmp_path):
     compact_partial_log(
         spark, str(tmp_path / "never_written"), **STAGED_SINK_COMPACTION["vocab"]
     )
+
+
+def test_streaming_distinct_stats_exact_and_compactable(spark, tmp_path):
+    """The mergeable-sketch ingest twin, all three contracts in one
+    fixture: (1) multi-batch streaming EQUALS the single-pass batch
+    operator exactly (DataSketches HLL union is register-wise max —
+    order-insensitive, so estimates are equal, not merely close);
+    (2) replayed appends change nothing (batch-stamp dedupe + union
+    idempotency); (3) the sketch log compacts through the hll fold class
+    with read results byte-identical and fewer files."""
+    from stateful_spark_streaming_spark.operators.relational import (
+        distinct_sketch_stats,
+    )
+    from stateful_spark_streaming_spark.streaming.pipeline import (
+        run_streaming_distinct_stats,
+    )
+
+    rows = [(i, f"t{i % 3}", i % 17) for i in range(300)]
+    cols = ("event_id", "event_type", "user_id")
+    batches = [rows[:100], rows[100:180], rows[180:]]
+    src = _land_batches(spark, tmp_path, "ev", batches, cols)
+    ck = str(tmp_path / "ck_hll")
+
+    def run():
+        return run_streaming_distinct_stats(
+            spark, src, checkpoint_dir=ck, max_files_per_trigger=1
+        )
+
+    streamed = sorted(map(tuple, run().collect()))
+    batch = sorted(
+        map(
+            tuple,
+            distinct_sketch_stats(
+                spark.createDataFrame(rows, list(cols)),
+                key="event_type",
+                count_col="user_id",
+            ).collect(),
+        )
+    )
+    assert streamed == batch, "sketch union-of-partials must EQUAL single-pass"
+    assert all(n == 100 for _, n, _ in streamed)  # 3 types x 100 rows
+
+    # replayed append: duplicate the staged partial files
+    out_dir = ck + "_sketches"
+    for f in glob.glob(os.path.join(out_dir, "part-*.parquet")):
+        shutil.copy(f, f.replace("part-", "replay-part-"))
+    assert sorted(map(tuple, run().collect())) == streamed
+
+    # compaction (hll fold class): read-identical, fewer files
+    n_dirty = _n_files(out_dir)
+    compact_partial_log(spark, out_dir, **STAGED_SINK_COMPACTION["distinct_sketch"])
+    assert _n_files(out_dir) < n_dirty
+    assert sorted(map(tuple, run().collect())) == streamed

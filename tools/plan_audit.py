@@ -197,6 +197,12 @@ CHECKS = {
                                   ["CartesianProduct"], None),
     "streaming_bigram_logprob": ([], ["CartesianProduct",
                                       "BroadcastNestedLoopJoin"], None),
+    # mergeable-sketch distinct counts: ONE keyed aggregate (the HLL
+    # sketch IS the partial state — map-side combine at any scale)
+    "distinct_sketch_stats": ([], ["Join", "CartesianProduct"], 1),
+    # streaming sketch READ side: replay dedupe + keyed union aggregate
+    # over key-cardinality staged partials — no join anywhere
+    "streaming_distinct_stats": ([], ["Join", "CartesianProduct"], 2),
 }
 
 #: upper bound on `Scan parquet` occurrences — "the signature subplan is
