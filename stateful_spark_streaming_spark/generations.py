@@ -38,9 +38,21 @@ def _complete(d: str) -> bool:
     return os.path.exists(os.path.join(d, "_SUCCESS"))
 
 
-def recover_generation(path: str) -> None:
+def recover_generation(path: str, clean: bool = True) -> None:
     """Repair the directory-generation state at ``path`` after a crash at
-    any point of a previous swap; no-op when the state is clean."""
+    any point of a previous swap; no-op when the state is clean.
+
+    ``clean=True`` (writers: the compact/retrain jobs themselves, which
+    own the swap) also deletes leftover ``.tmp``/``.old`` dirs beside a
+    live directory.  READ paths must pass ``clean=False``: a reader that
+    rmtree'd siblings would delete a CONCURRENT writer's in-progress
+    ``.tmp`` out from under its write job (reads must stay
+    side-effect-free beside a live dir).  With ``clean=False`` the only
+    mutation is restoring a MISSING live dir — the state where the read
+    would otherwise just fail; the residual reader-vs-writer race is the
+    microseconds between the writer's two renames, vs the minutes of a
+    tmp write, and the single-writer contract (compact between triggers
+    / after clean termination) covers it."""
     tmp, old = _tmp(path), _old(path)
     if not os.path.exists(path):
         if os.path.exists(tmp) and _complete(tmp):
@@ -51,8 +63,8 @@ def recover_generation(path: str) -> None:
             # crashed before the new generation went live: roll back
             os.rename(old, path)
     # leftovers beside a live dir (stale tmp from an aborted write, or
-    # .old from a crash after the new generation went live)
-    if os.path.exists(path):
+    # .old from a crash after the new generation went live) — WRITER-only
+    if clean and os.path.exists(path):
         shutil.rmtree(tmp, ignore_errors=True)
         shutil.rmtree(old, ignore_errors=True)
 

@@ -76,7 +76,10 @@ def zorder_compact(
     ~``target_file_bytes`` files, so a thousand drip-appended small files
     compact into few well-sized ones in the same pass.  A constant
     column degrades gracefully to a single sort on the other axis (its
-    quantized cell is 0 everywhere).
+    quantized cell is 0 everywhere); with BOTH axes degenerate no
+    clustering is possible and the rewrite keeps only the bin-packing
+    half (round-robin repartition — a constant range key would collapse
+    the table into one task/file).
 
     Run between appends (same contract as ``compact_partial_log``): the
     rewritten generation is fully materialized at ``<path>.tmp`` before
@@ -120,13 +123,23 @@ def zorder_compact(
     def axis(col_name, lo, hi):
         # all-NULL/NaN column or constant: contribute nothing to the key
         if lo is None or hi is None or float(hi) - float(lo) <= 0:
-            return F.lit(0).cast("long")
+            return None
         return quantize(F.col(col_name), float(lo), float(hi), bits)
 
-    laid = zorder_layout(
-        df, zorder_key(axis(c1, lo1, hi1), axis(c2, lo2, hi2), bits),
-        n_files, sort_extra,
-    )
+    a1, a2 = axis(c1, lo1, hi1), axis(c2, lo2, hi2)
+    if a1 is None and a2 is None:
+        # BOTH axes degenerate: a constant z-key would range-partition the
+        # whole table into ONE task/file — no clustering is possible, so
+        # keep only the bin-packing half of the contract (round-robin)
+        laid = df.repartition(n_files)
+    else:
+        zero = F.lit(0).cast("long")
+        laid = zorder_layout(
+            df,
+            zorder_key(a1 if a1 is not None else zero,
+                       a2 if a2 is not None else zero, bits),
+            n_files, sort_extra,
+        )
     laid.write.mode("overwrite").parquet(path + ".tmp")  # materialized first
     swap_generation(path)
 
@@ -142,7 +155,17 @@ def zorder_layout(
     is what makes footer min/max stats tight) and sort within partitions.
     Returns the re-laid-out frame; caller writes it.  Scale shape: one
     range exchange (with Spark's sampling-based range boundaries), then a
-    local sort — identical cost to a plain global sort."""
+    local sort — identical cost to a plain global sort.
+
+    Raises if the frame already has a ``_zkey`` column: withColumn would
+    silently REPLACE it and the final drop would delete the caller's data
+    (zorder_compact applies this to stored tables in place, where that
+    would be permanent loss)."""
+    if "_zkey" in df.columns:
+        raise ValueError(
+            "input already has a _zkey column — rename it first; "
+            "zorder_layout would silently overwrite then drop it"
+        )
     with_key = df.withColumn("_zkey", key_col)
     return (
         with_key.repartitionByRange(n_files, F.col("_zkey"))

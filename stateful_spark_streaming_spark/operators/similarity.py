@@ -217,7 +217,9 @@ def ivf_load_index(spark, path: str) -> tuple[DataFrame, list[list[float]]]:
 
     from stateful_spark_streaming_spark.generations import recover_generation
 
-    recover_generation(path)
+    # clean=False: loading is a READ — it must repair a missing live dir
+    # but never delete a concurrent ivf_retrain's in-progress .tmp
+    recover_generation(path, clean=False)
     with open(os.path.join(path, "centroids.json")) as f:
         cents = json.load(f)
     assigned = spark.read.parquet(os.path.join(path, "cells"))

@@ -167,8 +167,10 @@ class ParquetSnapshotSink:
         )
 
         # a crash mid-compact leaves the base as .tmp/.old generations;
-        # repair before reading so the snapshot never silently shrinks
-        recover_generation(self.base_dir)
+        # repair before reading so the snapshot never silently shrinks.
+        # clean=False: a READ must never delete a concurrent compact's
+        # in-progress .tmp (reads are side-effect-free beside a live dir)
+        recover_generation(self.base_dir, clean=False)
         dfs = []
         for d in (self.base_dir, self.log_dir):
             if not os.path.exists(d):

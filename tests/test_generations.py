@@ -113,3 +113,20 @@ def test_zorder_compact_recovers_from_simulated_crash(spark, tmp_path):
     assert out.agg(F.sum("event_id")).first()[0] == sum(range(500))
     assert not os.path.exists(p + ".tmp") and not os.path.exists(p + ".old")
     shutil.rmtree(p)
+
+
+def test_read_recovery_never_deletes_writer_tmp(tmp_path):
+    """clean=False (the READ paths): beside a LIVE dir, recovery must not
+    touch a sibling .tmp — it may belong to a concurrent compact/retrain
+    whose write job is still running (review finding: destructive reads)."""
+    p = str(tmp_path / "t")
+    _mk(p, "live_gen")
+    _mk(p + ".tmp", "in_progress", complete=False)
+    recover_generation(p, clean=False)
+    assert os.path.exists(p + ".tmp"), "reader deleted a writer's tmp"
+    assert _tag(p) == "live_gen"
+    # missing live dir is still repaired (the read would otherwise fail)
+    p2 = str(tmp_path / "t2")
+    _mk(p2 + ".old", "old_gen")
+    recover_generation(p2, clean=False)
+    assert _tag(p2) == "old_gen"

@@ -253,3 +253,33 @@ def test_zorder_compact_binpacks_by_bytes_and_handles_edge_cases(spark, tmp_path
     spark.createDataFrame([], "event_id long, user_id long, value double").write.parquet(empty)
     LAY.zorder_compact(spark, empty, "user_id", "value")  # no-op, no crash
     assert spark.read.parquet(empty).count() == 0
+
+
+def test_zorder_compact_both_degenerate_axes_binpacks(spark, tmp_path):
+    """BOTH clustered columns constant: no clustering is possible, but the
+    bin-packing contract must survive — round-robin into n_files, never a
+    single-task single-file collapse (review finding)."""
+    p = str(tmp_path / "bothconst")
+    spark.createDataFrame(
+        [(i, 1, 2.0) for i in range(400)], ["event_id", "user_id", "value"]
+    ).write.parquet(p)
+    LAY.zorder_compact(spark, p, "user_id", "value", n_files=4)
+    assert len(glob.glob(os.path.join(p, "part-*.parquet"))) == 4
+    assert spark.read.parquet(p).count() == 400
+
+
+def test_zorder_layout_rejects_zkey_collision(spark, tmp_path):
+    """A stored table that already has a _zkey column must raise — the
+    rewrite would silently overwrite then drop the caller's data."""
+    import pytest
+
+    p = str(tmp_path / "haskey")
+    spark.createDataFrame(
+        [(i, i % 5, float(i), i * 10) for i in range(50)],
+        ["event_id", "user_id", "value", "_zkey"],
+    ).write.parquet(p)
+    with pytest.raises(ValueError, match="_zkey"):
+        LAY.zorder_compact(spark, p, "user_id", "value")
+    # table untouched
+    assert spark.read.parquet(p).count() == 50
+    assert "_zkey" in spark.read.parquet(p).columns

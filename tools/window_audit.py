@@ -8,10 +8,11 @@ status, and whether the query sits inside the current window — so a
 rotation can be planned from data instead of from comments (the round-6
 review found exactly one provenance comment that had drifted).
 
-Exit 1 if any query's newest green row is older than ``--max-stale``
-rounds behind the latest recorded round AND it is not already queued
-inside the current window (i.e. evidence is stale and no refresh is
-coming), or if any query has never had a row and is outside the window.
+Exit 1 if any query's newest green row is ``--max-stale`` or more rounds
+behind the latest recorded round AND it is not already queued inside the
+current window (i.e. evidence is stale and no refresh is coming), or if
+a query has no green row at all (never recorded, or only RED rows) and
+is outside the window.
 
 Run: python tools/window_audit.py [--max-stale N]
 """
@@ -81,7 +82,12 @@ def main() -> int:
         inw = q in in_window
         flag = ""
         if rnd == 0 and not inw:
-            flag = "NEVER RECORDED, not queued"
+            # distinguish "no row at all" from "recorded but never green"
+            flag = (
+                "NEVER RECORDED, not queued"
+                if q not in newest_any
+                else "no green row ever, not queued"
+            )
         elif rnd and latest_round - rnd >= max_stale and not inw:
             flag = f"stale (r{rnd}), not queued"
         if newest_any.get(q, (0, ""))[1] == "RED" and newest_any[q][0] >= rnd:
