@@ -84,5 +84,15 @@ def swap_generation(path: str, tmp: str | None = None) -> None:
     shutil.rmtree(old, ignore_errors=True)
     if os.path.exists(path):
         os.rename(path, old)
-    os.rename(tmp, path)
+    try:
+        os.rename(tmp, path)
+    except FileNotFoundError:
+        # Reader-side roll-forward (recover_generation(clean=False)) can
+        # win the race between our two renames: it sees no live dir + a
+        # complete tmp and renames tmp -> path itself.  Our swap then
+        # finds tmp gone — but the promotion we wanted HAS happened, so
+        # succeed iff the live dir exists and carries the commit marker;
+        # anything else is a genuine lost generation and must raise.
+        if not (os.path.exists(path) and _complete(path)):
+            raise
     shutil.rmtree(old, ignore_errors=True)

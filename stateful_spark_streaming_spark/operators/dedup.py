@@ -27,6 +27,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from stateful_spark_streaming_spark.caching import track_persist
 from stateful_spark_streaming_spark.operators.text import normalize_text, shingles
 
 
@@ -173,14 +174,11 @@ def _bucketed_pair_counts(idx: DataFrame, max_shingle_df: int) -> DataFrame:
     candidates), so they are persisted — at 100 TB the same role is played
     by writing the bucketed index to parquet and reading it back for both
     passes."""
-    from pyspark import StorageLevel
-
-    buckets = (
+    buckets = track_persist(
         idx.groupBy("shingle")
         .agg(F.collect_list("doc").alias("docs"))
         .withColumn("df_", F.size("docs"))
         .filter(F.col("df_") <= max_shingle_df)
-        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     sizes = (
         buckets.select(F.explode("docs").alias("doc"))
@@ -476,11 +474,14 @@ def dup_spans_from_index(
     (doc, pos, int, long) frame wins, unlike full token-array persists);
     the streaming twin reads its index from staged parquet, where a second
     scan of compact files is cheaper than pinning cache.  Cache lifetime:
-    one-shot callers ``clearCache()`` between queries (bench.py does)."""
+    one-shot callers ``clearCache()`` between queries (bench.py does);
+    long-lived sessions call ``caching.release_operator_caches()`` after
+    materializing each result — every pin here is registered there
+    (ADVICE r6: un-released MEMORY_AND_DISK grows with repeated calls)."""
     if persist_index:
-        from pyspark import StorageLevel
+        from stateful_spark_streaming_spark.caching import track_persist
 
-        g = g.persist(StorageLevel.MEMORY_AND_DISK)
+        g = track_persist(g)
     qual = (
         g.select(gram_col, "doc")
         .distinct()
@@ -546,21 +547,20 @@ def remove_dup_spans(
     the default recompute wins on this box (full-array persists pay more
     in block-manager serialization than the regex pass costs), the knob
     exists for the 100 TB case where a scan is the expensive part."""
-    from pyspark import StorageLevel
-
     from stateful_spark_streaming_spark.operators.text import tokens
 
     spans = dup_ngram_spans(df, text_col, id_col, k, min_docs, tokens_col=tokens_col)
     tok_expr = F.col(tokens_col) if tokens_col else tokens(F.col(text_col))
     toks = df.select(F.col(id_col).alias("doc_id"), tok_expr.alias("__toks"))
     if persist_tokens:
-        toks = toks.persist(StorageLevel.MEMORY_AND_DISK)
+        toks = track_persist(toks)
     # spans-cardinality frames (one row per duplicated span / removed
     # position — proportional to DUP content, not the corpus): persisted
     # because each is consumed twice (sptext by the min-struct aggregate
     # and the join-back; cut by the anti join and the n_removed count) —
     # without the cache the whole span tail re-evaluates 4×.  Same
-    # clearCache-between-queries lifetime contract as the gram index.
+    # lifetime contract as the gram index: clearCache between queries, or
+    # caching.release_operator_caches() in a long-lived session.
     sptext = (
         spans.join(toks, "doc_id")
         .withColumn(
@@ -573,8 +573,8 @@ def remove_dup_spans(
             ),
         )
         .drop("__toks")
-        .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    sptext = track_persist(sptext)
     first = sptext.groupBy("span_text").agg(
         F.min(F.struct("doc_id", "span_start")).alias("__keep")
     )
@@ -589,8 +589,8 @@ def remove_dup_spans(
             F.explode(F.sequence("span_start", "span_end")).alias("pos"),
         )
         .distinct()
-        .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    cut = track_persist(cut)
     tp = toks.select(
         "doc_id",
         F.posexplode(F.col("__toks")).alias("pos", "tok"),
@@ -888,12 +888,9 @@ def minhash_lsh_pairs(
     # verify candidates with exact Jaccard (joins back to shingle sets);
     # the sets feed BOTH join sides, so persist them — one shingle pass,
     # not two
-    from pyspark import StorageLevel
-
-    sets = (
+    sets = track_persist(
         _spread(df)
         .select(F.col(id_col).alias("doc"), shingles(F.col(text_col), k).alias("sh"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     a = sets.select(F.col("doc").alias("doc_a"), F.col("sh").alias("sh_a"))
     b_ = sets.select(F.col("doc").alias("doc_b"), F.col("sh").alias("sh_b"))

@@ -11,6 +11,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from stateful_spark_streaming_spark.caching import track_persist
+
 # Tiny per-language stopword lists for the n-gram/stopword language heuristic.
 # Deliberately small + public-common words, so the same lists are trivially
 # re-expressible in the DuckDB oracle SQL.
@@ -382,15 +384,13 @@ def unigram_logprob(
     broadcasts the vocab side when small); the final per-doc aggregation
     is the only other exchange.  Cache lifetime: same contract as
     ``jaccard_pairs`` — one-shot callers should ``clearCache()`` between
-    calls (bench.py does), or at 100 TB write the (doc, token, c) frame
-    to storage and read it back."""
-    from pyspark import StorageLevel
-
-    per = (
+    calls (bench.py does) or ``caching.release_operator_caches()`` in a
+    long-lived session; at 100 TB write the (doc, token, c) frame to
+    storage and read it back."""
+    per = track_persist(
         _token_occurrences(df, text_col, id_col)
         .groupBy("doc_id", "token")
         .agg(F.count("*").alias("c"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     return unigram_score_from_counts(per)
 
@@ -445,12 +445,7 @@ def bigram_logprob(
     ``unigram_logprob`` — one-shot callers ``clearCache()`` between
     queries (bench.py does); at 100 TB stage the (doc, w1, w2, c) frame
     to storage instead (the streaming ingest twin does exactly that)."""
-    from pyspark import StorageLevel
-
-    per = (
-        bigram_occurrence_counts(df, text_col, id_col)
-        .persist(StorageLevel.MEMORY_AND_DISK)
-    )
+    per = track_persist(bigram_occurrence_counts(df, text_col, id_col))
     return bigram_score_from_counts(per)
 
 

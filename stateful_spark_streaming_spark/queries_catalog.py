@@ -2201,9 +2201,9 @@ def _training_pipeline_chain(
     # (interleaved A/B at sf0.1: 1.37 s vs 1.22 s per jaccard_pairs run)
     kt = "__toks" if persist_tokens else None
     if persist_tokens:
-        from pyspark import StorageLevel
+        from stateful_spark_streaming_spark.caching import track_persist
 
-        base = base.persist(StorageLevel.MEMORY_AND_DISK)
+        base = track_persist(base)
     q = TXT.quality_score(base, tokens_col="__toks").select(
         "doc_id", "quality_score"
     )

@@ -251,6 +251,31 @@ class ParquetSnapshotSink:
         self._register()
 
 
+def _uncommitted_batch(checkpoint_dir: str) -> int | None:
+    """Newest batch id present in a Structured Streaming checkpoint's
+    ``offsets`` write-ahead log but absent from its ``commits`` log, or
+    None when every started batch committed.  File names in both dirs ARE
+    the batch ids (HDFSMetadataLog layout — public Spark on-disk format);
+    ``.tmp``/dot files from in-flight metadata writes are skipped, and a
+    checkpoint with no offsets yet (zero-batch stream) is trivially
+    clean."""
+
+    def ids(sub: str) -> set[int]:
+        d = os.path.join(checkpoint_dir, sub)
+        if not os.path.isdir(d):
+            return set()
+        out = set()
+        for n in os.listdir(d):
+            if n.startswith(".") or n.endswith(".tmp") or not n.isdigit():
+                continue
+            out.add(int(n))
+        return out
+
+    started, committed = ids("offsets"), ids("commits")
+    pending = started - committed
+    return max(pending) if pending else None
+
+
 def compact_partial_log(
     spark: SparkSession,
     path: str,
@@ -260,6 +285,7 @@ def compact_partial_log(
     maxs: tuple[str, ...] = (),
     hlls: tuple[str, ...] = (),
     batch_col: str | None = "_batch_id",
+    checkpoint_dir: str | None = None,
 ) -> None:
     """Fold a batch-stamped additive partial log into ONE compacted
     generation — the shared compaction the staged ``foreachBatch`` sinks
@@ -294,13 +320,31 @@ def compact_partial_log(
     between a crash and its restart would fold the uncommitted batch's
     rows and then see the replay re-append them — the (keys, batch)
     dedupe can no longer collapse the pair because the folded row
-    carries the max stamp, and sums would double-count."""
+    carries the max stamp, and sums would double-count.
+
+    Pass the owning stream's ``checkpoint_dir`` to turn that contract
+    from docstring into a guard: the checkpoint's write-ahead ``offsets``
+    log runs one entry ahead of ``commits`` exactly while a batch is
+    in flight or died uncommitted, so compaction REFUSES when the newest
+    offsets entry has no matching commit — the double-count window
+    above, detected from the same metadata the restart replay uses."""
     from pyspark.sql import functions as F
 
     from stateful_spark_streaming_spark.generations import (
         recover_generation,
         swap_generation,
     )
+
+    if checkpoint_dir is not None:
+        pending = _uncommitted_batch(checkpoint_dir)
+        if pending is not None:
+            raise RuntimeError(
+                f"refusing to compact {path}: checkpoint {checkpoint_dir} "
+                f"has batch {pending} in its offsets log but not in its "
+                "commits log — the stream is mid-batch or crashed "
+                "uncommitted, and folding now would double-count that "
+                "batch's rows when the restart replays it"
+            )
 
     recover_generation(path)
     if not os.path.exists(path):
@@ -1782,6 +1826,16 @@ def run_streaming_ivf_ingest(
         ivf_load_index,
     )
 
+    from stateful_spark_streaming_spark.generations import recover_generation
+
+    # a prior ivf_retrain crash mid-swap parks the index at .tmp/.old with
+    # the live dir missing — roll it forward/back BEFORE the existence
+    # check, exactly as ivf_load_index does (clean=False: an ingest entry
+    # point is a reader of the index generation, and must never delete a
+    # concurrent retrain's in-progress .tmp).  Without this, the error
+    # below would tell the caller to re-bootstrap, silently discarding
+    # previously streamed appends that recovery restores.
+    recover_generation(index_path, clean=False)
     # precondition OUTSIDE the stream: a missing index must fail here as a
     # clear error, not as an exception buried inside a StreamingQuery
     sidecar = os.path.join(index_path, "centroids.json")

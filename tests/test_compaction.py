@@ -211,3 +211,45 @@ def test_streaming_distinct_stats_exact_and_compactable(spark, tmp_path):
     compact_partial_log(spark, out_dir, **STAGED_SINK_COMPACTION["distinct_sketch"])
     assert _n_files(out_dir) < n_dirty
     assert sorted(map(tuple, run().collect())) == streamed
+
+
+def test_compaction_refuses_uncommitted_checkpoint(spark, tmp_path):
+    """ADVICE r6: the "never compact between a crash and the restart
+    replay" contract, promoted from docstring to guard.  The checkpoint's
+    offsets WAL runs ahead of commits exactly while a batch is in flight
+    or died uncommitted — compaction must refuse then (folding would
+    stamp the uncommitted batch's rows with the max batch id, and the
+    replay re-append would double-count), and proceed when every started
+    batch committed."""
+    import pytest
+
+    log = str(tmp_path / "log")
+    spark.createDataFrame(
+        [("a", 1, 0), ("a", 2, 1)], "k string, c long, _batch_id long"
+    ).write.parquet(log)
+
+    ckpt = str(tmp_path / "ckpt")
+    for sub, ids in [("offsets", [0, 1]), ("commits", [0])]:
+        os.makedirs(os.path.join(ckpt, sub))
+        for i in ids:
+            open(os.path.join(ckpt, sub, str(i)), "w").write("{}")
+    # in-flight metadata temp files must not count as started batches
+    open(os.path.join(ckpt, "offsets", ".2.tmp"), "w").write("{}")
+
+    with pytest.raises(RuntimeError, match="batch 1 .*not in its commits"):
+        compact_partial_log(
+            spark, log, keys=["k"], sums=("c",), checkpoint_dir=ckpt
+        )
+    # the guard refused BEFORE touching the log
+    assert spark.read.parquet(log).count() == 2
+
+    open(os.path.join(ckpt, "commits", "1"), "w").write("{}")
+    compact_partial_log(spark, log, keys=["k"], sums=("c",), checkpoint_dir=ckpt)
+    row = spark.read.parquet(log).collect()
+    assert len(row) == 1 and row[0].c == 3
+
+    # a brand-new checkpoint (zero batches yet) is trivially clean
+    compact_partial_log(
+        spark, log, keys=["k"], sums=("c",),
+        checkpoint_dir=str(tmp_path / "empty_ckpt"),
+    )

@@ -130,3 +130,57 @@ def test_read_recovery_never_deletes_writer_tmp(tmp_path):
     _mk(p2 + ".old", "old_gen")
     recover_generation(p2, clean=False)
     assert _tag(p2) == "old_gen"
+
+
+def test_swap_survives_reader_rollforward_race(tmp_path, monkeypatch):
+    """ADVICE r6: a reader's recover_generation(clean=False) can win the
+    race between the writer's two renames — it sees no live dir + a
+    complete tmp and promotes tmp itself; the writer's own final rename
+    then hits FileNotFoundError.  The promotion the writer wanted HAS
+    happened, so the swap must treat that as success (and still clean
+    .old), not die mid-protocol."""
+    import stateful_spark_streaming_spark.generations as gen
+
+    p = str(tmp_path / "t")
+    _mk(p, "old_gen")
+    _mk(p + ".tmp", "new_gen")
+
+    real_rename = os.rename
+    fired = []
+
+    def racing_rename(src, dst):
+        if src == p + ".tmp" and dst == p and not fired:
+            # deterministic interleave: the reader fires exactly between
+            # the writer's two renames (live dir just moved to .old)
+            fired.append(True)
+            recover_generation(p, clean=False)
+        real_rename(src, dst)  # now raises FileNotFoundError for the writer
+
+    monkeypatch.setattr(gen.os, "rename", racing_rename)
+    swap_generation(p)  # must not raise
+    assert _tag(p) == "new_gen"
+    assert not os.path.exists(p + ".tmp") and not os.path.exists(p + ".old")
+
+
+def test_swap_still_raises_on_genuinely_lost_tmp(tmp_path):
+    """The FileNotFoundError swallow is scoped to the won-race state: a
+    tmp that vanished WITHOUT the live dir being promoted (external
+    deletion) is a real lost generation and must still raise."""
+    import shutil
+
+    import stateful_spark_streaming_spark.generations as gen
+
+    p = str(tmp_path / "t")
+    _mk(p + ".tmp", "new_gen")
+
+    real_rename = os.rename
+
+    def vanishing_rename(src, dst):
+        if src == p + ".tmp" and dst == p:
+            shutil.rmtree(p + ".tmp")  # external actor deletes, no promote
+        real_rename(src, dst)
+
+    with pytest.MonkeyPatch.context() as mp:
+        mp.setattr(gen.os, "rename", vanishing_rename)
+        with pytest.raises(FileNotFoundError):
+            swap_generation(p)

@@ -643,3 +643,46 @@ def test_streaming_ivf_ingest_requires_existing_index(spark, sf_dir, tmp_path):
             spark, src, str(tmp_path / "no_such_index"),
             checkpoint_dir=str(tmp_path / "ck"),
         )
+
+
+def test_streaming_ivf_ingest_recovers_parked_index(spark, sf_dir, tmp_path):
+    """ADVICE r6 (medium): a prior ivf_retrain crash mid-swap parks the
+    index at .old (live dir missing).  The ingest entry point must run
+    generation recovery BEFORE its centroids.json existence check —
+    otherwise it tells the caller to re-bootstrap, which would silently
+    discard every previously streamed append that recovery restores."""
+    import glob
+    import os
+    import shutil
+
+    from stateful_spark_streaming_spark.streaming.pipeline import (
+        run_streaming_ivf_ingest,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    base = emb.filter(F.col("vec_id") % 5 != 0)
+    new = emb.filter(F.col("vec_id") % 5 == 0)
+    idx = str(tmp_path / "ivf_parked")
+    SIM.ivf_build_or_load(base, idx, n_centroids=8)
+
+    # crash state: retrain died after moving live -> .old, before promote
+    os.rename(idx, idx + ".old")
+    assert not os.path.exists(os.path.join(idx, "centroids.json"))
+
+    src = str(tmp_path / "vsrc")
+    os.makedirs(src)
+    seg = str(tmp_path / "vseg")
+    new.coalesce(1).write.mode("overwrite").parquet(seg)
+    shutil.copy(
+        glob.glob(os.path.join(seg, "part-*.parquet"))[0],
+        os.path.join(src, "000.parquet"),
+    )
+
+    assigned, _ = run_streaming_ivf_ingest(
+        spark, src, idx, checkpoint_dir=str(tmp_path / "ck_parked")
+    )
+    got = {r.vec_id for r in assigned.select("vec_id").collect()}
+    want = {r.vec_id for r in emb.select("vec_id").collect()}
+    assert got == want, "recovery must restore the parked index, then append"
+    # reader-grade recovery: roll-forward only, no sibling cleanup needed
+    assert os.path.exists(os.path.join(idx, "centroids.json"))
