@@ -356,6 +356,104 @@ def decontaminate(
     )
 
 
+def _bloom_probes(shingle, n_bits: int, n_hashes: int):
+    """The k probe positions of a shingle: ``xxhash64(i, shingle) mod
+    n_bits`` for i in 0..k−1 — the standard k-independent-hash bloom
+    construction, with the hash-family index as a leading xxhash64
+    input (seeding by prefix).  Returns (word_index, bit_mask) column
+    pairs against a LongType-word bitmap."""
+    out = []
+    for i in range(n_hashes):
+        pos = F.pmod(F.xxhash64(F.lit(i), shingle), F.lit(n_bits))
+        out.append(
+            (
+                F.floor(pos / F.lit(64)).cast("int"),
+                F.shiftleft(F.lit(1).cast("long"), (pos % 64).cast("int")),
+            )
+        )
+    return out
+
+
+def decontaminate_bloom(
+    train: DataFrame,
+    eval_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+    n_bits: int = 1 << 18,
+    n_hashes: int = 5,
+    tokens_col: str | None = None,
+) -> DataFrame:
+    """``decontaminate`` with a BOUNDED broadcast: the exact operator
+    ships the eval set's full distinct-shingle dictionary to every
+    executor, which is fine for benchmark-sized eval sets but not for
+    decontaminating against another large corpus (held-out shards,
+    prior training runs).  This variant compresses the eval shingles
+    into an ``n_bits`` Bloom bitmap — fixed size no matter how large
+    the eval side grows — probes every train shingle against it
+    MAP-ONLY (the bitmap rides along as one array literal; no join, no
+    shuffle of train data), and then runs the exact semi-join ONLY for
+    the bloom-positive survivors.  Blooms have no false negatives, so
+    the verify join sees every true hit; its false positives are
+    discarded by that join — the returned frame is therefore EXACTLY
+    ``decontaminate``'s output (same oracle), the bloom only prunes.
+
+    Build side: per-shingle probe words aggregate via ``bit_or`` into
+    ≤ ``n_bits/64`` (word, bits) rows — a partial-aggregatable shuffle
+    of bitmap-sized data — then one BOUNDED driver collect (≤ 32 KiB at
+    the default 2^18 bits, independent of data volume) densifies the
+    bitmap for the literal.  This is the same build/broadcast shape
+    Spark's own runtime bloom-join pruning uses.
+    """
+    ev_sh = (
+        eval_df.select(F.explode(shingles(F.col(text_col), k)).alias("shingle"))
+        .distinct()
+    )
+    probes = _bloom_probes(F.col("shingle"), n_bits, n_hashes)
+    words = (
+        ev_sh.select(
+            F.explode(
+                F.array(*[F.struct(w.alias("w"), m.alias("m")) for w, m in probes])
+            ).alias("p")
+        )
+        .groupBy(F.col("p.w").alias("w"))
+        .agg(F.bit_or("p.m").alias("bits"))
+    )
+    bitmap = [0] * (n_bits // 64)
+    for r in words.collect():  # bounded: ≤ n_bits/64 rows by construction
+        bitmap[r.w] = r.bits
+    bm = F.lit(bitmap)
+
+    tr_sh = _shingle_index(train, text_col, id_col, k, tokens_col=tokens_col).select(
+        F.col("doc").alias("doc_id"), "shingle"
+    )
+    maybe = F.lit(True)
+    for w, m in _bloom_probes(F.col("shingle"), n_bits, n_hashes):
+        maybe = maybe & (
+            F.element_at(bm, w + F.lit(1)).bitwiseAND(m) == m
+        )
+    hits = (
+        # map-only probe; survivors ≈ true hits + FP ε.  The exact verify
+        # is deliberately NOT a broadcast join — never shipping the full
+        # eval dictionary is the point of this variant — it's a shuffle
+        # semi-join whose train side the bloom already pruned to ε (AQE
+        # is free to downgrade it to a broadcast at test scale, where the
+        # eval side happens to be tiny anyway).
+        tr_sh.filter(maybe)
+        .join(ev_sh, "shingle", "left_semi")
+        .select("doc_id")
+        .distinct()
+        .withColumn("__hit", F.lit(True))
+    )
+    return (
+        train.select(F.col(id_col).alias("doc_id"))
+        .join(hits, "doc_id", "left")
+        .select(
+            "doc_id", F.coalesce(F.col("__hit"), F.lit(False)).alias("contaminated")
+        )
+    )
+
+
 def _gram_positions(
     df: DataFrame,
     text_col: str,

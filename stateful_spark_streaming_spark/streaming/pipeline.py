@@ -408,6 +408,8 @@ STAGED_SINK_COMPACTION = {
     # run_streaming_distinct_stats: <ckpt>_sketches (HLL binaries fold by
     # union; the row count is the additive half)
     "distinct_sketch": dict(keys=["event_type"], sums=("n_rows",), hlls=("sk",)),
+    # run_streaming_quality_histogram: <ckpt>_hist (bin counts are additive)
+    "quality_hist": dict(keys=["source", "bin"], sums=("n",)),
 }
 
 
@@ -1443,6 +1445,77 @@ def run_streaming_distinct_stats(
             .alias("approx_distinct"),
         )
     )
+
+
+def run_streaming_quality_histogram(
+    spark: SparkSession,
+    documents_path: str,
+    group_col: str = "source",
+    n_bins: int = 20,
+    scale: int = 10_000,
+    checkpoint_dir: str | None = None,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """Ingest-time quality-score distribution tracking — the streaming
+    twin of the ``quality_histogram`` catalog query (same oracle).
+
+    Shape: ADDITIVE PARTIAL AGGREGATES, the ``run_streaming_vocab``
+    pattern.  Each micro-batch scores its documents, bins them through
+    the scaled-integer binner (``stats.scaled_bin`` — the whole point of
+    a fixed-width histogram is that per-batch bin counts are exact and
+    sum across batches), and appends batch-stamped ``(group, bin, n)``
+    partials; the read side dedupes replays per ``(group, bin, batch)``,
+    sums, and runs the SAME ``histogram_finalize`` tail as the batch
+    operator, so streaming ≡ batch is exact row-for-row.  Staged state
+    is ≤ ``groups × n_bins`` rows per batch regardless of document
+    volume, and the log folds at any cadence via ``compact_partial_log``
+    (spec ``STAGED_SINK_COMPACTION['quality_hist']``)."""
+    from pyspark.sql import functions as F
+
+    from stateful_spark_streaming_spark.operators.stats import (
+        histogram_finalize,
+        scaled_bin,
+    )
+    from stateful_spark_streaming_spark.operators.text import quality_score
+
+    checkpoint_dir = checkpoint_dir or tempfile.mkdtemp(prefix="sss_ckpt_qhist_")
+    out_dir = checkpoint_dir + "_hist"
+    stream = _stage_parquet_stream(spark, documents_path, max_files_per_trigger)
+
+    def _sink(bdf: DataFrame, batch_id: int) -> None:
+        part = (
+            quality_score(bdf, keep_cols=(group_col,))
+            .select(group_col, scaled_bin(F.col("quality_score"), n_bins, scale).alias("bin"))
+            .filter(F.col("bin").isNotNull())
+            .groupBy(group_col, "bin")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        part.withColumn("_batch_id", F.lit(batch_id)).coalesce(1).write.mode(
+            "append"
+        ).parquet(out_dir)
+
+    q = (
+        stream.writeStream.foreachBatch(_sink)
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+
+    if not os.path.exists(out_dir):
+        staged = spark.createDataFrame(
+            [], f"{group_col} string, bin int, n bigint, _batch_id long"
+        )
+    else:
+        staged = spark.read.parquet(out_dir)
+    merged = (
+        staged.groupBy(group_col, "bin", "_batch_id")
+        .agg(F.max("n").alias("n"))  # replay dedupe: partials are deterministic
+        .groupBy(group_col, "bin")
+        .agg(F.sum("n").alias("n"))
+    )
+    return histogram_finalize(merged, n_bins, scale)
 
 
 def run_streaming_corpus_report(
