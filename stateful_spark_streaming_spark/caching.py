@@ -21,12 +21,22 @@ queries subsumes this).
 
 from __future__ import annotations
 
+import threading
 from typing import TYPE_CHECKING
 
 if TYPE_CHECKING:  # pragma: no cover
     from pyspark.sql import DataFrame
 
+#: Registry is lock-guarded so a release draining it never races a
+#: concurrent ``track_persist`` (e.g. from a foreachBatch worker thread)
+#: at the list level.  The SINGLE-RELEASER expectation still holds: one
+#: long-lived owner calls :func:`release_operator_caches` between
+#: queries; a drain concurrent with an operator still *building* a plan
+#: can unpersist a frame before it materializes, which only degrades to
+#: recompute (never corrupts), but callers should sequence releases
+#: after materialization for predictable performance.
 _TRACKED: list["DataFrame"] = []
+_TRACKED_LOCK = threading.Lock()
 
 
 def track_persist(df: "DataFrame", level=None) -> "DataFrame":
@@ -35,7 +45,8 @@ def track_persist(df: "DataFrame", level=None) -> "DataFrame":
     from pyspark import StorageLevel
 
     df = df.persist(level or StorageLevel.MEMORY_AND_DISK)
-    _TRACKED.append(df)
+    with _TRACKED_LOCK:
+        _TRACKED.append(df)
     return df
 
 
@@ -45,9 +56,10 @@ def release_operator_caches() -> int:
     unpersisting a frame mid-evaluation only degrades to recompute, it
     never corrupts results — but the intended point is after the caller
     has collected/written the query that needed the cache."""
+    with _TRACKED_LOCK:
+        drained, _TRACKED[:] = _TRACKED[:], []
     n = 0
-    while _TRACKED:
-        df = _TRACKED.pop()
+    for df in drained:
         try:
             df.unpersist()
             n += 1

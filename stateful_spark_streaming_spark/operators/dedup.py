@@ -24,7 +24,7 @@ Scale design (the 100 TB story, per operator):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from stateful_spark_streaming_spark.caching import track_persist
@@ -368,10 +368,145 @@ def _bloom_probes(shingle, n_bits: int, n_hashes: int):
         out.append(
             (
                 F.floor(pos / F.lit(64)).cast("int"),
-                F.shiftleft(F.lit(1).cast("long"), (pos % 64).cast("int")),
+                # the SQL shiftleft via call_function — the Python-API
+                # F.shiftleft requires numBits to be a literal int, but
+                # the shift here is data-dependent (pos % 64)
+                F.call_function(
+                    "shiftleft", F.lit(1).cast("long"), (pos % 64).cast("int")
+                ),
             )
         )
     return out
+
+
+def bloom_size_bits(
+    n_items: int, n_hashes: int = 5, target_fp: float = 0.01
+) -> int:
+    """Bits needed for a ``n_hashes``-hash bloom over ``n_items`` keys to
+    hit ``target_fp``, rounded up to a power of two (whole 64-bit words,
+    and pmod over a power of two keeps probe positions well-mixed).
+    Classic fill-rate algebra with k FIXED: FP = (1 − e^{−kn/m})^k ≤ p
+    ⇔ m ≥ k·n / −ln(1 − p^{1/k}).  At the defaults that is ≈ 9.9 bits
+    per eval shingle — a 10⁶-shingle eval side sizes to 2^24 bits
+    (2 MiB broadcast), still constant per-executor cost where the exact
+    dictionary would broadcast the full multi-GB shingle set."""
+    import math
+
+    if n_items <= 0:
+        return 64
+    m = n_hashes * n_items / -math.log(1.0 - target_fp ** (1.0 / n_hashes))
+    return max(64, 1 << math.ceil(math.log2(m)))
+
+
+def bloom_build(
+    keys: DataFrame, key_col: str = "shingle", n_bits: int = 1 << 18, n_hashes: int = 5
+) -> list[int]:
+    """Densified bloom bitmap (``n_bits/64`` longs) over the DISTINCT
+    values of ``keys[key_col]``.  Per-key probe words aggregate via
+    ``bit_or`` into ≤ ``n_bits/64`` (word, bits) rows — a
+    partial-aggregatable shuffle of bitmap-sized data — then one BOUNDED
+    driver collect densifies the bitmap (≤ 32 KiB at the default 2^18
+    bits, independent of key volume)."""
+    probes = _bloom_probes(F.col(key_col), n_bits, n_hashes)
+    words = (
+        keys.select(
+            F.explode(
+                F.array(*[F.struct(w.alias("w"), m.alias("m")) for w, m in probes])
+            ).alias("p")
+        )
+        .groupBy(F.col("p.w").alias("w"))
+        .agg(F.bit_or("p.m").alias("bits"))
+    )
+    bitmap = [0] * (n_bits // 64)
+    for r in words.collect():  # bounded: ≤ n_bits/64 rows by construction
+        bitmap[r.w] = r.bits
+    return bitmap
+
+
+def bloom_maybe_contains(
+    key: Column, bitmap: list[int], n_bits: int, n_hashes: int = 5
+) -> Column:
+    """Boolean column: all ``n_hashes`` probe bits of ``key`` are set in
+    ``bitmap`` — true for every member (no false negatives) and for an
+    ε of non-members (the bloom FP rate).  The bitmap rides along as one
+    array literal; the probe is MAP-ONLY.
+
+    Only suitable for SMALL bitmaps (the 2^18-bit default = 32 KiB):
+    Catalyst re-hashes/compares the array literal at every tree
+    occurrence (2 per probe hash) during analysis+optimization, so a
+    2^24-bit bitmap (10⁶-key eval side) costs minutes of PLANNING.
+    :func:`bloom_prune` picks this path vs the broadcast/Arrow path by
+    size — use it instead of calling this directly."""
+    bm = F.lit(bitmap)
+    maybe = F.lit(True)
+    for w, m in _bloom_probes(key, n_bits, n_hashes):
+        maybe = maybe & (F.element_at(bm, w + F.lit(1)).bitwiseAND(m) == m)
+    return maybe
+
+
+#: above this, the bitmap ships as a TorrentBroadcast + numpy probe
+#: instead of a Catalyst literal (see bloom_maybe_contains docstring)
+_BLOOM_LITERAL_MAX_BITS = 1 << 18
+
+
+def bloom_prune(
+    df: DataFrame,
+    key_col: str,
+    bitmap: list[int],
+    n_bits: int,
+    n_hashes: int = 5,
+) -> DataFrame:
+    """Rows of ``df`` whose ``key_col`` MAY be in the bloom (all members
+    survive — no false negatives — plus ε false positives).  Map-only
+    either way; the bitmap transport is chosen by size:
+
+    - ≤ 2^18 bits: inline array literal, probed JVM-side
+      (:func:`bloom_maybe_contains`) — zero Python in the hot path.
+    - larger: the bitmap broadcasts ONCE per executor (``sc.broadcast``
+      of a numpy uint64 array) and an Arrow-batched pandas UDF checks
+      all ``n_hashes`` bits vectorized per batch.  Probe POSITIONS are
+      still computed JVM-side with the same ``xxhash64(i, key)`` family
+      as :func:`bloom_build`, so build and probe can never drift.  This
+      is the path for decontaminating against a LARGE held-out corpus
+      (10⁶ shingles ⇒ 2^24 bits = 2 MiB — fine as a broadcast, fatal as
+      a plan literal)."""
+    if n_bits <= _BLOOM_LITERAL_MAX_BITS:
+        return df.filter(
+            bloom_maybe_contains(F.col(key_col), bitmap, n_bits, n_hashes)
+        )
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    words_b = df.sparkSession.sparkContext.broadcast(
+        np.array(bitmap, dtype=np.int64).view(np.uint64)
+    )
+
+    def _probe_fn(pos):
+        w = words_b.value
+        if not len(pos):
+            return pd.Series([], dtype=bool)
+        # each element is the row's n_hashes probe positions (Arrow list →
+        # np.ndarray); one (batch × n_hashes) int matrix, probed in 3
+        # vectorized ops
+        arr = np.array(pos.tolist(), dtype=np.int64).view(np.uint64)
+        hits = ((w[arr >> np.uint64(6)] >> (arr & np.uint64(63))) & np.uint64(1)).astype(bool)
+        return pd.Series(hits.all(axis=1))
+
+    # real annotation objects (not strings): this module's
+    # `from __future__ import annotations` + function-local pandas import
+    # would leave inline hints unresolvable for pandas_udf's inference
+    _probe_fn.__annotations__ = {"pos": pd.Series, "return": pd.Series}
+    _probe = pandas_udf(_probe_fn, "boolean")
+
+    pos_col = F.array(
+        *[
+            F.pmod(F.xxhash64(F.lit(i), F.col(key_col)), F.lit(n_bits))
+            for i in range(n_hashes)
+        ]
+    )
+    return df.filter(_probe(pos_col))
 
 
 def decontaminate_bloom(
@@ -409,29 +544,11 @@ def decontaminate_bloom(
         eval_df.select(F.explode(shingles(F.col(text_col), k)).alias("shingle"))
         .distinct()
     )
-    probes = _bloom_probes(F.col("shingle"), n_bits, n_hashes)
-    words = (
-        ev_sh.select(
-            F.explode(
-                F.array(*[F.struct(w.alias("w"), m.alias("m")) for w, m in probes])
-            ).alias("p")
-        )
-        .groupBy(F.col("p.w").alias("w"))
-        .agg(F.bit_or("p.m").alias("bits"))
-    )
-    bitmap = [0] * (n_bits // 64)
-    for r in words.collect():  # bounded: ≤ n_bits/64 rows by construction
-        bitmap[r.w] = r.bits
-    bm = F.lit(bitmap)
+    bitmap = bloom_build(ev_sh, "shingle", n_bits, n_hashes)
 
     tr_sh = _shingle_index(train, text_col, id_col, k, tokens_col=tokens_col).select(
         F.col("doc").alias("doc_id"), "shingle"
     )
-    maybe = F.lit(True)
-    for w, m in _bloom_probes(F.col("shingle"), n_bits, n_hashes):
-        maybe = maybe & (
-            F.element_at(bm, w + F.lit(1)).bitwiseAND(m) == m
-        )
     hits = (
         # map-only probe; survivors ≈ true hits + FP ε.  The exact verify
         # is deliberately NOT a broadcast join — never shipping the full
@@ -439,7 +556,7 @@ def decontaminate_bloom(
         # semi-join whose train side the bloom already pruned to ε (AQE
         # is free to downgrade it to a broadcast at test scale, where the
         # eval side happens to be tiny anyway).
-        tr_sh.filter(maybe)
+        bloom_prune(tr_sh, "shingle", bitmap, n_bits, n_hashes)
         .join(ev_sh, "shingle", "left_semi")
         .select("doc_id")
         .distinct()

@@ -38,10 +38,13 @@ def scaled_bin(value: Column, n_bins: int, scale: int = 10_000) -> Column:
     ``1/scale``, ~11 orders of magnitude above double ulp at these
     magnitudes, so it can never straddle an integer boundary."""
     bp = F.round(value * scale, 0).cast("long")
-    return (
-        F.least(F.floor(bp * n_bins / F.lit(scale)), F.lit(n_bins - 1))
-        .cast("int")
-    )
+    # guard the cap explicitly: F.least SKIPS nulls (least(NULL, 19) = 19),
+    # so without the when() a NULL value would land in the last bin
+    # instead of propagating
+    return F.when(
+        bp.isNotNull(),
+        F.least(F.floor(bp * n_bins / F.lit(scale)), F.lit(n_bins - 1)),
+    ).cast("int")
 
 
 def histogram_finalize(
@@ -50,9 +53,17 @@ def histogram_finalize(
     """Attach bin-edge columns to a ``(..., bin, n)`` counts frame — the
     shared tail of the batch operator and the streaming merge-on-read
     (same column set ⇒ the twins share one oracle).  ``bin_lo_bp`` is
-    the integer ground truth; ``bin_lo`` is its derived double."""
-    width_bp = scale // n_bins
-    lo_bp = F.col("bin") * width_bp
+    the integer ground truth; ``bin_lo`` is its derived double.
+
+    The true lower edge of bin ``b`` under ``scaled_bin``'s
+    ``bp * n_bins // scale`` rule is the smallest bp with that quotient,
+    i.e. ``ceil(b * scale / n_bins)`` — computed in integers as
+    ``(b * scale + n_bins - 1) div n_bins`` so edges stay exact when
+    ``n_bins`` does not divide ``scale`` (3 bins over 10000 bp: bin 2
+    starts at 6667, not truncation's 6666)."""
+    lo_bp = F.floor(
+        (F.col("bin") * F.lit(scale) + F.lit(n_bins - 1)) / F.lit(n_bins)
+    )
     return counts.select(
         *[c for c in counts.columns if c not in ("bin", "n")],
         "bin",

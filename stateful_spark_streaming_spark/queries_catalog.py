@@ -1954,9 +1954,12 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return DD.simhash_near_pairs(_t(spark, sf_dir, "documents"), max_hamming=3)
 
 
-@query(
-    "decontaminate",
-    oracle=f"""
+#: ONE source-level definition of the decontamination oracle — the exact
+#: operator and the bloom-pruned variant share it (the bloom has no false
+#: negatives and its false positives die in the exact verify join, so its
+#: output is defined to be row-for-row identical; dedup.py
+#: decontaminate_bloom docstring).
+_DECON_ORACLE = f"""
     WITH toks AS (SELECT doc_id, {_TOKS_SQL} AS t FROM documents),
     g AS (SELECT doc_id,
                  CASE WHEN len(t) >= 5
@@ -1972,8 +1975,10 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             JOIN ev USING (shingle))
     SELECT tr.doc_id, (hit.doc_id IS NOT NULL) AS contaminated
     FROM tr LEFT JOIN hit ON tr.doc_id = hit.doc_id
-    """,
-)
+    """
+
+
+@query("decontaminate", oracle=_DECON_ORACLE)
 def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination: training docs sharing any 5-token shingle
     with the (synthetic) eval slice are flagged (5 is the small-vocab
@@ -1985,6 +1990,19 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     eval_df = docs.filter(F.col("doc_id") % 97 == 0)
     train = docs.filter(F.col("doc_id") % 97 != 0)
     return DD.decontaminate(train, eval_df, k=5)
+
+
+@query("decontaminate_bloom", oracle=_DECON_ORACLE)
+def q_decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """decontaminate with the eval side compressed into a fixed 32 KiB
+    Bloom bitmap instead of a broadcast shingle dictionary — the shape
+    for decontaminating against a LARGE held-out corpus.  Bloom FPs die
+    in the exact verify semi-join (no false negatives), so the output —
+    and the oracle — is exactly decontaminate's."""
+    docs = _t(spark, sf_dir, "documents")
+    eval_df = docs.filter(F.col("doc_id") % 97 == 0)
+    train = docs.filter(F.col("doc_id") % 97 != 0)
+    return DD.decontaminate_bloom(train, eval_df, k=5)
 
 
 @query(
@@ -3011,6 +3029,123 @@ def q_streaming_corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Per-doc quality score as one SQL CTE chain — lifted verbatim from the
+#: quality_score oracle so the histogram family binning sits on the exact
+#: same double in both engines.
+_SCORED_Q_CTES = f"""
+    WITH base AS (
+      SELECT doc_id, source,
+             {_TOKS_SQL} AS toks,
+             CAST(length(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g')) AS INT) AS n_punct,
+             CAST(length(text) AS INT) AS n_char
+      FROM documents),
+     scored AS (
+      SELECT source,
+             round(least(len(toks) / 64.0, 1.0) * 0.4
+                 + (1.0 - least(n_punct / CAST(greatest(n_char, 1) AS DOUBLE), 1.0)) * 0.2
+                 + least(len(list_intersect(list_distinct(toks),
+                       ['the','and','of','to','in','is','that','for'])) / 4.0, 1.0) * 0.2
+                 + round(len(list_distinct(toks))
+                         / CAST(greatest(len(toks), 1) AS DOUBLE), 4) * 0.2,
+                 4) AS q
+      FROM base),
+     hist AS (
+      SELECT source,
+             least(CAST((CAST(round(q * 10000) AS BIGINT) * 20) // 10000 AS INT), 19) AS bin,
+             CAST(count(*) AS BIGINT) AS n
+      FROM scored WHERE q IS NOT NULL
+      GROUP BY source, bin)
+"""
+
+#: ONE source-level definition of the quality-histogram oracle — the
+#: batch operator and the streaming-ingest twin share it.  Binning and
+#: edges mirror stats.scaled_bin / stats.histogram_finalize in pure
+#: integer arithmetic: bp = round(q·10⁴); bin = bp·n_bins div 10⁴ capped
+#: at n_bins−1; lower edge = ceil(bin·10⁴ / n_bins).
+_QUALITY_HIST_ORACLE = (
+    _SCORED_Q_CTES
+    + """
+    SELECT source, bin,
+           CAST((bin * 10000 + 19) // 20 AS INT) AS bin_lo_bp,
+           ((bin * 10000 + 19) // 20) / 10000.0 AS bin_lo,
+           n
+    FROM hist
+    """
+)
+
+
+@query("quality_histogram", oracle=_QUALITY_HIST_ORACLE)
+def q_quality_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source quality-score distribution as an exact fixed-width
+    histogram (20 bins over [0,1], scaled-integer binning — the
+    mergeable, cross-engine-deterministic replacement for exact
+    percentiles at corpus scale; see operators/stats.py module doc).
+    Partial-aggregatable: the shuffle carries ≤ sources×20 rows per task
+    regardless of document volume."""
+    from stateful_spark_streaming_spark.operators import stats as ST
+
+    scored = TXT.quality_score(
+        _t(spark, sf_dir, "documents"), keep_cols=("source",)
+    )
+    return ST.fixed_width_histogram(
+        scored, F.col("quality_score"), ("source",), n_bins=20
+    )
+
+
+@query("streaming_quality_histogram", oracle=_QUALITY_HIST_ORACLE)
+def q_streaming_quality_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-distribution tracking at INGEST — streaming twin of
+    quality_histogram (same oracle): per-batch exact bin counts append as
+    batch-stamped additive partials; the read side dedupes replays, sums,
+    and runs the same histogram_finalize tail."""
+    import os as _os
+
+    from stateful_spark_streaming_spark.streaming.pipeline import (
+        run_streaming_quality_histogram,
+    )
+
+    return run_streaming_quality_histogram(
+        spark, _os.path.join(sf_dir, "documents.parquet")
+    )
+
+
+@query(
+    "quality_quantiles",
+    oracle=_SCORED_Q_CTES
+    + """,
+     cum AS (
+      SELECT source, bin,
+             CAST((bin * 10000 + 19) // 20 AS INT) AS bin_lo_bp,
+             sum(n) OVER (PARTITION BY source ORDER BY bin) AS cum,
+             sum(n) OVER (PARTITION BY source) AS total
+      FROM hist)
+    SELECT source,
+           CAST(max(total) AS BIGINT) AS total,
+           min(CASE WHEN cum >= (total * 2500 + 9999) // 10000 THEN bin_lo_bp END) / 10000.0 AS p25,
+           min(CASE WHEN cum >= (total * 5000 + 9999) // 10000 THEN bin_lo_bp END) / 10000.0 AS p50,
+           min(CASE WHEN cum >= (total * 7500 + 9999) // 10000 THEN bin_lo_bp END) / 10000.0 AS p75,
+           min(CASE WHEN cum >= (total * 9500 + 9999) // 10000 THEN bin_lo_bp END) / 10000.0 AS p95
+    FROM cum GROUP BY source
+    """,
+)
+def q_quality_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source quality quantiles (p25/p50/p75/p95) answered FROM the
+    histogram with integer-rank arithmetic — the scale-safe shape of
+    value_percentiles' exact-percentile answer: no global sort, the only
+    window runs over ≤ n_bins aggregated rows per group, and resolution
+    (one bin width) is stated up front instead of a sketch's
+    data-dependent error."""
+    from stateful_spark_streaming_spark.operators import stats as ST
+
+    scored = TXT.quality_score(
+        _t(spark, sf_dir, "documents"), keep_cols=("source",)
+    )
+    hist = ST.fixed_width_histogram(
+        scored, F.col("quality_score"), ("source",), n_bins=20
+    )
+    return ST.histogram_quantiles(hist, ("source",))
+
+
 #: ONE source-level definition of the dup-span oracle — the batch and
 #: streaming-ingest twins share it (code side shares dup_spans_from_index)
 _DUP_SPANS_ORACLE = f"""
@@ -3162,31 +3297,52 @@ def q_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # produces, so it follows it immediately.
 # --------------------------------------------------------------------------
 _CHEAP_FIRST = [
-    # --- round-6 rotation (the gate records the FIRST 50 entries).
-    # Front: (a) the 6 queries whose newest driver row is r3 — VERDICT r5
-    # "what's missing" #2: three rounds of window pressure is the limit;
+    # --- round-8 rotation (the gate records the FIRST 50 entries).
+    # Front: (a) the 7 queries whose newest driver row is r4 — VERDICT r7
+    # "next round" #2, exactly tools/window_audit.py's stale set.  One
+    # hard constraint kept: state_store_snapshot reads the checkpoint
+    # streaming_track_snapshot produces, so it follows it immediately;
+    "cosine_near_pairs_lsh", "streaming_session_windows_append",
+    "streaming_dedup_minhash", "streaming_ivf_topk",
+    "streaming_track_snapshot", "state_store_snapshot",
+    "streaming_event_pairs",
+    # (b) the NEW round-8 entries: the quality-histogram family (the
+    # round-7 orphans wired in — VERDICT r7 #1/#3) and the bloom
+    # decontamination variant sharing decontaminate's oracle;
+    "quality_histogram", "quality_quantiles",
+    "streaming_quality_histogram", "decontaminate_bloom",
+    # (c) backfill: 39 of the 47 queries whose newest green row is r5,
+    # cheapest first (BENCH sf0.1 warm — hedge against a secondary
+    # wall-clock cap).  The 8 most expensive r5-row entries
+    # (value_percentiles, multimodal_features, gopher_quality_filter,
+    # vocab_topk, corpus_report, streaming_vocab_topk, training_pipeline,
+    # training_pipeline_full) stay on their valid r5 rows and LEAD the
+    # r9 window — code + oracles unchanged since r5.
+    "customers_without_recent_orders", "forecast_revenue",
+    "geometry_construct_null", "hash_split", "sample_n_per_group",
+    "token_stats", "embedding_norm_stats", "label_centroids",
+    "order_stats_conditional", "shuffle_shard", "dedup_exact",
+    "fingerprint", "web_mercator_projection", "web_mercator_roundtrip",
+    "track_last_n", "pack_sequences", "profile_columns",
+    "monthly_running_revenue", "revenue_cube", "events_json_extract",
+    "sliding_window_counts", "track_oldest", "bucket_rollup",
+    "track_dedup", "tumbling_window_counts", "event_type_pivot",
+    "pricing_summary", "priority_top_orders", "track_counts",
+    "track_latest", "track_neighbors", "chunk_documents", "language_id",
+    "returns_rollup", "quality_score", "redact_pii", "sq8_encode",
+    "track_snapshot", "segment_set_ops",
+    # --- past the 50-entry gate window: first the 8 deferred r5-row
+    # entries (they lead the r9 rotation), then the r7-window entries on
+    # their fresh r7 rows ---
+    "value_percentiles", "multimodal_features", "gopher_quality_filter",
+    "vocab_topk", "corpus_report", "streaming_vocab_topk",
+    "training_pipeline", "training_pipeline_full",
     "session_windows", "pack_sequences_emit", "event_pairs_within_10min",
     "approx_distinct_stats", "monthly_revenue", "token_budget_mix",
-    # (b) the span-dedup family, whose tail was redesigned this round
-    # (skew-proof aggregate+semi-join — fresh rows required per VERDICT
-    # "done =" criteria);
     "dup_ngram_spans", "remove_dup_spans", "streaming_dup_spans",
-    # (c) the NEW round-6 streaming LM entries;
     "streaming_unigram_logprob", "streaming_bigram_logprob",
-    # (d) queries whose code path was refactored this round (LM scoring
-    # tails extracted; corpus-report id normalization):
     "unigram_logprob", "bigram_logprob", "streaming_corpus_report",
-    # (e) the NEW mergeable-sketch pair (rows-only: sketch estimators
-    # have no cross-engine oracle; streaming ≡ batch pytested as EXACT):
     "distinct_sketch_stats", "streaming_distinct_stats",
-    # --- backfill: 36 queries whose newest green row is r4 or older
-    # (priority_top_orders_salted sat past the r5 window, so its newest
-    # row may be r3 — in-window here either way), cheapest first (BENCH
-    # sf0.01 warm — hedge against a secondary wall-clock cap).  Left on
-    # their valid r4 rows (code + oracles unchanged since):
-    # streaming_dedup_minhash, streaming_ivf_topk, streaming_track_snapshot,
-    # state_store_snapshot, streaming_event_pairs — the 5 most expensive
-    # unchanged entries.
     "track_range", "part_text_functions", "stratified_sample",
     "fuzzy_part_match", "customer_value_distribution",
     "priority_top_orders_salted", "repetition_stats",
@@ -3200,32 +3356,6 @@ _CHEAP_FIRST = [
     "streaming_tumbling_counts", "streaming_decontaminate",
     "streaming_dedup_events", "streaming_session_windows",
     "streaming_sliding_counts", "streaming_enriched_counts",
-    # --- past the 50-entry gate window: cosine_near_pairs_lsh and
-    # streaming_session_windows_append (evicted for the two new sketch
-    # entries — they join the r4-row group, code + oracles unchanged),
-    # then the round-5 window (valid r5 rows) and the 5 expensive
-    # unchanged entries; registration order except the one hard
-    # constraint — state_store_snapshot reads the checkpoint
-    # streaming_track_snapshot produces, so it follows it immediately ---
-    "cosine_near_pairs_lsh", "streaming_session_windows_append",
-    "vocab_topk", "streaming_vocab_topk", "sq8_encode", "corpus_report",
-    "multimodal_features", "training_pipeline_full", "training_pipeline",
-    "gopher_quality_filter", "hash_split", "shuffle_shard",
-    "sample_n_per_group", "forecast_revenue", "geometry_construct_null",
-    "label_centroids", "token_stats", "embedding_norm_stats",
-    "dedup_exact", "web_mercator_roundtrip", "fingerprint",
-    "order_stats_conditional", "web_mercator_projection",
-    "tumbling_window_counts", "revenue_cube", "monthly_running_revenue",
-    "customers_without_recent_orders", "profile_columns",
-    "sliding_window_counts", "pack_sequences", "track_latest",
-    "event_type_pivot", "track_last_n", "bucket_rollup", "returns_rollup",
-    "pricing_summary", "track_dedup", "track_oldest",
-    "events_json_extract", "chunk_documents", "priority_top_orders",
-    "quality_score", "track_neighbors", "redact_pii", "language_id",
-    "track_counts", "track_snapshot", "segment_set_ops",
-    "value_percentiles", "streaming_dedup_minhash", "streaming_ivf_topk",
-    "streaming_track_snapshot", "state_store_snapshot",
-    "streaming_event_pairs",
 ]
 
 

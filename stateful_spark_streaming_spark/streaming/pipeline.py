@@ -408,9 +408,21 @@ STAGED_SINK_COMPACTION = {
     # run_streaming_distinct_stats: <ckpt>_sketches (HLL binaries fold by
     # union; the row count is the additive half)
     "distinct_sketch": dict(keys=["event_type"], sums=("n_rows",), hlls=("sk",)),
-    # run_streaming_quality_histogram: <ckpt>_hist (bin counts are additive)
+    # run_streaming_quality_histogram: <ckpt>_hist (bin counts are
+    # additive).  NOTE: this spec assumes the DEFAULT group_col="source";
+    # a log written with a different group column must compact with
+    # quality_hist_compaction_spec(group_col) instead — compacting it
+    # under this spec would group on a nonexistent (or wrong) column.
     "quality_hist": dict(keys=["source", "bin"], sums=("n",)),
 }
+
+
+def quality_hist_compaction_spec(group_col: str = "source") -> dict:
+    """Compaction spec for a ``run_streaming_quality_histogram`` staged
+    log written with a non-default ``group_col`` (the static
+    ``STAGED_SINK_COMPACTION['quality_hist']`` entry hardcodes the
+    default)."""
+    return dict(keys=[group_col, "bin"], sums=("n",))
 
 
 @dataclass

@@ -203,6 +203,24 @@ CHECKS = {
     # streaming sketch READ side: replay dedupe + keyed union aggregate
     # over key-cardinality staged partials — no join anywhere
     "streaming_distinct_stats": ([], ["Join", "CartesianProduct"], 2),
+    # fixed-width histogram: scan prunes to (text, source), the score stays
+    # in codegen, ONE summary-sized exchange (map-side combine collapses
+    # each task to ≤ groups×n_bins rows), no join
+    "quality_histogram": (["ReadSchema: struct<text:string,source:string>"],
+                          ["Join", "CartesianProduct"], 1),
+    # histogram quantiles: the only window runs over the AGGREGATED
+    # histogram (≤ n_bins rows per group) — hist exchange + the
+    # source-keyed window/final-agg exchanges, never a join
+    "quality_quantiles": (["ReadSchema: struct<text:string,source:string>"],
+                          ["Join", "CartesianProduct"], 3),
+    # streaming histogram READ side: replay-dedupe aggregate + sum over
+    # the bin-cardinality staged partials — no join anywhere
+    "streaming_quality_histogram": ([], ["Join", "CartesianProduct"], 2),
+    # bloom decontamination: the bitmap probe is MAP-ONLY (bitmap built
+    # eagerly, not in this plan); the verify semi-join + id ride-through
+    # are equi-joins (AQE free to broadcast) — never a pair product
+    "decontaminate_bloom": ([], ["CartesianProduct",
+                                 "BroadcastNestedLoopJoin"], None),
 }
 
 #: upper bound on `Scan parquet` occurrences — "the signature subplan is
