@@ -431,22 +431,43 @@ def bloom_maybe_contains(
     ε of non-members (the bloom FP rate).  The bitmap rides along as one
     array literal; the probe is MAP-ONLY.
 
-    Only suitable for SMALL bitmaps (the 2^18-bit default = 32 KiB):
-    Catalyst re-hashes/compares the array literal at every tree
-    occurrence (2 per probe hash) during analysis+optimization, so a
-    2^24-bit bitmap (10⁶-key eval side) costs minutes of PLANNING.
-    :func:`bloom_prune` picks this path vs the broadcast/Arrow path by
-    size — use it instead of calling this directly."""
+    OPT-IN slow path, kept for zero-Python-dependency probing and as
+    the independent reference the Arrow path is pytested against.  Two
+    measured costs make it lose to :func:`bloom_prune`'s broadcast+
+    Arrow probe at every size: Catalyst re-hashes array literals during
+    analysis (a 2^24-bit bitmap costs minutes of PLANNING), and the
+    higher-order ``forall`` probe is interpreted per row (2.7 s vs
+    0.75 s at sf0.1 with the 32 KiB default).  Use :func:`bloom_prune`.
+
+    The probe is a higher-order ``forall`` over the position array so
+    the bitmap literal occurs EXACTLY ONCE in the expression tree — the
+    unrolled ``element_at(bm, ...) & mask`` conjunction embedded it
+    2×n_hashes times, which multiplied the analyzer's literal-hashing
+    cost by 10 at the default settings."""
     bm = F.lit(bitmap)
-    maybe = F.lit(True)
-    for w, m in _bloom_probes(key, n_bits, n_hashes):
-        maybe = maybe & (F.element_at(bm, w + F.lit(1)).bitwiseAND(m) == m)
-    return maybe
+    pos = F.array(
+        *[
+            F.pmod(F.xxhash64(F.lit(i), key), F.lit(n_bits))
+            for i in range(n_hashes)
+        ]
+    )
+    one = F.lit(1).cast("long")
+    zero = F.lit(0).cast("long")
+    return F.forall(
+        pos,
+        lambda p: F.element_at(bm, F.floor(p / F.lit(64)).cast("int") + F.lit(1))
+        .bitwiseAND(F.call_function("shiftleft", one, (p % 64).cast("int")))
+        != zero,
+    )
 
 
-#: above this, the bitmap ships as a TorrentBroadcast + numpy probe
-#: instead of a Catalyst literal (see bloom_maybe_contains docstring)
-_BLOOM_LITERAL_MAX_BITS = 1 << 18
+#: bitmaps at most this size may probe via the Catalyst-literal path;
+#: 0 = always broadcast+Arrow.  Measured at sf0.1 (248k probe keys,
+#: 2^18-bit bitmap): literal+forall 2.7 s vs broadcast+Arrow 0.75 s —
+#: the interpreted higher-order probe loses to the vectorized numpy
+#: probe even at the smallest useful bitmap, so the literal path is
+#: opt-in only (call bloom_maybe_contains directly).
+_BLOOM_LITERAL_MAX_BITS = 0
 
 
 def bloom_prune(
@@ -457,19 +478,15 @@ def bloom_prune(
     n_hashes: int = 5,
 ) -> DataFrame:
     """Rows of ``df`` whose ``key_col`` MAY be in the bloom (all members
-    survive — no false negatives — plus ε false positives).  Map-only
-    either way; the bitmap transport is chosen by size:
-
-    - ≤ 2^18 bits: inline array literal, probed JVM-side
-      (:func:`bloom_maybe_contains`) — zero Python in the hot path.
-    - larger: the bitmap broadcasts ONCE per executor (``sc.broadcast``
-      of a numpy uint64 array) and an Arrow-batched pandas UDF checks
-      all ``n_hashes`` bits vectorized per batch.  Probe POSITIONS are
-      still computed JVM-side with the same ``xxhash64(i, key)`` family
-      as :func:`bloom_build`, so build and probe can never drift.  This
-      is the path for decontaminating against a LARGE held-out corpus
-      (10⁶ shingles ⇒ 2^24 bits = 2 MiB — fine as a broadcast, fatal as
-      a plan literal)."""
+    survive — no false negatives — plus ε false positives).  Map-only:
+    the bitmap broadcasts ONCE per executor (``sc.broadcast`` of a
+    numpy uint64 array) and an Arrow-batched pandas UDF checks all
+    ``n_hashes`` bits vectorized per batch.  Probe POSITIONS are
+    computed JVM-side with the same ``xxhash64(i, key)`` family as
+    :func:`bloom_build`, so build and probe can never drift.  Scales to
+    any bitmap size (10⁶ shingles ⇒ 2^24 bits = 2 MiB — fine as a
+    broadcast, fatal as a plan literal), and is ALSO the fast path at
+    the 32 KiB default (see _BLOOM_LITERAL_MAX_BITS)."""
     if n_bits <= _BLOOM_LITERAL_MAX_BITS:
         return df.filter(
             bloom_maybe_contains(F.col(key_col), bitmap, n_bits, n_hashes)

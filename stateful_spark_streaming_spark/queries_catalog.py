@@ -3146,6 +3146,27 @@ def q_quality_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ST.histogram_quantiles(hist, ("source",))
 
 
+@query("streaming_quality_quantiles", oracle=ORACLES["quality_quantiles"])
+def q_streaming_quality_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingest-time quantile tracking — streaming twin of quality_quantiles
+    (same oracle): the mergeable histogram is the ONLY state the stream
+    maintains (additive bin-count partials), and the quantiles derive on
+    read by running the same histogram_quantiles tail over the merged
+    log.  This is the whole point of the histogram family: exact
+    percentiles don't compose across micro-batches, exact bin counts do."""
+    import os as _os
+
+    from stateful_spark_streaming_spark.operators import stats as ST
+    from stateful_spark_streaming_spark.streaming.pipeline import (
+        run_streaming_quality_histogram,
+    )
+
+    hist = run_streaming_quality_histogram(
+        spark, _os.path.join(sf_dir, "documents.parquet")
+    )
+    return ST.histogram_quantiles(hist, ("source",))
+
+
 #: ONE source-level definition of the dup-span oracle — the batch and
 #: streaming-ingest twins share it (code side shares dup_spans_from_index)
 _DUP_SPANS_ORACLE = f"""
@@ -3307,17 +3328,20 @@ _CHEAP_FIRST = [
     "streaming_track_snapshot", "state_store_snapshot",
     "streaming_event_pairs",
     # (b) the NEW round-8 entries: the quality-histogram family (the
-    # round-7 orphans wired in — VERDICT r7 #1/#3) and the bloom
-    # decontamination variant sharing decontaminate's oracle;
+    # round-7 orphans wired in — VERDICT r7 #1/#3), its streaming
+    # quantile twin, and the bloom decontamination variant sharing
+    # decontaminate's oracle;
     "quality_histogram", "quality_quantiles",
-    "streaming_quality_histogram", "decontaminate_bloom",
-    # (c) backfill: 39 of the 47 queries whose newest green row is r5,
+    "streaming_quality_histogram", "streaming_quality_quantiles",
+    "decontaminate_bloom",
+    # (c) backfill: 38 of the 47 queries whose newest green row is r5,
     # cheapest first (BENCH sf0.1 warm — hedge against a secondary
-    # wall-clock cap).  The 8 most expensive r5-row entries
-    # (value_percentiles, multimodal_features, gopher_quality_filter,
-    # vocab_topk, corpus_report, streaming_vocab_topk, training_pipeline,
-    # training_pipeline_full) stay on their valid r5 rows and LEAD the
-    # r9 window — code + oracles unchanged since r5.
+    # wall-clock cap).  The 9 most expensive r5-row entries
+    # (segment_set_ops, value_percentiles, multimodal_features,
+    # gopher_quality_filter, vocab_topk, corpus_report,
+    # streaming_vocab_topk, training_pipeline, training_pipeline_full)
+    # stay on their valid r5 rows and LEAD the r9 window — code +
+    # oracles unchanged since r5.
     "customers_without_recent_orders", "forecast_revenue",
     "geometry_construct_null", "hash_split", "sample_n_per_group",
     "token_stats", "embedding_norm_stats", "label_centroids",
@@ -3330,10 +3354,11 @@ _CHEAP_FIRST = [
     "pricing_summary", "priority_top_orders", "track_counts",
     "track_latest", "track_neighbors", "chunk_documents", "language_id",
     "returns_rollup", "quality_score", "redact_pii", "sq8_encode",
-    "track_snapshot", "segment_set_ops",
-    # --- past the 50-entry gate window: first the 8 deferred r5-row
+    "track_snapshot",
+    # --- past the 50-entry gate window: first the 9 deferred r5-row
     # entries (they lead the r9 rotation), then the r7-window entries on
     # their fresh r7 rows ---
+    "segment_set_ops",
     "value_percentiles", "multimodal_features", "gopher_quality_filter",
     "vocab_topk", "corpus_report", "streaming_vocab_topk",
     "training_pipeline", "training_pipeline_full",

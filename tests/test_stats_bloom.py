@@ -308,18 +308,11 @@ def test_bloom_probe_paths_agree(spark):
             bloom_maybe_contains(F.col("shingle"), bitmap, n_bits, 3)
         ).collect()
     )
-    # force the Arrow path by probing through bloom_prune's UDF branch
-    import stateful_spark_streaming_spark.operators.dedup as DDmod
-
-    old = DDmod._BLOOM_LITERAL_MAX_BITS
-    DDmod._BLOOM_LITERAL_MAX_BITS = 0
-    try:
-        arrow_side = set(
-            r.shingle
-            for r in bloom_prune(probe, "shingle", bitmap, n_bits, 3).collect()
-        )
-    finally:
-        DDmod._BLOOM_LITERAL_MAX_BITS = old
+    # bloom_prune's default IS the Arrow path (_BLOOM_LITERAL_MAX_BITS=0)
+    arrow_side = set(
+        r.shingle
+        for r in bloom_prune(probe, "shingle", bitmap, n_bits, 3).collect()
+    )
     assert lit_side == arrow_side
     assert len(lit_side) >= 300  # all members + whatever FPs
 

@@ -216,6 +216,9 @@ CHECKS = {
     # streaming histogram READ side: replay-dedupe aggregate + sum over
     # the bin-cardinality staged partials — no join anywhere
     "streaming_quality_histogram": ([], ["Join", "CartesianProduct"], 2),
+    # streaming quantiles: the same staged-log merge + the bin-bounded
+    # quantile window/agg — still no join
+    "streaming_quality_quantiles": ([], ["Join", "CartesianProduct"], 4),
     # bloom decontamination: the bitmap probe is MAP-ONLY (bitmap built
     # eagerly, not in this plan); the verify semi-join + id ride-through
     # are equi-joins (AQE free to broadcast) — never a pair product
