@@ -1,0 +1,181 @@
+"""CDC merge/upsert — the MERGE INTO shape for incremental table and
+corpus maintenance, plus snapshot diffing.
+
+A 100 TB training corpus is not rebuilt per refresh; it is MAINTAINED:
+a change feed (new crawls, re-scored documents, takedown deletions)
+merges into the standing table.  The logical plan every lakehouse MERGE
+lowers to is exactly expressible in DataFrame algebra, and that is what
+these operators are:
+
+- within the change set, LATEST-WINS per key via one
+  ``max(struct(seq, ...))`` aggregate — partial-aggregatable, so the
+  map-side combine collapses each task's changes before the single
+  key shuffle (never a window over the key: AQE cannot skew-split
+  window partitions);
+- untouched base rows ride through a LEFT ANTI join on the key (AQE
+  broadcasts the key side when the change set is small — the common
+  case: daily changes ≪ standing corpus);
+- the union of survivors and applied upserts is the new table.
+
+The incremental form (:func:`merge_apply_batch`) adds the two things a
+STREAM of change batches needs: a per-row sequence watermark kept IN
+the table (``seq_col``), so replaying an already-applied batch is a
+no-op (change applies only when ``change.seq > base.seq``), and
+tombstones (``tombstone_col``) so a delete leaves a seq-bearing marker
+— without it, a replayed pre-delete upsert would resurrect the row.
+Reference parity: this generalizes the reference's keyed first-arrival
+state semantics (MapWithStateRDD in StreamWithStates.scala) from
+per-key memory state to a durable table.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def latest_changes(
+    changes: DataFrame,
+    key_cols: tuple[str, ...],
+    seq_col: str = "seq",
+) -> DataFrame:
+    """Collapse a change set to one row per key — the row with the
+    highest ``seq_col`` (ties broken deterministically by the remaining
+    columns' field-order struct comparison; give batches unique seqs).
+    Shape: ONE partial-aggregatable max(struct) — no window, no join."""
+    keys = list(key_cols)
+    rest = [c for c in changes.columns if c not in keys]
+    packed = changes.groupBy(*keys).agg(
+        F.max(F.struct(*[F.col(seq_col)] + [F.col(c) for c in rest if c != seq_col])).alias("__c")
+    )
+    ordered = [seq_col] + [c for c in rest if c != seq_col]
+    return packed.select(
+        *keys, *[F.col(f"__c.{c}").alias(c) for c in ordered]
+    )
+
+
+def merge_upsert(
+    base: DataFrame,
+    changes: DataFrame,
+    key_cols: tuple[str, ...],
+    seq_col: str = "seq",
+    op_col: str = "op",
+    delete_op: str = "D",
+) -> DataFrame:
+    """One-shot MERGE INTO: apply a change set (rows carry the full new
+    row image plus ``seq_col`` and ``op_col``) to ``base``.  Returns the
+    merged table with ``base``'s exact schema: untouched rows + the
+    latest non-delete image per changed key; keys whose latest change is
+    a delete disappear.
+
+    Single-shot semantics need no tombstones or seq watermark in the
+    output — all changes are visible at once, so latest-wins within the
+    set is total.  For an incremental stream of batches use
+    :func:`merge_apply_batch`."""
+    keys = list(key_cols)
+    latest = latest_changes(changes, key_cols, seq_col)
+    untouched = base.join(latest.select(*keys), keys, "left_anti")
+    upserts = latest.filter(F.col(op_col) != delete_op).select(*base.columns)
+    return untouched.unionByName(upserts)
+
+
+def merge_apply_batch(
+    cur: DataFrame,
+    batch: DataFrame,
+    key_cols: tuple[str, ...],
+    seq_col: str = "__seq",
+    op_col: str = "op",
+    delete_op: str = "D",
+    tombstone_col: str = "__deleted",
+) -> DataFrame:
+    """Apply ONE change batch to the current maintained table and return
+    the next table generation.  ``cur`` carries ``seq_col`` +
+    ``tombstone_col`` metadata columns (a fresh table bootstraps them
+    with seq −1 / false via :func:`with_merge_meta`); ``batch`` carries
+    the row image + ``seq_col`` + ``op_col``.
+
+    Replay/ordering safety: a change applies ONLY when its seq exceeds
+    the row's current seq — re-delivering an old batch (crash replay,
+    out-of-order file pickup) is a no-op, and states converge to the
+    highest-seq image regardless of batch arrival order.  Deletes write
+    a TOMBSTONE (seq-bearing marker row) instead of removing the key, so
+    a replayed pre-delete upsert cannot resurrect it; read with
+    :func:`merged_view`.  Plan shape: one max(struct) over the batch +
+    one full-outer equi-join on the key (batch side summary-sized; AQE
+    broadcasts it under the standing table's size)."""
+    keys = list(key_cols)
+    data_cols = [c for c in cur.columns if c not in (*keys, seq_col, tombstone_col)]
+    latest = latest_changes(batch, key_cols, seq_col)
+    ch = latest.select(
+        *[F.col(k).alias(f"__ch_{k}") for k in keys],
+        F.col(seq_col).alias("__ch_seq"),
+        (F.col(op_col) == delete_op).alias("__ch_del"),
+        *[F.col(c).alias(f"__ch_{c}") for c in data_cols],
+    )
+    cond = [cur[k] == ch[f"__ch_{k}"] for k in keys]
+    joined = cur.join(ch, cond, "full_outer")
+    take_change = F.col("__ch_seq").isNotNull() & (
+        F.col(seq_col).isNull() | (F.col("__ch_seq") > F.col(seq_col))
+    )
+    out_cols = [
+        F.coalesce(cur[k], F.col(f"__ch_{k}")).alias(k) for k in keys
+    ]
+    out_cols += [
+        F.when(take_change, F.col(f"__ch_{c}")).otherwise(cur[c]).alias(c)
+        for c in data_cols
+    ]
+    out_cols.append(
+        F.when(take_change, F.col("__ch_seq")).otherwise(F.col(seq_col)).alias(seq_col)
+    )
+    out_cols.append(
+        F.when(take_change, F.col("__ch_del"))
+        .otherwise(F.coalesce(F.col(tombstone_col), F.lit(False)))
+        .alias(tombstone_col)
+    )
+    return joined.select(*out_cols)
+
+
+def with_merge_meta(
+    df: DataFrame, seq_col: str = "__seq", tombstone_col: str = "__deleted"
+) -> DataFrame:
+    """Bootstrap a plain table for incremental maintenance: every
+    existing row gets seq −1 (older than any change) and no tombstone."""
+    return df.withColumn(seq_col, F.lit(-1).cast("long")).withColumn(
+        tombstone_col, F.lit(False)
+    )
+
+
+def merged_view(
+    df: DataFrame, seq_col: str = "__seq", tombstone_col: str = "__deleted"
+) -> DataFrame:
+    """The user-facing table: tombstones filtered, metadata dropped."""
+    return df.filter(~F.col(tombstone_col)).drop(seq_col, tombstone_col)
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    id_col: str,
+    fingerprint,
+) -> DataFrame:
+    """Release diff between two corpus/table snapshots: one row per id
+    whose membership or content changed — ``status`` ∈ added / removed /
+    changed (identical rows are omitted; at corpus scale "unchanged" is
+    the overwhelming bulk and enumerating it is the anti-pattern).
+
+    ``fingerprint`` is a Column expression evaluated against each side
+    (e.g. ``F.md5(F.col("text"))``).  Scale shape: both sides project to
+    (id, fp) BEFORE the full-outer equi-join — the shuffle carries
+    ~40 bytes/row, never the payload."""
+    o = old.select(F.col(id_col).alias("id"), fingerprint.alias("old_fp"))
+    n = new.select(F.col(id_col).alias("id"), fingerprint.alias("new_fp"))
+    j = o.join(n, "id", "full_outer")
+    status = (
+        F.when(F.col("old_fp").isNull(), F.lit("added"))
+        .when(F.col("new_fp").isNull(), F.lit("removed"))
+        .when(F.col("old_fp") != F.col("new_fp"), F.lit("changed"))
+    )
+    return (
+        j.select(F.col("id").alias(id_col), status.alias("status"))
+        .filter(F.col("status").isNotNull())
+    )

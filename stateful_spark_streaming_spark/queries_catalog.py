@@ -3167,6 +3167,146 @@ def q_streaming_quality_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame
     return ST.histogram_quantiles(hist, ("source",))
 
 
+from stateful_spark_streaming_spark.operators import merge as MG  # noqa: E402
+
+#: ONE source-level definition of the MERGE oracle — the one-shot batch
+#: merge and the incremental streaming twin share it (and the
+#: change-set derivation is deterministic from orders: +1.5/+2.25 price
+#: deltas are binary-exact, no cross-engine rounding surface).
+_MERGE_ORACLE = """
+    WITH base AS (SELECT * FROM orders WHERE o_orderkey % 7 <> 0),
+    ch AS (
+      SELECT o_orderkey, o_custkey, o_orderstatus,
+             o_totalprice + 1.5 AS o_totalprice, o_orderdate,
+             '9-UPDATED' AS o_orderpriority, 1 AS seq, 'U' AS op
+      FROM orders WHERE o_orderkey % 3 = 0
+      UNION ALL
+      SELECT o_orderkey, o_custkey, o_orderstatus,
+             o_totalprice + 2.25, o_orderdate, o_orderpriority, 2,
+             CASE WHEN o_orderkey % 12 = 0 THEN 'D' ELSE 'U' END
+      FROM orders WHERE o_orderkey % 6 = 0),
+    latest AS (SELECT * FROM ch
+               QUALIFY row_number() OVER (PARTITION BY o_orderkey ORDER BY seq DESC) = 1)
+    SELECT b.o_orderkey, b.o_custkey, b.o_orderstatus, b.o_totalprice,
+           b.o_orderdate, b.o_orderpriority
+    FROM base b ANTI JOIN latest l ON b.o_orderkey = l.o_orderkey
+    UNION ALL
+    SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+           o_orderdate, o_orderpriority
+    FROM latest WHERE op <> 'D'
+    """
+
+
+def _order_change_sets(spark: SparkSession, sf_dir: str):
+    """Two deterministic CDC batches over orders: seq-1 updates every
+    key ≡0 (mod 3) — keys ≡0 (mod 21) are INSERTS, absent from the
+    %7-filtered base — and seq-2 re-updates every key ≡0 (mod 6),
+    deleting those ≡0 (mod 12).  Price deltas are exact binary adds."""
+    o = _t(spark, sf_dir, "orders")
+    s1 = (
+        o.filter(F.col("o_orderkey") % 3 == 0)
+        .withColumn("o_totalprice", F.col("o_totalprice") + 1.5)
+        .withColumn("o_orderpriority", F.lit("9-UPDATED"))
+        .withColumn("seq", F.lit(1).cast("int"))
+        .withColumn("op", F.lit("U"))
+    )
+    s2 = (
+        o.filter(F.col("o_orderkey") % 6 == 0)
+        .withColumn("o_totalprice", F.col("o_totalprice") + 2.25)
+        .withColumn("seq", F.lit(2).cast("int"))
+        .withColumn(
+            "op",
+            F.when(F.col("o_orderkey") % 12 == 0, F.lit("D")).otherwise(F.lit("U")),
+        )
+    )
+    return s1, s2
+
+
+@query("merge_upsert", oracle=_MERGE_ORACLE)
+def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-shot MERGE INTO (the lakehouse CDC-apply shape): a change set
+    with per-key sequence numbers and insert/update/delete ops folds
+    into the standing orders table — latest-wins via one
+    partial-aggregatable max(struct), untouched rows via LEFT ANTI join
+    (AQE broadcasts the change keys), union of survivors + upserts."""
+    base = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 7 != 0)
+    s1, s2 = _order_change_sets(spark, sf_dir)
+    return MG.merge_upsert(
+        base, s1.unionByName(s2), ("o_orderkey",), seq_col="seq", op_col="op"
+    )
+
+
+@query("streaming_merge_upsert", oracle=_MERGE_ORACLE)
+def q_streaming_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental MERGE at INGEST — streaming twin of merge_upsert
+    (same oracle): the two CDC batches arrive as separate micro-batches
+    and fold into a generation-managed table; per-row seq watermarks +
+    tombstones make replay and out-of-order application converge (see
+    run_streaming_merge_upsert)."""
+    import os as _os
+    import tempfile as _tf
+
+    from stateful_spark_streaming_spark.streaming.pipeline import (
+        run_streaming_merge_upsert,
+    )
+
+    base = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 7 != 0)
+    s1, s2 = _order_change_sets(spark, sf_dir)
+    work = _tf.mkdtemp(prefix="sss_merge_q_")
+    base_path = _os.path.join(work, "base")
+    ch_dir = _os.path.join(work, "changes")
+    base.write.parquet(base_path)
+    _os.makedirs(ch_dir)
+    for i, s in enumerate((s1, s2)):
+        bdir = _os.path.join(work, f"b{i}")
+        s.coalesce(1).write.parquet(bdir)
+        part = [f for f in _os.listdir(bdir) if f.endswith(".parquet")][0]
+        dst = _os.path.join(ch_dir, f"batch-{i}.parquet")
+        _os.rename(_os.path.join(bdir, part), dst)
+        _os.utime(dst, (1_000_000_000 + i * 100, 1_000_000_000 + i * 100))
+    return run_streaming_merge_upsert(
+        spark, base_path, ch_dir, ("o_orderkey",), seq_col="seq", op_col="op"
+    )
+
+
+@query(
+    "corpus_diff",
+    oracle="""
+    WITH o AS (SELECT doc_id, md5(coalesce(text, '')) AS fp
+               FROM documents WHERE doc_id % 29 <> 0),
+    n AS (SELECT doc_id,
+                 md5(coalesce(CASE WHEN doc_id % 13 = 0
+                                   THEN text || ' [rev2]' ELSE text END,
+                              '')) AS fp
+          FROM documents WHERE doc_id % 23 <> 0)
+    SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+           CASE WHEN o.doc_id IS NULL THEN 'added'
+                WHEN n.doc_id IS NULL THEN 'removed'
+                WHEN o.fp <> n.fp THEN 'changed' END AS status
+    FROM o FULL JOIN n ON o.doc_id = n.doc_id
+    WHERE o.doc_id IS NULL OR n.doc_id IS NULL OR o.fp <> n.fp
+    """,
+)
+def q_corpus_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Release diff between two corpus snapshots (dataset versioning):
+    added / removed / content-changed doc ids, computed on content
+    fingerprints projected BEFORE the full-outer join — the shuffle
+    carries (id, fp), never document payloads.  Snapshots derived
+    deterministically from documents (membership by modulus, content
+    revision marker on every 13th doc)."""
+    docs = _t(spark, sf_dir, "documents")
+    old = docs.filter(F.col("doc_id") % 29 != 0)
+    new = docs.filter(F.col("doc_id") % 23 != 0).withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 13 == 0, F.concat(F.col("text"), F.lit(" [rev2]"))
+        ).otherwise(F.col("text")),
+    )
+    return MG.snapshot_diff(
+        old, new, "doc_id", F.md5(F.coalesce(F.col("text"), F.lit("")))
+    )
+
+
 #: ONE source-level definition of the dup-span oracle — the batch and
 #: streaming-ingest twins share it (code side shares dup_spans_from_index)
 _DUP_SPANS_ORACLE = f"""
@@ -3329,19 +3469,18 @@ _CHEAP_FIRST = [
     "streaming_event_pairs",
     # (b) the NEW round-8 entries: the quality-histogram family (the
     # round-7 orphans wired in — VERDICT r7 #1/#3), its streaming
-    # quantile twin, and the bloom decontamination variant sharing
-    # decontaminate's oracle;
+    # quantile twin, the bloom decontamination variant sharing
+    # decontaminate's oracle, and the CDC merge family + snapshot diff;
     "quality_histogram", "quality_quantiles",
     "streaming_quality_histogram", "streaming_quality_quantiles",
     "decontaminate_bloom",
-    # (c) backfill: 38 of the 47 queries whose newest green row is r5,
+    "merge_upsert", "streaming_merge_upsert", "corpus_diff",
+    # (c) backfill: 35 of the 47 queries whose newest green row is r5,
     # cheapest first (BENCH sf0.1 warm — hedge against a secondary
-    # wall-clock cap).  The 9 most expensive r5-row entries
-    # (segment_set_ops, value_percentiles, multimodal_features,
-    # gopher_quality_filter, vocab_topk, corpus_report,
-    # streaming_vocab_topk, training_pipeline, training_pipeline_full)
-    # stay on their valid r5 rows and LEAD the r9 window — code +
-    # oracles unchanged since r5.
+    # wall-clock cap).  The 12 most expensive r5-row entries (redact_pii
+    # … training_pipeline_full, listed below past the window) stay on
+    # their valid r5 rows and LEAD the r9 window — code + oracles
+    # unchanged since r5.
     "customers_without_recent_orders", "forecast_revenue",
     "geometry_construct_null", "hash_split", "sample_n_per_group",
     "token_stats", "embedding_norm_stats", "label_centroids",
@@ -3353,12 +3492,11 @@ _CHEAP_FIRST = [
     "track_dedup", "tumbling_window_counts", "event_type_pivot",
     "pricing_summary", "priority_top_orders", "track_counts",
     "track_latest", "track_neighbors", "chunk_documents", "language_id",
-    "returns_rollup", "quality_score", "redact_pii", "sq8_encode",
-    "track_snapshot",
-    # --- past the 50-entry gate window: first the 9 deferred r5-row
+    "returns_rollup", "quality_score",
+    # --- past the 50-entry gate window: first the 12 deferred r5-row
     # entries (they lead the r9 rotation), then the r7-window entries on
     # their fresh r7 rows ---
-    "segment_set_ops",
+    "redact_pii", "sq8_encode", "track_snapshot", "segment_set_ops",
     "value_percentiles", "multimodal_features", "gopher_quality_filter",
     "vocab_topk", "corpus_report", "streaming_vocab_topk",
     "training_pipeline", "training_pipeline_full",

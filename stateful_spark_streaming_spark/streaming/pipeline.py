@@ -1530,6 +1530,87 @@ def run_streaming_quality_histogram(
     return histogram_finalize(merged, n_bins, scale)
 
 
+def run_streaming_merge_upsert(
+    spark: SparkSession,
+    base_path: str,
+    changes_path: str,
+    key_cols: tuple[str, ...],
+    seq_col: str = "seq",
+    op_col: str = "op",
+    delete_op: str = "D",
+    checkpoint_dir: str | None = None,
+    max_files_per_trigger: int | None = 1,
+) -> DataFrame:
+    """Incremental MERGE INTO — streaming twin of ``merge_upsert`` (same
+    oracle): change batches stream in and fold into a generation-managed
+    standing table; the final merged view is returned.
+
+    Consistency story (the part a naive foreachBatch-MERGE gets wrong):
+    - Each batch applies via ``merge_apply_batch``, whose per-row seq
+      watermark makes application IDEMPOTENT and ORDER-CONVERGENT — the
+      crash window between the generation swap and the checkpoint commit
+      replays the batch against the already-merged table as a no-op, and
+      out-of-order file pickup converges to the highest-seq image.
+    - Deletes leave seq-bearing tombstones inside the table, so a
+      replayed pre-delete upsert cannot resurrect a removed row; the
+      returned view filters them.
+    - Each new generation writes to ``<table>.tmp`` and promotes through
+      ``swap_generation`` (crash-safe renames, _SUCCESS-gated), with
+      ``recover_generation`` run on entry — the same protocol as the IVF
+      index and compaction jobs.
+
+    Scale: per batch, ONE max(struct) over the changes + ONE key
+    equi-join against the standing table (AQE broadcasts the batch
+    side).  The full-table rewrite per batch is the simple-and-correct
+    form at test scale; the production refinement is partition-pruned
+    rewrites (only files containing changed keys), which the z-order
+    layout module's key clustering exists to make cheap."""
+    from stateful_spark_streaming_spark.generations import (
+        recover_generation,
+        swap_generation,
+    )
+    from stateful_spark_streaming_spark.operators.merge import (
+        merge_apply_batch,
+        merged_view,
+        with_merge_meta,
+    )
+
+    checkpoint_dir = checkpoint_dir or tempfile.mkdtemp(prefix="sss_ckpt_merge_")
+    table_dir = checkpoint_dir + "_table"
+    recover_generation(table_dir, clean=True)
+    if not os.path.exists(table_dir):
+        with_merge_meta(spark.read.parquet(base_path)).write.parquet(
+            table_dir + ".tmp"
+        )
+        swap_generation(table_dir)
+
+    stream = _stage_parquet_stream(spark, changes_path, max_files_per_trigger)
+
+    def _sink(bdf: DataFrame, batch_id: int) -> None:
+        recover_generation(table_dir, clean=True)  # drop any stale .tmp
+        cur = spark.read.parquet(table_dir)
+        nxt = merge_apply_batch(
+            cur,
+            bdf.withColumnRenamed(seq_col, "__seq"),
+            key_cols,
+            seq_col="__seq",
+            op_col=op_col,
+            delete_op=delete_op,
+        )
+        nxt.write.parquet(table_dir + ".tmp")
+        swap_generation(table_dir)
+
+    q = (
+        stream.writeStream.foreachBatch(_sink)
+        .outputMode("update")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return merged_view(spark.read.parquet(table_dir))
+
+
 def run_streaming_corpus_report(
     spark: SparkSession,
     documents_path: str,

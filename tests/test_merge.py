@@ -1,0 +1,199 @@
+"""CDC merge/upsert semantics: one-shot latest-wins, the incremental
+seq-watermark/tombstone machinery that makes batch replay and
+out-of-order application converge, the streaming runner's restart
+behavior, and snapshot diffing."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from stateful_spark_streaming_spark.operators.merge import (
+    merge_apply_batch,
+    merge_upsert,
+    merged_view,
+    snapshot_diff,
+    with_merge_meta,
+)
+
+BASE_ROWS = [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)]
+BASE_SCHEMA = "k long, name string, val double"
+CH_SCHEMA = "k long, name string, val double, seq int, op string"
+
+
+def _base(spark):
+    return spark.createDataFrame(BASE_ROWS, BASE_SCHEMA)
+
+
+def _table(df):
+    return sorted(map(tuple, df.collect()))
+
+
+def test_merge_upsert_latest_wins_and_delete(spark):
+    changes = spark.createDataFrame(
+        [
+            (2, "b2", 21.0, 1, "U"),   # update, superseded below
+            (2, "b3", 22.0, 2, "U"),   # latest wins
+            (3, "c", 30.0, 1, "D"),    # delete
+            (4, "d", 40.0, 1, "U"),    # insert
+        ],
+        CH_SCHEMA,
+    )
+    got = _table(merge_upsert(_base(spark), changes, ("k",)))
+    assert got == [(1, "a", 10.0), (2, "b3", 22.0), (4, "d", 40.0)]
+
+
+def test_merge_apply_batch_replay_is_noop(spark):
+    cur = with_merge_meta(_base(spark))
+    b1 = spark.createDataFrame([(2, "b2", 21.0, 1, "U")], CH_SCHEMA)
+    b2 = spark.createDataFrame([(2, "b3", 22.0, 2, "U")], CH_SCHEMA)
+    kw = dict(key_cols=("k",), seq_col="seq", op_col="op")
+
+    def apply(cur, b):
+        return merge_apply_batch(cur, b.withColumnRenamed("seq", "__seq"),
+                                 ("k",), seq_col="__seq", op_col="op")
+
+    after12 = apply(apply(cur, b1), b2)
+    want = _table(merged_view(after12))
+    assert want == [(1, "a", 10.0), (2, "b3", 22.0), (3, "c", 30.0)]
+    # replaying the OLDER batch after the newer one must not regress
+    replayed = apply(after12, b1)
+    assert _table(merged_view(replayed)) == want
+    # replaying the newer batch is likewise a no-op (seq equal, not >)
+    assert _table(merged_view(apply(after12, b2))) == want
+
+
+def test_tombstone_blocks_resurrection_but_not_reinsert(spark):
+    cur = with_merge_meta(_base(spark))
+    up1 = spark.createDataFrame([(3, "c1", 31.0, 1, "U")], CH_SCHEMA)
+    dele = spark.createDataFrame([(3, "c1", 31.0, 2, "D")], CH_SCHEMA)
+    up3 = spark.createDataFrame([(3, "c3", 33.0, 3, "U")], CH_SCHEMA)
+
+    def apply(cur, b):
+        return merge_apply_batch(cur, b.withColumnRenamed("seq", "__seq"),
+                                 ("k",), seq_col="__seq", op_col="op")
+
+    deleted = apply(apply(cur, up1), dele)
+    assert _table(merged_view(deleted)) == [(1, "a", 10.0), (2, "b", 20.0)]
+    # replaying the PRE-delete upsert cannot resurrect the row: the
+    # tombstone carries seq 2 > 1
+    assert _table(merged_view(apply(deleted, up1))) == [
+        (1, "a", 10.0), (2, "b", 20.0)
+    ]
+    # but a genuinely newer upsert (seq 3) re-inserts
+    assert _table(merged_view(apply(deleted, up3))) == [
+        (1, "a", 10.0), (2, "b", 20.0), (3, "c3", 33.0)
+    ]
+
+
+def test_out_of_order_batches_converge(spark):
+    cur = with_merge_meta(_base(spark))
+    b1 = spark.createDataFrame([(1, "a1", 11.0, 1, "U")], CH_SCHEMA)
+    b2 = spark.createDataFrame([(1, "a2", 12.0, 2, "U")], CH_SCHEMA)
+
+    def apply(cur, b):
+        return merge_apply_batch(cur, b.withColumnRenamed("seq", "__seq"),
+                                 ("k",), seq_col="__seq", op_col="op")
+
+    fwd = _table(merged_view(apply(apply(cur, b1), b2)))
+    rev = _table(merged_view(apply(apply(cur, b2), b1)))
+    assert fwd == rev
+    assert dict((r[0], r[1]) for r in fwd)[1] == "a2"
+
+
+def _land_change_files(spark, tmp_path, batches):
+    ch_dir = str(tmp_path / "changes")
+    os.makedirs(ch_dir)
+    for i, rows in enumerate(batches):
+        bdir = str(tmp_path / f"b{i}")
+        spark.createDataFrame(rows, CH_SCHEMA).coalesce(1).write.parquet(bdir)
+        part = [f for f in os.listdir(bdir) if f.endswith(".parquet")][0]
+        dst = os.path.join(ch_dir, f"batch-{i}.parquet")
+        os.rename(os.path.join(bdir, part), dst)
+        os.utime(dst, (1_000_000_000 + i * 100,) * 2)
+    return ch_dir
+
+
+def test_streaming_merge_restart_does_not_double_apply(spark, tmp_path):
+    from stateful_spark_streaming_spark.streaming.pipeline import (
+        run_streaming_merge_upsert,
+    )
+
+    base_path = str(tmp_path / "base")
+    _base(spark).write.parquet(base_path)
+    ch_dir = _land_change_files(
+        spark,
+        tmp_path,
+        [
+            [(2, "b2", 21.0, 1, "U"), (4, "d", 40.0, 1, "U")],
+            [(2, "b3", 22.0, 2, "U"), (3, "c", 30.0, 2, "D")],
+        ],
+    )
+    ck = str(tmp_path / "ck")
+    got1 = _table(
+        run_streaming_merge_upsert(
+            spark, base_path, ch_dir, ("k",), checkpoint_dir=ck
+        )
+    )
+    assert got1 == [(1, "a", 10.0), (2, "b3", 22.0), (4, "d", 40.0)]
+    # restart over the SAME checkpoint: no new files -> no re-application;
+    # and even a forced replay would be a seq-guard no-op
+    got2 = _table(
+        run_streaming_merge_upsert(
+            spark, base_path, ch_dir, ("k",), checkpoint_dir=ck
+        )
+    )
+    assert got2 == got1
+    # a stale incomplete .tmp beside the table (crash mid-write) is
+    # cleaned on the next run, not promoted
+    table_dir = ck + "_table"
+    os.makedirs(table_dir + ".tmp", exist_ok=True)
+    with open(os.path.join(table_dir + ".tmp", "part-junk"), "w") as f:
+        f.write("junk")
+    got3 = _table(
+        run_streaming_merge_upsert(
+            spark, base_path, ch_dir, ("k",), checkpoint_dir=ck
+        )
+    )
+    assert got3 == got1 and not os.path.exists(table_dir + ".tmp")
+
+
+def test_streaming_merge_equals_batch_merge(spark, tmp_path):
+    from stateful_spark_streaming_spark.streaming.pipeline import (
+        run_streaming_merge_upsert,
+    )
+
+    batches = [
+        [(1, "a1", 11.0, 1, "U"), (5, "e", 50.0, 1, "U")],
+        [(5, "e", 50.0, 2, "D"), (2, "b9", 29.0, 2, "U")],
+        [(6, "f", 60.0, 3, "U"), (1, "a3", 13.0, 3, "U")],
+    ]
+    base_path = str(tmp_path / "base")
+    _base(spark).write.parquet(base_path)
+    ch_dir = _land_change_files(spark, tmp_path, batches)
+    streaming = _table(
+        run_streaming_merge_upsert(
+            spark, base_path, ch_dir, ("k",),
+            checkpoint_dir=str(tmp_path / "ck"),
+        )
+    )
+    all_changes = spark.createDataFrame(
+        [r for b in batches for r in b], CH_SCHEMA
+    )
+    batch = _table(merge_upsert(_base(spark), all_changes, ("k",)))
+    assert streaming == batch and streaming
+
+
+def test_snapshot_diff_statuses(spark):
+    old = spark.createDataFrame(
+        [(1, "same"), (2, "will change"), (3, "gone")], "id long, text string"
+    )
+    new = spark.createDataFrame(
+        [(1, "same"), (2, "changed!"), (4, "fresh")], "id long, text string"
+    )
+    got = {
+        r["id"]: r["status"]
+        for r in snapshot_diff(old, new, "id", F.md5(F.col("text"))).collect()
+    }
+    assert got == {2: "changed", 3: "removed", 4: "added"}  # 1 omitted

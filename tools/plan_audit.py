@@ -224,6 +224,21 @@ CHECKS = {
     # are equi-joins (AQE free to broadcast) — never a pair product
     "decontaminate_bloom": ([], ["CartesianProduct",
                                  "BroadcastNestedLoopJoin"], None),
+    # one-shot MERGE: ONE max(struct) exchange collapses the change set
+    # (latest-wins WITHOUT a key window), the anti-join broadcasts the
+    # change-key side — never a pair product, never dense_rank
+    "merge_upsert": (["BroadcastHashJoin"],
+                     ["CartesianProduct", "BroadcastNestedLoopJoin",
+                      "dense_rank", "row_number"], 2),
+    # snapshot diff: fingerprints project BEFORE the full-outer join, so
+    # each scan reads only (doc_id, text) and the shuffle carries
+    # (id, fp) — never the payload
+    "corpus_diff": (["ReadSchema: struct<doc_id:bigint,text:string>"],
+                    ["CartesianProduct", "BroadcastNestedLoopJoin"], 2),
+    # streaming MERGE read side: the returned plan is the merged-view
+    # scan of the current table generation (tombstone filter + meta
+    # projection) — the fold happened at ingest; no join, no exchange
+    "streaming_merge_upsert": ([], ["Join", "Exchange"], 0),
 }
 
 #: upper bound on `Scan parquet` occurrences — "the signature subplan is
