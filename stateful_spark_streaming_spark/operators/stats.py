@@ -142,3 +142,162 @@ def histogram_quantiles(
         name = f"p{q // (scale // 100)}"
         out = out.withColumn(name, F.col(f"__{name}_bp") / F.lit(float(scale)))
     return out.select(*group_cols, "total", *[f"p{q // (scale // 100)}" for q in qs_bp])
+
+
+# ---------------------------------------------------------------------------
+# Count-min sketch heavy hitters — the third mergeable summary family
+# (HLL distincts, fixed-width histograms, and now bounded-memory
+# frequency estimation).  Hashes are md5-derived (the repo's MinHash /
+# SimHash trick) so even the SKETCH carries an exact cross-engine
+# oracle: DuckDB reproduces every counter and every estimate verbatim.
+# ---------------------------------------------------------------------------
+
+
+def _cms_bucket(token: Column, row: int, width: int) -> Column:
+    """Counter column for hash row ``row``: md5-derived 60-bit hash of
+    ``"cms<row>:" || token`` mod ``width`` — DuckDB form:
+    ``('0x' || substring(md5('cms' || r || ':' || token), 1, 15))::BIGINT
+    % width``."""
+    h = F.conv(
+        F.substring(F.md5(F.concat(F.lit(f"cms{row}:"), token)), 1, 15), 16, 10
+    ).cast("long")
+    return F.pmod(h, F.lit(width)).cast("int")
+
+
+def cms_counters(
+    occurrences: DataFrame,
+    token_col: str = "token",
+    depth: int = 4,
+    width: int = 1024,
+) -> DataFrame:
+    """The ``depth × width`` count-min counter table as (r, b, n) rows —
+    each token OCCURRENCE increments one bucket per hash row.  Fully
+    mergeable: counters are sums, so per-partition partials collapse
+    map-side and cross-batch/stream merge is addition; the aggregated
+    state is ≤ depth·width rows no matter the corpus (the whole point:
+    vocabulary-frequency tracking whose memory does not grow with the
+    vocabulary)."""
+    probes = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("r"),
+                _cms_bucket(F.col(token_col), i, width).alias("b"),
+            )
+            for i in range(depth)
+        ]
+    )
+    return (
+        occurrences.select(F.explode(probes).alias("p"))
+        .groupBy(F.col("p.r").alias("r"), F.col("p.b").alias("b"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def cms_estimate(
+    counters: DataFrame,
+    candidates: DataFrame,
+    token_col: str = "token",
+    depth: int = 4,
+    width: int = 1024,
+) -> DataFrame:
+    """Point estimates for every candidate token: ``min`` over the
+    ``depth`` counters the token hashes into — the classic CMS upper
+    bound (never under-counts; over-counts by collision mass).  The
+    counter table (≤ depth·width rows) BROADCASTS; the probe is one
+    map-side explode + broadcast join + min aggregate."""
+    probes = candidates.select(
+        F.col(token_col),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("r"),
+                        _cms_bucket(F.col(token_col), i, width).alias("b"),
+                    )
+                    for i in range(depth)
+                ]
+            )
+        ).alias("p"),
+    ).select(token_col, F.col("p.r").alias("r"), F.col("p.b").alias("b"))
+    return (
+        probes.join(F.broadcast(counters), ["r", "b"], "left")
+        .groupBy(token_col)
+        .agg(F.min(F.coalesce(F.col("n"), F.lit(0))).cast("long").alias("est_count"))
+    )
+
+
+def cms_topk(
+    counters: DataFrame,
+    candidates: DataFrame,
+    k: int = 20,
+    token_col: str = "token",
+    depth: int = 4,
+    width: int = 1024,
+) -> DataFrame:
+    """Shared heavy-hitter tail for the batch operator and the streaming
+    twin: estimates + deterministic top-k (est DESC, token ASC —
+    ``orderBy().limit()`` lowers to TakeOrderedAndProject: per-partition
+    heaps, never a global sort)."""
+    est = cms_estimate(counters, candidates, token_col, depth, width)
+    return est.orderBy(F.col("est_count").desc(), token_col).limit(k)
+
+
+def heavy_hitters_cms(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 20,
+    depth: int = 4,
+    width: int = 1024,
+) -> DataFrame:
+    """Top-k most frequent tokens by count-min estimate.  vs the exact
+    ``vocab_topk``: the exact path shuffles one row per distinct token —
+    fine until the vocabulary itself is huge (web-scale shingle or
+    n-gram counting) — while the sketch's aggregated state is a fixed
+    depth×width table.  Candidates here are the corpus's distinct
+    tokens (exact-equivalent demo form); the production refinement at a
+    truly unbounded key space is per-batch candidate heaps."""
+    from stateful_spark_streaming_spark.operators.text import _token_occurrences
+
+    occ = _token_occurrences(df, text_col, id_col)
+    return cms_topk(
+        cms_counters(occ, "token", depth, width),
+        occ.select("token").distinct(),
+        k,
+        "token",
+        depth,
+        width,
+    )
+
+
+def trim_by_quantile(
+    scored: DataFrame,
+    value_col: str,
+    group_cols: tuple[str, ...],
+    q_bp: int = 2_500,
+    n_bins: int = 20,
+    scale: int = 10_000,
+) -> DataFrame:
+    """Drop each group's bottom ``q_bp`` quantile of ``value_col`` — the
+    per-source quality floor a mixture build applies (Gopher/C4-style
+    pipelines trim the worst slice of every source rather than imposing
+    one global threshold, which would empty low-register sources).
+
+    This is WHY the histogram family exists: the threshold derives from
+    the ≤ ``n_bins``-row histogram (never a global sort), broadcasts
+    (group-cardinality rows), and the trim itself is a map-only filter —
+    at 100 TB the whole operation costs one summary-sized aggregate plus
+    one pass.  Rows with NULL ``value_col`` are dropped (no quantile
+    membership), matching the histogram's NULL policy."""
+    hist = fixed_width_histogram(
+        scored, F.col(value_col), group_cols, n_bins, scale
+    )
+    name = f"p{q_bp // (scale // 100)}"
+    thr = histogram_quantiles(hist, group_cols, (q_bp,), scale).select(
+        *group_cols, F.col(name).alias("__thr")
+    )
+    return (
+        scored.join(F.broadcast(thr), list(group_cols))
+        .filter(F.col(value_col) >= F.col("__thr"))
+        .drop("__thr")
+    )

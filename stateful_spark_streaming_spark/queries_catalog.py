@@ -3040,7 +3040,7 @@ _SCORED_Q_CTES = f"""
              CAST(length(text) AS INT) AS n_char
       FROM documents),
      scored AS (
-      SELECT source,
+      SELECT doc_id, source,
              round(least(len(toks) / 64.0, 1.0) * 0.4
                  + (1.0 - least(n_punct / CAST(greatest(n_char, 1) AS DOUBLE), 1.0)) * 0.2
                  + least(len(list_intersect(list_distinct(toks),
@@ -3165,6 +3165,91 @@ def q_streaming_quality_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame
         spark, _os.path.join(sf_dir, "documents.parquet")
     )
     return ST.histogram_quantiles(hist, ("source",))
+
+
+#: ONE source-level definition of the count-min heavy-hitter oracle —
+#: batch and streaming-ingest twins share it.  The md5-derived bucket
+#: hash makes every counter and estimate EXACTLY reproducible in DuckDB
+#: (the MinHash/SimHash trick applied to a frequency sketch).
+_CMS_ORACLE = f"""
+    WITH tk AS (SELECT unnest(string_split({_NORM_SQL}, ' ')) AS token
+                FROM documents),
+     o AS (SELECT token FROM tk WHERE token <> ''),
+     pr AS (SELECT token, r,
+                   CAST(('0x' || substring(md5('cms' || CAST(r AS VARCHAR) || ':' || token), 1, 15))::BIGINT % 1024 AS INT) AS b
+            FROM o CROSS JOIN (SELECT unnest(range(4)) AS r) rr),
+     counters AS (SELECT r, b, count(*) AS n FROM pr GROUP BY r, b),
+     cand AS (SELECT DISTINCT token FROM o),
+     cpr AS (SELECT token, r,
+                    CAST(('0x' || substring(md5('cms' || CAST(r AS VARCHAR) || ':' || token), 1, 15))::BIGINT % 1024 AS INT) AS b
+             FROM cand CROSS JOIN (SELECT unnest(range(4)) AS r) rr),
+     est AS (SELECT cpr.token, CAST(min(counters.n) AS BIGINT) AS est_count
+             FROM cpr JOIN counters USING (r, b) GROUP BY cpr.token)
+    SELECT token, est_count FROM est ORDER BY est_count DESC, token LIMIT 20
+    """
+
+
+@query("heavy_hitters_cms", oracle=_CMS_ORACLE)
+def q_heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 tokens by count-min-sketch estimate — bounded-memory
+    frequency tracking (the aggregated state is a fixed 4×1024 counter
+    table no matter the vocabulary; vs vocab_topk's one-row-per-token
+    shuffle).  md5-derived bucket hashes give the SKETCH itself an
+    exact DuckDB oracle: every counter and every min-estimate matches
+    cross-engine, including the over-count bias."""
+    from stateful_spark_streaming_spark.operators import stats as ST
+
+    return ST.heavy_hitters_cms(_t(spark, sf_dir, "documents"), k=20)
+
+
+@query("streaming_heavy_hitters_cms", oracle=_CMS_ORACLE)
+def q_streaming_heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy hitters at INGEST — streaming twin of heavy_hitters_cms
+    (same oracle): per-batch CMS counter partials append batch-stamped
+    (counters are sums — the textbook mergeable stream summary); the
+    read side dedupes replays, sums, and runs the same cms_topk tail."""
+    import os as _os
+
+    from stateful_spark_streaming_spark.streaming.pipeline import (
+        run_streaming_heavy_hitters,
+    )
+
+    return run_streaming_heavy_hitters(
+        spark, _os.path.join(sf_dir, "documents.parquet"), k=20
+    )
+
+
+@query(
+    "quality_trim",
+    oracle=_SCORED_Q_CTES
+    + """,
+     cum AS (
+      SELECT source, bin,
+             CAST((bin * 10000 + 19) // 20 AS INT) AS bin_lo_bp,
+             sum(n) OVER (PARTITION BY source ORDER BY bin) AS cum,
+             sum(n) OVER (PARTITION BY source) AS total
+      FROM hist),
+     thr AS (
+      SELECT source,
+             min(CASE WHEN cum >= (total * 2500 + 9999) // 10000
+                      THEN bin_lo_bp END) / 10000.0 AS t
+      FROM cum GROUP BY source)
+    SELECT s.doc_id, s.source, s.q AS quality_score
+    FROM scored s JOIN thr USING (source)
+    WHERE s.q >= thr.t
+    """,
+)
+def q_quality_trim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source quality floor: drop each source's bottom quartile of
+    quality scores — the mixture-build trim the histogram family exists
+    to drive.  Threshold = the p25 bin edge from the summary-sized
+    histogram (no global sort), broadcast to a map-only filter."""
+    from stateful_spark_streaming_spark.operators import stats as ST
+
+    scored = TXT.quality_score(
+        _t(spark, sf_dir, "documents"), keep_cols=("source",)
+    ).select("doc_id", "source", "quality_score")
+    return ST.trim_by_quantile(scored, "quality_score", ("source",), q_bp=2_500)
 
 
 from stateful_spark_streaming_spark.operators import merge as MG  # noqa: E402
@@ -3475,7 +3560,8 @@ _CHEAP_FIRST = [
     "streaming_quality_histogram", "streaming_quality_quantiles",
     "decontaminate_bloom",
     "merge_upsert", "streaming_merge_upsert", "corpus_diff",
-    # (c) backfill: 35 of the 47 queries whose newest green row is r5,
+    "quality_trim", "heavy_hitters_cms", "streaming_heavy_hitters_cms",
+    # (c) backfill: 32 of the 47 queries whose newest green row is r5,
     # cheapest first (BENCH sf0.1 warm — hedge against a secondary
     # wall-clock cap).  The 12 most expensive r5-row entries (redact_pii
     # … training_pipeline_full, listed below past the window) stay on
@@ -3491,11 +3577,11 @@ _CHEAP_FIRST = [
     "sliding_window_counts", "track_oldest", "bucket_rollup",
     "track_dedup", "tumbling_window_counts", "event_type_pivot",
     "pricing_summary", "priority_top_orders", "track_counts",
-    "track_latest", "track_neighbors", "chunk_documents", "language_id",
-    "returns_rollup", "quality_score",
-    # --- past the 50-entry gate window: first the 12 deferred r5-row
+    "track_latest", "track_neighbors", "chunk_documents",
+    # --- past the 50-entry gate window: first the 15 deferred r5-row
     # entries (they lead the r9 rotation), then the r7-window entries on
     # their fresh r7 rows ---
+    "language_id", "returns_rollup", "quality_score",
     "redact_pii", "sq8_encode", "track_snapshot", "segment_set_ops",
     "value_percentiles", "multimodal_features", "gopher_quality_filter",
     "vocab_topk", "corpus_report", "streaming_vocab_topk",

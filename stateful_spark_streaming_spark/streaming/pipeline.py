@@ -408,6 +408,10 @@ STAGED_SINK_COMPACTION = {
     # run_streaming_distinct_stats: <ckpt>_sketches (HLL binaries fold by
     # union; the row count is the additive half)
     "distinct_sketch": dict(keys=["event_type"], sums=("n_rows",), hlls=("sk",)),
+    # run_streaming_heavy_hitters: <ckpt>_counters (CMS counters are
+    # additive) and <ckpt>_cands (identity rows, replay-deduped on read)
+    "cms_counters": dict(keys=["r", "b"], sums=("n",)),
+    "cms_candidates": dict(keys=["token"]),
     # run_streaming_quality_histogram: <ckpt>_hist (bin counts are
     # additive).  NOTE: this spec assumes the DEFAULT group_col="source";
     # a log written with a different group column must compact with
@@ -1528,6 +1532,76 @@ def run_streaming_quality_histogram(
         .agg(F.sum("n").alias("n"))
     )
     return histogram_finalize(merged, n_bins, scale)
+
+
+def run_streaming_heavy_hitters(
+    spark: SparkSession,
+    documents_path: str,
+    k: int = 20,
+    depth: int = 4,
+    width: int = 1024,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    checkpoint_dir: str | None = None,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """Ingest-time heavy-hitter tracking — streaming twin of
+    ``stats.heavy_hitters_cms`` (same oracle).
+
+    The count-min counter table is the textbook streaming summary:
+    per-batch counters are exact sums, addition is the merge, and the
+    staged state is ≤ depth·width rows per batch regardless of token
+    volume.  Each micro-batch appends batch-stamped counter partials
+    plus its distinct-token candidate list; the read side dedupes
+    replays per (r, b, batch), sums counters, unions candidates, and
+    runs the SAME ``cms_topk`` tail as the batch operator — streaming ≡
+    batch exactly.  Compaction specs
+    ``STAGED_SINK_COMPACTION['cms_counters'/'cms_candidates']``."""
+    from pyspark.sql import functions as F
+
+    from stateful_spark_streaming_spark.operators.stats import (
+        cms_counters,
+        cms_topk,
+    )
+    from stateful_spark_streaming_spark.operators.text import _token_occurrences
+
+    checkpoint_dir = checkpoint_dir or tempfile.mkdtemp(prefix="sss_ckpt_cms_")
+    ctr_dir = checkpoint_dir + "_counters"
+    cand_dir = checkpoint_dir + "_cands"
+    stream = _stage_parquet_stream(spark, documents_path, max_files_per_trigger)
+
+    def _sink(bdf: DataFrame, batch_id: int) -> None:
+        occ = _token_occurrences(bdf, text_col, id_col)
+        ctr = cms_counters(occ, "token", depth, width)
+        ctr.withColumn("_batch_id", F.lit(batch_id)).coalesce(1).write.mode(
+            "append"
+        ).parquet(ctr_dir)
+        occ.select("token").distinct().withColumn(
+            "_batch_id", F.lit(batch_id)
+        ).coalesce(1).write.mode("append").parquet(cand_dir)
+
+    q = (
+        stream.writeStream.foreachBatch(_sink)
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+
+    if not os.path.exists(ctr_dir):
+        counters = spark.createDataFrame([], "r int, b int, n bigint")
+        cands = spark.createDataFrame([], "token string")
+    else:
+        counters = (
+            spark.read.parquet(ctr_dir)
+            .groupBy("r", "b", "_batch_id")
+            .agg(F.max("n").alias("n"))  # replay dedupe: partials deterministic
+            .groupBy("r", "b")
+            .agg(F.sum("n").alias("n"))
+        )
+        cands = spark.read.parquet(cand_dir).select("token").distinct()
+    return cms_topk(counters, cands, k, "token", depth, width)
 
 
 def run_streaming_merge_upsert(

@@ -134,6 +134,30 @@ def test_histogram_quantiles_integer_rank(spark):
             assert got[g][col] == ref_q(vals, q), (g, col)
 
 
+def test_trim_by_quantile_edge_and_groups(spark):
+    from stateful_spark_streaming_spark.operators.stats import trim_by_quantile
+
+    # group a: 8 values, p25 rank = ceil(0.25*8)=2 -> threshold = lower
+    # edge of the bin holding the 2nd value (0.1); a value EXACTLY at the
+    # threshold edge must be KEPT (>=, not >).  group b independent.
+    rows = (
+        [("a", 0.05), ("a", 0.10)] + [("a", v) for v in (0.3, 0.4, 0.5, 0.6, 0.7, 0.8)]
+        + [("b", 0.9), ("b", 0.95), ("b", None)]
+    )
+    df = spark.createDataFrame(rows, "g string, v double")
+    got = sorted(
+        (r["g"], r["v"])
+        for r in trim_by_quantile(df, "v", ("g",), q_bp=2_500, n_bins=10).collect()
+    )
+    # a: threshold = p25 = lower edge of bin(0.10) = 0.1 -> 0.05 dropped,
+    # 0.10 kept (edge).  b: threshold = edge of bin(0.9) = 0.9 -> both
+    # kept; NULL dropped.
+    assert got == sorted(
+        [("a", v) for v in (0.10, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8)]
+        + [("b", 0.9), ("b", 0.95)]
+    )
+
+
 # ---------------------------------------------------------------------------
 # streaming twin + compaction
 # ---------------------------------------------------------------------------
@@ -315,6 +339,129 @@ def test_bloom_probe_paths_agree(spark):
     )
     assert lit_side == arrow_side
     assert len(lit_side) >= 300  # all members + whatever FPs
+
+
+# ---------------------------------------------------------------------------
+# count-min sketch heavy hitters
+# ---------------------------------------------------------------------------
+
+
+def _skewed_docs(spark):
+    rows = []
+    # token frequencies: alpha 60, beta 30, gamma 15, deltaN 1 each
+    for i in range(30):
+        rows.append((i, "alpha alpha beta" + (" gamma" if i % 2 == 0 else "")))
+    rows += [(100 + j, f"delta{j}") for j in range(40)]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_cms_never_undercounts_and_ranks_heavy_hitters(spark):
+    from stateful_spark_streaming_spark.operators.stats import (
+        cms_counters,
+        cms_estimate,
+    )
+    from stateful_spark_streaming_spark.operators.text import _token_occurrences
+
+    docs = _skewed_docs(spark)
+    occ = _token_occurrences(docs, "text", "doc_id")
+    exact = {r["token"]: r["cnt"] for r in occ.groupBy("token").count().withColumnRenamed("count", "cnt").collect()}
+    counters = cms_counters(occ, "token", depth=4, width=1024)
+    est = {
+        r["token"]: r["est_count"]
+        for r in cms_estimate(counters, occ.select("token").distinct(), "token", 4, 1024).collect()
+    }
+    assert set(est) == set(exact)
+    for t, c in exact.items():
+        assert est[t] >= c, f"CMS under-counted {t}: {est[t]} < {c}"
+    # the heavy head must rank correctly by estimate
+    top3 = sorted(est, key=lambda t: (-est[t], t))[:3]
+    assert top3 == ["alpha", "beta", "gamma"]
+
+
+def test_cms_collisions_overcount_and_depth_tightens(spark):
+    from stateful_spark_streaming_spark.operators.stats import (
+        cms_counters,
+        cms_estimate,
+    )
+    from stateful_spark_streaming_spark.operators.text import _token_occurrences
+
+    occ = _token_occurrences(_skewed_docs(spark), "text", "doc_id")
+    cands = occ.select("token").distinct()
+    total = occ.count()
+
+    def est_with(depth, width):
+        return {
+            r["token"]: r["est_count"]
+            for r in cms_estimate(
+                cms_counters(occ, "token", depth, width), cands, "token", depth, width
+            ).collect()
+        }
+
+    # width 2: massive collision mass — every estimate is still an upper
+    # bound, and with depth 1 the bucket IS the estimate (sums to total)
+    e_shallow = est_with(1, 2)
+    assert sum(set(e_shallow.values())) <= total  # <=2 distinct buckets
+    e_deep = est_with(4, 2)
+    for t in e_deep:
+        # more hash rows can only TIGHTEN the min-estimate
+        assert e_deep[t] <= e_shallow[t]
+
+
+def test_streaming_heavy_hitters_equals_batch(spark, tmp_path):
+    from stateful_spark_streaming_spark.operators.stats import heavy_hitters_cms
+    from stateful_spark_streaming_spark.streaming.pipeline import (
+        run_streaming_heavy_hitters,
+    )
+
+    docs = _skewed_docs(spark)
+    rows = [(r["doc_id"], r["text"]) for r in docs.collect()]
+    batches = [rows[:20], rows[20:45], rows[45:]]
+    src = _land_batches(spark, tmp_path, "cms", batches, ("doc_id", "text"))
+    ck = str(tmp_path / "ck_cms")
+    got = run_streaming_heavy_hitters(
+        spark, src, k=10, checkpoint_dir=ck, max_files_per_trigger=1
+    ).collect()
+    want = heavy_hitters_cms(
+        spark.read.parquet(src), k=10
+    ).collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, want)) and got
+    # multi-batch staged log actually exercised the merge
+    assert len(glob.glob(os.path.join(ck + "_counters", "*.parquet"))) > 1
+
+
+def test_cms_compaction_roundtrip(spark, tmp_path):
+    from stateful_spark_streaming_spark.streaming.pipeline import (
+        STAGED_SINK_COMPACTION,
+        compact_partial_log,
+        run_streaming_heavy_hitters,
+    )
+
+    docs = _skewed_docs(spark)
+    rows = [(r["doc_id"], r["text"]) for r in docs.collect()]
+    src = _land_batches(
+        spark, tmp_path, "cmsc", [rows[:30], rows[30:]], ("doc_id", "text")
+    )
+    ck = str(tmp_path / "ck_cmsc")
+
+    def run():
+        return run_streaming_heavy_hitters(
+            spark, src, k=10, checkpoint_dir=ck, max_files_per_trigger=1
+        )
+
+    before = sorted(map(tuple, run().collect()))
+    n_before = sum(
+        len(glob.glob(os.path.join(ck + d, "*.parquet")))
+        for d in ("_counters", "_cands")
+    )
+    compact_partial_log(spark, ck + "_counters", **STAGED_SINK_COMPACTION["cms_counters"])
+    compact_partial_log(spark, ck + "_cands", **STAGED_SINK_COMPACTION["cms_candidates"])
+    n_after = sum(
+        len(glob.glob(os.path.join(ck + d, "*.parquet")))
+        for d in ("_counters", "_cands")
+    )
+    after = sorted(map(tuple, run().collect()))
+    assert after == before and before
+    assert n_after < n_before
 
 
 def test_bloom_size_bits_monotone():

@@ -239,6 +239,24 @@ CHECKS = {
     # scan of the current table generation (tombstone filter + meta
     # projection) — the fold happened at ingest; no join, no exchange
     "streaming_merge_upsert": ([], ["Join", "Exchange"], 0),
+    # quantile trim: histogram aggregate + the bin-bounded quantile
+    # window, threshold joined back BROADCAST, trim is a map-only filter
+    # — never a sort-merge of the corpus against its own thresholds
+    "quality_trim": (["BroadcastHashJoin"],
+                     ["CartesianProduct", "BroadcastNestedLoopJoin",
+                      "SortMergeJoin", "ShuffledHashJoin"], None),
+    # CMS heavy hitters: counter table BROADCASTS into the estimate
+    # join, top-k via per-partition heaps (TakeOrderedAndProject, never
+    # a global Sort) — and never a pair product
+    "heavy_hitters_cms": (["BroadcastHashJoin", "TakeOrderedAndProject"],
+                          ["CartesianProduct", "BroadcastNestedLoopJoin",
+                           "SortMergeJoin", "ShuffledHashJoin"], None),
+    "streaming_heavy_hitters_cms": (["BroadcastHashJoin",
+                                     "TakeOrderedAndProject"],
+                                    ["CartesianProduct",
+                                     "BroadcastNestedLoopJoin",
+                                     "SortMergeJoin", "ShuffledHashJoin"],
+                                    None),
 }
 
 #: upper bound on `Scan parquet` occurrences — "the signature subplan is
