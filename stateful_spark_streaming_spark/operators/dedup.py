@@ -588,6 +588,56 @@ def decontaminate_bloom(
     )
 
 
+def ngram_overlap_score(
+    train: DataFrame,
+    eval_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+    tokens_col: str | None = None,
+) -> DataFrame:
+    """Graded contamination: for each EVAL doc, the fraction (in basis
+    points) of its distinct ``k``-token shingles that occur anywhere in
+    the training corpus — the scoring form of ``decontaminate``.  A
+    boolean flag treats one shared shingle and total containment the
+    same; eval-suite audits want the spectrum (e.g. "drop eval items
+    with > 50 % train overlap", the GPT-3-style graded check).
+
+    Scale shape mirrors ``decontaminate`` with the probe inverted: the
+    eval side is small, so its distinct shingle dictionary broadcasts;
+    the 100 TB train side is probed MAP-ONLY (broadcast left-semi) and
+    only the surviving shingles — at most ``|eval dictionary|`` of them
+    — are distinct-aggregated.  The train corpus itself never shuffles.
+    Per-doc totals come free from ``_shingle_index``'s ``set_size``.
+    Eval docs with fewer than ``k`` tokens have no shingles and emit
+    nothing (same contract as the rest of the shingle family).
+
+    Returns (doc_id, n_shingles, n_hit, overlap_bp) — all-integer so the
+    DuckDB oracle is exact: ``overlap_bp = 10000 * n_hit div n_shingles``.
+    """
+    ev = _shingle_index(eval_df, text_col, id_col, k)
+    ev_dict = ev.select("shingle").distinct()
+    tr_hit = (
+        _shingle_index(train, text_col, id_col, k, tokens_col=tokens_col)
+        .join(F.broadcast(ev_dict), "shingle", "left_semi")
+        .select("shingle")
+        .distinct()
+        .withColumn("__hit", F.lit(1).cast("long"))
+    )
+    return (
+        ev.join(F.broadcast(tr_hit), "shingle", "left")
+        .groupBy(F.col("doc").alias("doc_id"))
+        .agg(
+            F.max("set_size").alias("n_shingles"),
+            F.coalesce(F.sum("__hit"), F.lit(0).cast("long")).alias("n_hit"),
+        )
+        .withColumn(
+            "overlap_bp",
+            F.expr("(10000 * n_hit) div n_shingles").cast("int"),
+        )
+    )
+
+
 def _gram_positions(
     df: DataFrame,
     text_col: str,

@@ -87,6 +87,65 @@ def token_budget_mix(
     )
 
 
+def temperature_mix(
+    df: DataFrame,
+    target_total: int,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    seed: str = "temp1",
+) -> DataFrame:
+    """Temperature-weighted source mixing (alpha = 0.5): the multi-corpus
+    rebalancing step every multilingual / multi-source pretraining recipe
+    uses — sample each source in proportion to ``n_s^alpha`` so large
+    sources are down-weighted and small sources up-weighted, targeting
+    ``target_total`` kept docs overall.
+
+    alpha is FIXED at 0.5 because ``sqrt`` is the one power IEEE 754
+    guarantees correctly rounded — ``floor(sqrt(n))`` is therefore
+    bit-identical across engines (general ``pow`` is not), which is what
+    lets the keep decision carry an exact cross-engine oracle.  All
+    downstream arithmetic is integer: with ``w_s = floor(sqrt(n_s))`` and
+    ``W = sum(w_s)``, a source's keep rate in basis points is
+
+        ``rate_bp_s = least(10000, (10000 * target_total * w_s) div (W * n_s))``
+
+    so expected kept docs per source is ``target_total * w_s / W`` —
+    kept mass proportional to sqrt(source size).  A row is kept iff its
+    seeded md5 bucket in [0, 10000) falls under its source's rate — the
+    same deterministic no-``rand()`` draw as ``stratified_sample``, so
+    the mix is byte-stable under retries and re-partitioning.
+
+    Scale shape: one tiny per-source count aggregate (partial-agg,
+    #sources rows), rates broadcast back, then a MAP-ONLY filter over the
+    corpus — the 100 TB side never shuffles.
+    """
+    n = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("_n"))
+    w = n.withColumn("_w", F.floor(F.sqrt(F.col("_n"))).cast("long"))
+    big_w = w.agg(F.sum("_w").alias("_wsum"))
+    rates = (
+        w.crossJoin(F.broadcast(big_w))
+        .withColumn(
+            "rate_bp",
+            F.least(
+                F.lit(10000).cast("long"),
+                F.expr(
+                    f"(10000 * CAST({target_total} AS BIGINT) * _w) div (_wsum * _n)"
+                ),
+            ).cast("int"),
+        )
+        .select(group_col, "rate_bp")
+    )
+    bucket = md5_bucket(
+        F.md5(F.concat(F.lit(seed), F.col(id_col).cast("string"))), 10000
+    )
+    return (
+        df.join(F.broadcast(rates), group_col)
+        .withColumn("_bucket", bucket)
+        .filter(F.col("_bucket") < F.col("rate_bp"))
+        .select(id_col, group_col, "rate_bp")
+    )
+
+
 def shuffle_shard(
     df: DataFrame,
     n_shards: int = 8,

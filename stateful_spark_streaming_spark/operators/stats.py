@@ -301,3 +301,126 @@ def trim_by_quantile(
         .filter(F.col(value_col) >= F.col("__thr"))
         .drop("__thr")
     )
+
+
+# ---------------------------------------------------------------------------
+# Distribution drift — total-variation distance between each source's token
+# distribution and the corpus-wide distribution, in scaled-integer
+# arithmetic so the comparison is exact across engines (no float logs, no
+# summation-order sensitivity: every probability is an integer basis-point
+# value and TV is a sum of integer absolute differences).  The summary the
+# drift derives from — (source, token, count) — is additive, so the
+# streaming twin stages per-batch count partials and shares this exact tail.
+# ---------------------------------------------------------------------------
+
+
+def unigram_source_counts(
+    df: DataFrame,
+    text_col: str = "text",
+    group_col: str = "source",
+) -> DataFrame:
+    """(group, token, c) occurrence counts — the mergeable summary under
+    ``source_drift``.  One partial-aggregatable corpus-wide shuffle on
+    (group, token); map-side combine collapses within-partition repeats
+    before anything moves."""
+    from stateful_spark_streaming_spark.operators.text import tokens
+
+    return (
+        df.select(F.col(group_col), F.explode(tokens(F.col(text_col))).alias("token"))
+        .filter(F.col("token") != "")
+        .groupBy(group_col, "token")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+
+
+def source_drift_from_counts(
+    counts: DataFrame,
+    group_col: str = "source",
+    scale: int = 100_000_000,
+) -> DataFrame:
+    """Total-variation distance of each group's token distribution from
+    the corpus-wide distribution, from a (group, token, c) count summary.
+
+    All-integer: with ``p_s = (scale*c_s) div tot_s`` and
+    ``p = (scale*c) div tot``, TV splits over tokens present/absent in
+    the group —
+
+        ``TV_s = (sum_{t in s} (|p_s - p| - p) + sum_t p) div 2``
+
+    so the per-group sum only touches the group's own vocabulary and the
+    global term ``S2 = sum_t p`` is one shared constant.  Every quantity
+    is a BIGINT; both engines truncate identically, making the oracle
+    hash-exact.  Overflow bound: ``scale * tot`` must fit BIGINT, i.e.
+    ``tot <= 9.2e18 / scale`` total tokens (~9e10 at the 1e8 default —
+    guarded with ``raise_error``, never a silent wrap; drop ``scale`` to
+    1e6/1e4 for larger corpora: TV in bp only needs 4 digits).
+
+    Scale shape: everything after the count summary is vocabulary-sized,
+    not corpus-sized — one shuffle join on token between two vocab-sized
+    frames, group totals and the two single-row constants broadcast.  The
+    count summary feeds FOUR consumers (group totals, global counts, the
+    per-group join, and through it the constants), so it is pinned via
+    ``track_persist`` — without the pin each consumer would re-run the
+    corpus-wide tokenize+shuffle pass.
+
+    Returns (group, total_tokens, n_tokens_distinct, tv_scaled, tv_bp).
+    """
+    from stateful_spark_streaming_spark.caching import track_persist
+
+    counts = track_persist(counts)
+    lim = (1 << 63) // scale - 1
+    tot_s = counts.groupBy(group_col).agg(F.sum("c").alias("__tot_s"))
+    glob = counts.groupBy("token").agg(F.sum("c").alias("__cg"))
+    tot = glob.agg(
+        F.when(
+            F.sum("__cg") > F.lit(lim),
+            F.raise_error(
+                F.concat(
+                    F.lit(f"source_drift: corpus too large for scale={scale}: "),
+                    F.sum("__cg").cast("string"),
+                    F.lit(f" tokens > bound {lim}; lower scale"),
+                )
+            ).cast("long"),
+        )
+        .otherwise(F.sum("__cg"))
+        .alias("__tot")
+    )
+    glob_p = glob.crossJoin(F.broadcast(tot)).select(
+        "token", F.expr(f"(CAST({scale} AS BIGINT) * __cg) div __tot").alias("__pg")
+    )
+    s2 = glob_p.agg(F.sum("__pg").alias("__s2"))
+    per = (
+        counts.join(F.broadcast(tot_s), group_col)
+        .join(glob_p, "token")
+        .withColumn("__ps", F.expr(f"(CAST({scale} AS BIGINT) * c) div __tot_s"))
+        .groupBy(group_col)
+        .agg(
+            F.max("__tot_s").alias("total_tokens"),
+            F.count(F.lit(1)).alias("n_tokens_distinct"),
+            F.sum(F.abs(F.col("__ps") - F.col("__pg")) - F.col("__pg")).alias("__s1"),
+        )
+    )
+    return per.crossJoin(F.broadcast(s2)).select(
+        group_col,
+        "total_tokens",
+        "n_tokens_distinct",
+        F.expr("(__s1 + __s2) div 2").alias("tv_scaled"),
+        F.expr(f"((__s1 + __s2) div 2) div {scale // 10_000}").cast("int").alias("tv_bp"),
+    )
+
+
+def source_drift(
+    df: DataFrame,
+    text_col: str = "text",
+    group_col: str = "source",
+    scale: int = 100_000_000,
+) -> DataFrame:
+    """Corpus composition monitoring: how far each source's token
+    distribution sits from the blended corpus distribution (TV distance,
+    0 = identical, 10000 bp = disjoint).  The audit every mixture change
+    / new-crawl ingest should run — a source whose drift jumps between
+    snapshots changed character, not just size.  See
+    ``source_drift_from_counts`` for the arithmetic and scale story."""
+    return source_drift_from_counts(
+        unigram_source_counts(df, text_col, group_col), group_col, scale
+    )

@@ -3527,6 +3527,117 @@ def q_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "temperature_mix",
+    oracle="""
+    WITH n AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY source),
+    w AS (SELECT source, n_docs, CAST(floor(sqrt(n_docs)) AS BIGINT) AS wv FROM n),
+    t AS (SELECT sum(wv) AS wsum FROM w),
+    r AS (SELECT source,
+                 least(10000, (10000 * 500 * wv) // (wsum * n_docs)) AS rate_bp
+          FROM w, t)
+    SELECT d.doc_id, d.source, CAST(r.rate_bp AS INT) AS rate_bp
+    FROM documents d JOIN r USING (source)
+    WHERE ('0x' || substring(md5('temp1' || CAST(d.doc_id AS VARCHAR)), 1, 8))::BIGINT
+          % 10000 < r.rate_bp
+    """,
+)
+def q_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-weighted (alpha = 0.5) source mixing targeting 500 kept
+    docs: kept mass per source proportional to sqrt(source size).  Exact
+    cross-engine because sqrt is the one correctly-rounded IEEE power and
+    everything after floor(sqrt) is integer arithmetic; the keep decision
+    is the seeded md5 draw.  Map-only over the corpus — only the
+    per-source count aggregate shuffles."""
+    return SMP.temperature_mix(_t(spark, sf_dir, "documents"), target_total=500)
+
+
+@query(
+    "ngram_overlap",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, {_TOKS_SQL} AS t FROM documents),
+    g AS (SELECT doc_id,
+                 CASE WHEN len(t) >= 5
+                      THEN list_distinct(list_transform(range(1, len(t) - 3), i ->
+                           t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]
+                           || ' ' || t[i+4]))
+                      ELSE [] END AS s
+          FROM toks),
+    ev AS (SELECT doc_id, len(s) AS n_sh, unnest(s) AS shingle
+           FROM g WHERE doc_id % 97 = 0 AND len(s) > 0),
+    tr AS (SELECT DISTINCT unnest(s) AS shingle FROM g WHERE doc_id % 97 <> 0)
+    SELECT ev.doc_id,
+           CAST(max(ev.n_sh) AS INT) AS n_shingles,
+           CAST(count(tr.shingle) AS BIGINT) AS n_hit,
+           CAST((10000 * count(tr.shingle)) // max(ev.n_sh) AS INT) AS overlap_bp
+    FROM ev LEFT JOIN tr USING (shingle)
+    GROUP BY ev.doc_id
+    """,
+)
+def q_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graded contamination scoring: per eval doc (the %97 split used by
+    the decontaminate family), the basis-point fraction of its distinct
+    5-gram shingles found anywhere in the training corpus.  The train
+    side is probed map-only against the broadcast eval dictionary —
+    the corpus never shuffles."""
+    docs = _t(spark, sf_dir, "documents")
+    return DD.ngram_overlap_score(
+        docs.filter(F.col("doc_id") % 97 != 0),
+        docs.filter(F.col("doc_id") % 97 == 0),
+        k=5,
+    )
+
+
+_DRIFT_ORACLE = f"""
+    WITH occ AS (SELECT source, unnest({_TOKS_SQL}) AS token FROM documents),
+    c AS (SELECT source, token, count(*) AS c
+          FROM occ WHERE token <> '' GROUP BY source, token),
+    tots AS (SELECT source, sum(c) AS tot_s FROM c GROUP BY source),
+    g AS (SELECT token, sum(c) AS cg FROM c GROUP BY token),
+    tot AS (SELECT sum(cg) AS tot FROM g),
+    gp AS (SELECT token, (100000000 * cg) // tot AS pg FROM g, tot),
+    s2 AS (SELECT sum(pg) AS s2 FROM gp),
+    per AS (SELECT c.source, max(tots.tot_s) AS total_tokens,
+                   count(*) AS n_tokens_distinct,
+                   sum(abs((100000000 * c.c) // tots.tot_s - gp.pg) - gp.pg) AS s1
+            FROM c JOIN tots USING (source) JOIN gp USING (token)
+            GROUP BY c.source)
+    SELECT source, CAST(total_tokens AS BIGINT) AS total_tokens,
+           CAST(n_tokens_distinct AS BIGINT) AS n_tokens_distinct,
+           CAST((s1 + s2.s2) // 2 AS BIGINT) AS tv_scaled,
+           CAST(((s1 + s2.s2) // 2) // 10000 AS INT) AS tv_bp
+    FROM per, s2
+    """
+
+
+@query("source_drift", oracle=_DRIFT_ORACLE)
+def q_source_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus composition audit: per-source total-variation distance from
+    the blended corpus token distribution, in exact scaled-integer basis
+    points (no float logs, no summation-order sensitivity).  Everything
+    past the one (source, token) count shuffle is vocabulary-sized."""
+    from stateful_spark_streaming_spark.operators import stats as ST
+
+    return ST.source_drift(_t(spark, sf_dir, "documents"))
+
+
+@query("streaming_source_drift", oracle=_DRIFT_ORACLE)
+def q_streaming_source_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingest-time drift tracking — streaming twin of ``source_drift``
+    (same oracle): batch-stamped additive (source, token, count) partials
+    staged per micro-batch, replay-deduped and summed on read, finished
+    through the same ``source_drift_from_counts`` tail."""
+    import os as _os
+
+    from stateful_spark_streaming_spark.streaming.pipeline import (
+        run_streaming_source_drift,
+    )
+
+    return run_streaming_source_drift(
+        spark, _os.path.join(sf_dir, "documents.parquet")
+    )
+
+
 # --------------------------------------------------------------------------
 # Catalog ordering: ROTATION first, then cheapest-first.  The driver's
 # correctness gate records exactly the FIRST 50 catalog entries (r2 cut 50
@@ -3561,9 +3672,13 @@ _CHEAP_FIRST = [
     "decontaminate_bloom",
     "merge_upsert", "streaming_merge_upsert", "corpus_diff",
     "quality_trim", "heavy_hitters_cms", "streaming_heavy_hitters_cms",
-    # (c) backfill: 32 of the 47 queries whose newest green row is r5,
+    # plus the mixing/contamination/drift family (temperature sampling,
+    # graded n-gram overlap, TV-distance drift + streaming twin);
+    "temperature_mix", "ngram_overlap",
+    "source_drift", "streaming_source_drift",
+    # (c) backfill: 28 of the 47 queries whose newest green row is r5,
     # cheapest first (BENCH sf0.1 warm — hedge against a secondary
-    # wall-clock cap).  The 12 most expensive r5-row entries (redact_pii
+    # wall-clock cap).  The 19 most expensive r5-row entries (track_counts
     # … training_pipeline_full, listed below past the window) stay on
     # their valid r5 rows and LEAD the r9 window — code + oracles
     # unchanged since r5.
@@ -3576,11 +3691,11 @@ _CHEAP_FIRST = [
     "monthly_running_revenue", "revenue_cube", "events_json_extract",
     "sliding_window_counts", "track_oldest", "bucket_rollup",
     "track_dedup", "tumbling_window_counts", "event_type_pivot",
-    "pricing_summary", "priority_top_orders", "track_counts",
-    "track_latest", "track_neighbors", "chunk_documents",
-    # --- past the 50-entry gate window: first the 15 deferred r5-row
+    "pricing_summary", "priority_top_orders",
+    # --- past the 50-entry gate window: first the 19 deferred r5-row
     # entries (they lead the r9 rotation), then the r7-window entries on
     # their fresh r7 rows ---
+    "track_counts", "track_latest", "track_neighbors", "chunk_documents",
     "language_id", "returns_rollup", "quality_score",
     "redact_pii", "sq8_encode", "track_snapshot", "segment_set_ops",
     "value_percentiles", "multimodal_features", "gopher_quality_filter",

@@ -418,6 +418,9 @@ STAGED_SINK_COMPACTION = {
     # quality_hist_compaction_spec(group_col) instead — compacting it
     # under this spec would group on a nonexistent (or wrong) column.
     "quality_hist": dict(keys=["source", "bin"], sums=("n",)),
+    # run_streaming_source_drift: <ckpt>_counts (token counts are
+    # additive).  Same default-group_col caveat as quality_hist.
+    "source_token_counts": dict(keys=["source", "token"], sums=("c",)),
 }
 
 
@@ -1532,6 +1535,66 @@ def run_streaming_quality_histogram(
         .agg(F.sum("n").alias("n"))
     )
     return histogram_finalize(merged, n_bins, scale)
+
+
+def run_streaming_source_drift(
+    spark: SparkSession,
+    documents_path: str,
+    group_col: str = "source",
+    scale: int = 100_000_000,
+    checkpoint_dir: str | None = None,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """Ingest-time distribution-drift tracking — streaming twin of
+    ``stats.source_drift`` (same oracle).
+
+    The (group, token, count) summary under the drift metric is ADDITIVE,
+    so this is the ``run_streaming_vocab`` shape: each micro-batch appends
+    batch-stamped per-batch token-count partials (vocabulary-sized, never
+    document-sized), the read side dedupes replays per
+    (group, token, batch), sums, and runs the SAME
+    ``source_drift_from_counts`` tail — streaming ≡ batch exact, every
+    basis point.  The log folds at any cadence via ``compact_partial_log``
+    (spec ``STAGED_SINK_COMPACTION['source_token_counts']``)."""
+    from pyspark.sql import functions as F
+
+    from stateful_spark_streaming_spark.operators.stats import (
+        source_drift_from_counts,
+        unigram_source_counts,
+    )
+
+    checkpoint_dir = checkpoint_dir or tempfile.mkdtemp(prefix="sss_ckpt_drift_")
+    out_dir = checkpoint_dir + "_counts"
+    stream = _stage_parquet_stream(spark, documents_path, max_files_per_trigger)
+
+    def _sink(bdf: DataFrame, batch_id: int) -> None:
+        part = unigram_source_counts(bdf, group_col=group_col)
+        part.withColumn("_batch_id", F.lit(batch_id)).coalesce(1).write.mode(
+            "append"
+        ).parquet(out_dir)
+
+    q = (
+        stream.writeStream.foreachBatch(_sink)
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+
+    if not os.path.exists(out_dir):
+        staged = spark.createDataFrame(
+            [], f"{group_col} string, token string, c bigint, _batch_id long"
+        )
+    else:
+        staged = spark.read.parquet(out_dir)
+    merged = (
+        staged.groupBy(group_col, "token", "_batch_id")
+        .agg(F.max("c").alias("c"))  # replay dedupe: partials are deterministic
+        .groupBy(group_col, "token")
+        .agg(F.sum("c").alias("c"))
+    )
+    return source_drift_from_counts(merged, group_col, scale)
 
 
 def run_streaming_heavy_hitters(

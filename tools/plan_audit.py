@@ -257,6 +257,22 @@ CHECKS = {
                                      "BroadcastNestedLoopJoin",
                                      "SortMergeJoin", "ShuffledHashJoin"],
                                     None),
+    # temperature mix: per-source rates BROADCAST back onto the corpus,
+    # keep decision map-only — the corpus itself never shuffle-joins
+    "temperature_mix": (["BroadcastHashJoin"],
+                        ["CartesianProduct", "SortMergeJoin",
+                         "ShuffledHashJoin"], None),
+    # graded contamination: eval dictionary + hit set broadcast; the
+    # train corpus is probed map-only, never pair-joined
+    "ngram_overlap": (["BroadcastHashJoin"],
+                      ["CartesianProduct", "BroadcastNestedLoopJoin",
+                       "SortMergeJoin", "ShuffledHashJoin"], None),
+    # drift: group totals broadcast; the only non-broadcast join is the
+    # vocab-sized token join (allowed); single-row constants arrive as
+    # broadcast nested-loop — fine, but never a real cartesian product
+    "source_drift": (["BroadcastHashJoin"], ["CartesianProduct"], None),
+    "streaming_source_drift": (["BroadcastHashJoin"],
+                               ["CartesianProduct"], None),
 }
 
 #: upper bound on `Scan parquet` occurrences — "the signature subplan is
