@@ -665,3 +665,129 @@ def corpus_report(df: DataFrame, text_col: str = "text") -> DataFrame:
             F.sum((F.col("lang") == "en").cast("int")).alias("n_en"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# BPE tokenizer training: the pair-count workhorse (distributed, exact
+# oracle) and the bounded merge loop (driver-side over the collected
+# word-frequency table — the shape every production BPE trainer uses,
+# because the DISTINCT-WORD table is vocabulary-sized even at 100 TB).
+# ---------------------------------------------------------------------------
+
+
+def word_freqs(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """(token, n) corpus word-frequency table — the input of BPE training.
+    One partial-aggregatable shuffle; everything downstream of it is
+    vocabulary-sized, not corpus-sized."""
+    return (
+        df.select(F.explode(tokens(F.col(text_col))).alias("token"))
+        .filter(F.col("token") != "")
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def bpe_pair_counts(
+    df: DataFrame, text_col: str = "text", top_n: int = 50
+) -> DataFrame:
+    """One BPE training iteration's candidate scores: adjacent character
+    pairs over the distinct-word table, weighted by word frequency —
+    ``argmax pair_count`` is the merge a BPE trainer would apply.  Every
+    occurrence position counts (the word "aaa" contributes "aa" twice),
+    exactly the Sennrich et al. 2016 counting rule.
+
+    JVM-side end to end: the pair explosion is a ``transform(sequence)``
+    HOF over the VOCABULARY (post-aggregation), so the corpus is touched
+    once by the word-frequency shuffle and the expensive part runs over
+    ~1e6 rows regardless of corpus size.  Top-N via ``orderBy().limit()``
+    (per-partition heaps, no global sort); rank windows over the already
+    limited rows — the ``vocab_rank`` contract.
+
+    Returns (pair, pair_count, n_words, rank): weighted count, distinct
+    words containing the pair, deterministic rank (ties break on pair).
+    """
+    wf = word_freqs(df, text_col)
+    pairs = wf.filter(F.length("token") >= 2).select(
+        "token",
+        "n",
+        F.explode(
+            F.expr("transform(sequence(1, length(token) - 1), i -> substr(token, i, 2))")
+        ).alias("pair"),
+    )
+    agg = pairs.groupBy("pair").agg(
+        F.sum("n").alias("pair_count"),
+        F.countDistinct("token").alias("n_words"),
+    )
+    topped = agg.orderBy(F.col("pair_count").desc(), "pair").limit(top_n)
+    w = Window.orderBy(F.col("pair_count").desc(), "pair")
+    return topped.select(
+        "pair", "pair_count", "n_words", F.row_number().over(w).alias("rank")
+    )
+
+
+def bpe_train(
+    df: DataFrame,
+    n_merges: int = 100,
+    text_col: str = "text",
+    max_driver_words: int = 5_000_000,
+) -> list[tuple[str, str]]:
+    """Byte-pair-encoding merge-rule training (Sennrich et al. 2016): the
+    iterative argmax-pair/apply-merge loop, run DRIVER-SIDE over the
+    collected word-frequency table.
+
+    Deliberate architecture, not a shortcut: after ``word_freqs`` the
+    problem is vocabulary-sized (≤ a few million distinct words at any
+    corpus scale), and the merge loop is inherently sequential — one
+    merge changes the next iteration's counts — so distributing it would
+    cost ``n_merges`` vocabulary-wide shuffles for work a single process
+    finishes in seconds.  Every production trainer (SentencePiece, HF
+    tokenizers) collects word counts first for the same reason; Spark's
+    job here is the corpus-wide counting pass, which stays distributed.
+
+    Bounded like ``dup_clusters``: the collect is probed with
+    ``limit(max_driver_words + 1)`` and OVERFLOWS LOUDLY rather than
+    OOMing the driver (trim the vocabulary upstream — rare words don't
+    influence early merges).  Ties break lexicographically so the merge
+    sequence is deterministic across runs and partitionings.
+
+    Returns the ordered merge list [(left, right), ...].
+    """
+    rows = word_freqs(df, text_col).limit(max_driver_words + 1).collect()
+    if len(rows) > max_driver_words:
+        raise ValueError(
+            f"bpe_train: >{max_driver_words} distinct words; trim the "
+            "vocabulary (e.g. min-frequency filter) before training"
+        )
+    vocab: dict[tuple[str, ...], int] = {
+        tuple(r["token"]): r["n"] for r in rows
+    }
+    merges: list[tuple[str, str]] = []
+    for _ in range(n_merges):
+        counts: dict[tuple[str, str], int] = {}
+        for syms, n in vocab.items():
+            for i in range(len(syms) - 1):
+                p = (syms[i], syms[i + 1])
+                counts[p] = counts.get(p, 0) + n
+        if not counts:
+            break
+        # deterministic argmax: highest count, then lexicographically
+        # smallest pair
+        top = max(counts.values())
+        best = min(p for p, c in counts.items() if c == top)
+        merges.append(best)
+        merged = best[0] + best[1]
+        new_vocab: dict[tuple[str, ...], int] = {}
+        for syms, n in vocab.items():
+            out: list[str] = []
+            i = 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == best[0] and syms[i + 1] == best[1]:
+                    out.append(merged)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            t = tuple(out)
+            new_vocab[t] = new_vocab.get(t, 0) + n
+        vocab = new_vocab
+    return merges

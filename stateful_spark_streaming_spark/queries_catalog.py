@@ -3610,6 +3610,32 @@ _DRIFT_ORACLE = f"""
     """
 
 
+@query(
+    "bpe_pair_counts",
+    oracle=f"""
+    WITH occ AS (SELECT unnest({_TOKS_SQL}) AS token FROM documents),
+    wf AS (SELECT token, count(*) AS n FROM occ WHERE token <> '' GROUP BY token),
+    p AS (SELECT token, n,
+                 unnest(list_transform(range(1, length(token)),
+                                       i -> substr(token, i, 2))) AS pair
+          FROM wf WHERE length(token) >= 2),
+    agg AS (SELECT pair, CAST(sum(n) AS BIGINT) AS pair_count,
+                   CAST(count(DISTINCT token) AS BIGINT) AS n_words
+            FROM p GROUP BY pair)
+    SELECT pair, pair_count, n_words,
+           CAST(row_number() OVER (ORDER BY pair_count DESC, pair) AS INT) AS rank
+    FROM agg ORDER BY pair_count DESC, pair LIMIT 50
+    """,
+)
+def q_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer-training candidate scores: top-50 adjacent character
+    pairs over the distinct-word table, weighted by word frequency
+    (Sennrich et al. 2016 counting — every occurrence position counts).
+    The corpus is touched once by the word-frequency shuffle; the pair
+    explosion runs over the vocabulary."""
+    return TXT.bpe_pair_counts(_t(spark, sf_dir, "documents"), top_n=50)
+
+
 @query("source_drift", oracle=_DRIFT_ORACLE)
 def q_source_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus composition audit: per-source total-variation distance from
@@ -3675,13 +3701,13 @@ _CHEAP_FIRST = [
     # plus the mixing/contamination/drift family (temperature sampling,
     # graded n-gram overlap, TV-distance drift + streaming twin);
     "temperature_mix", "ngram_overlap",
-    "source_drift", "streaming_source_drift",
-    # (c) backfill: 28 of the 47 queries whose newest green row is r5,
+    "source_drift", "streaming_source_drift", "bpe_pair_counts",
+    # (c) backfill: 27 of the 47 queries whose newest green row is r5,
     # cheapest first (BENCH sf0.1 warm — hedge against a secondary
-    # wall-clock cap).  The 19 most expensive r5-row entries (track_counts
-    # … training_pipeline_full, listed below past the window) stay on
-    # their valid r5 rows and LEAD the r9 window — code + oracles
-    # unchanged since r5.
+    # wall-clock cap).  The 20 most expensive r5-row entries
+    # (priority_top_orders … training_pipeline_full, listed below past
+    # the window) stay on their valid r5 rows and LEAD the r9 window —
+    # code + oracles unchanged since r5.
     "customers_without_recent_orders", "forecast_revenue",
     "geometry_construct_null", "hash_split", "sample_n_per_group",
     "token_stats", "embedding_norm_stats", "label_centroids",
@@ -3691,10 +3717,11 @@ _CHEAP_FIRST = [
     "monthly_running_revenue", "revenue_cube", "events_json_extract",
     "sliding_window_counts", "track_oldest", "bucket_rollup",
     "track_dedup", "tumbling_window_counts", "event_type_pivot",
-    "pricing_summary", "priority_top_orders",
-    # --- past the 50-entry gate window: first the 19 deferred r5-row
+    "pricing_summary",
+    # --- past the 50-entry gate window: first the 20 deferred r5-row
     # entries (they lead the r9 rotation), then the r7-window entries on
     # their fresh r7 rows ---
+    "priority_top_orders",
     "track_counts", "track_latest", "track_neighbors", "chunk_documents",
     "language_id", "returns_rollup", "quality_score",
     "redact_pii", "sq8_encode", "track_snapshot", "segment_set_ops",

@@ -273,6 +273,13 @@ CHECKS = {
     "source_drift": (["BroadcastHashJoin"], ["CartesianProduct"], None),
     "streaming_source_drift": (["BroadcastHashJoin"],
                                ["CartesianProduct"], None),
+    # BPE pair counting: corpus shuffled once into the word-frequency
+    # aggregate, pair explosion runs over the vocabulary; top-N via
+    # per-partition heaps, never a global sort of the pair table
+    "bpe_pair_counts": (["TakeOrderedAndProject"],
+                        ["CartesianProduct", "BroadcastNestedLoopJoin",
+                         "SortMergeJoin", "ShuffledHashJoin",
+                         "BroadcastHashJoin"], None),
 }
 
 #: upper bound on `Scan parquet` occurrences — "the signature subplan is
