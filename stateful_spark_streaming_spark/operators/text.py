@@ -791,3 +791,134 @@ def bpe_train(
             new_vocab[t] = new_vocab.get(t, 0) + n
         vocab = new_vocab
     return merges
+
+
+def bpe_encode(
+    df: DataFrame,
+    merges: list[tuple[str, str]],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Apply trained BPE merge rules (``bpe_train``'s output) and report
+    per-doc tokenization statistics — the train → apply closure of the
+    tokenizer family, and the fertility audit (subword tokens per word)
+    every tokenizer change should be measured by before a pretraining
+    run re-tokenizes 100 TB.
+
+    Arrow ``mapInPandas`` kernel, no shuffle: merge application is the
+    standard greedy lowest-rank loop (the HF/SentencePiece apply rule —
+    at each step merge the pair with the smallest training rank).  Each
+    DISTINCT word is encoded once per Arrow batch (memoized), so the
+    per-row cost is a dict lookup; the merge list rides to executors in
+    the task closure (tokenizer-sized, a few hundred KB at worst).
+
+    Returns (doc_id, n_words, n_bpe_tokens, fertility_bp) with
+    ``fertility_bp = 10000 * n_bpe_tokens div n_words``; null-text docs
+    emit nothing, empty/whitespace docs emit nothing (no words).
+
+    Not SQL-expressible (the merge loop is iterative) — rows-only in the
+    oracle gate; exactness is pytested against a pure-Python reference.
+    """
+    from stateful_spark_streaming_spark.operators.dedup import _id_typed_schema, _py_tokens
+
+    ranks = {pair: i for i, pair in enumerate(merges)}
+
+    def encode_word(word: str) -> int:
+        syms = list(word)
+        while len(syms) > 1:
+            best_rank = None
+            best_i = -1
+            for i in range(len(syms) - 1):
+                r = ranks.get((syms[i], syms[i + 1]))
+                if r is not None and (best_rank is None or r < best_rank):
+                    best_rank, best_i = r, i
+            if best_rank is None:
+                break
+            syms[best_i : best_i + 2] = [syms[best_i] + syms[best_i + 1]]
+        return len(syms)
+
+    def kernel(batches):
+        import pandas as pd
+
+        cache: dict[str, int] = {}
+        for pdf in batches:
+            ids: list = []
+            nw: list = []
+            nb: list = []
+            for doc_id, text in zip(pdf[id_col], pdf[text_col]):
+                toks = _py_tokens(text)
+                if toks is None:
+                    continue
+                toks = [t for t in toks if t]
+                if not toks:
+                    continue
+                total = 0
+                for t in toks:
+                    n = cache.get(t)
+                    if n is None:
+                        n = cache[t] = encode_word(t)
+                    total += n
+                ids.append(doc_id)
+                nw.append(len(toks))
+                nb.append(total)
+            yield pd.DataFrame({"doc_id": ids, "n_words": nw, "n_bpe_tokens": nb})
+
+    out = df.select(F.col(id_col), F.col(text_col)).mapInPandas(
+        kernel, _id_typed_schema(df, id_col, "doc_id", "n_words int, n_bpe_tokens int")
+    )
+    return out.withColumn(
+        "fertility_bp", F.expr("(10000 * n_bpe_tokens) div n_words").cast("int")
+    )
+
+
+def compression_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    level: int = 6,
+) -> DataFrame:
+    """Per-doc zlib compression ratio — the classic repetitiveness /
+    quality signal (Gopher-family pipelines drop documents that compress
+    too well: boilerplate, generated spam, and repeated spans all have
+    anomalously low ratios, and the signal is tokenizer-independent).
+
+    Arrow ``mapInPandas`` kernel, map-only (zlib's deflate is C-speed and
+    deterministic for a fixed level).  All-integer output:
+    (doc_id, n_bytes, n_compressed, ratio_bp) with
+    ``ratio_bp = 10000 * n_compressed div n_bytes`` — low ratio_bp =
+    highly compressible = repetitive.  Null-text and empty docs emit
+    nothing.
+
+    Not SQL-expressible (no deflate in the oracle engine) — rows-only in
+    the gate; the kernel is pytested byte-exact against direct zlib.
+    """
+    import zlib
+
+    from stateful_spark_streaming_spark.operators.dedup import _id_typed_schema
+
+    def kernel(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            ids: list = []
+            nraw: list = []
+            ncomp: list = []
+            for doc_id, text in zip(pdf[id_col], pdf[text_col]):
+                if text is None or (isinstance(text, float) and text != text):
+                    continue
+                raw = str(text).encode("utf-8")
+                if not raw:
+                    continue
+                ids.append(doc_id)
+                nraw.append(len(raw))
+                ncomp.append(len(zlib.compress(raw, level)))
+            yield pd.DataFrame(
+                {"doc_id": ids, "n_bytes": nraw, "n_compressed": ncomp}
+            )
+
+    out = df.select(F.col(id_col), F.col(text_col)).mapInPandas(
+        kernel, _id_typed_schema(df, id_col, "doc_id", "n_bytes int, n_compressed int")
+    )
+    return out.withColumn(
+        "ratio_bp", F.expr("(10000 * n_compressed) div n_bytes").cast("int")
+    )

@@ -3636,6 +3636,31 @@ def q_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TXT.bpe_pair_counts(_t(spark, sf_dir, "documents"), top_n=50)
 
 
+@query("bpe_encode_stats")
+def q_bpe_encode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train 50 BPE merges on the corpus, apply them, and report per-doc
+    tokenization stats (word count, subword count, fertility in bp) —
+    the train → apply closure.  Rows-only by construction: the greedy
+    merge loop is iterative, not SQL-expressible; exactness is pytested
+    against a pure-Python reference (`tests/test_bpe.py`)."""
+    from stateful_spark_streaming_spark.operators import text as TXT2
+
+    docs = _t(spark, sf_dir, "documents")
+    merges = TXT2.bpe_train(docs, n_merges=50)
+    return TXT2.bpe_encode(docs, merges)
+
+
+@query("compression_stats")
+def q_compression_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc zlib compression ratio (Gopher-family repetitiveness /
+    quality signal; low ratio_bp = boilerplate or generated spam).
+    Rows-only by construction: no deflate in the oracle engine; the
+    Arrow kernel is pytested byte-exact against direct zlib."""
+    from stateful_spark_streaming_spark.operators import text as TXT2
+
+    return TXT2.compression_stats(_t(spark, sf_dir, "documents"))
+
+
 @query("source_drift", oracle=_DRIFT_ORACLE)
 def q_source_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus composition audit: per-source total-variation distance from
@@ -3702,10 +3727,11 @@ _CHEAP_FIRST = [
     # graded n-gram overlap, TV-distance drift + streaming twin);
     "temperature_mix", "ngram_overlap",
     "source_drift", "streaming_source_drift", "bpe_pair_counts",
-    # (c) backfill: 27 of the 47 queries whose newest green row is r5,
+    "bpe_encode_stats", "compression_stats",
+    # (c) backfill: 25 of the 47 queries whose newest green row is r5,
     # cheapest first (BENCH sf0.1 warm — hedge against a secondary
-    # wall-clock cap).  The 20 most expensive r5-row entries
-    # (priority_top_orders … training_pipeline_full, listed below past
+    # wall-clock cap).  The 22 most expensive r5-row entries
+    # (event_type_pivot … training_pipeline_full, listed below past
     # the window) stay on their valid r5 rows and LEAD the r9 window —
     # code + oracles unchanged since r5.
     "customers_without_recent_orders", "forecast_revenue",
@@ -3716,12 +3742,11 @@ _CHEAP_FIRST = [
     "track_last_n", "pack_sequences", "profile_columns",
     "monthly_running_revenue", "revenue_cube", "events_json_extract",
     "sliding_window_counts", "track_oldest", "bucket_rollup",
-    "track_dedup", "tumbling_window_counts", "event_type_pivot",
-    "pricing_summary",
-    # --- past the 50-entry gate window: first the 20 deferred r5-row
+    "track_dedup", "tumbling_window_counts",
+    # --- past the 50-entry gate window: first the 22 deferred r5-row
     # entries (they lead the r9 rotation), then the r7-window entries on
     # their fresh r7 rows ---
-    "priority_top_orders",
+    "event_type_pivot", "pricing_summary", "priority_top_orders",
     "track_counts", "track_latest", "track_neighbors", "chunk_documents",
     "language_id", "returns_rollup", "quality_score",
     "redact_pii", "sq8_encode", "track_snapshot", "segment_set_ops",

@@ -84,3 +84,93 @@ def test_bpe_train_overflow_guard(spark):
     )
     with pytest.raises(ValueError, match="distinct words"):
         bpe_train(df, n_merges=1, max_driver_words=2)
+
+
+# ---------------------------------------------------------------------------
+# bpe_encode
+# ---------------------------------------------------------------------------
+
+
+def _ref_encode(word: str, merges: list[tuple[str, str]]) -> int:
+    ranks = {p: i for i, p in enumerate(merges)}
+    syms = list(word)
+    while len(syms) > 1:
+        ranked = [
+            (ranks[(syms[i], syms[i + 1])], i)
+            for i in range(len(syms) - 1)
+            if (syms[i], syms[i + 1]) in ranks
+        ]
+        if not ranked:
+            break
+        _, i = min(ranked)
+        syms[i : i + 2] = [syms[i] + syms[i + 1]]
+    return len(syms)
+
+
+def test_bpe_encode_matches_reference(spark):
+    from stateful_spark_streaming_spark.operators.text import bpe_encode
+
+    merges = bpe_train(_corpus(spark), n_merges=4)
+    got = {
+        r["doc_id"]: (r["n_words"], r["n_bpe_tokens"], r["fertility_bp"])
+        for r in bpe_encode(_corpus(spark), merges).collect()
+    }
+    docs = {0: _WORDS[:8], 1: _WORDS[8:]}
+    want = {}
+    for d, ws in docs.items():
+        nb = sum(_ref_encode(w, merges) for w in ws)
+        want[d] = (len(ws), nb, (10000 * nb) // len(ws))
+    assert got == want
+    # merges actually compress: fertility strictly below chars-per-word
+    for d, (nw, nb, _) in got.items():
+        assert nb < sum(len(w) for w in docs[d])
+
+
+def test_bpe_encode_null_and_empty_docs_emit_nothing(spark):
+    from stateful_spark_streaming_spark.operators.text import bpe_encode
+
+    df = spark.createDataFrame(
+        [(0, "low low"), (1, None), (2, "   ")], "doc_id long, text string"
+    )
+    got = {r["doc_id"] for r in bpe_encode(df, [("l", "o")]).collect()}
+    assert got == {0}
+
+
+def test_bpe_encode_no_merges_counts_chars(spark):
+    from stateful_spark_streaming_spark.operators.text import bpe_encode
+
+    df = spark.createDataFrame([(0, "ab cde")], "doc_id long, text string")
+    [r] = bpe_encode(df, []).collect()
+    assert (r["n_words"], r["n_bpe_tokens"], r["fertility_bp"]) == (2, 5, 25000)
+
+
+# ---------------------------------------------------------------------------
+# compression_stats
+# ---------------------------------------------------------------------------
+
+
+def test_compression_stats_exact_zlib(spark):
+    import zlib
+
+    from stateful_spark_streaming_spark.operators.text import compression_stats
+
+    texts = {
+        0: "the quick brown fox jumps over the lazy dog",
+        1: "spam spam spam spam spam spam spam spam spam spam",
+        2: "x",
+    }
+    df = spark.createDataFrame(
+        list(texts.items()) + [(3, None), (4, "")], "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: (r["n_bytes"], r["n_compressed"], r["ratio_bp"])
+        for r in compression_stats(df).collect()
+    }
+    want = {}
+    for d, t in texts.items():
+        raw = t.encode()
+        c = len(zlib.compress(raw, 6))
+        want[d] = (len(raw), c, (10000 * c) // len(raw))
+    assert got == want  # null + empty docs absent
+    # the repetitive doc compresses far better than the natural one
+    assert got[1][2] < got[0][2]

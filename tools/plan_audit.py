@@ -280,6 +280,11 @@ CHECKS = {
                         ["CartesianProduct", "BroadcastNestedLoopJoin",
                          "SortMergeJoin", "ShuffledHashJoin",
                          "BroadcastHashJoin"], None),
+    # Arrow-kernel stats: the returned plan is scan → mapInPandas →
+    # project, MAP-ONLY (bpe_train's word-freq aggregate ran before the
+    # returned plan and is driver-bounded by construction)
+    "bpe_encode_stats": ([], ["Exchange", "Join"], 0),
+    "compression_stats": ([], ["Exchange", "Join"], 0),
 }
 
 #: upper bound on `Scan parquet` occurrences — "the signature subplan is
