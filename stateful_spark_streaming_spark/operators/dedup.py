@@ -1488,3 +1488,106 @@ def simhash_near_pairs(
             F.col("a.id").alias("doc_a"), F.col("b.id").alias("doc_b"), "hamming"
         )
     )
+
+
+def keep_best(
+    docs: DataFrame,
+    pairs: DataFrame,
+    quality: DataFrame,
+    id_col: str = "doc_id",
+    quality_col: str = "quality_score",
+) -> DataFrame:
+    """Turn a near-dup pair graph into the CLEANED CORPUS: cluster the
+    pairs (connected components) and keep, per cluster, the member with
+    the best quality score (tie → lowest id) — plus every unclustered
+    doc.  This is the canonical-selection rule production dedup actually
+    wants: ``dup_clusters``'s min-id representative is deterministic but
+    arbitrary; a pipeline should retain the best COPY of the content,
+    not the earliest-crawled one.
+
+    Scale shape: the pair graph holds near-duplicates only, so
+    ``clusters`` is tiny relative to the corpus; the winner aggregate is
+    ONE partial-aggregatable ``max(struct(quality_bp, -id, id))`` per
+    cluster (no window — AQE can't skew-split window partitions, and a
+    boilerplate mega-cluster is exactly a skewed key); the corpus-side
+    anti-join keys on ids only (AQE broadcasts the clustered-id set).
+    Quality rides as a scaled-integer basis-point key so the comparison
+    is exact across engines.
+
+    Returns (doc_id, cluster_size, reason) — reason is ``'unique'`` for
+    docs with no near-dup, ``'best_of_cluster'`` for the retained member
+    of each cluster; dropped members simply don't appear.
+    """
+    clusters = track_persist(dup_clusters(pairs, id_a="doc_a", id_b="doc_b"))
+    qbp = F.round(F.col(quality_col) * 10000).cast("long")
+    member_q = clusters.join(
+        quality.select(F.col(id_col).alias("doc_id"), qbp.alias("qbp")), "doc_id"
+    )
+    winners = (
+        member_q.groupBy("cluster_rep")
+        .agg(
+            F.max(
+                F.struct(
+                    F.col("qbp"),
+                    (-F.col("doc_id")).alias("nid"),
+                    F.col("doc_id").alias("d"),
+                )
+            )["d"].alias("doc_id"),
+            F.count(F.lit(1)).cast("int").alias("cluster_size"),
+        )
+        .select("doc_id", "cluster_size", F.lit("best_of_cluster").alias("reason"))
+    )
+    unique = (
+        docs.select(F.col(id_col).alias("doc_id"))
+        .join(clusters.select("doc_id"), "doc_id", "left_anti")
+        .select(
+            "doc_id",
+            F.lit(1).cast("int").alias("cluster_size"),
+            F.lit("unique").alias("reason"),
+        )
+    )
+    return unique.unionByName(winners)
+
+
+def split_leakage(
+    pairs: DataFrame,
+    split: DataFrame,
+    id_col: str = "doc_id",
+    split_col: str = "split",
+    eval_split: str = "eval",
+    score_col: str = "jaccard",
+) -> DataFrame:
+    """Audit a train/eval split for NEAR-dup leakage: which eval docs have
+    a near-duplicate on the train side?  Content-hash splitting
+    (``hash_split``) already pins EXACT duplicates to one split, but
+    near-duplicates hash differently and can straddle the boundary —
+    the leak that silently inflates eval scores.  Feed it any pair
+    source (``minhash_lsh_pairs``, ``jaccard_pairs``, embedding pairs).
+
+    Scale shape: the pair graph is near-dup-only (small); the split
+    frame is (id, split) pairs — both joins key on ids and AQE
+    broadcasts whichever side is small.  The corpus text never moves.
+
+    Returns per leaky eval doc: (doc_id, n_train_dups, max_jaccard) —
+    the docs to drop from eval (or whose cluster to quarantine).
+    """
+    sp = split.select(F.col(id_col).alias("doc_id"), F.col(split_col).alias("sp"))
+    # orient every cross pair as (eval_doc, score); pairs are doc_a < doc_b
+    # so both orientations must be checked
+    a = pairs.join(sp.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sp", "sa"), "doc_a")
+    ab = a.join(sp.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sp", "sb"), "doc_b")
+    # exactly ONE side in the eval split (a train/val crossing in a
+    # multi-way split has no eval doc to report)
+    cross = ab.filter(
+        (F.col("sa") == eval_split) != (F.col("sb") == eval_split)
+    )
+    oriented = cross.select(
+        F.when(F.col("sa") == eval_split, F.col("doc_a"))
+        .otherwise(F.col("doc_b"))
+        .alias("doc_id"),
+        F.col(score_col).alias("score"),
+    )
+    return oriented.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_train_dups"),
+        F.max("score").alias("max_jaccard"),
+    )

@@ -172,3 +172,61 @@ def zorder_layout(
         .sortWithinPartitions("_zkey", *sort_extra)
         .drop("_zkey")
     )
+
+
+def ensure_bucketed_table(
+    spark,
+    df: DataFrame,
+    table: str,
+    key: str,
+    n_buckets: int,
+    location: str,
+) -> str:
+    """Materialize ``df`` ONCE as a hash-bucketed, per-bucket-sorted
+    parquet table and register it in the session catalog — the layout
+    investment that makes every subsequent equi-join or aggregation on
+    ``key`` SHUFFLE-FREE (Spark reports the scan as
+    ``HashPartitioning(key, n_buckets)``, so sort-merge joins between
+    co-bucketed tables and key-grouped aggregates need no Exchange).
+
+    At 100 TB this is THE fact-table join strategy: both sides of a
+    recurring big-big join are written bucketed on the join key (size
+    ``n_buckets`` to data volume — hundreds/thousands on a cluster; 8 at
+    test SF) and the per-query shuffle of the largest tables disappears;
+    the one-time write cost amortizes over every downstream query.
+
+    Idempotent across sessions and crash-safe in the usual parquet way:
+    - table already in this session's catalog → no-op;
+    - data already on disk (``_SUCCESS`` present — e.g. written by a
+      previous session whose in-memory catalog died with it) → re-register
+      the existing files via ``CREATE TABLE … CLUSTERED BY … LOCATION``
+      without rewriting a byte;
+    - otherwise write it: ``repartition(n_buckets, key)`` first so each
+      task holds exactly one bucket → ONE file per bucket, which is what
+      lets the sorted-bucket read elide the join's Sort as well.
+      (A torn previous write has no ``_SUCCESS`` and is overwritten.)
+    """
+    import os
+
+    if spark.catalog.tableExists(table):
+        return table
+    if os.path.exists(os.path.join(location, "_SUCCESS")):
+        cols = ", ".join(
+            f"`{f.name}` {f.dataType.simpleString()}" for f in df.schema.fields
+        )
+        spark.sql(
+            f"CREATE TABLE {table} ({cols}) USING parquet "
+            f"CLUSTERED BY ({key}) SORTED BY ({key}) INTO {n_buckets} BUCKETS "
+            f"LOCATION '{location}'"
+        )
+        return table
+    (
+        df.repartition(n_buckets, F.col(key))
+        .write.format("parquet")
+        .bucketBy(n_buckets, key)
+        .sortBy(key)
+        .option("path", location)
+        .mode("overwrite")
+        .saveAsTable(table)
+    )
+    return table

@@ -1804,6 +1804,70 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return DD.dup_clusters(pairs)
 
 
+@query(
+    "dedup_keep_best",
+    oracle=f"""
+    WITH RECURSIVE toks AS (SELECT doc_id, {_TOKS_SQL} AS t FROM documents),
+    sh0 AS (SELECT doc_id, {_SHINGLES_SQL} AS s FROM toks WHERE len(t) >= 3),
+    exx AS (SELECT doc_id, unnest(s) AS shingle FROM sh0),
+    hot AS (SELECT shingle FROM exx GROUP BY shingle HAVING count(*) > 1000),
+    sh AS (SELECT doc_id, list(shingle) AS s
+           FROM (SELECT * FROM exx ANTI JOIN hot USING (shingle))
+           GROUP BY doc_id),
+    p AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      WHERE round(len(list_intersect(a.s, b.s))::DOUBLE
+                  / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))), 4) >= 0.6
+        AND len(list_intersect(a.s, b.s)) > 0),
+    e AS (SELECT doc_a AS a, doc_b AS b FROM p
+          UNION SELECT doc_b, doc_a FROM p),
+    r AS (SELECT a AS node, a AS m FROM e
+          UNION
+          SELECT r.node, e.b FROM r JOIN e ON r.m = e.a),
+    cl AS (SELECT node AS doc_id, min(m) AS rep FROM r GROUP BY node),
+    qb AS (
+      SELECT doc_id, {_TOKS_SQL} AS toks,
+             CAST(length(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g')) AS INT) AS n_punct,
+             CAST(length(text) AS INT) AS n_char
+      FROM documents),
+    q AS (
+      SELECT doc_id,
+             CAST(round(round(least(len(toks) / 64.0, 1.0) * 0.4
+                 + (1.0 - least(n_punct / CAST(greatest(n_char, 1) AS DOUBLE), 1.0)) * 0.2
+                 + least(len(list_intersect(list_distinct(toks),
+                       ['the','and','of','to','in','is','that','for'])) / 4.0, 1.0) * 0.2
+                 + round(len(list_distinct(toks))
+                         / CAST(greatest(len(toks), 1) AS DOUBLE), 4) * 0.2,
+                 4) * 10000) AS BIGINT) AS qbp
+      FROM qb),
+    mq AS (SELECT cl.doc_id, cl.rep, q.qbp FROM cl JOIN q USING (doc_id)),
+    win AS (SELECT rep, doc_id,
+                   count(*) OVER (PARTITION BY rep) AS cs,
+                   row_number() OVER (PARTITION BY rep
+                                      ORDER BY qbp DESC, doc_id ASC) AS rn
+            FROM mq)
+    SELECT doc_id, CAST(1 AS INT) AS cluster_size, 'unique' AS reason
+    FROM documents WHERE doc_id NOT IN (SELECT doc_id FROM cl)
+    UNION ALL
+    SELECT doc_id, CAST(cs AS INT) AS cluster_size, 'best_of_cluster' AS reason
+    FROM win WHERE rn = 1
+    """,
+)
+def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical selection: near-dup clusters → keep the BEST-quality member
+    per cluster (tie → lowest id) plus every unclustered doc — the decision
+    rule that turns pairwise similarity into the cleaned corpus, retaining
+    the best copy of each content rather than the earliest-crawled one.
+    Oracle: recursive-CTE clustering + the quality_score expression + a
+    per-cluster rank (oracle-side windows are fine; the Spark side uses a
+    partial-aggregatable max(struct) — no window, AQE-skew-safe)."""
+    docs = _t(spark, sf_dir, "documents")
+    pairs = DD.jaccard_pairs(docs, threshold=0.6, max_shingle_df=1000)
+    q = TXT.quality_score(docs).select("doc_id", "quality_score")
+    return DD.keep_best(docs, pairs, q)
+
+
 # MinHash/SimHash oracles: the signatures are md5-derived, so DuckDB
 # re-derives the ENTIRE pipeline — signatures, band hashes, candidate
 # enumeration, verification — and the two LSH queries are hash-matched,
@@ -1826,10 +1890,11 @@ _MH_JACCARD = (
 )
 
 
-@query(
-    "dedup_minhash_lsh",
-    oracle=f"""
-    WITH toks AS (SELECT doc_id, {_TOKS_SQL} AS t FROM documents),
+#: ONE source-level definition of the verified MinHash+LSH pair set as a
+#: CTE chain ending in ``mhp(doc_a, doc_b, n_common, jaccard)`` —
+#: `dedup_minhash_lsh` selects it verbatim and `split_leakage` composes
+#: it with the hash-split, so the two oracles can never desynchronize.
+_MH_PAIRS_CTES = f"""toks AS (SELECT doc_id, {_TOKS_SQL} AS t FROM documents),
     sh AS (SELECT doc_id, {_SHINGLES_SQL} AS s FROM toks WHERE len(t) >= 3),
     ex AS (SELECT doc_id, unnest(s) AS shingle FROM sh),
     hx AS (SELECT doc_id,
@@ -1848,18 +1913,60 @@ _MH_JACCARD = (
             HAVING count(*) BETWEEN 2 AND 2000),
     cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
              FROM bands a JOIN bands b ON a.bh = b.bh AND a.doc_id < b.doc_id
-             WHERE a.bh IN (SELECT bh FROM okb))
-    SELECT c.doc_a, c.doc_b,
+             WHERE a.bh IN (SELECT bh FROM okb)),
+    mhp AS (SELECT c.doc_a, c.doc_b,
            CAST(len(list_intersect(sa.s, sb.s)) AS INT) AS n_common,
            {_MH_JACCARD} AS jaccard
     FROM cand c
     JOIN sh sa ON sa.doc_id = c.doc_a
     JOIN sh sb ON sb.doc_id = c.doc_b
-    WHERE {_MH_JACCARD} >= 0.6
+    WHERE {_MH_JACCARD} >= 0.6)"""
+
+
+@query(
+    "dedup_minhash_lsh",
+    oracle=f"""
+    WITH {_MH_PAIRS_CTES}
+    SELECT doc_a, doc_b, n_common, jaccard FROM mhp
     """,
 )
 def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return DD.minhash_lsh_pairs(_t(spark, sf_dir, "documents"), threshold=0.6)
+
+
+_SPLIT_SQL = (
+    f"CASE WHEN ('0x' || substring(md5({_NORM_SQL}), 1, 8))::BIGINT % 100 < 90"
+    " THEN 'train' ELSE 'eval' END"
+)
+
+
+@query(
+    "split_leakage",
+    oracle=f"""
+    WITH {_MH_PAIRS_CTES},
+    sp AS (SELECT doc_id, {_SPLIT_SQL} AS s FROM documents),
+    x AS (SELECT CASE WHEN pa.s = 'eval' THEN m.doc_a ELSE m.doc_b END AS doc_id,
+                 m.jaccard
+          FROM mhp m
+          JOIN sp pa ON pa.doc_id = m.doc_a
+          JOIN sp pb ON pb.doc_id = m.doc_b
+          WHERE (pa.s = 'eval') <> (pb.s = 'eval'))
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_train_dups,
+           max(jaccard) AS max_jaccard
+    FROM x GROUP BY doc_id
+    """,
+)
+def q_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/eval NEAR-dup leakage audit: content-hash splitting pins exact
+    duplicates to one split, but near-duplicates hash differently and can
+    straddle the boundary — the leak that silently inflates eval scores.
+    Composes the verified MinHash+LSH pair set with the 90/10 hash split;
+    returns each leaky eval doc with its train-side dup count and max
+    Jaccard.  Oracle: the shared LSH pair CTEs + the hash-split CASE."""
+    docs = _t(spark, sf_dir, "documents")
+    pairs = DD.minhash_lsh_pairs(docs, threshold=0.6)
+    split = TXT.hash_split(docs, train_pct=90)
+    return DD.split_leakage(pairs, split)
 
 
 @query(
@@ -2733,6 +2840,53 @@ def q_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
         "q_user",
         "q_val",
         LAY.zorder_key(F.col("q_user"), F.col("q_val"), 10).alias("zkey"),
+    )
+
+
+@query(
+    "bucketed_join_revenue",
+    oracle="""
+    SELECT c_custkey, c_mktsegment,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           round(sum(o_totalprice), 2) AS revenue
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY c_custkey, c_mktsegment
+    """,
+)
+def q_bucketed_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SHUFFLE-FREE big-big join via bucketed layout: orders and customer
+    are materialized once as co-bucketed parquet tables on the join key
+    (`ensure_bucketed_table`, cached per corpus fingerprint like the IVF
+    index), then joined + aggregated with ZERO exchanges — both scans
+    report HashPartitioning, the sort-merge join runs on co-located
+    buckets, and the custkey-grouped aggregate reuses the same
+    partitioning (plan-audited: 0 Exchange, SMJ present).  The `merge`
+    hint pins the 100×-scale plan: at test SF Spark would broadcast
+    customer, which is exactly the plan that DOESN'T survive a 100×
+    scale-up of the dim side."""
+    from stateful_spark_streaming_spark.operators.layout import (
+        ensure_bucketed_table,
+    )
+
+    tag_o = _fixture_tag(sf_dir, "orders")
+    tag_c = _fixture_tag(sf_dir, "customer")
+    ot = ensure_bucketed_table(
+        spark, _t(spark, sf_dir, "orders"), f"sss_bkt_orders_{tag_o}",
+        "o_custkey", 8, f"/tmp/sss_bkt_{tag_o}/orders",
+    )
+    ct = ensure_bucketed_table(
+        spark, _t(spark, sf_dir, "customer"), f"sss_bkt_customer_{tag_c}",
+        "c_custkey", 8, f"/tmp/sss_bkt_{tag_c}/customer",
+    )
+    o, c = spark.table(ot), spark.table(ct)
+    return (
+        o.hint("merge")
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .groupBy("c_custkey", "c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        )
     )
 
 
@@ -3728,10 +3882,13 @@ _CHEAP_FIRST = [
     "temperature_mix", "ngram_overlap",
     "source_drift", "streaming_source_drift", "bpe_pair_counts",
     "bpe_encode_stats", "compression_stats",
-    # (c) backfill: 25 of the 47 queries whose newest green row is r5,
+    # plus the dedup decision layer (cross-split near-dup leakage audit,
+    # best-quality canonical selection) and the shuffle-free bucketed join;
+    "split_leakage", "dedup_keep_best", "bucketed_join_revenue",
+    # (c) backfill: 22 of the 47 queries whose newest green row is r5,
     # cheapest first (BENCH sf0.1 warm — hedge against a secondary
-    # wall-clock cap).  The 22 most expensive r5-row entries
-    # (event_type_pivot … training_pipeline_full, listed below past
+    # wall-clock cap).  The 25 most expensive r5-row entries
+    # (bucket_rollup … training_pipeline_full, listed below past
     # the window) stay on their valid r5 rows and LEAD the r9 window —
     # code + oracles unchanged since r5.
     "customers_without_recent_orders", "forecast_revenue",
@@ -3741,11 +3898,11 @@ _CHEAP_FIRST = [
     "fingerprint", "web_mercator_projection", "web_mercator_roundtrip",
     "track_last_n", "pack_sequences", "profile_columns",
     "monthly_running_revenue", "revenue_cube", "events_json_extract",
-    "sliding_window_counts", "track_oldest", "bucket_rollup",
-    "track_dedup", "tumbling_window_counts",
-    # --- past the 50-entry gate window: first the 22 deferred r5-row
+    "sliding_window_counts", "track_oldest",
+    # --- past the 50-entry gate window: first the 25 deferred r5-row
     # entries (they lead the r9 rotation), then the r7-window entries on
     # their fresh r7 rows ---
+    "bucket_rollup", "track_dedup", "tumbling_window_counts",
     "event_type_pivot", "pricing_summary", "priority_top_orders",
     "track_counts", "track_latest", "track_neighbors", "chunk_documents",
     "language_id", "returns_rollup", "quality_score",

@@ -285,6 +285,17 @@ CHECKS = {
     # returned plan and is driver-bounded by construction)
     "bpe_encode_stats": ([], ["Exchange", "Join"], 0),
     "compression_stats": ([], ["Exchange", "Join"], 0),
+    # dedup decision layer: id-keyed joins only, never a pair product;
+    # winner selection is max(struct) aggregation, never a key window
+    # (AQE can't skew-split window partitions — a boilerplate mega-cluster
+    # is exactly a skewed key)
+    "split_leakage": ([], ["CartesianProduct", "BroadcastNestedLoopJoin"], None),
+    "dedup_keep_best": ([], ["CartesianProduct", "BroadcastNestedLoopJoin",
+                             "dense_rank", "row_number"], None),
+    # the whole point of the bucketed layout: SMJ on co-located buckets,
+    # ZERO exchanges end-to-end (join AND the custkey-grouped aggregate)
+    "bucketed_join_revenue": (["SortMergeJoin", "Bucketed: true"],
+                              ["Exchange", "BroadcastHashJoin"], 0),
 }
 
 #: upper bound on `Scan parquet` occurrences — "the signature subplan is
