@@ -230,3 +230,34 @@ def ensure_bucketed_table(
         .saveAsTable(table)
     )
     return table
+
+
+def ensure_partitioned_dataset(
+    spark,
+    df: DataFrame,
+    part_col: str,
+    location: str,
+) -> str:
+    """Materialize ``df`` ONCE as a directory-partitioned parquet dataset
+    (``location/part_col=value/…``) — the layout investment that makes
+    every subsequent filter on ``part_col`` a PARTITION-PRUNED scan: Spark
+    resolves the matching directories from the partition index and never
+    opens a file outside the predicate's range (the scan reports
+    ``PartitionFilters``, and data files don't even store the column).
+
+    At 100 TB this is table stakes — a time-range query over an events
+    corpus partitioned by day touches 5/3650ths of the files, not all of
+    them.  Idempotent the usual parquet way: an existing ``_SUCCESS``
+    means a previous session already paid the write and the files are
+    reused byte-identical; a torn write (no ``_SUCCESS``) is overwritten.
+    """
+    import os
+
+    if not os.path.exists(os.path.join(location, "_SUCCESS")):
+        (
+            df.repartition(F.col(part_col))
+            .write.partitionBy(part_col)
+            .mode("overwrite")
+            .parquet(location)
+        )
+    return location

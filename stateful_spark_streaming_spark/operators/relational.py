@@ -431,3 +431,107 @@ def profile_columns(df: DataFrame, cols: list[str]) -> DataFrame:
         wide.select(F.col("__n_rows").alias("n_rows"), F.explode(entries).alias("e"))
         .select("e.column_name", "n_rows", "e.n_null", "e.n_distinct")
     )
+
+
+def order_priority_checking(
+    orders: DataFrame, lineitem: DataFrame, late_days: int = 60
+) -> DataFrame:
+    """TPC-H Q4-shape: per order priority, how many orders have at least
+    one line item shipped more than ``late_days`` after the order date —
+    the EXISTS-subquery pattern as a LEFT SEMI join whose condition mixes
+    the equi-key with a cross-table inequality.
+
+    Scale shape: both sides shuffle ONCE on the order key (the inequality
+    evaluates inside the sort-merge join, never as a post-join filter over
+    a wider intermediate); lineitem is pruned to two columns at the scan
+    (ReadSchema), and the semi join emits each order at most once, so the
+    final priority aggregate sees |orders| rows max, not |lineitem|."""
+    late = F.col("l_shipdate") > F.col("o_orderdate") + F.expr(
+        f"INTERVAL {int(late_days)} DAYS"
+    )
+    o = orders.select("o_orderkey", "o_orderdate", "o_orderpriority")
+    flagged = o.join(
+        lineitem.select("l_orderkey", "l_shipdate"),
+        (o["o_orderkey"] == F.col("l_orderkey")) & late,
+        "left_semi",
+    )
+    return (
+        flagged.groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_late_orders"))
+    )
+
+
+def large_volume_customers(
+    customer: DataFrame,
+    orders: DataFrame,
+    lineitem: DataFrame,
+    min_qty: float = 250.0,
+) -> DataFrame:
+    """TPC-H Q18-shape: customers who placed an order whose TOTAL line
+    quantity reaches ``min_qty`` — the agg-then-join pattern where the
+    qualifying set is tiny by construction (the extreme tail of the
+    per-order quantity distribution).
+
+    Scale shape: ONE shuffle total — the per-order quantity aggregate.
+    The qualifying orders are explicitly broadcast into ``orders`` and the
+    enriched result (still tail-sized) broadcast into ``customer``, so
+    neither big table ever re-shuffles; raising ``min_qty`` with scale is
+    what keeps the broadcast sides bounded (it is a top-tail query, not a
+    general join)."""
+    qualified = (
+        lineitem.groupBy("l_orderkey")
+        .agg(F.round(F.sum("l_quantity"), 2).alias("sum_qty"))
+        .filter(F.col("sum_qty") >= min_qty)
+    )
+    big = orders.join(
+        broadcast(qualified), orders["o_orderkey"] == qualified["l_orderkey"]
+    ).drop("l_orderkey")
+    return customer.join(
+        broadcast(big), customer["c_custkey"] == big["o_custkey"]
+    ).select(
+        "c_custkey",
+        "c_name",
+        "o_orderkey",
+        F.col("o_orderdate").cast("date").alias("o_orderdate"),
+        "o_totalprice",
+        "sum_qty",
+    )
+
+
+def top_supplier(
+    supplier: DataFrame,
+    lineitem: DataFrame,
+    start: str = "1996-01-01",
+    end: str = "1996-04-01",
+) -> DataFrame:
+    """TPC-H Q15-shape: the supplier(s) with maximum revenue in a quarter
+    — the agg-then-argmax-join pattern (create view revenue; select where
+    total = (select max)).
+
+    Scale shape: the revenue aggregate shuffles lineitem once and is then
+    PINNED via ``track_persist`` because the plan consumes it twice (once
+    for the global max, once as the probe side) — without the pin a 100 TB
+    lineitem would be scanned twice.  The max is a single-row broadcast;
+    supplier names attach via broadcast; ties all surface (same semantics
+    both engines: comparison happens on the already-rounded revenue)."""
+    from stateful_spark_streaming_spark.caching import track_persist
+
+    rev = track_persist(
+        lineitem.filter(
+            (F.col("l_shipdate") >= F.lit(start)) & (F.col("l_shipdate") < F.lit(end))
+        )
+        .groupBy("l_suppkey")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("total_rev")
+        )
+    )
+    top = rev.join(
+        broadcast(rev.agg(F.max("total_rev").alias("max_rev"))),
+        F.col("total_rev") == F.col("max_rev"),
+    ).drop("max_rev")
+    return top.join(
+        broadcast(supplier.select("s_suppkey", "s_name")),
+        top["l_suppkey"] == F.col("s_suppkey"),
+    ).select("s_suppkey", "s_name", "total_rev")

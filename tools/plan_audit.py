@@ -296,6 +296,24 @@ CHECKS = {
     # ZERO exchanges end-to-end (join AND the custkey-grouped aggregate)
     "bucketed_join_revenue": (["SortMergeJoin", "Bucketed: true"],
                               ["Exchange", "BroadcastHashJoin"], 0),
+    # Q4-shape EXISTS: a LEFT SEMI join (never a full join + distinct) whose
+    # inequality evaluates inside the join; lineitem pruned to 2 columns
+    "order_priority_checking": (["LeftSemi",
+                                 "ReadSchema: struct<l_orderkey:bigint,l_shipdate:timestamp"],
+                                ["CartesianProduct", "BroadcastNestedLoopJoin",
+                                 "Distinct"], None),
+    # Q18-shape: ONE shuffle total (the per-order agg); both joins broadcast
+    # the tail-sized side so neither big table re-shuffles
+    "large_volume_customers": (["BroadcastHashJoin"],
+                               ["SortMergeJoin", "CartesianProduct"], 1),
+    # Q15-shape: the twice-consumed revenue agg is pinned (InMemory scan),
+    # the argmax is a broadcast single-row join — lineitem scanned ONCE
+    "top_supplier": (["BroadcastHashJoin", "InMemoryTableScan"],
+                     ["SortMergeJoin", "CartesianProduct"], None),
+    # partition-pruned time slice: the 5-day predicate must hit the
+    # PARTITION index (PartitionFilters), leaving no pushed data filter —
+    # and never a full-directory scan
+    "partitioned_events_scan": (["PartitionFilters: [isnotnull(event_date"], [], 1),
 }
 
 #: upper bound on `Scan parquet` occurrences — "the signature subplan is
