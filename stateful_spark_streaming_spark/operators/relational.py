@@ -535,3 +535,51 @@ def top_supplier(
         broadcast(supplier.select("s_suppkey", "s_name")),
         top["l_suppkey"] == F.col("s_suppkey"),
     ).select("s_suppkey", "s_name", "total_rev")
+
+
+def fuzzy_name_pairs(df: DataFrame, col: str = "p_name", max_dist: int = 2) -> DataFrame:
+    """Similarity self-join: all DISTINCT-value pairs within Levenshtein
+    distance ``max_dist`` (≤2), without an all-pairs product.
+
+    Candidate generation is the FastSS deletion neighborhood: if
+    lev(x, y) ≤ k then x and y share at least one ≤k-deletion variant
+    (delete the edited positions), so exploding each string into its
+    1 + L + L(L−1)/2 variants and equi-joining on the variant hash is a
+    COMPLETE filter — false positives are removed by the exact
+    ``levenshtein`` verify, false negatives are impossible.  Join fan-out
+    is bounded by values sharing a variant (a length/content block), never
+    |values|²; the variant key is an 8-byte xxhash64, so the shuffle never
+    carries the variant strings.  (Production note: very short strings
+    collapse toward the empty variant — pre-partition by length band or
+    floor the variant length if the dictionary has many ≤k-char entries.)
+    """
+    if max_dist not in (1, 2):
+        raise ValueError("fuzzy_name_pairs supports max_dist 1 or 2")
+    names = df.select(F.col(col).alias("name")).distinct()
+    d1 = (
+        "transform(sequence(1, length(name)), i -> "
+        "concat(substring(name, 1, i-1), substring(name, i+1, length(name))))"
+    )
+    if max_dist == 2:
+        d2 = (
+            "flatten(transform(sequence(1, length(name)), i -> "
+            "transform(sequence(i+1, length(name)), j -> "
+            "concat(substring(name, 1, i-1), substring(name, i+1, j-i-1), "
+            "substring(name, j+1, length(name))))))"
+        )
+        variants = F.expr(f"array_distinct(concat(array(name), {d1}, {d2}))")
+    else:
+        variants = F.expr(f"array_distinct(concat(array(name), {d1}))")
+    exploded = names.select(
+        "name", F.explode(variants).alias("__v")
+    ).select("name", F.xxhash64("__v").alias("__vh"))
+    a = exploded.select(F.col("name").alias("name_a"), "__vh")
+    b = exploded.select(F.col("name").alias("name_b"), "__vh")
+    return (
+        a.join(b, "__vh")
+        .filter(F.col("name_a") < F.col("name_b"))
+        .select("name_a", "name_b")
+        .distinct()
+        .withColumn("lev", F.levenshtein("name_a", "name_b").cast("long"))
+        .filter(F.col("lev") <= max_dist)
+    )

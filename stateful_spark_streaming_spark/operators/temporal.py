@@ -179,3 +179,68 @@ def funnel_steps(
             F.max("steps_completed").alias("steps_completed"),
         )
     )
+
+
+def interval_overlap_pairs(
+    intervals: DataFrame,
+    id_col: str = "event_id",
+    start_ms: str = "start_ms",
+    end_ms: str = "end_ms",
+    bin_ms: int = 7_200_000,
+    carry_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Interval self-overlap join: all pairs of half-open intervals
+    [start, end) that overlap (``a.start < b.end AND b.start < a.end``,
+    ``id_a < id_b``), without a range sort-merge or cartesian product.
+
+    Scale shape (bin blocking): each interval explodes into the epoch
+    bins it covers (``floor(start/W) … floor((end−1)/W)`` — fan-out is
+    interval_length/W + 1, so size W to the typical interval), the join
+    is a plain equi-join on the bin, and each qualifying pair is emitted
+    EXACTLY ONCE — only at the bin containing the overlap's start
+    (``floor(greatest(start_a, start_b)/W)``), a bin both intervals cover
+    by construction — so no distinct pass is needed.  Join fan-out is
+    bounded by intervals alive per bin (data density), never all-pairs.
+    """
+    base = intervals.select(
+        F.col(id_col).alias("__id"),
+        F.col(start_ms).alias("__s"),
+        F.col(end_ms).alias("__e"),
+        *[F.col(c) for c in carry_cols],
+    )
+    w = F.lit(int(bin_ms))
+    bins = F.sequence(
+        (F.col("__s") / w).cast("long"), ((F.col("__e") - 1) / w).cast("long")
+    )
+    e = base.select(
+        "__id", "__s", "__e", *carry_cols, F.explode(bins).alias("__bin")
+    )
+    a = e.select(
+        F.col("__id").alias("id_a"), F.col("__s").alias("s_a"),
+        F.col("__e").alias("e_a"), "__bin",
+        *[F.col(c).alias(f"{c}_a") for c in carry_cols],
+    )
+    b = e.select(
+        F.col("__id").alias("id_b"), F.col("__s").alias("s_b"),
+        F.col("__e").alias("e_b"), "__bin",
+        *[F.col(c).alias(f"{c}_b") for c in carry_cols],
+    )
+    overlap_start = F.greatest(F.col("s_a"), F.col("s_b"))
+    return (
+        a.join(b, "__bin")
+        .filter(
+            (F.col("id_a") < F.col("id_b"))
+            & (F.col("s_a") < F.col("e_b"))
+            & (F.col("s_b") < F.col("e_a"))
+            & ((overlap_start / w).cast("long") == F.col("__bin"))
+        )
+        .select(
+            "id_a",
+            "id_b",
+            *[f"{c}_a" for c in carry_cols],
+            *[f"{c}_b" for c in carry_cols],
+            (F.least(F.col("e_a"), F.col("e_b")) - overlap_start).alias(
+                "overlap_ms"
+            ),
+        )
+    )

@@ -3968,6 +3968,67 @@ def q_partitioned_events_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "similar_part_names",
+    oracle="""
+    WITH n AS (SELECT DISTINCT p_name AS name FROM part)
+    SELECT a.name AS name_a, b.name AS name_b,
+           CAST(levenshtein(a.name, b.name) AS BIGINT) AS lev
+    FROM n a JOIN n b ON a.name < b.name
+    WHERE levenshtein(a.name, b.name) <= 2
+    """,
+)
+def q_similar_part_names(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Similarity self-join without the all-pairs product: FastSS
+    ≤2-deletion-neighborhood candidate generation (complete by the
+    deletion-variant theorem), equi-join on the 8-byte variant hash,
+    exact Levenshtein verify.  The oracle is the brute-force all-pairs
+    join — identical rows prove the blocking loses nothing."""
+    return REL.fuzzy_name_pairs(_t(spark, sf_dir, "part"), "p_name", max_dist=2)
+
+
+@query(
+    "interval_overlap",
+    oracle="""
+    WITH p AS (
+      SELECT event_id, user_id, epoch_ms(ts) AS s, epoch_ms(ts) + 7200000 AS e
+      FROM events WHERE event_type = 'purchase'
+    )
+    SELECT a.event_id AS id_a, b.event_id AS id_b,
+           a.user_id AS user_a, b.user_id AS user_b,
+           least(a.e, b.e) - greatest(a.s, b.s) AS overlap_ms
+    FROM p a JOIN p b
+      ON a.event_id < b.event_id AND a.s < b.e AND b.s < a.e
+    """,
+)
+def q_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval overlap self-join (purchases as 2 h half-open intervals):
+    bin-blocked equi-join with exactly-once pair emission at the bin
+    containing the overlap start — never a range sort-merge or cartesian.
+    The oracle is the brute-force range join; identical rows prove the
+    blocking is lossless."""
+    from stateful_spark_streaming_spark.operators.temporal import (
+        interval_overlap_pairs,
+    )
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    iv = ev.select(
+        "event_id",
+        "user_id",
+        F.unix_millis("ts").alias("start_ms"),
+        (F.unix_millis("ts") + F.lit(7_200_000)).alias("end_ms"),
+    )
+    return interval_overlap_pairs(
+        iv, id_col="event_id", bin_ms=7_200_000, carry_cols=("user_id",)
+    ).select(
+        "id_a",
+        "id_b",
+        F.col("user_id_a").alias("user_a"),
+        F.col("user_id_b").alias("user_b"),
+        "overlap_ms",
+    )
+
+
 # --------------------------------------------------------------------------
 # Catalog ordering: ROTATION first, then cheapest-first.  The driver's
 # correctness gate records exactly the FIRST 50 catalog entries (r2 cut 50
@@ -4013,8 +4074,8 @@ _CHEAP_FIRST = [
     # plus the session's second half: TPC-H Q4/Q15/Q18 shapes and the
     # partition-pruned events scan;
     "order_priority_checking", "large_volume_customers", "top_supplier",
-    "partitioned_events_scan",
-    # (c) backfill: 18 of the 47 queries whose newest green row is r5,
+    "partitioned_events_scan", "similar_part_names", "interval_overlap",
+    # (c) backfill: 16 of the 47 queries whose newest green row is r5,
     # cheapest first (BENCH sf0.1 warm — hedge against a secondary
     # wall-clock cap).  The 29 most expensive r5-row entries
     # (revenue_cube … training_pipeline_full, listed below past
@@ -4025,11 +4086,12 @@ _CHEAP_FIRST = [
     "token_stats", "embedding_norm_stats", "label_centroids",
     "order_stats_conditional", "shuffle_shard", "dedup_exact",
     "fingerprint", "web_mercator_projection", "web_mercator_roundtrip",
-    "track_last_n", "pack_sequences", "profile_columns",
-    "monthly_running_revenue",
-    # --- past the 50-entry gate window: first the 29 deferred r5-row
+    "track_last_n",
+    # --- past the 50-entry gate window: first the 31 deferred r5-row
     # entries (they lead the r9 rotation), then the r7-window entries on
     # their fresh r7 rows ---
+    "pack_sequences", "profile_columns",
+    "monthly_running_revenue",
     "revenue_cube", "events_json_extract",
     "sliding_window_counts", "track_oldest",
     "bucket_rollup", "track_dedup", "tumbling_window_counts",

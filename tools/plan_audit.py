@@ -314,6 +314,12 @@ CHECKS = {
     # PARTITION index (PartitionFilters), leaving no pushed data filter —
     # and never a full-directory scan
     "partitioned_events_scan": (["PartitionFilters: [isnotnull(event_date"], [], 1),
+    # FastSS fuzzy self-join: variant-hash equi-join + exact verify —
+    # never an all-pairs product
+    "similar_part_names": ([], ["CartesianProduct", "BroadcastNestedLoopJoin"], None),
+    # bin-blocked interval join: equi-join on the bin with exactly-once
+    # emission — no range sort-merge explosion, no distinct repair pass
+    "interval_overlap": ([], ["CartesianProduct", "BroadcastNestedLoopJoin"], None),
 }
 
 #: upper bound on `Scan parquet` occurrences — "the signature subplan is
