@@ -300,3 +300,54 @@ def sample_video_frames_stub(videos: DataFrame, every_n: int) -> DataFrame:
         "sample_video_frames_stub is retired: use sample_video_frames "
         "(real for concatenated-PPM streams)"
     )
+
+
+def image_ahash(images: DataFrame, grid: int = 8) -> DataFrame:
+    """decode → perceptual AVERAGE HASH per image: nearest-neighbor
+    downsample to a ``grid``×``grid`` luma patch, threshold each cell
+    against the integer mean, emit the bits row-major as a '0'/'1'
+    string — the classic near-duplicate image fingerprint (images whose
+    hashes match or sit within a small Hamming radius are visual dups
+    regardless of re-encoding or minor resizing).
+
+    Everything is INTEGER arithmetic so an independent engine can
+    re-derive the hash exactly from the synthetic pixel formula:
+    luma = (r+g+b) // 3, sample at (x=(i·w)//g, y=(j·h)//g), mean =
+    sum // g², bit = luma > mean (strict).  Emitted as a 64-char bit
+    string, not an int64 — bit 63 would wrap the sign.  Map-only plan:
+    one Arrow kernel pass over the image scan, no shuffle; downstream
+    grouping on ``ahash_bits`` (exact dups) or banded Hamming join
+    (near dups) are the standard dedup_exact / LSH compositions."""
+    out_schema = StructType(
+        [
+            StructField("image_id", LongType(), False),
+            StructField("ahash_bits", StringType(), True),
+            StructField("n_set", LongType(), True),
+        ]
+    )
+    g = int(grid)
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, hashes, nset = [], [], []
+            for iid, blob in zip(pdf["image_id"], pdf["data"]):
+                ids.append(iid)
+                if blob is None:
+                    hashes.append(None)
+                    nset.append(0)
+                    continue
+                px = decode_ppm(blob).astype(np.int64)
+                h, w, _ = px.shape
+                luma = px.sum(axis=2) // 3
+                ys = (np.arange(g) * h) // g
+                xs = (np.arange(g) * w) // g
+                patch = luma[np.ix_(ys, xs)]
+                mu = int(patch.sum()) // (g * g)
+                bits = (patch > mu).flatten()  # row-major: pos = j*g + i
+                hashes.append("".join("1" if b else "0" for b in bits))
+                nset.append(int(bits.sum()))
+            yield pd.DataFrame(
+                {"image_id": ids, "ahash_bits": hashes, "n_set": nset}
+            )
+
+    return images.select("image_id", "data").mapInPandas(kernel, schema=out_schema)

@@ -2697,6 +2697,16 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     so the gate now verifies the decode kernel's actual pixel arithmetic,
     not just its row count.  Float feature means stay pytest-pinned
     (golden checksum) since they can't cross engines bit-stably."""
+    return MM.image_stats(_image_fixture(spark, sf_dir))
+
+
+def _image_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The synthetic PPM corpus, materialized to parquet once per
+    (process, sf_dir) — binaries live in storage and decode kernels read
+    them from a scan (one Python stage, not a chained synth→decode
+    pipeline).  Small fixture files bin-pack into one 128 MB scan split —
+    re-spread so decode kernels run wide (a real 100 TB table has many
+    splits)."""
     import tempfile
 
     key = _fixture_tag(sf_dir, "documents")
@@ -2704,12 +2714,9 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
         docs = _t(spark, sf_dir, "documents")
         MM.synthesize_image_table(spark, docs).write.mode("overwrite").parquet(path)
-    # small fixture files bin-pack into one 128 MB scan split — re-spread so
-    # the decode kernel runs wide (a real 100 TB table has many splits)
-    images = spark.read.parquet(path).repartition(
+    return spark.read.parquet(path).repartition(
         spark.sparkContext.defaultParallelism
     )
-    return MM.image_stats(images)
 
 
 @query(
@@ -3988,6 +3995,45 @@ def q_similar_part_names(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "image_ahash",
+    oracle="""
+    WITH meta AS (
+      SELECT doc_id AS image_id,
+             CAST(n_chars % 64 + 32 AS BIGINT) AS w,
+             CAST(n_chars % 48 + 24 AS BIGINT) AS h
+      FROM documents),
+    cell AS (
+      SELECT image_id, j, i,
+             ((image_id*7 + 3*((i*w)//8) + 5*((j*h)//8)) % 256
+            + (image_id*7 + 3*((i*w)//8) + 5*((j*h)//8) + 11) % 256
+            + (image_id*7 + 3*((i*w)//8) + 5*((j*h)//8) + 22) % 256) // 3
+               AS luma
+      FROM meta,
+           LATERAL unnest(range(0, 8)) AS t1(i),
+           LATERAL unnest(range(0, 8)) AS t2(j)),
+    mu AS (SELECT image_id, sum(luma) // 64 AS m FROM cell GROUP BY image_id)
+    SELECT c.image_id,
+           string_agg(CASE WHEN luma > m THEN '1' ELSE '0' END, ''
+                      ORDER BY j*8 + i) AS ahash_bits,
+           CAST(count(*) FILTER (WHERE luma > m) AS BIGINT) AS n_set
+    FROM cell c JOIN mu USING (image_id)
+    GROUP BY c.image_id
+    """,
+)
+def q_image_ahash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual average-hash per image over the REAL decoded binary
+    corpus — the near-duplicate image fingerprint (hash-equal or
+    Hamming-close images are visual dups).  FULL oracle: the hash is pure
+    integer arithmetic (luma=(r+g+b)//3, nearest 8×8 downsample,
+    strict-greater-than-integer-mean threshold, row-major bit string), so
+    DuckDB re-derives all 64 bits per image from the synthetic pixel
+    formula — the gate verifies the decode + resample + threshold kernel
+    bit-for-bit.  Map-only Arrow kernel, no shuffle; exact-dup grouping /
+    banded Hamming join downstream are the standard dedup compositions."""
+    return MM.image_ahash(_image_fixture(spark, sf_dir))
+
+
+@query(
     "interval_overlap",
     oracle="""
     WITH p AS (
@@ -4075,7 +4121,8 @@ _CHEAP_FIRST = [
     # partition-pruned events scan;
     "order_priority_checking", "large_volume_customers", "top_supplier",
     "partitioned_events_scan", "similar_part_names", "interval_overlap",
-    # (c) backfill: 16 of the 47 queries whose newest green row is r5,
+    "image_ahash",
+    # (c) backfill: 15 of the 47 queries whose newest green row is r5,
     # cheapest first (BENCH sf0.1 warm — hedge against a secondary
     # wall-clock cap).  The 29 most expensive r5-row entries
     # (revenue_cube … training_pipeline_full, listed below past
@@ -4086,11 +4133,10 @@ _CHEAP_FIRST = [
     "token_stats", "embedding_norm_stats", "label_centroids",
     "order_stats_conditional", "shuffle_shard", "dedup_exact",
     "fingerprint", "web_mercator_projection", "web_mercator_roundtrip",
-    "track_last_n",
-    # --- past the 50-entry gate window: first the 31 deferred r5-row
+    # --- past the 50-entry gate window: first the 32 deferred r5-row
     # entries (they lead the r9 rotation), then the r7-window entries on
     # their fresh r7 rows ---
-    "pack_sequences", "profile_columns",
+    "track_last_n", "pack_sequences", "profile_columns",
     "monthly_running_revenue",
     "revenue_cube", "events_json_extract",
     "sliding_window_counts", "track_oldest",

@@ -686,3 +686,32 @@ def test_streaming_ivf_ingest_recovers_parked_index(spark, sf_dir, tmp_path):
     assert got == want, "recovery must restore the parked index, then append"
     # reader-grade recovery: roll-forward only, no sibling cleanup needed
     assert os.path.exists(os.path.join(idx, "centroids.json"))
+
+
+def test_image_ahash_upscale_invariant_and_edges(spark):
+    """image_ahash claims: (1) nearest 8x8 downsample makes the hash
+    invariant under integer nearest-upscale (floor((j*k*h)/8)//k ==
+    floor(j*h/8) -- nested-floor identity), (2) a constant image hashes
+    to all zeros (strict > mean), (3) the bit string is row-major."""
+    import numpy as np
+
+    from stateful_spark_streaming_spark.operators import multimodal as MM
+
+    rng = np.random.default_rng(7)
+    base = rng.integers(0, 256, size=(16, 16, 3), dtype=np.uint8)
+    up = np.kron(base, np.ones((3, 3, 1), dtype=np.uint8))  # 3x nearest upscale
+    flat = np.full((8, 8, 3), 77, np.uint8)
+    # row-major check: top half bright, bottom half dark -> bits 1 in rows 0-3
+    split = np.zeros((8, 8, 3), np.uint8)
+    split[:4, :, :] = 255
+    df = spark.createDataFrame(
+        [(1, bytearray(MM.encode_ppm(base))),
+         (2, bytearray(MM.encode_ppm(up))),
+         (3, bytearray(MM.encode_ppm(flat))),
+         (4, bytearray(MM.encode_ppm(split)))],
+        "image_id long, data binary",
+    )
+    got = {r.image_id: (r.ahash_bits, r.n_set) for r in MM.image_ahash(df).collect()}
+    assert got[1] == got[2]
+    assert got[3] == ("0" * 64, 0)
+    assert got[4] == ("1" * 32 + "0" * 32, 32)

@@ -320,6 +320,9 @@ CHECKS = {
     # bin-blocked interval join: equi-join on the bin with exactly-once
     # emission — no range sort-merge explosion, no distinct repair pass
     "interval_overlap": ([], ["CartesianProduct", "BroadcastNestedLoopJoin"], None),
+    # perceptual hash: ONE Arrow kernel pass over the image scan — the
+    # only exchange is the fixture's width re-spread, never a join
+    "image_ahash": ([], ["Join"], 1),
 }
 
 #: upper bound on `Scan parquet` occurrences — "the signature subplan is
