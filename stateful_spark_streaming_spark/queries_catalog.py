@@ -1152,6 +1152,43 @@ def q_streaming_event_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "streaming_event_pairs_left",
+    oracle="""
+    WITH a AS (SELECT * FROM events WHERE event_type = 'click'),
+         b AS (SELECT * FROM events WHERE event_type = 'purchase'),
+         wm AS (SELECT least((SELECT max(ts) FROM a),
+                             (SELECT max(ts) FROM b)) AS w)
+    SELECT a.user_id AS user_id, a.event_id AS id_a, b.event_id AS id_b,
+           CASE WHEN b.event_id IS NULL THEN NULL
+                ELSE abs(epoch_ms(a.ts) - epoch_ms(b.ts)) END AS gap_ms
+    FROM a LEFT JOIN b
+      ON a.user_id = b.user_id
+     AND b.ts BETWEEN a.ts - INTERVAL 10 MINUTE AND a.ts + INTERVAL 10 MINUTE
+    WHERE b.event_id IS NOT NULL
+       OR a.ts + INTERVAL 10 MINUTE < (SELECT w FROM wm)
+    """,
+)
+def q_streaming_event_pairs_left(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT OUTER stream-stream join: clicks with their same-user
+    purchases within 10 minutes, plus null-matched rows for clicks that
+    provably can't match anymore.  The oracle encodes Spark's outer-row
+    release rule — an unmatched left row emits only once the global
+    watermark (min over both sides' max event time, delay 0) passes
+    ts + tolerance — so the partial-emission semantics of watermarked
+    outer joins is itself the verified contract (horizon-boundary
+    collisions checked absent at every test SF)."""
+    import os as _os
+
+    from stateful_spark_streaming_spark.streaming.pipeline import (
+        run_streaming_event_pairs_left,
+    )
+
+    return run_streaming_event_pairs_left(
+        spark, _os.path.join(sf_dir, "events.parquet")
+    ).select("user_id", "id_a", "id_b", "gap_ms")
+
+
+@query(
     "streaming_enriched_counts",
     oracle="""
     SELECT c.c_mktsegment AS c_mktsegment, e.event_type AS event_type,
@@ -4121,8 +4158,8 @@ _CHEAP_FIRST = [
     # partition-pruned events scan;
     "order_priority_checking", "large_volume_customers", "top_supplier",
     "partitioned_events_scan", "similar_part_names", "interval_overlap",
-    "image_ahash",
-    # (c) backfill: 15 of the 47 queries whose newest green row is r5,
+    "image_ahash", "streaming_event_pairs_left",
+    # (c) backfill: 14 of the 47 queries whose newest green row is r5,
     # cheapest first (BENCH sf0.1 warm — hedge against a secondary
     # wall-clock cap).  The 29 most expensive r5-row entries
     # (revenue_cube … training_pipeline_full, listed below past
@@ -4132,10 +4169,11 @@ _CHEAP_FIRST = [
     "geometry_construct_null", "hash_split", "sample_n_per_group",
     "token_stats", "embedding_norm_stats", "label_centroids",
     "order_stats_conditional", "shuffle_shard", "dedup_exact",
-    "fingerprint", "web_mercator_projection", "web_mercator_roundtrip",
-    # --- past the 50-entry gate window: first the 32 deferred r5-row
+    "fingerprint", "web_mercator_projection",
+    # --- past the 50-entry gate window: first the 33 deferred r5-row
     # entries (they lead the r9 rotation), then the r7-window entries on
     # their fresh r7 rows ---
+    "web_mercator_roundtrip",
     "track_last_n", "pack_sequences", "profile_columns",
     "monthly_running_revenue",
     "revenue_cube", "events_json_extract",

@@ -2285,6 +2285,103 @@ def run_streaming_event_pairs(
 _last_join_progress: list = []
 
 
+def run_streaming_event_pairs_left(
+    spark: SparkSession,
+    events_path: str,
+    key: str = "user_id",
+    tolerance_seconds: int = 600,
+    watermark_delay: str = "0 seconds",
+    left_type: str = "click",
+    right_type: str = "purchase",
+    checkpoint_dir: str | None = None,
+    state_partitions: int | None = 8,
+    state_store: str | None = "hdfs",
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """LEFT OUTER stream-stream join: every left event pairs with the
+    same-key right events inside the tolerance band, and a left event
+    with NO match is emitted exactly once with nulls — but only after the
+    watermark proves no future right row can still match it.
+
+    The semantics the oracle must encode (pinned empirically and by the
+    docs): an unmatched left row is released when the GLOBAL watermark —
+    min over both sides' (max event time − delay), since Spark tracks one
+    watermark per query under the default ``min`` policy — passes
+    ``ts_a + tolerance``.  Rows younger than that horizon stay buffered
+    at stream end and are NOT emitted (they could still match if the
+    stream resumed); the oracle applies the same horizon filter, making
+    the outer join's partial-emission behavior itself the verified
+    contract rather than an accident.
+
+    Same scale shape as ``run_streaming_event_pairs``: watermarks on both
+    sides + the range condition bound the join state; append mode means a
+    plain distributed parquet sink is exact.  At 100 TB this is
+    impressions-without-clicks over two firehoses — the outer variant is
+    what funnel loss analysis actually needs."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    checkpoint_dir = checkpoint_dir or tempfile.mkdtemp(prefix="sss_ckpt_ssjl_")
+    out_dir = checkpoint_dir + "_out"
+    provider_class = _resolve_state_store(state_store)
+    old_sp = spark.conf.get("spark.sql.shuffle.partitions")
+    if state_partitions is not None:
+        spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
+    old_store = spark.conf.get(_STATE_STORE_CONF, None)
+    if provider_class is not None:
+        spark.conf.set(_STATE_STORE_CONF, provider_class)
+    try:
+        a = stream_events_source(
+            spark, events_path, max_files_per_trigger=max_files_per_trigger
+        )
+        a = a.filter(F.col("event_type") == left_type).select(
+            F.col(key).alias("user_id"),
+            F.col("event_id").alias("id_a"),
+            F.col("ts").alias("ts_a"),
+        ).withWatermark("ts_a", watermark_delay)
+        b = stream_events_source(
+            spark, events_path, max_files_per_trigger=max_files_per_trigger
+        )
+        b = b.filter(F.col("event_type") == right_type).select(
+            F.col(key).alias("user_id_b"),
+            F.col("event_id").alias("id_b"),
+            F.col("ts").alias("ts_b"),
+        ).withWatermark("ts_b", watermark_delay)
+        tol = F.expr(f"INTERVAL {tolerance_seconds} SECONDS")
+        cond = (
+            (F.col("user_id") == F.col("user_id_b"))
+            & (F.col("ts_b") >= F.col("ts_a") - tol)
+            & (F.col("ts_b") <= F.col("ts_a") + tol)
+        )
+        pairs = a.join(b, cond, "left_outer").select(
+            "user_id",
+            "id_a",
+            "id_b",
+            F.when(
+                F.col("id_b").isNotNull(),
+                F.abs(F.unix_millis("ts_a") - F.unix_millis("ts_b")),
+            ).alias("gap_ms"),
+        )
+        q = (
+            pairs.writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        return spark.read.parquet(out_dir)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_sp)
+        if provider_class is not None:
+            if old_store is not None:
+                spark.conf.set(_STATE_STORE_CONF, old_store)
+            else:
+                spark.conf.unset(_STATE_STORE_CONF)
+
+
 def run_streaming_enriched_counts(
     spark: SparkSession,
     events_path: str,
