@@ -179,3 +179,54 @@ def snapshot_diff(
         j.select(F.col("id").alias(id_col), status.alias("status"))
         .filter(F.col("status").isNotNull())
     )
+
+
+def affected_groups(
+    base: DataFrame,
+    changes: DataFrame,
+    key_cols: tuple[str, ...],
+    group_cols: tuple[str, ...],
+) -> DataFrame:
+    """The DISTINCT group values a change set can touch: groups of the
+    changed keys' OLD rows (a key may move groups, or be deleted out of
+    one) unioned with groups of the change images themselves (a key may
+    move INTO a group, or be inserted).  Both inputs must already carry
+    the group columns.  Output is group-cardinality-sized — at most
+    2×|changes| rows before the distinct, usually far fewer."""
+    keys = list(key_cols)
+    groups = list(group_cols)
+    old_side = base.join(
+        changes.select(*keys).distinct(), keys, "left_semi"
+    ).select(*groups)
+    new_side = changes.select(*groups)
+    return old_side.union(new_side).distinct()
+
+
+def refresh_groups(
+    materialized: DataFrame,
+    merged: DataFrame,
+    affected: DataFrame,
+    group_cols: tuple[str, ...],
+    agg_fn,
+) -> DataFrame:
+    """Incremental MATERIALIZED-AGGREGATE maintenance: refresh only the
+    groups a change set touched, keeping every other group's row from the
+    existing aggregate verbatim.
+
+    This is the affected-partition recompute strategy — the one that
+    stays EXACT under deletes and non-decomposable aggregates (count
+    distinct, percentiles) where delta/retraction maintenance does not.
+    Cost is proportional to data in the affected groups, not the table:
+    ``affected`` is summary-sized and BROADCAST into both the anti join
+    (dropping stale aggregate rows) and the semi join (pruning the
+    recompute's scan — with the detail table partitioned by the group
+    columns, that semi join prunes at the partition index and the
+    recompute touches only the affected partitions' files).
+
+    ``agg_fn(detail) -> DataFrame`` must produce the SAME schema as
+    ``materialized`` grouped by ``group_cols`` — the caller's one
+    aggregate definition serves initial build and refresh alike."""
+    groups = list(group_cols)
+    untouched = materialized.join(F.broadcast(affected), groups, "left_anti")
+    recomputed = agg_fn(merged.join(F.broadcast(affected), groups, "left_semi"))
+    return untouched.unionByName(recomputed)

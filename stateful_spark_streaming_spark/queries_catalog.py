@@ -3553,6 +3553,75 @@ def q_streaming_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "incremental_monthly_revenue",
+    oracle="""
+    WITH base AS (SELECT * FROM orders WHERE o_orderkey % 7 <> 0),
+    ch AS (
+      SELECT o_orderkey, o_custkey, o_orderstatus,
+             o_totalprice + 1.5 AS o_totalprice, o_orderdate,
+             '9-UPDATED' AS o_orderpriority, 1 AS seq, 'U' AS op
+      FROM orders WHERE o_orderkey % 3 = 0
+      UNION ALL
+      SELECT o_orderkey, o_custkey, o_orderstatus,
+             o_totalprice + 2.25, o_orderdate, o_orderpriority, 2,
+             CASE WHEN o_orderkey % 12 = 0 THEN 'D' ELSE 'U' END
+      FROM orders WHERE o_orderkey % 6 = 0),
+    latest AS (SELECT * FROM ch
+               QUALIFY row_number() OVER (PARTITION BY o_orderkey ORDER BY seq DESC) = 1),
+    merged AS (
+      SELECT b.o_orderkey, b.o_custkey, b.o_totalprice, b.o_orderdate
+      FROM base b ANTI JOIN latest l ON b.o_orderkey = l.o_orderkey
+      UNION ALL
+      SELECT o_orderkey, o_custkey, o_totalprice, o_orderdate
+      FROM latest WHERE op <> 'D')
+    SELECT date_trunc('month', o_orderdate)::DATE AS month,
+           round(sum(o_totalprice), 2) AS revenue,
+           count(*) AS n_orders,
+           count(DISTINCT o_custkey) AS n_customers
+    FROM merged GROUP BY 1
+    """,
+)
+def q_incremental_monthly_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental MATERIALIZED-VIEW maintenance: the monthly revenue
+    aggregate is refreshed after the CDC merge by recomputing ONLY the
+    months the change set touched (affected_groups → broadcast anti/semi
+    joins), keeping every untouched month's row from the standing
+    aggregate verbatim.  The oracle is the FULL recompute over the merged
+    table — hash equality proves the affected-partition strategy is
+    exact, including under deletes and count-distinct (where delta
+    maintenance isn't).  At 100 TB with the detail table partitioned by
+    month, the semi join prunes the recompute to the affected partitions'
+    files."""
+    month = F.date_trunc("month", F.col("o_orderdate")).cast("date")
+
+    def agg_fn(detail: DataFrame) -> DataFrame:
+        return detail.groupBy(month.alias("month")).agg(
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+            F.count(F.lit(1)).alias("n_orders"),
+            F.countDistinct("o_custkey").alias("n_customers"),
+        )
+
+    base = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 7 != 0)
+    s1, s2 = _order_change_sets(spark, sf_dir)
+    changes = s1.unionByName(s2)
+    materialized = agg_fn(base)
+    merged = MG.merge_upsert(base, changes, ("o_orderkey",), seq_col="seq")
+    affected = MG.affected_groups(
+        base.withColumn("month", month),
+        changes.withColumn("month", month),
+        ("o_orderkey",),
+        ("month",),
+    )
+    return MG.refresh_groups(
+        materialized,
+        merged.withColumn("month", month),
+        affected,
+        ("month",),
+        agg_fn,
+    )
+
+
+@query(
     "corpus_diff",
     oracle="""
     WITH o AS (SELECT doc_id, md5(coalesce(text, '')) AS fp
@@ -4158,8 +4227,8 @@ _CHEAP_FIRST = [
     # partition-pruned events scan;
     "order_priority_checking", "large_volume_customers", "top_supplier",
     "partitioned_events_scan", "similar_part_names", "interval_overlap",
-    "image_ahash", "streaming_event_pairs_left",
-    # (c) backfill: 14 of the 47 queries whose newest green row is r5,
+    "image_ahash", "streaming_event_pairs_left", "incremental_monthly_revenue",
+    # (c) backfill: 13 of the 47 queries whose newest green row is r5,
     # cheapest first (BENCH sf0.1 warm — hedge against a secondary
     # wall-clock cap).  The 29 most expensive r5-row entries
     # (revenue_cube … training_pipeline_full, listed below past
@@ -4169,11 +4238,11 @@ _CHEAP_FIRST = [
     "geometry_construct_null", "hash_split", "sample_n_per_group",
     "token_stats", "embedding_norm_stats", "label_centroids",
     "order_stats_conditional", "shuffle_shard", "dedup_exact",
-    "fingerprint", "web_mercator_projection",
-    # --- past the 50-entry gate window: first the 33 deferred r5-row
+    "fingerprint",
+    # --- past the 50-entry gate window: first the 34 deferred r5-row
     # entries (they lead the r9 rotation), then the r7-window entries on
     # their fresh r7 rows ---
-    "web_mercator_roundtrip",
+    "web_mercator_projection", "web_mercator_roundtrip",
     "track_last_n", "pack_sequences", "profile_columns",
     "monthly_running_revenue",
     "revenue_cube", "events_json_extract",

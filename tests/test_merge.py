@@ -197,3 +197,52 @@ def test_snapshot_diff_statuses(spark):
         for r in snapshot_diff(old, new, "id", F.md5(F.col("text"))).collect()
     }
     assert got == {2: "changed", 3: "removed", 4: "added"}  # 1 omitted
+
+
+def test_refresh_groups_keeps_untouched_rows_verbatim(spark):
+    """The incremental refresh must NOT silently recompute everything:
+    poison an untouched group's materialized row and assert the poison
+    survives (proof the row rode through the anti join), while touched
+    groups are recomputed correctly — including a key MOVING between
+    groups (both its old and new group refresh) and a delete."""
+    from stateful_spark_streaming_spark.operators.merge import (
+        affected_groups,
+        merge_upsert,
+        refresh_groups,
+    )
+
+    base = spark.createDataFrame(
+        [(1, "g1", 10.0), (2, "g1", 20.0), (3, "g2", 30.0), (4, "g3", 40.0)],
+        "k long, g string, v double",
+    )
+    # key 3 moves g2 -> g1 with a new value; key 4 is deleted; g4 inserted
+    changes = spark.createDataFrame(
+        [(3, "g1", 35.0, 1, "U"), (4, "g3", 0.0, 1, "D"), (5, "g4", 50.0, 1, "U")],
+        "k long, g string, v double, seq int, op string",
+    )
+
+    def agg_fn(detail):
+        return detail.groupBy("g").agg(
+            F.round(F.sum("v"), 2).alias("sv"), F.count(F.lit(1)).alias("n")
+        )
+
+    # materialized aggregate with g5 poison row: untouched groups must
+    # ride through VERBATIM (g5 isn't derivable from base -- if refresh
+    # recomputed everything, the poison would vanish)
+    materialized = agg_fn(base).unionByName(
+        spark.createDataFrame([("g5", -999.0, 7)], "g string, sv double, n long")
+    )
+    merged = merge_upsert(base, changes, ("k",), seq_col="seq")
+    aff = affected_groups(base, changes, ("k",), ("g",))
+    got = {
+        r["g"]: (r["sv"], r["n"])
+        for r in refresh_groups(materialized, merged, aff, ("g",), agg_fn).collect()
+    }
+    assert got == {
+        "g1": (65.0, 3),   # 10 + 20 + moved-in 35
+        # g2 and g3 VANISH: the move emptied g2, the delete emptied g3 —
+        # exactly what a full recompute produces (no row for an empty
+        # group), the stale aggregate rows dropped by the anti join
+        "g4": (50.0, 1),   # inserted group
+        "g5": (-999.0, 7), # untouched poison row, verbatim
+    }

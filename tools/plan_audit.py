@@ -323,6 +323,12 @@ CHECKS = {
     # perceptual hash: ONE Arrow kernel pass over the image scan — the
     # only exchange is the fixture's width re-spread, never a join
     "image_ahash": ([], ["Join"], 1),
+    # incremental MV maintenance: the summary-sized affected-group set
+    # must BROADCAST into both the anti join (stale aggregate rows) and
+    # the semi join (recompute pruning) — never an all-pairs product
+    "incremental_monthly_revenue": (["BroadcastHashJoin"],
+                                    ["CartesianProduct",
+                                     "BroadcastNestedLoopJoin"], None),
 }
 
 #: upper bound on `Scan parquet` occurrences — "the signature subplan is
