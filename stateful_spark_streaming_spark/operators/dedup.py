@@ -1591,3 +1591,64 @@ def split_leakage(
         F.count(F.lit(1)).alias("n_train_dups"),
         F.max("score").alias("max_jaccard"),
     )
+
+
+def hamming_near_pairs(
+    hashed: DataFrame,
+    id_col: str,
+    bits_col: str,
+    max_ham: int = 4,
+    n_bands: int | None = None,
+) -> DataFrame:
+    """All id pairs whose fixed-width bit strings sit within Hamming
+    distance ``max_ham`` — banded-LSH candidate generation with an exact
+    verify, COMPLETE by pigeonhole: with ``n_bands > max_ham`` bands, any
+    pair with ≤ ``max_ham`` differing bits leaves at least one band
+    untouched, so every qualifying pair shares at least one
+    (band_index, band_substring) bucket.  Default bands = ``max_ham + 1``
+    (the minimum that preserves completeness — more bands cost shuffle
+    volume without adding recall for this threshold).
+
+    Scale shape: one explode to n_bands rows per hash, ONE shuffle on the
+    band bucket, within-bucket pair expansion bounded by bucket
+    occupancy, a distinct (pairs can share several bands), then the
+    map-side exact Hamming verify.  Bucket width = bits/n_bands; at
+    billions of hashes widen the hash (128-bit SimHash) or band count so
+    buckets stay fine-grained — occupancy, not pair count, is the knob."""
+    n_bands = int(n_bands or (max_ham + 1))
+    if n_bands <= max_ham:
+        raise ValueError("completeness needs n_bands > max_ham (pigeonhole)")
+    nbits = 64
+    width = -(-nbits // n_bands)  # ceil
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("bi"),
+                F.substring(F.col(bits_col), i * width + 1, width).alias("bs"),
+            )
+            for i in range(n_bands)
+        ]
+    )
+    e = hashed.select(
+        F.col(id_col).alias("__id"), F.col(bits_col).alias("__bits"),
+        F.explode(bands).alias("__b"),
+    ).select("__id", "__bits", "__b.bi", "__b.bs")
+    a = e.select(
+        F.col("__id").alias("id_a"), F.col("__bits").alias("bits_a"), "bi", "bs"
+    )
+    b = e.select(
+        F.col("__id").alias("id_b"), F.col("__bits").alias("bits_b"), "bi", "bs"
+    )
+    ham = F.expr(
+        "aggregate(zip_with(split(bits_a, ''), split(bits_b, ''), "
+        "(u, v) -> CASE WHEN u <> v THEN 1 ELSE 0 END), 0, (acc, x) -> acc + x)"
+    )
+    return (
+        a.join(b, ["bi", "bs"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "bits_a", "bits_b")
+        .distinct()
+        .withColumn("hamming", ham.cast("long"))
+        .filter(F.col("hamming") <= max_ham)
+        .select("id_a", "id_b", "hamming")
+    )

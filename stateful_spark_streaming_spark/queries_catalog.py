@@ -4140,6 +4140,57 @@ def q_image_ahash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "image_near_dups",
+    oracle="""
+    WITH meta AS (
+      SELECT doc_id AS image_id,
+             CAST(n_chars % 64 + 32 AS BIGINT) AS w,
+             CAST(n_chars % 48 + 24 AS BIGINT) AS h
+      FROM documents),
+    cell AS (
+      SELECT image_id, j, i,
+             ((image_id*7 + 3*((i*w)//8) + 5*((j*h)//8)) % 256
+            + (image_id*7 + 3*((i*w)//8) + 5*((j*h)//8) + 11) % 256
+            + (image_id*7 + 3*((i*w)//8) + 5*((j*h)//8) + 22) % 256) // 3
+               AS luma
+      FROM meta,
+           LATERAL unnest(range(0, 8)) AS t1(i),
+           LATERAL unnest(range(0, 8)) AS t2(j)),
+    mu AS (SELECT image_id, sum(luma) // 64 AS m FROM cell GROUP BY image_id),
+    hashes AS (
+      SELECT c.image_id,
+             string_agg(CASE WHEN luma > m THEN '1' ELSE '0' END, ''
+                        ORDER BY j*8 + i) AS bits
+      FROM cell c JOIN mu USING (image_id) GROUP BY c.image_id)
+    SELECT a.image_id AS id_a, b.image_id AS id_b,
+           CAST((SELECT count(*) FROM unnest(range(1, 65)) t(p)
+                 WHERE substring(a.bits, p::INT, 1)
+                    <> substring(b.bits, p::INT, 1)) AS BIGINT) AS hamming
+    FROM hashes a JOIN hashes b ON a.image_id < b.image_id
+    WHERE (SELECT count(*) FROM unnest(range(1, 65)) t(p)
+           WHERE substring(a.bits, p::INT, 1)
+              <> substring(b.bits, p::INT, 1)) <= 4
+    """,
+)
+def q_image_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate IMAGE pairs: perceptual hashes within Hamming ≤ 4,
+    found via banded LSH (5 bands — pigeonhole-complete for t=4) + exact
+    verify, never an all-pairs product.  The oracle IS the all-pairs
+    brute force over the re-derived hashes, so hash equality proves both
+    the perceptual hash bits and the banding's losslessness.  The visual
+    dedup layer a multimodal training corpus needs next to the text
+    MinHash family."""
+    from stateful_spark_streaming_spark.operators.dedup import (
+        hamming_near_pairs,
+    )
+
+    hashed = MM.image_ahash(_image_fixture(spark, sf_dir))
+    return hamming_near_pairs(
+        hashed, "image_id", "ahash_bits", max_ham=4, n_bands=5
+    )
+
+
+@query(
     "interval_overlap",
     oracle="""
     WITH p AS (
@@ -4228,7 +4279,8 @@ _CHEAP_FIRST = [
     "order_priority_checking", "large_volume_customers", "top_supplier",
     "partitioned_events_scan", "similar_part_names", "interval_overlap",
     "image_ahash", "streaming_event_pairs_left", "incremental_monthly_revenue",
-    # (c) backfill: 13 of the 47 queries whose newest green row is r5,
+    "image_near_dups",
+    # (c) backfill: 12 of the 47 queries whose newest green row is r5,
     # cheapest first (BENCH sf0.1 warm — hedge against a secondary
     # wall-clock cap).  The 29 most expensive r5-row entries
     # (revenue_cube … training_pipeline_full, listed below past
@@ -4238,10 +4290,10 @@ _CHEAP_FIRST = [
     "geometry_construct_null", "hash_split", "sample_n_per_group",
     "token_stats", "embedding_norm_stats", "label_centroids",
     "order_stats_conditional", "shuffle_shard", "dedup_exact",
-    "fingerprint",
-    # --- past the 50-entry gate window: first the 34 deferred r5-row
+    # --- past the 50-entry gate window: first the 35 deferred r5-row
     # entries (they lead the r9 rotation), then the r7-window entries on
     # their fresh r7 rows ---
+    "fingerprint",
     "web_mercator_projection", "web_mercator_roundtrip",
     "track_last_n", "pack_sequences", "profile_columns",
     "monthly_running_revenue",

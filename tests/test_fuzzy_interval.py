@@ -121,3 +121,51 @@ def test_interval_overlap_carry_cols(spark):
     assert [(r["id_a"], r["id_b"], r["user_id_a"], r["user_id_b"], r["overlap_ms"]) for r in rows] == [
         (1, 2, 7, 9, 50)
     ]
+
+
+def test_hamming_near_pairs_matches_bruteforce(spark):
+    """Banded-LSH Hamming pairs vs brute force over random 64-bit
+    strings, plus the pigeonhole boundary: distance exactly max_ham is
+    kept, max_ham+1 dropped -- including the adversarial pattern of one
+    flip in every band (which defeats any single band but must still be
+    dropped only by the VERIFY, i.e. distance 5 > 4)."""
+    import random
+
+    from stateful_spark_streaming_spark.operators.dedup import (
+        hamming_near_pairs,
+    )
+
+    rng = random.Random(11)
+    base = [rng.randrange(2) for _ in range(64)]
+
+    def flip(bits, positions):
+        out = list(bits)
+        for p in positions:
+            out[p] ^= 1
+        return out
+
+    rows = {0: base, 1: flip(base, [0, 20, 40, 60]),      # ham 4: keep
+            2: flip(base, [0, 13, 26, 39, 52]),           # one per band: ham 5, drop
+            3: flip(base, [1, 2, 3, 4]),                  # 4 flips one band: keep
+            4: [rng.randrange(2) for _ in range(64)]}     # random far
+    df = spark.createDataFrame(
+        [(i, "".join(map(str, b))) for i, b in rows.items()],
+        "image_id long, bits string",
+    )
+    got = {
+        (r["id_a"], r["id_b"], r["hamming"])
+        for r in hamming_near_pairs(df, "image_id", "bits", max_ham=4).collect()
+    }
+    import itertools
+
+    def ham(a, b):
+        return sum(x != y for x, y in zip(a, b))
+
+    want = {
+        (i, j, ham(rows[i], rows[j]))
+        for i, j in itertools.combinations(sorted(rows), 2)
+        if ham(rows[i], rows[j]) <= 4
+    }
+    assert got == want
+    assert (0, 1, 4) in got and (0, 3, 4) in got
+    assert all(p[:2] != (0, 2) for p in got)

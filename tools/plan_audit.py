@@ -329,6 +329,10 @@ CHECKS = {
     "incremental_monthly_revenue": (["BroadcastHashJoin"],
                                     ["CartesianProduct",
                                      "BroadcastNestedLoopJoin"], None),
+    # banded Hamming LSH: band-bucket equi-join + exact verify — never
+    # the all-pairs product the oracle brute-forces
+    "image_near_dups": ([], ["CartesianProduct",
+                             "BroadcastNestedLoopJoin"], None),
 }
 
 #: upper bound on `Scan parquet` occurrences — "the signature subplan is
