@@ -3480,6 +3480,46 @@ _MERGE_ORACLE = """
     """
 
 
+#: shared by the one-shot and streaming incremental-MV queries: the FULL
+#: recompute of the monthly aggregate over the merged table — hash
+#: equality proves the affected-partition refresh strategy exact.
+_INC_MV_ORACLE = """
+    WITH base AS (SELECT * FROM orders WHERE o_orderkey % 7 <> 0),
+    ch AS (
+      SELECT o_orderkey, o_custkey, o_orderstatus,
+             o_totalprice + 1.5 AS o_totalprice, o_orderdate,
+             '9-UPDATED' AS o_orderpriority, 1 AS seq, 'U' AS op
+      FROM orders WHERE o_orderkey % 3 = 0
+      UNION ALL
+      SELECT o_orderkey, o_custkey, o_orderstatus,
+             o_totalprice + 2.25, o_orderdate, o_orderpriority, 2,
+             CASE WHEN o_orderkey % 12 = 0 THEN 'D' ELSE 'U' END
+      FROM orders WHERE o_orderkey % 6 = 0),
+    latest AS (SELECT * FROM ch
+               QUALIFY row_number() OVER (PARTITION BY o_orderkey ORDER BY seq DESC) = 1),
+    merged AS (
+      SELECT b.o_orderkey, b.o_custkey, b.o_totalprice, b.o_orderdate
+      FROM base b ANTI JOIN latest l ON b.o_orderkey = l.o_orderkey
+      UNION ALL
+      SELECT o_orderkey, o_custkey, o_totalprice, o_orderdate
+      FROM latest WHERE op <> 'D')
+    SELECT date_trunc('month', o_orderdate)::DATE AS month,
+           round(sum(o_totalprice), 2) AS revenue,
+           count(*) AS n_orders,
+           count(DISTINCT o_custkey) AS n_customers
+    FROM merged GROUP BY 1
+    """
+
+
+def _monthly_agg_fn(detail: DataFrame) -> DataFrame:
+    month = F.date_trunc("month", F.col("o_orderdate")).cast("date")
+    return detail.groupBy(month.alias("month")).agg(
+        F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        F.count(F.lit(1)).alias("n_orders"),
+        F.countDistinct("o_custkey").alias("n_customers"),
+    )
+
+
 def _order_change_sets(spark: SparkSession, sf_dir: str):
     """Two deterministic CDC batches over orders: seq-1 updates every
     key ≡0 (mod 3) — keys ≡0 (mod 21) are INSERTS, absent from the
@@ -3552,35 +3592,53 @@ def q_streaming_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "incremental_monthly_revenue",
-    oracle="""
-    WITH base AS (SELECT * FROM orders WHERE o_orderkey % 7 <> 0),
-    ch AS (
-      SELECT o_orderkey, o_custkey, o_orderstatus,
-             o_totalprice + 1.5 AS o_totalprice, o_orderdate,
-             '9-UPDATED' AS o_orderpriority, 1 AS seq, 'U' AS op
-      FROM orders WHERE o_orderkey % 3 = 0
-      UNION ALL
-      SELECT o_orderkey, o_custkey, o_orderstatus,
-             o_totalprice + 2.25, o_orderdate, o_orderpriority, 2,
-             CASE WHEN o_orderkey % 12 = 0 THEN 'D' ELSE 'U' END
-      FROM orders WHERE o_orderkey % 6 = 0),
-    latest AS (SELECT * FROM ch
-               QUALIFY row_number() OVER (PARTITION BY o_orderkey ORDER BY seq DESC) = 1),
-    merged AS (
-      SELECT b.o_orderkey, b.o_custkey, b.o_totalprice, b.o_orderdate
-      FROM base b ANTI JOIN latest l ON b.o_orderkey = l.o_orderkey
-      UNION ALL
-      SELECT o_orderkey, o_custkey, o_totalprice, o_orderdate
-      FROM latest WHERE op <> 'D')
-    SELECT date_trunc('month', o_orderdate)::DATE AS month,
-           round(sum(o_totalprice), 2) AS revenue,
-           count(*) AS n_orders,
-           count(DISTINCT o_custkey) AS n_customers
-    FROM merged GROUP BY 1
-    """,
-)
+@query("streaming_incremental_monthly_revenue", oracle=_INC_MV_ORACLE)
+def q_streaming_incremental_monthly_revenue(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Streaming MATERIALIZED-VIEW maintenance — the two CDC batches
+    arrive as micro-batches, the standing table folds them in, and the
+    monthly aggregate refreshes ONLY the touched months per trigger
+    (run_streaming_incremental_agg).  Same oracle as the one-shot
+    incremental_monthly_revenue: the full recompute over the final
+    merged table."""
+    import os as _os
+    import tempfile as _tf
+
+    from stateful_spark_streaming_spark.streaming.pipeline import (
+        run_streaming_incremental_agg,
+    )
+
+    base = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 7 != 0)
+    s1, s2 = _order_change_sets(spark, sf_dir)
+    work = _tf.mkdtemp(prefix="sss_incmv_q_")
+    base_path = _os.path.join(work, "base")
+    ch_dir = _os.path.join(work, "changes")
+    base.write.parquet(base_path)
+    _os.makedirs(ch_dir)
+    for i, s in enumerate((s1, s2)):
+        bdir = _os.path.join(work, f"b{i}")
+        s.coalesce(1).write.parquet(bdir)
+        part = [f for f in _os.listdir(bdir) if f.endswith(".parquet")][0]
+        dst = _os.path.join(ch_dir, f"batch-{i}.parquet")
+        _os.rename(_os.path.join(bdir, part), dst)
+        _os.utime(dst, (1_000_000_000 + i * 100, 1_000_000_000 + i * 100))
+
+    month = F.date_trunc("month", F.col("o_orderdate")).cast("date")
+    return run_streaming_incremental_agg(
+        spark,
+        base_path,
+        ch_dir,
+        ("o_orderkey",),
+        ("month",),
+        lambda df: df.withColumn("month", month),
+        _monthly_agg_fn,
+        seq_col="seq",
+        op_col="op",
+    )
+
+
+@query("incremental_monthly_revenue", oracle=_INC_MV_ORACLE)
 def q_incremental_monthly_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental MATERIALIZED-VIEW maintenance: the monthly revenue
     aggregate is refreshed after the CDC merge by recomputing ONLY the
@@ -3593,14 +3651,7 @@ def q_incremental_monthly_revenue(spark: SparkSession, sf_dir: str) -> DataFrame
     month, the semi join prunes the recompute to the affected partitions'
     files."""
     month = F.date_trunc("month", F.col("o_orderdate")).cast("date")
-
-    def agg_fn(detail: DataFrame) -> DataFrame:
-        return detail.groupBy(month.alias("month")).agg(
-            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
-            F.count(F.lit(1)).alias("n_orders"),
-            F.countDistinct("o_custkey").alias("n_customers"),
-        )
-
+    agg_fn = _monthly_agg_fn
     base = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 7 != 0)
     s1, s2 = _order_change_sets(spark, sf_dir)
     changes = s1.unionByName(s2)
@@ -4279,8 +4330,8 @@ _CHEAP_FIRST = [
     "order_priority_checking", "large_volume_customers", "top_supplier",
     "partitioned_events_scan", "similar_part_names", "interval_overlap",
     "image_ahash", "streaming_event_pairs_left", "incremental_monthly_revenue",
-    "image_near_dups",
-    # (c) backfill: 12 of the 47 queries whose newest green row is r5,
+    "image_near_dups", "streaming_incremental_monthly_revenue",
+    # (c) backfill: 11 of the 47 queries whose newest green row is r5,
     # cheapest first (BENCH sf0.1 warm — hedge against a secondary
     # wall-clock cap).  The 29 most expensive r5-row entries
     # (revenue_cube … training_pipeline_full, listed below past
@@ -4289,10 +4340,11 @@ _CHEAP_FIRST = [
     "customers_without_recent_orders", "forecast_revenue",
     "geometry_construct_null", "hash_split", "sample_n_per_group",
     "token_stats", "embedding_norm_stats", "label_centroids",
-    "order_stats_conditional", "shuffle_shard", "dedup_exact",
-    # --- past the 50-entry gate window: first the 35 deferred r5-row
+    "order_stats_conditional", "shuffle_shard",
+    # --- past the 50-entry gate window: first the 36 deferred r5-row
     # entries (they lead the r9 rotation), then the r7-window entries on
     # their fresh r7 rows ---
+    "dedup_exact",
     "fingerprint",
     "web_mercator_projection", "web_mercator_roundtrip",
     "track_last_n", "pack_sequences", "profile_columns",

@@ -1748,6 +1748,109 @@ def run_streaming_merge_upsert(
     return merged_view(spark.read.parquet(table_dir))
 
 
+def run_streaming_incremental_agg(
+    spark: SparkSession,
+    base_path: str,
+    changes_path: str,
+    key_cols: tuple[str, ...],
+    group_cols: tuple[str, ...],
+    add_group,
+    agg_fn,
+    seq_col: str = "seq",
+    op_col: str = "op",
+    delete_op: str = "D",
+    checkpoint_dir: str | None = None,
+    max_files_per_trigger: int | None = 1,
+) -> DataFrame:
+    """Streaming MATERIALIZED-VIEW maintenance: change batches stream in,
+    fold into the generation-managed standing table (exactly
+    ``run_streaming_merge_upsert``'s protocol), and per batch the
+    maintained AGGREGATE refreshes only the groups that batch touched
+    (``merge.affected_groups`` → ``merge.refresh_groups``) — the
+    continuously-fresh dashboard table over a CDC feed, never a full
+    re-aggregation per trigger.
+
+    Crash story: the table swap and the aggregate swap are two renames,
+    not one transaction — but a crash between them is SAFE because the
+    refresh recomputes affected groups FROM THE TABLE, not from deltas:
+    on replay the batch re-applies to the table as a seq-watermark no-op
+    and the aggregate refresh re-derives the same group rows (pytested
+    as double-apply idempotence).  ``add_group(df)`` derives the group
+    columns on any row image; ``agg_fn(detail)`` is the caller's ONE
+    aggregate definition, used for bootstrap and refresh alike."""
+    from stateful_spark_streaming_spark.generations import (
+        recover_generation,
+        swap_generation,
+    )
+    from stateful_spark_streaming_spark.operators.merge import (
+        affected_groups,
+        merge_apply_batch,
+        merged_view,
+        refresh_groups,
+        with_merge_meta,
+    )
+
+    checkpoint_dir = checkpoint_dir or tempfile.mkdtemp(prefix="sss_ckpt_incagg_")
+    table_dir = checkpoint_dir + "_table"
+    agg_dir = checkpoint_dir + "_agg"
+    recover_generation(table_dir, clean=True)
+    recover_generation(agg_dir, clean=True)
+    if not os.path.exists(table_dir):
+        with_merge_meta(spark.read.parquet(base_path)).write.parquet(
+            table_dir + ".tmp"
+        )
+        swap_generation(table_dir)
+    if not os.path.exists(agg_dir):
+        agg_fn(merged_view(spark.read.parquet(table_dir))).write.parquet(
+            agg_dir + ".tmp"
+        )
+        swap_generation(agg_dir)
+
+    stream = _stage_parquet_stream(spark, changes_path, max_files_per_trigger)
+
+    def _sink(bdf: DataFrame, batch_id: int) -> None:
+        recover_generation(table_dir, clean=True)
+        recover_generation(agg_dir, clean=True)
+        cur = spark.read.parquet(table_dir)
+        affected = affected_groups(
+            add_group(merged_view(cur)), add_group(bdf), key_cols, group_cols
+        ).persist()
+        affected.count()  # MATERIALIZE before the swap retires cur's files
+        nxt = merge_apply_batch(
+            cur,
+            bdf.withColumnRenamed(seq_col, "__seq"),
+            key_cols,
+            seq_col="__seq",
+            op_col=op_col,
+            delete_op=delete_op,
+        )
+        nxt.write.parquet(table_dir + ".tmp")
+        swap_generation(table_dir)
+        # refresh FROM the just-promoted table: recompute-from-table is
+        # what makes the two-swap window replay-safe
+        cur_agg = spark.read.parquet(agg_dir)
+        nxt_agg = refresh_groups(
+            cur_agg,
+            add_group(merged_view(spark.read.parquet(table_dir))),
+            affected,
+            group_cols,
+            agg_fn,
+        )
+        nxt_agg.write.parquet(agg_dir + ".tmp")
+        swap_generation(agg_dir)
+        affected.unpersist()
+
+    q = (
+        stream.writeStream.foreachBatch(_sink)
+        .outputMode("update")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.read.parquet(agg_dir)
+
+
 def run_streaming_corpus_report(
     spark: SparkSession,
     documents_path: str,

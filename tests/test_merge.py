@@ -246,3 +246,73 @@ def test_refresh_groups_keeps_untouched_rows_verbatim(spark):
         "g4": (50.0, 1),   # inserted group
         "g5": (-999.0, 7), # untouched poison row, verbatim
     }
+
+
+def test_streaming_incremental_agg_end_to_end_and_crash_window(spark, tmp_path):
+    """run_streaming_incremental_agg: (1) the maintained aggregate after a
+    2-batch replay equals the full recompute over the final table; (2) the
+    two-swap crash window is replay-safe — with the TABLE already at batch
+    N but the AGGREGATE still at N-1 (crash between the swaps), re-running
+    the refresh against the already-merged table converges to the same
+    aggregate (recompute-from-table, not delta application)."""
+    import os
+
+    from stateful_spark_streaming_spark.operators.merge import (
+        affected_groups,
+        merge_apply_batch,
+        merged_view,
+        refresh_groups,
+        with_merge_meta,
+    )
+    from stateful_spark_streaming_spark.streaming.pipeline import (
+        run_streaming_incremental_agg,
+    )
+
+    def agg_fn(detail):
+        return detail.groupBy("g").agg(
+            F.round(F.sum("v"), 2).alias("sv"), F.count(F.lit(1)).alias("n")
+        )
+
+    base = spark.createDataFrame(
+        [(1, "g1", 10.0), (2, "g1", 20.0), (3, "g2", 30.0)],
+        "k long, g string, v double",
+    )
+    b0 = spark.createDataFrame(
+        [(3, "g3", 35.0, 1, "U"), (4, "g2", 40.0, 1, "U")],  # move + insert
+        "k long, g string, v double, seq int, op string",
+    )
+    b1 = spark.createDataFrame(
+        [(2, "g1", 0.0, 2, "D"), (4, "g2", 44.0, 2, "U")],   # delete + update
+        "k long, g string, v double, seq int, op string",
+    )
+    base_path = str(tmp_path / "base")
+    ch_dir = str(tmp_path / "changes")
+    base.write.parquet(base_path)
+    os.makedirs(ch_dir)
+    for i, b in enumerate((b0, b1)):
+        seg = str(tmp_path / f"seg{i}")
+        b.coalesce(1).write.parquet(seg)
+        part = [f for f in os.listdir(seg) if f.endswith(".parquet")][0]
+        dst = os.path.join(ch_dir, f"batch-{i}.parquet")
+        os.rename(os.path.join(seg, part), dst)
+        os.utime(dst, (1_000_000_000 + i * 100,) * 2)
+
+    out = run_streaming_incremental_agg(
+        spark, base_path, ch_dir, ("k",), ("g",), lambda df: df, agg_fn,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    got = {r["g"]: (r["sv"], r["n"]) for r in out.collect()}
+    assert got == {"g1": (10.0, 1), "g2": (44.0, 1), "g3": (35.0, 1)}
+
+    # --- crash window: table at batch1, aggregate still pre-batch1 ---
+    t0 = with_merge_meta(base)
+    t1 = merge_apply_batch(t0, b0.withColumnRenamed("seq", "__seq"), ("k",))
+    a0 = agg_fn(base)  # aggregate never saw b0 (crash before its swap)
+    # replay of b0: table application is a seq-watermark no-op
+    t1_replay = merge_apply_batch(
+        t1, b0.withColumnRenamed("seq", "__seq"), ("k",)
+    )
+    aff = affected_groups(merged_view(t1_replay), b0, ("k",), ("g",))
+    a1 = refresh_groups(a0, merged_view(t1_replay), aff, ("g",), agg_fn)
+    want = {r["g"]: (r["sv"], r["n"]) for r in agg_fn(merged_view(t1)).collect()}
+    assert {r["g"]: (r["sv"], r["n"]) for r in a1.collect()} == want
