@@ -583,3 +583,94 @@ def fuzzy_name_pairs(df: DataFrame, col: str = "p_name", max_dist: int = 2) -> D
         .withColumn("lev", F.levenshtein("name_a", "name_b").cast("long"))
         .filter(F.col("lev") <= max_dist)
     )
+
+
+def important_parts(
+    lineitem: DataFrame, mean_multiple: float = 1.25
+) -> DataFrame:
+    """TPC-H Q11-shape: parts whose total line value exceeds a multiple
+    of the MEAN part value — the share-of-total HAVING pattern (group agg
+    compared against a scalar aggregate over the same relation).  The
+    mean-relative threshold is scale-invariant: Q11's fixed
+    fraction-of-total empties out as the part count grows, while "k× the
+    average part" keeps a stable tail at any SF.
+
+    Scale shape: the per-part value aggregate is computed once and PINNED
+    (the plan consumes it twice: scalar reduction + probe side);
+    the threshold is a single-row broadcast, so the second pass is a
+    map-only filter.  Without the pin a 100 TB lineitem would be scanned
+    and aggregated twice."""
+    from stateful_spark_streaming_spark.caching import track_persist
+
+    value = track_persist(
+        lineitem.groupBy("l_partkey").agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+            .alias("part_value")
+        )
+    )
+    thr = value.agg(
+        (F.avg("part_value") * F.lit(mean_multiple)).alias("__thr")
+    )
+    return (
+        value.join(broadcast(thr), F.col("part_value") > F.col("__thr"))
+        .select("l_partkey", "part_value")
+    )
+
+
+def parts_supplier_counts(
+    part: DataFrame, supplier: DataFrame, lineitem: DataFrame
+) -> DataFrame:
+    """TPC-H Q16-shape: distinct supplier count per (brand, type, size),
+    excluding blocklisted suppliers (NOT IN ⇒ broadcast ANTI join — here
+    the deterministic blocklist is negative-balance suppliers).
+
+    Scale shape: the anti join and the part-attribute join are both
+    broadcast (kilobyte dims); lineitem — the part↔supplier bridge —
+    shuffles ONCE for the distinct aggregate.  The (l_partkey, l_suppkey)
+    projection is deduplicated BEFORE the attribute join so the shuffle
+    carries bridge pairs, not line items."""
+    blocked = supplier.filter(F.col("s_acctbal") < 0).select("s_suppkey")
+    bridge = (
+        lineitem.select("l_partkey", "l_suppkey")
+        .distinct()
+        .join(
+            broadcast(blocked),
+            F.col("l_suppkey") == blocked["s_suppkey"],
+            "left_anti",
+        )
+    )
+    return (
+        bridge.join(
+            broadcast(part.select("p_partkey", "p_brand", "p_type", "p_size")),
+            bridge["l_partkey"] == F.col("p_partkey"),
+        )
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+def idle_rich_customers(
+    customer: DataFrame, orders: DataFrame, big_order_threshold: float = 300_000.0
+) -> DataFrame:
+    """TPC-H Q22-shape: per nation, the count and total balance of
+    customers whose balance beats the positive-balance average but who
+    never placed a big order — scalar aggregate subquery + ANTI join.
+
+    Scale shape: the average is a single-row broadcast (cross-join of a
+    1-row frame); the big-order key set is filtered BEFORE the anti join
+    so AQE broadcasts it; customer never shuffles until the final tiny
+    per-nation aggregate."""
+    avg_bal = customer.filter(F.col("c_acctbal") > 0).agg(
+        F.avg("c_acctbal").alias("__avg")
+    )
+    rich = customer.join(
+        broadcast(avg_bal), F.col("c_acctbal") > F.col("__avg")
+    ).drop("__avg")
+    big = orders.filter(F.col("o_totalprice") > big_order_threshold).select(
+        "o_custkey"
+    )
+    idle = rich.join(big, rich["c_custkey"] == big["o_custkey"], "left_anti")
+    return idle.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.round(F.sum("c_acctbal"), 2).alias("total_bal"),
+    )

@@ -4152,6 +4152,72 @@ def q_similar_part_names(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "important_parts",
+    oracle="""
+    WITH value AS (
+      SELECT l_partkey,
+             round(sum(l_extendedprice * (1 - l_discount)), 2) AS part_value
+      FROM lineitem GROUP BY l_partkey)
+    SELECT l_partkey, part_value
+    FROM value
+    WHERE part_value > (SELECT avg(part_value) * 1.25 FROM value)
+    """,
+)
+def q_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11-shape share-of-total HAVING: parts whose line value
+    exceeds 1.25× the mean part value (scale-invariant where Q11's fixed
+    fraction empties out as the part count grows) — the twice-consumed
+    value aggregate is pinned, the threshold a single-row broadcast."""
+    return REL.important_parts(_t(spark, sf_dir, "lineitem"), mean_multiple=1.25)
+
+
+@query(
+    "parts_supplier_counts",
+    oracle="""
+    WITH bridge AS (
+      SELECT DISTINCT l_partkey, l_suppkey FROM lineitem
+      WHERE l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0))
+    SELECT p_brand, p_type, p_size,
+           count(DISTINCT l_suppkey) AS supplier_cnt
+    FROM bridge JOIN part ON l_partkey = p_partkey
+    GROUP BY p_brand, p_type, p_size
+    """,
+)
+def q_parts_supplier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16-shape: distinct suppliers per (brand, type, size) with a
+    NOT-IN blocklist as a broadcast anti join; the part↔supplier bridge
+    deduplicates before the attribute join so the shuffle carries pairs,
+    not line items."""
+    return REL.parts_supplier_counts(
+        _t(spark, sf_dir, "part"),
+        _t(spark, sf_dir, "supplier"),
+        _t(spark, sf_dir, "lineitem"),
+    )
+
+
+@query(
+    "idle_rich_customers",
+    oracle="""
+    SELECT c_nationkey, count(*) AS n_customers,
+           round(sum(c_acctbal), 2) AS total_bal
+    FROM customer c
+    WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0)
+      AND NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_totalprice > 300000)
+    GROUP BY c_nationkey
+    """,
+)
+def q_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22-shape: above-average-balance customers with no big
+    orders, per nation — scalar aggregate broadcast + anti join on the
+    pre-filtered order key set."""
+    return REL.idle_rich_customers(
+        _t(spark, sf_dir, "customer"), _t(spark, sf_dir, "orders")
+    )
+
+
+@query(
     "image_ahash",
     oracle="""
     WITH meta AS (
@@ -4331,7 +4397,8 @@ _CHEAP_FIRST = [
     "partitioned_events_scan", "similar_part_names", "interval_overlap",
     "image_ahash", "streaming_event_pairs_left", "incremental_monthly_revenue",
     "image_near_dups", "streaming_incremental_monthly_revenue",
-    # (c) backfill: 11 of the 47 queries whose newest green row is r5,
+    "important_parts", "parts_supplier_counts", "idle_rich_customers",
+    # (c) backfill: 8 of the 47 queries whose newest green row is r5,
     # cheapest first (BENCH sf0.1 warm — hedge against a secondary
     # wall-clock cap).  The 29 most expensive r5-row entries
     # (revenue_cube … training_pipeline_full, listed below past
@@ -4339,11 +4406,12 @@ _CHEAP_FIRST = [
     # code + oracles unchanged since r5.
     "customers_without_recent_orders", "forecast_revenue",
     "geometry_construct_null", "hash_split", "sample_n_per_group",
-    "token_stats", "embedding_norm_stats", "label_centroids",
-    "order_stats_conditional", "shuffle_shard",
-    # --- past the 50-entry gate window: first the 36 deferred r5-row
+    "token_stats",
+    # --- past the 50-entry gate window: first the 39 deferred r5-row
     # entries (they lead the r9 rotation), then the r7-window entries on
     # their fresh r7 rows ---
+    "embedding_norm_stats", "label_centroids",
+    "order_stats_conditional", "shuffle_shard",
     "dedup_exact",
     "fingerprint",
     "web_mercator_projection", "web_mercator_roundtrip",

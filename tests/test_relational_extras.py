@@ -133,3 +133,49 @@ def test_partitioned_dataset_prunes_and_reuses(spark, tmp_path):
     # and the data filter list is EMPTY (the predicate never reaches rows)
     assert sliced.count() == 20
     assert "PushedFilters: []" in plan or "PushedFilters" not in plan
+
+
+def test_important_parts_threshold_strict(spark):
+    lineitem = spark.createDataFrame(
+        [(1, 100.0, 0.0), (2, 100.0, 0.0), (3, 400.0, 0.0)],
+        "l_partkey long, l_extendedprice double, l_discount double",
+    )
+    # mean part value = 200; threshold 1.25x = 250 -> only part 3 (strict >)
+    rows = REL.important_parts(lineitem, mean_multiple=1.25).collect()
+    assert [(r["l_partkey"], r["part_value"]) for r in rows] == [(3, 400.0)]
+
+
+def test_parts_supplier_counts_blocklist_and_dedup(spark):
+    part = spark.createDataFrame(
+        [(1, "b1", "t1", 5), (2, "b1", "t1", 5)],
+        "p_partkey long, p_brand string, p_type string, p_size int",
+    )
+    supplier = spark.createDataFrame(
+        [(10, 5.0), (11, -1.0), (12, 0.0)], "s_suppkey long, s_acctbal double"
+    )
+    lineitem = spark.createDataFrame(
+        # part 1: suppliers 10 (twice -> dedup), 11 (blocked); part 2: 10, 12
+        [(1, 10), (1, 10), (1, 11), (2, 10), (2, 12)],
+        "l_partkey long, l_suppkey long",
+    )
+    rows = REL.parts_supplier_counts(part, supplier, lineitem).collect()
+    # both parts share (b1, t1, 5): distinct unblocked suppliers = {10, 12}
+    assert [(r["p_brand"], r["p_type"], r["p_size"], r["supplier_cnt"]) for r in rows] == [
+        ("b1", "t1", 5, 2)
+    ]
+
+
+def test_idle_rich_customers_avg_and_anti(spark):
+    customer = spark.createDataFrame(
+        [(1, 1, 100.0), (2, 1, 300.0), (3, 2, 300.0), (4, 2, -50.0)],
+        "c_custkey long, c_nationkey int, c_acctbal double",
+    )
+    orders = spark.createDataFrame(
+        [(3, 500_000.0), (2, 10.0)], "o_custkey long, o_totalprice double"
+    )
+    # positive-balance avg = (100+300+300)/3 = 233.33; rich = {2, 3};
+    # 3 has a big order -> excluded; 2's order is small -> kept
+    rows = REL.idle_rich_customers(customer, orders).collect()
+    assert [(r["c_nationkey"], r["n_customers"], r["total_bal"]) for r in rows] == [
+        (1, 1, 300.0)
+    ]

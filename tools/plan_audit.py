@@ -333,6 +333,20 @@ CHECKS = {
     # the all-pairs product the oracle brute-forces
     "image_near_dups": ([], ["CartesianProduct",
                              "BroadcastNestedLoopJoin"], None),
+    # Q11-shape: the twice-consumed value agg must be pinned (InMemory
+    # scan) and the scalar threshold joined as a single-row BROADCAST
+    # nested loop (a > comparison has no equi-key) — lineitem scanned once
+    "important_parts": (["InMemoryTableScan", "BroadcastNestedLoopJoin"],
+                        ["CartesianProduct"], None),
+    # Q16-shape: blocklist anti join + part attributes both broadcast;
+    # the bridge dedup is the only real shuffle
+    "parts_supplier_counts": (["BroadcastHashJoin"],
+                              ["SortMergeJoin", "CartesianProduct"], None),
+    # Q22-shape: scalar average broadcast (single-row nested loop), big
+    #-order key set anti-joined — customer never shuffles before the
+    # final tiny aggregate
+    "idle_rich_customers": (["BroadcastNestedLoopJoin"],
+                            ["CartesianProduct", "SortMergeJoin"], None),
 }
 
 #: upper bound on `Scan parquet` occurrences — "the signature subplan is
