@@ -674,3 +674,57 @@ def idle_rich_customers(
         F.count(F.lit(1)).alias("n_customers"),
         F.round(F.sum("c_acctbal"), 2).alias("total_bal"),
     )
+
+
+def expectations_report(
+    df: DataFrame, checks: list[tuple[str, "F.Column"]], key_col: str | None = None
+) -> DataFrame:
+    """Declarative data-quality gate (the deequ/Great-Expectations shape):
+    evaluate every row-level expectation in ONE aggregation pass and
+    return long-format results — (check, n_rows, n_violations, passed).
+    ``checks`` are (name, boolean Column) pairs where the column is TRUE
+    when the row satisfies the expectation; a NULL predicate result
+    counts as a violation (unknown ≠ satisfied).  ``key_col`` adds a
+    uniqueness expectation on that column — the one check a row predicate
+    can't express — computed in the SAME pass via count vs distinct
+    count, not a self-join.
+
+    Scale shape: a single full-scan hash aggregate (map-side partials,
+    one reduce to a 1-row frame) regardless of how many expectations are
+    declared — never one job per check; the explode to long format
+    happens on the 1-row result."""
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    names = []
+    for i, (name, pred) in enumerate(checks):
+        names.append(name)
+        aggs.append(
+            F.sum(
+                F.when(pred.isNull() | ~pred, 1).otherwise(0)
+            ).cast("long").alias(f"__v_{i}")
+        )
+    if key_col is not None:
+        names.append(f"unique({key_col})")
+        aggs.append(
+            (F.count(F.lit(1)) - F.countDistinct(F.col(key_col)))
+            .cast("long")
+            .alias(f"__v_{len(checks)}")
+        )
+    wide = df.agg(*aggs)
+    entries = F.array(
+        *[
+            F.struct(
+                F.lit(n).alias("check"),
+                F.col(f"__v_{i}").alias("n_violations"),
+            )
+            for i, n in enumerate(names)
+        ]
+    )
+    return (
+        wide.select(F.col("__n").alias("n_rows"), F.explode(entries).alias("e"))
+        .select(
+            "e.check",
+            "n_rows",
+            "e.n_violations",
+            (F.col("e.n_violations") == 0).alias("passed"),
+        )
+    )

@@ -4218,6 +4218,56 @@ def q_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "orders_expectations",
+    oracle="""
+    WITH w AS (
+      SELECT count(*) AS n_rows,
+             CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+                 AS v0,
+             CAST(sum(CASE WHEN NOT (o_totalprice > 0)
+                             OR o_totalprice IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+                 AS v1,
+             CAST(sum(CASE WHEN o_orderstatus NOT IN ('O', 'F', 'P')
+                             OR o_orderstatus IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+                 AS v2,
+             CAST(sum(CASE WHEN NOT (o_orderdate >= TIMESTAMP '1992-01-01'
+                                 AND o_orderdate < TIMESTAMP '1999-01-01')
+                             OR o_orderdate IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+                 AS v3,
+             CAST(count(*) - count(DISTINCT o_orderkey) AS BIGINT) AS v4
+      FROM orders)
+    SELECT t.chk AS "check", w.n_rows, t.n_violations,
+           t.n_violations = 0 AS passed
+    FROM w, LATERAL (VALUES
+      ('custkey_not_null', v0), ('totalprice_positive', v1),
+      ('status_in_domain', v2), ('orderdate_in_range', v3),
+      ('unique(o_orderkey)', v4)) AS t(chk, n_violations)
+    """,
+)
+def q_orders_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality gate over orders: five expectations
+    (non-null FK, positive amount, status domain, date range, key
+    uniqueness) evaluated in ONE full-scan aggregate — never a job per
+    check, never a self-join for uniqueness.  The pre-ingest audit every
+    100 TB pipeline runs before accepting a drop."""
+    o = _t(spark, sf_dir, "orders")
+    return REL.expectations_report(
+        o,
+        [
+            ("custkey_not_null", F.col("o_custkey").isNotNull()),
+            ("totalprice_positive", F.col("o_totalprice") > 0),
+            ("status_in_domain", F.col("o_orderstatus").isin("O", "F", "P")),
+            (
+                "orderdate_in_range",
+                (F.col("o_orderdate") >= F.lit("1992-01-01"))
+                & (F.col("o_orderdate") < F.lit("1999-01-01")),
+            ),
+        ],
+        key_col="o_orderkey",
+    )
+
+
+@query(
     "image_ahash",
     oracle="""
     WITH meta AS (
@@ -4398,7 +4448,8 @@ _CHEAP_FIRST = [
     "image_ahash", "streaming_event_pairs_left", "incremental_monthly_revenue",
     "image_near_dups", "streaming_incremental_monthly_revenue",
     "important_parts", "parts_supplier_counts", "idle_rich_customers",
-    # (c) backfill: 8 of the 47 queries whose newest green row is r5,
+    "orders_expectations",
+    # (c) backfill: 7 of the 47 queries whose newest green row is r5,
     # cheapest first (BENCH sf0.1 warm — hedge against a secondary
     # wall-clock cap).  The 29 most expensive r5-row entries
     # (revenue_cube … training_pipeline_full, listed below past
@@ -4406,10 +4457,10 @@ _CHEAP_FIRST = [
     # code + oracles unchanged since r5.
     "customers_without_recent_orders", "forecast_revenue",
     "geometry_construct_null", "hash_split", "sample_n_per_group",
-    "token_stats",
-    # --- past the 50-entry gate window: first the 39 deferred r5-row
+    # --- past the 50-entry gate window: first the 40 deferred r5-row
     # entries (they lead the r9 rotation), then the r7-window entries on
     # their fresh r7 rows ---
+    "token_stats",
     "embedding_norm_stats", "label_centroids",
     "order_stats_conditional", "shuffle_shard",
     "dedup_exact",

@@ -179,3 +179,26 @@ def test_idle_rich_customers_avg_and_anti(spark):
     assert [(r["c_nationkey"], r["n_customers"], r["total_bal"]) for r in rows] == [
         (1, 1, 300.0)
     ]
+
+
+def test_expectations_report_null_predicate_counts_as_violation(spark):
+    df = spark.createDataFrame(
+        [(1, 5.0), (2, None), (3, -1.0), (3, 2.0)],
+        "k long, v double",
+    )
+    rows = {
+        r["check"]: (r["n_rows"], r["n_violations"], r["passed"])
+        for r in REL.expectations_report(
+            df, [("v_positive", F.col("v") > 0)], key_col="k"
+        ).collect()
+    }
+    # NULL predicate result = violation (unknown != satisfied); dup key 3
+    assert rows == {
+        "v_positive": (4, 2, False),
+        "unique(k)": (4, 1, False),
+    }
+    # single-pass claim: exactly one aggregate, no join in the plan
+    plan = _plan(
+        REL.expectations_report(df, [("p", F.col("v") > 0)], key_col="k")
+    )
+    assert "Join" not in plan

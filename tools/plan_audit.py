@@ -347,6 +347,10 @@ CHECKS = {
     # final tiny aggregate
     "idle_rich_customers": (["BroadcastNestedLoopJoin"],
                             ["CartesianProduct", "SortMergeJoin"], None),
+    # data-quality gate: ALL expectations in one full-scan aggregate —
+    # never a join (uniqueness via count vs distinct; the distinct
+    # aggregate's two-phase plan costs the second exchange)
+    "orders_expectations": ([], ["Join"], 2),
 }
 
 #: upper bound on `Scan parquet` occurrences — "the signature subplan is
