@@ -4358,6 +4358,50 @@ def q_image_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "campaign_attribution",
+    oracle="""
+    WITH cal AS (
+      SELECT i AS campaign_id,
+             TIMESTAMP '2024-01-01' + to_days((5 * i)::INT) AS cs,
+             TIMESTAMP '2024-01-01' + to_days((5 * i + 5)::INT) AS ce
+      FROM range(0, 6) t(i))
+    SELECT campaign_id, event_type,
+           count(*) AS n_events, round(sum(value), 2) AS sum_value
+    FROM events JOIN cal ON ts >= cs AND ts < ce
+    GROUP BY campaign_id, event_type
+    """,
+)
+def q_campaign_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join against a SMALL interval dimension (a 6-window campaign
+    calendar): the correct plan here is the broadcast nested loop —
+    kilobyte dim × fact with a pure range condition — NOT the bin
+    blocking ``interval_overlap`` uses for big×big interval joins.  Both
+    shapes are plan-audited; picking per side-size is the point.  The
+    fact side never shuffles until the tiny per-campaign aggregate."""
+    cal = spark.range(6).select(
+        F.col("id").alias("campaign_id"),
+        F.expr(
+            "timestamp'2024-01-01 00:00:00' + make_interval(0,0,0,cast(5*id as int),0,0,0)"
+        ).alias("cs"),
+        F.expr(
+            "timestamp'2024-01-01 00:00:00' + make_interval(0,0,0,cast(5*id+5 as int),0,0,0)"
+        ).alias("ce"),
+    )
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.join(
+            F.broadcast(cal),
+            (ev["ts"] >= F.col("cs")) & (ev["ts"] < F.col("ce")),
+        )
+        .groupBy("campaign_id", "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+    )
+
+
+@query(
     "interval_overlap",
     oracle="""
     WITH p AS (
@@ -4448,18 +4492,19 @@ _CHEAP_FIRST = [
     "image_ahash", "streaming_event_pairs_left", "incremental_monthly_revenue",
     "image_near_dups", "streaming_incremental_monthly_revenue",
     "important_parts", "parts_supplier_counts", "idle_rich_customers",
-    "orders_expectations",
-    # (c) backfill: 7 of the 47 queries whose newest green row is r5,
+    "orders_expectations", "campaign_attribution",
+    # (c) backfill: 6 of the 47 queries whose newest green row is r5,
     # cheapest first (BENCH sf0.1 warm — hedge against a secondary
     # wall-clock cap).  The 29 most expensive r5-row entries
     # (revenue_cube … training_pipeline_full, listed below past
     # the window) stay on their valid r5 rows and LEAD the r9 window —
     # code + oracles unchanged since r5.
     "customers_without_recent_orders", "forecast_revenue",
-    "geometry_construct_null", "hash_split", "sample_n_per_group",
-    # --- past the 50-entry gate window: first the 40 deferred r5-row
+    "geometry_construct_null", "hash_split",
+    # --- past the 50-entry gate window: first the 41 deferred r5-row
     # entries (they lead the r9 rotation), then the r7-window entries on
     # their fresh r7 rows ---
+    "sample_n_per_group",
     "token_stats",
     "embedding_norm_stats", "label_centroids",
     "order_stats_conditional", "shuffle_shard",

@@ -351,6 +351,11 @@ CHECKS = {
     # never a join (uniqueness via count vs distinct; the distinct
     # aggregate's two-phase plan costs the second exchange)
     "orders_expectations": ([], ["Join"], 2),
+    # SMALL interval dim × fact: broadcast nested loop IS the right plan
+    # (contrast interval_overlap's bin blocking for big×big) — the fact
+    # side must not shuffle before the final aggregate
+    "campaign_attribution": (["BroadcastNestedLoopJoin"],
+                             ["CartesianProduct", "SortMergeJoin"], 1),
 }
 
 #: upper bound on `Scan parquet` occurrences — "the signature subplan is
