@@ -4405,7 +4405,7 @@ def q_campaign_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     "interval_overlap",
     oracle="""
     WITH p AS (
-      SELECT event_id, user_id, epoch_ms(ts) AS s, epoch_ms(ts) + 7200000 AS e
+      SELECT event_id, user_id, epoch_ms(ts) AS s, epoch_ms(ts) + 1800000 AS e
       FROM events WHERE event_type = 'purchase'
     )
     SELECT a.event_id AS id_a, b.event_id AS id_b,
@@ -4416,7 +4416,8 @@ def q_campaign_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Interval overlap self-join (purchases as 2 h half-open intervals):
+    """Interval overlap self-join (purchases as 30 min half-open intervals
+    — pair volume is density-quadratic, so the window sizes the output):
     bin-blocked equi-join with exactly-once pair emission at the bin
     containing the overlap start — never a range sort-merge or cartesian.
     The oracle is the brute-force range join; identical rows prove the
@@ -4430,10 +4431,10 @@ def q_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         "user_id",
         F.unix_millis("ts").alias("start_ms"),
-        (F.unix_millis("ts") + F.lit(7_200_000)).alias("end_ms"),
+        (F.unix_millis("ts") + F.lit(1_800_000)).alias("end_ms"),
     )
     return interval_overlap_pairs(
-        iv, id_col="event_id", bin_ms=7_200_000, carry_cols=("user_id",)
+        iv, id_col="event_id", bin_ms=1_800_000, carry_cols=("user_id",)
     ).select(
         "id_a",
         "id_b",
