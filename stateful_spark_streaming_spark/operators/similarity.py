@@ -1147,3 +1147,54 @@ def cosine_near_pairs_lsh(
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
     )
+
+
+def hard_negatives(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Hard-negative mining for contrastive training: per anchor, the
+    top-k most-similar corpus vectors with a DIFFERENT label — the
+    near-misses a trainer learns the most from (random negatives are
+    trivially separable; same-label neighbors are positives, not
+    negatives).
+
+    Same plan shape as ``cosine_topk_bruteforce`` (broadcast anchors ×
+    one corpus scan, per-anchor top-k window): the label inequality is
+    one more predicate pushed into the scored stream, BEFORE the window,
+    so the ranking state never holds same-label rows.  The IVF/PQ paths
+    compose the same way when the corpus outgrows brute force."""
+    q = queries.select(
+        F.col(id_col).alias("anchor_id"),
+        F.col(vec_col).alias("qvec"),
+        F.col(label_col).alias("anchor_label"),
+    )
+    c = embeddings.select(
+        F.col(id_col).alias("negative_id"),
+        F.col(vec_col).alias("cvec"),
+        F.col(label_col).alias("neg_label"),
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("neg_label") != F.col("anchor_label"))
+        .withColumn(
+            "cosine",
+            F.round(
+                _dot(F.col("qvec"), F.col("cvec"))
+                / (_norm(F.col("qvec")) * _norm(F.col("cvec"))),
+                6,
+            ),
+        )
+    )
+    w = Window.partitionBy("anchor_id").orderBy(
+        F.col("cosine").desc(), F.col("negative_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("anchor_id", "rank", "negative_id", "neg_label", "cosine")
+    )

@@ -2426,6 +2426,35 @@ def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "hard_negatives",
+    oracle="""
+    WITH q AS (SELECT vec_id AS anchor_id, embedding::DOUBLE[] AS qv,
+                      label AS anchor_label
+               FROM embeddings WHERE vec_id < 20),
+    scored AS (
+      SELECT q.anchor_id, e.vec_id AS negative_id, e.label AS neg_label,
+             round(list_cosine_similarity(q.qv, e.embedding::DOUBLE[]), 6)
+                 AS cosine
+      FROM embeddings e CROSS JOIN q
+      WHERE e.label <> q.anchor_label)
+    SELECT anchor_id, rank, negative_id, neg_label, cosine FROM (
+      SELECT *, row_number() OVER (PARTITION BY anchor_id
+                                   ORDER BY cosine DESC, negative_id ASC)
+                AS rank
+      FROM scored)
+    WHERE rank <= 5
+    """,
+)
+def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining: per anchor, the top-5 most-similar vectors
+    with a DIFFERENT label — the contrastive-training pair generator.
+    Label inequality filters BEFORE the per-anchor window, so ranking
+    state never holds positives."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return SIM.hard_negatives(emb, emb.filter(F.col("vec_id") < 20), k=5)
+
+
+@query(
     "label_centroids",
     oracle="""
     WITH u AS (SELECT label, embedding::DOUBLE[] AS e,
@@ -4493,19 +4522,18 @@ _CHEAP_FIRST = [
     "image_ahash", "streaming_event_pairs_left", "incremental_monthly_revenue",
     "image_near_dups", "streaming_incremental_monthly_revenue",
     "important_parts", "parts_supplier_counts", "idle_rich_customers",
-    "orders_expectations", "campaign_attribution",
-    # (c) backfill: 6 of the 47 queries whose newest green row is r5,
+    "orders_expectations", "campaign_attribution", "hard_negatives",
+    # (c) backfill: 5 of the 47 queries whose newest green row is r5,
     # cheapest first (BENCH sf0.1 warm — hedge against a secondary
     # wall-clock cap).  The 29 most expensive r5-row entries
     # (revenue_cube … training_pipeline_full, listed below past
     # the window) stay on their valid r5 rows and LEAD the r9 window —
     # code + oracles unchanged since r5.
     "customers_without_recent_orders", "forecast_revenue",
-    "geometry_construct_null", "hash_split",
+    "geometry_construct_null", "hash_split", "sample_n_per_group",
     # --- past the 50-entry gate window: first the 41 deferred r5-row
     # entries (they lead the r9 rotation), then the r7-window entries on
     # their fresh r7 rows ---
-    "sample_n_per_group",
     "token_stats",
     "embedding_norm_stats", "label_centroids",
     "order_stats_conditional", "shuffle_shard",

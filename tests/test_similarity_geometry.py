@@ -715,3 +715,21 @@ def test_image_ahash_upscale_invariant_and_edges(spark):
     assert got[1] == got[2]
     assert got[3] == ("0" * 64, 0)
     assert got[4] == ("1" * 32 + "0" * 32, 32)
+
+
+def test_hard_negatives_excludes_same_label(spark):
+    """Every mined negative has a different label than its anchor, ranks
+    are dense 1..k, and the nearest same-label vector (a positive) never
+    appears even when it is the global nearest neighbor."""
+    rows = [
+        (1, [1.0, 0.0], 0),   # anchor
+        (2, [0.999, 0.01], 0),  # nearest overall but SAME label -> excluded
+        (3, [0.9, 0.1], 1),
+        (4, [0.5, 0.5], 1),
+        (5, [0.0, 1.0], 2),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    got = SIM.hard_negatives(df, df.filter(F.col("vec_id") == 1), k=2).collect()
+    assert [(r["rank"], r["negative_id"], r["neg_label"]) for r in got] == [
+        (1, 3, 1), (2, 4, 1)
+    ]

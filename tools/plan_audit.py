@@ -356,6 +356,9 @@ CHECKS = {
     # side must not shuffle before the final aggregate
     "campaign_attribution": (["BroadcastNestedLoopJoin"],
                              ["CartesianProduct", "SortMergeJoin"], 1),
+    # contrastive mining: broadcast anchors × one corpus scan (like
+    # cosine_topk); the label filter sits BEFORE the per-anchor window
+    "hard_negatives": (["BroadcastNestedLoopJoin"], ["CartesianProduct"], None),
 }
 
 #: upper bound on `Scan parquet` occurrences — "the signature subplan is
