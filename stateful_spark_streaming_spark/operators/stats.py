@@ -303,6 +303,46 @@ def trim_by_quantile(
     )
 
 
+def bucketize_by_quantile(
+    scored: DataFrame,
+    value_col: str,
+    group_cols: tuple[str, ...],
+    n_buckets: int = 10,
+    n_bins: int = 20,
+    scale: int = 10_000,
+) -> DataFrame:
+    """Equi-height bucketing WITHOUT a global sort: assign each row its
+    per-group quantile bucket (0..n_buckets-1) by counting how many of
+    the group's histogram-derived quantile thresholds the value reaches.
+    NTILE semantics need a total order (a single-partition sort at
+    scale); threshold bucketing needs only the ≤ n_bins-row histogram —
+    the thresholds broadcast (group-cardinality rows) and the assignment
+    is a map-only pass, the standard feature-bucketing shape for model
+    inputs at 100 TB.  Resolution is the bin width: rows within one bin
+    share a bucket (bucket POPULATIONS are approximately equal, exactly
+    as equal as the histogram can see).  NULL values get NULL buckets."""
+    hist = fixed_width_histogram(
+        scored, F.col(value_col), group_cols, n_bins, scale
+    )
+    qs = tuple((i * scale) // n_buckets for i in range(1, n_buckets))
+    names = [f"p{q // (scale // 100)}" for q in qs]
+    thr = histogram_quantiles(hist, group_cols, qs, scale).select(
+        *group_cols, *names
+    )
+    bucket = None
+    for n in names:
+        term = F.when(F.col(value_col) >= F.col(n), 1).otherwise(0)
+        bucket = term if bucket is None else bucket + term
+    return (
+        scored.join(F.broadcast(thr), list(group_cols))
+        .withColumn(
+            "bucket",
+            F.when(F.col(value_col).isNotNull(), bucket).cast("int"),
+        )
+        .drop(*names)
+    )
+
+
 # ---------------------------------------------------------------------------
 # Distribution drift — total-variation distance between each source's token
 # distribution and the corpus-wide distribution, in scaled-integer

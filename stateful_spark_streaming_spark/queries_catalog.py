@@ -3574,6 +3574,56 @@ def _order_change_sets(spark: SparkSession, sf_dir: str):
     return s1, s2
 
 
+@query(
+    "quality_deciles",
+    oracle=_SCORED_Q_CTES
+    + """,
+     cum AS (
+      SELECT source, bin, CAST((bin * 10000 + 19) // 20 AS INT) AS bin_lo_bp,
+             sum(n) OVER (PARTITION BY source ORDER BY bin) AS cum,
+             sum(n) OVER (PARTITION BY source) AS total
+      FROM hist),
+     thr AS (
+      SELECT source,
+             min(CASE WHEN cum >= (total * 1000 + 9999) // 10000 THEN bin_lo_bp END) / 10000.0 AS p10,
+             min(CASE WHEN cum >= (total * 2000 + 9999) // 10000 THEN bin_lo_bp END) / 10000.0 AS p20,
+             min(CASE WHEN cum >= (total * 3000 + 9999) // 10000 THEN bin_lo_bp END) / 10000.0 AS p30,
+             min(CASE WHEN cum >= (total * 4000 + 9999) // 10000 THEN bin_lo_bp END) / 10000.0 AS p40,
+             min(CASE WHEN cum >= (total * 5000 + 9999) // 10000 THEN bin_lo_bp END) / 10000.0 AS p50,
+             min(CASE WHEN cum >= (total * 6000 + 9999) // 10000 THEN bin_lo_bp END) / 10000.0 AS p60,
+             min(CASE WHEN cum >= (total * 7000 + 9999) // 10000 THEN bin_lo_bp END) / 10000.0 AS p70,
+             min(CASE WHEN cum >= (total * 8000 + 9999) // 10000 THEN bin_lo_bp END) / 10000.0 AS p80,
+             min(CASE WHEN cum >= (total * 9000 + 9999) // 10000 THEN bin_lo_bp END) / 10000.0 AS p90
+      FROM cum GROUP BY source)
+    SELECT s.doc_id, s.source, s.q AS quality_score,
+           CAST(CASE WHEN s.q >= t.p10 THEN 1 ELSE 0 END
+             + CASE WHEN s.q >= t.p20 THEN 1 ELSE 0 END
+             + CASE WHEN s.q >= t.p30 THEN 1 ELSE 0 END
+             + CASE WHEN s.q >= t.p40 THEN 1 ELSE 0 END
+             + CASE WHEN s.q >= t.p50 THEN 1 ELSE 0 END
+             + CASE WHEN s.q >= t.p60 THEN 1 ELSE 0 END
+             + CASE WHEN s.q >= t.p70 THEN 1 ELSE 0 END
+             + CASE WHEN s.q >= t.p80 THEN 1 ELSE 0 END
+             + CASE WHEN s.q >= t.p90 THEN 1 ELSE 0 END AS INT) AS bucket
+    FROM scored s JOIN thr t USING (source)
+    """,
+)
+def q_quality_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-height quality deciles per source WITHOUT a global sort:
+    thresholds derive from the <= n_bins histogram (integer-rank
+    arithmetic), broadcast, and assign map-side -- the NTILE replacement
+    that survives 100 TB.  Completes the histogram family: histogram ->
+    quantiles -> trim -> bucketize."""
+    from stateful_spark_streaming_spark.operators import stats as ST
+
+    scored = TXT.quality_score(
+        _t(spark, sf_dir, "documents"), keep_cols=("source",)
+    ).select("doc_id", "source", "quality_score")
+    return ST.bucketize_by_quantile(
+        scored, "quality_score", ("source",), n_buckets=10
+    )
+
+
 @query("merge_upsert", oracle=_MERGE_ORACLE)
 def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One-shot MERGE INTO (the lakehouse CDC-apply shape): a change set
@@ -4523,17 +4573,19 @@ _CHEAP_FIRST = [
     "image_near_dups", "streaming_incremental_monthly_revenue",
     "important_parts", "parts_supplier_counts", "idle_rich_customers",
     "orders_expectations", "campaign_attribution", "hard_negatives",
-    # (c) backfill: 5 of the 47 queries whose newest green row is r5,
+    "quality_deciles",
+    # (c) backfill: 4 of the 47 queries whose newest green row is r5,
     # cheapest first (BENCH sf0.1 warm — hedge against a secondary
     # wall-clock cap).  The 29 most expensive r5-row entries
     # (revenue_cube … training_pipeline_full, listed below past
     # the window) stay on their valid r5 rows and LEAD the r9 window —
     # code + oracles unchanged since r5.
     "customers_without_recent_orders", "forecast_revenue",
-    "geometry_construct_null", "hash_split", "sample_n_per_group",
-    # --- past the 50-entry gate window: first the 41 deferred r5-row
+    "geometry_construct_null", "hash_split",
+    # --- past the 50-entry gate window: first the 42 deferred r5-row
     # entries (they lead the r9 rotation), then the r7-window entries on
     # their fresh r7 rows ---
+    "sample_n_per_group",
     "token_stats",
     "embedding_norm_stats", "label_centroids",
     "order_stats_conditional", "shuffle_shard",

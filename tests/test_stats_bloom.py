@@ -469,3 +469,34 @@ def test_bloom_size_bits_monotone():
     assert bloom_size_bits(10_000) <= bloom_size_bits(100_000) <= bloom_size_bits(1_000_000)
     # the documented default bitmap (2^18) is the right size for ~26k keys
     assert bloom_size_bits(26_000) == 1 << 18
+
+
+def test_bucketize_by_quantile_populations_and_nulls(spark):
+    """Equi-height bucketing from the histogram, asserting the DOCUMENTED
+    resolution contract: bucket populations are as equal as the histogram
+    can see (lower-edge quantile estimator → ±1 bin worth around n/k at
+    bin width 1/n_bins), assignment is monotone in the value, every
+    bucket 0..k-1 is populated on uniform data, NULL scores get NULL
+    buckets, and a score exactly on a threshold lands in the HIGHER
+    bucket (>= comparison, mirroring trim's edge-keep)."""
+    from collections import Counter
+
+    from stateful_spark_streaming_spark.operators.stats import (
+        bucketize_by_quantile,
+    )
+
+    rows = [(i, "s", round(i / 100.0, 4)) for i in range(100)]
+    rows.append((999, "s", None))
+    df = spark.createDataFrame(rows, "doc_id long, source string, v double")
+    out = bucketize_by_quantile(df, "v", ("source",), n_buckets=10, n_bins=100)
+    got = {r["doc_id"]: r["bucket"] for r in out.collect()}
+    assert got[999] is None
+    pops = Counter(b for d, b in got.items() if d != 999)
+    assert set(pops) == set(range(10))
+    assert all(9 <= n <= 11 for n in pops.values()) and sum(pops.values()) == 100
+    # monotone: sorting by value never decreases the bucket
+    seq = [got[i] for i in range(100)]
+    assert seq == sorted(seq)
+    # threshold edge at this config: p10 resolves to the 0.09 bin's lower
+    # edge, so v=0.09 sits in bucket 1 (>=) and v=0.08 in bucket 0
+    assert got[9] == 1 and got[8] == 0

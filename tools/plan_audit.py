@@ -359,6 +359,11 @@ CHECKS = {
     # contrastive mining: broadcast anchors × one corpus scan (like
     # cosine_topk); the label filter sits BEFORE the per-anchor window
     "hard_negatives": (["BroadcastNestedLoopJoin"], ["CartesianProduct"], None),
+    # equi-height bucketing: thresholds broadcast from the summary-sized
+    # histogram; assignment is map-only — never an NTILE global sort
+    # (the only Window runs over the ≤ n_bins aggregated histogram)
+    "quality_deciles": (["BroadcastHashJoin"],
+                        ["SortMergeJoin", "CartesianProduct"], None),
 }
 
 #: upper bound on `Scan parquet` occurrences — "the signature subplan is
