@@ -207,7 +207,11 @@ def interval_overlap_pairs(
         F.col(start_ms).alias("__s"),
         F.col(end_ms).alias("__e"),
         *[F.col(c) for c in carry_cols],
-    )
+    ).filter(F.col("__e") > F.col("__s"))
+    # empty/degenerate intervals ([s, e) with e <= s) are dropped up
+    # front: they can overlap nothing under the half-open condition, and
+    # letting them through would make `sequence` count DOWN (its step
+    # defaults to -1 when start > stop), exploding bogus bins
     w = F.lit(int(bin_ms))
     bins = F.sequence(
         (F.col("__s") / w).cast("long"), ((F.col("__e") - 1) / w).cast("long")

@@ -169,3 +169,13 @@ def test_hamming_near_pairs_matches_bruteforce(spark):
     assert got == want
     assert (0, 1, 4) in got and (0, 3, 4) in got
     assert all(p[:2] != (0, 2) for p in got)
+
+
+def test_interval_overlap_drops_empty_intervals(spark):
+    """[s, e) with e <= s is degenerate: it overlaps nothing (and must
+    not trip sequence()'s descending mode)."""
+    df = spark.createDataFrame(
+        [(1, 0, 100), (2, 50, 50), (3, 80, 20)],
+        "event_id long, start_ms long, end_ms long",
+    )
+    assert interval_overlap_pairs(df, bin_ms=100).collect() == []
