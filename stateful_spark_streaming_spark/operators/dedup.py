@@ -1599,6 +1599,7 @@ def hamming_near_pairs(
     bits_col: str,
     max_ham: int = 4,
     n_bands: int | None = None,
+    nbits: int = 64,
 ) -> DataFrame:
     """All id pairs whose fixed-width bit strings sit within Hamming
     distance ``max_ham`` — banded-LSH candidate generation with an exact
@@ -1618,7 +1619,25 @@ def hamming_near_pairs(
     n_bands = int(n_bands or (max_ham + 1))
     if n_bands <= max_ham:
         raise ValueError("completeness needs n_bands > max_ham (pigeonhole)")
-    nbits = 64
+    # nbits must match the hash width: bands are substring positions, so
+    # a wrong width either leaves tail bits unbanded (losing completeness
+    # for wider hashes) or makes empty-substring mega-buckets (the
+    # all-pairs blowup) for narrower ones.  Rows of any OTHER length are
+    # rejected loudly rather than silently mis-banded.
+    mismatch = F.length(F.col(bits_col)) != nbits
+    hashed = hashed.withColumn(
+        bits_col,
+        F.when(
+            mismatch,
+            F.raise_error(
+                F.concat(
+                    F.lit(f"hamming_near_pairs: expected {nbits}-char bit "
+                          "string, got length "),
+                    F.length(F.col(bits_col)).cast("string"),
+                )
+            ),
+        ).otherwise(F.col(bits_col)),
+    )
     width = -(-nbits // n_bands)  # ceil
     bands = F.array(
         *[

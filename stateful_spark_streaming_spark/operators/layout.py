@@ -233,7 +233,6 @@ def ensure_bucketed_table(
 
 
 def ensure_partitioned_dataset(
-    spark,
     df: DataFrame,
     part_col: str,
     location: str,

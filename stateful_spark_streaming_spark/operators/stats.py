@@ -321,6 +321,11 @@ def bucketize_by_quantile(
     inputs at 100 TB.  Resolution is the bin width: rows within one bin
     share a bucket (bucket POPULATIONS are approximately equal, exactly
     as equal as the histogram can see).  NULL values get NULL buckets."""
+    if n_buckets > 100:
+        # threshold columns are named at percent granularity
+        # (histogram_quantiles' p{q//(scale//100)}); finer bucketing
+        # would collide names — and needs n_bins > 100 to resolve anyway
+        raise ValueError("bucketize_by_quantile supports n_buckets <= 100")
     hist = fixed_width_histogram(
         scored, F.col(value_col), group_cols, n_bins, scale
     )

@@ -4192,7 +4192,6 @@ def q_partitioned_events_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     tag = _fixture_tag(sf_dir, "events")
     loc = ensure_partitioned_dataset(
-        spark,
         _t(spark, sf_dir, "events").withColumn("event_date", F.to_date("ts")),
         "event_date",
         f"/tmp/sss_part_{tag}/events",
@@ -4582,7 +4581,7 @@ _CHEAP_FIRST = [
     # code + oracles unchanged since r5.
     "customers_without_recent_orders", "forecast_revenue",
     "geometry_construct_null", "hash_split",
-    # --- past the 50-entry gate window: first the 42 deferred r5-row
+    # --- past the 50-entry gate window: first the 43 deferred r5-row
     # entries (they lead the r9 rotation), then the r7-window entries on
     # their fresh r7 rows ---
     "sample_n_per_group",

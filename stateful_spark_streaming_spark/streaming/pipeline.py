@@ -1781,13 +1781,17 @@ def run_streaming_incremental_agg(
     re-aggregation per trigger.
 
     Crash story: the table swap and the aggregate swap are two renames,
-    not one transaction — but a crash between them is SAFE because the
-    refresh recomputes affected groups FROM THE TABLE, not from deltas:
-    on replay the batch re-applies to the table as a seq-watermark no-op
-    and the aggregate refresh re-derives the same group rows (pytested
-    as double-apply idempotence).  ``add_group(df)`` derives the group
-    columns on any row image; ``agg_fn(detail)`` is the caller's ONE
-    aggregate definition, used for bootstrap and refresh alike.
+    not one transaction.  The window between them is replay-safe because
+    of TWO mechanisms together: (1) group CONTENTS recompute from the
+    table, so re-refreshing an already-merged table re-derives the same
+    rows; (2) the affected-group SET is frozen durably per batch in a
+    sidecar written BEFORE the table swap — a group-moving update's old
+    group is only visible in the pre-merge table, so recomputing the set
+    on replay (after the swap) would miss the vacated group and leave
+    its stale aggregate row alive (pytested: the group-move crash
+    scenario).  ``add_group(df)`` derives the group columns on any row
+    image; ``agg_fn(detail)`` is the caller's ONE aggregate definition,
+    used for bootstrap and refresh alike.
 
     ``shuffle_partitions`` sizes the per-batch merge/refresh shuffles to
     the change-batch volume (the session default is sized for corpus
@@ -1827,10 +1831,24 @@ def run_streaming_incremental_agg(
         recover_generation(table_dir, clean=True)
         recover_generation(agg_dir, clean=True)
         cur = spark.read.parquet(table_dir)
-        affected = affected_groups(
-            add_group(merged_view(cur)), add_group(bdf), key_cols, group_cols
-        ).persist()
-        affected.count()  # MATERIALIZE before the swap retires cur's files
+        # The affected-group set is DURABLE per batch, written BEFORE the
+        # table swap.  Why: a group-MOVING update's old group is derived
+        # from the pre-merge table; after the table swap that information
+        # is gone, so a crash in the table-swap→agg-swap window followed
+        # by a replay would recompute `affected` from the already-merged
+        # table, miss the vacated group, and leave its stale aggregate
+        # row alive forever.  The sidecar (keyed by batch_id — replays
+        # reuse the id) freezes the pre-swap answer: a torn sidecar
+        # (no _SUCCESS) means the table swap can't have happened yet, so
+        # recomputing fresh is correct.
+        sidecar = os.path.join(checkpoint_dir + "_affected", f"batch={batch_id}")
+        if os.path.exists(os.path.join(sidecar, "_SUCCESS")):
+            affected = spark.read.parquet(sidecar)
+        else:
+            affected_groups(
+                add_group(merged_view(cur)), add_group(bdf), key_cols, group_cols
+            ).write.mode("overwrite").parquet(sidecar)
+            affected = spark.read.parquet(sidecar)
         nxt = merge_apply_batch(
             cur,
             bdf.withColumnRenamed(seq_col, "__seq"),
@@ -1841,8 +1859,9 @@ def run_streaming_incremental_agg(
         )
         nxt.write.parquet(table_dir + ".tmp")
         swap_generation(table_dir)
-        # refresh FROM the just-promoted table: recompute-from-table is
-        # what makes the two-swap window replay-safe
+        # refresh FROM the just-promoted table, with the PRE-swap
+        # affected set: together these make the two-swap window
+        # replay-safe for every change class, including group moves
         cur_agg = spark.read.parquet(agg_dir)
         nxt_agg = refresh_groups(
             cur_agg,
@@ -1853,7 +1872,6 @@ def run_streaming_incremental_agg(
         )
         nxt_agg.write.parquet(agg_dir + ".tmp")
         swap_generation(agg_dir)
-        affected.unpersist()
 
     old_sp = spark.conf.get("spark.sql.shuffle.partitions")
     if shuffle_partitions is not None:
@@ -2312,8 +2330,12 @@ def run_streaming_event_pairs(
     state_partitions: int | None = 8,
     state_store: str | None = "hdfs",
     max_files_per_trigger: int | None = None,
+    how: str = "inner",
 ) -> DataFrame:
     """STREAM-STREAM join: same-key event pairs within a time tolerance.
+    ``how='left_outer'`` adds null-matched rows for left events released
+    past the watermark horizon (see ``run_streaming_event_pairs_left``,
+    the documented entry point for that form — same machinery, one flag).
 
     Both join inputs are independent streaming readers of the same source;
     the inner join carries an event-time range condition plus watermarks on
@@ -2378,11 +2400,11 @@ def run_streaming_event_pairs(
         )
         if left_type is None and right_type is None:
             cond = cond & (F.col("id_a") < F.col("id_b"))
-        pairs = a.join(b, cond).select(
-            "user_id",
-            "id_a",
-            "id_b",
-            F.abs(F.unix_millis("ts_a") - F.unix_millis("ts_b")).alias("gap_ms"),
+        gap = F.abs(F.unix_millis("ts_a") - F.unix_millis("ts_b"))
+        if how != "inner":  # outer rows carry NULL match columns
+            gap = F.when(F.col("id_b").isNotNull(), gap)
+        pairs = a.join(b, cond, how).select(
+            "user_id", "id_a", "id_b", gap.alias("gap_ms")
         )
         q = (
             pairs.writeStream.outputMode("append")
@@ -2437,73 +2459,29 @@ def run_streaming_event_pairs_left(
     the outer join's partial-emission behavior itself the verified
     contract rather than an accident.
 
-    Same scale shape as ``run_streaming_event_pairs``: watermarks on both
-    sides + the range condition bound the join state; append mode means a
-    plain distributed parquet sink is exact.  At 100 TB this is
-    impressions-without-clicks over two firehoses — the outer variant is
-    what funnel loss analysis actually needs."""
+    Same machinery as ``run_streaming_event_pairs`` — this entry point is
+    that function with ``how='left_outer'`` (one flag, not a fork):
+    watermarks on both sides + the range condition bound the join state;
+    append mode means a plain distributed parquet sink is exact.  At
+    100 TB this is impressions-without-clicks over two firehoses — the
+    outer variant is what funnel loss analysis actually needs."""
     import tempfile
 
-    from pyspark.sql import functions as F
-
-    checkpoint_dir = checkpoint_dir or tempfile.mkdtemp(prefix="sss_ckpt_ssjl_")
-    out_dir = checkpoint_dir + "_out"
-    provider_class = _resolve_state_store(state_store)
-    old_sp = spark.conf.get("spark.sql.shuffle.partitions")
-    if state_partitions is not None:
-        spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
-    old_store = spark.conf.get(_STATE_STORE_CONF, None)
-    if provider_class is not None:
-        spark.conf.set(_STATE_STORE_CONF, provider_class)
-    try:
-        a = stream_events_source(
-            spark, events_path, max_files_per_trigger=max_files_per_trigger
-        )
-        a = a.filter(F.col("event_type") == left_type).select(
-            F.col(key).alias("user_id"),
-            F.col("event_id").alias("id_a"),
-            F.col("ts").alias("ts_a"),
-        ).withWatermark("ts_a", watermark_delay)
-        b = stream_events_source(
-            spark, events_path, max_files_per_trigger=max_files_per_trigger
-        )
-        b = b.filter(F.col("event_type") == right_type).select(
-            F.col(key).alias("user_id_b"),
-            F.col("event_id").alias("id_b"),
-            F.col("ts").alias("ts_b"),
-        ).withWatermark("ts_b", watermark_delay)
-        tol = F.expr(f"INTERVAL {tolerance_seconds} SECONDS")
-        cond = (
-            (F.col("user_id") == F.col("user_id_b"))
-            & (F.col("ts_b") >= F.col("ts_a") - tol)
-            & (F.col("ts_b") <= F.col("ts_a") + tol)
-        )
-        pairs = a.join(b, cond, "left_outer").select(
-            "user_id",
-            "id_a",
-            "id_b",
-            F.when(
-                F.col("id_b").isNotNull(),
-                F.abs(F.unix_millis("ts_a") - F.unix_millis("ts_b")),
-            ).alias("gap_ms"),
-        )
-        q = (
-            pairs.writeStream.outputMode("append")
-            .format("parquet")
-            .option("path", out_dir)
-            .option("checkpointLocation", checkpoint_dir)
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination(300)
-        return spark.read.parquet(out_dir)
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", old_sp)
-        if provider_class is not None:
-            if old_store is not None:
-                spark.conf.set(_STATE_STORE_CONF, old_store)
-            else:
-                spark.conf.unset(_STATE_STORE_CONF)
+    return run_streaming_event_pairs(
+        spark,
+        events_path,
+        key=key,
+        tolerance_seconds=tolerance_seconds,
+        watermark_delay=watermark_delay,
+        left_type=left_type,
+        right_type=right_type,
+        checkpoint_dir=checkpoint_dir
+        or tempfile.mkdtemp(prefix="sss_ckpt_ssjl_"),
+        state_partitions=state_partitions,
+        state_store=state_store,
+        max_files_per_trigger=max_files_per_trigger,
+        how="left_outer",
+    )
 
 
 def run_streaming_enriched_counts(

@@ -303,16 +303,37 @@ def test_streaming_incremental_agg_end_to_end_and_crash_window(spark, tmp_path):
     )
     got = {r["g"]: (r["sv"], r["n"]) for r in out.collect()}
     assert got == {"g1": (10.0, 1), "g2": (44.0, 1), "g3": (35.0, 1)}
+    # the runner froze each batch's affected set durably (pre-table-swap)
+    assert os.path.exists(
+        str(tmp_path / "ckpt") + "_affected/batch=0/_SUCCESS"
+    ) and os.path.exists(str(tmp_path / "ckpt") + "_affected/batch=1/_SUCCESS")
 
-    # --- crash window: table at batch1, aggregate still pre-batch1 ---
-    t0 = with_merge_meta(base)
-    t1 = merge_apply_batch(t0, b0.withColumnRenamed("seq", "__seq"), ("k",))
-    a0 = agg_fn(base)  # aggregate never saw b0 (crash before its swap)
-    # replay of b0: table application is a seq-watermark no-op
-    t1_replay = merge_apply_batch(
-        t1, b0.withColumnRenamed("seq", "__seq"), ("k",)
+    # --- the group-move crash window: a batch whose ONLY effect on g2 is
+    # moving its sole key OUT.  After the table swap, g2's vacancy is no
+    # longer derivable from the table, so a replay that recomputed the
+    # affected set post-merge would keep g2's stale aggregate row alive.
+    # The runner's contract: use the PRE-swap affected set (the sidecar).
+    move_only = spark.createDataFrame(
+        [(3, "g9", 30.0, 1, "U")], "k long, g string, v double, seq int, op string"
     )
-    aff = affected_groups(merged_view(t1_replay), b0, ("k",), ("g",))
-    a1 = refresh_groups(a0, merged_view(t1_replay), aff, ("g",), agg_fn)
+    t0 = with_merge_meta(base)
+    pre_swap_affected = affected_groups(merged_view(t0), move_only, ("k",), ("g",))
+    t1 = merge_apply_batch(t0, move_only.withColumnRenamed("seq", "__seq"), ("k",))
+    a0 = agg_fn(base)  # crash happened before the agg swap
+    # replay of move_only against the already-swapped table: table
+    # application is a seq-watermark no-op...
+    t1_replay = merge_apply_batch(
+        t1, move_only.withColumnRenamed("seq", "__seq"), ("k",)
+    )
+    # ...and the refresh with the SIDECAR (pre-swap) set converges to the
+    # full recompute: g2 vanishes, g9 appears
+    a1 = refresh_groups(
+        a0, merged_view(t1_replay), pre_swap_affected, ("g",), agg_fn
+    )
     want = {r["g"]: (r["sv"], r["n"]) for r in agg_fn(merged_view(t1)).collect()}
     assert {r["g"]: (r["sv"], r["n"]) for r in a1.collect()} == want
+    assert "g2" not in want and want["g9"] == (30.0, 1)
+    # negative control: the post-merge recompute MISSES the vacated group
+    stale = affected_groups(merged_view(t1_replay), move_only, ("k",), ("g",))
+    bad = refresh_groups(a0, merged_view(t1_replay), stale, ("g",), agg_fn)
+    assert "g2" in {r["g"] for r in bad.collect()}  # the bug the sidecar fixes

@@ -113,13 +113,13 @@ def test_partitioned_dataset_prunes_and_reuses(spark, tmp_path):
         ],
         "event_id long, event_date date, value double",
     )
-    ensure_partitioned_dataset(spark, df, "event_date", loc)
+    ensure_partitioned_dataset(df, "event_date", loc)
     files = sorted(glob.glob(os.path.join(loc, "event_date=*", "*.parquet")))
     assert len({os.path.dirname(f) for f in files}) == 10  # one dir per day
     mtimes = {f: os.stat(f).st_mtime_ns for f in files}
 
     # re-ensure: the _SUCCESS guard must reuse files byte-identical
-    ensure_partitioned_dataset(spark, df, "event_date", loc)
+    ensure_partitioned_dataset(df, "event_date", loc)
     assert {f: os.stat(f).st_mtime_ns for f in files} == mtimes
 
     back = spark.read.parquet(loc)
