@@ -1872,6 +1872,13 @@ def run_streaming_incremental_agg(
         )
         nxt_agg.write.parquet(agg_dir + ".tmp")
         swap_generation(agg_dir)
+        # the sidecar has served its purpose once the agg swap commits:
+        # a replay after BOTH swaps refreshes already-correct rows from
+        # the already-merged table — idempotent whatever set it uses —
+        # so deleting here bounds sidecar metadata to in-flight batches
+        import shutil
+
+        shutil.rmtree(sidecar, ignore_errors=True)
 
     old_sp = spark.conf.get("spark.sql.shuffle.partitions")
     if shuffle_partitions is not None:
