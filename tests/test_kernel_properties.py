@@ -134,3 +134,126 @@ def test_zorder_key_property(spark, pairs):
     ).collect()
     for r in got:
         assert r.z == ref(r.a, r.b)
+
+
+# ---------------------------------------------------------------------------
+# Lossless-blocking properties (round 8): the three blocked joins claim
+# candidate generation loses NOTHING vs the brute-force definition.  The
+# catalog oracles prove it on the fixture corpus; these drive adversarial
+# random inputs through the same equivalence.
+# ---------------------------------------------------------------------------
+
+
+def _lev(a: str, b: str) -> int:
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    st.lists(
+        st.text(alphabet="abc", min_size=0, max_size=6),
+        min_size=2,
+        max_size=8,
+        unique=True,
+    )
+)
+def test_fuzzy_pairs_property(spark, names):
+    """FastSS deletion-neighborhood join == brute force for lev <= 2,
+    over a tiny alphabet (maximizes near-collisions and shared variants,
+    including the empty string and duplicate deletion variants)."""
+    import itertools
+
+    from stateful_spark_streaming_spark.operators.relational import (
+        fuzzy_name_pairs,
+    )
+
+    df = spark.createDataFrame([(n,) for n in names], "p_name string")
+    got = {
+        (r["name_a"], r["name_b"], r["lev"])
+        for r in fuzzy_name_pairs(df, "p_name", max_dist=2).collect()
+    }
+    want = {
+        (a, b, _lev(a, b))
+        for a, b in itertools.combinations(sorted(names), 2)
+        if _lev(a, b) <= 2
+    }
+    assert got == want
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 400), st.integers(1, 250)),
+        min_size=2,
+        max_size=10,
+    )
+)
+def test_interval_overlap_property(spark, spans):
+    """Bin-blocked interval join == brute force, intervals landing on and
+    straddling bin edges at random (bin width 100, half-open)."""
+    import itertools
+
+    from stateful_spark_streaming_spark.operators.temporal import (
+        interval_overlap_pairs,
+    )
+
+    ivs = [(i, s, s + d) for i, (s, d) in enumerate(spans)]
+    df = spark.createDataFrame(ivs, "event_id long, start_ms long, end_ms long")
+    got = {
+        (r["id_a"], r["id_b"], r["overlap_ms"])
+        for r in interval_overlap_pairs(df, bin_ms=100).collect()
+    }
+    want = set()
+    for (ia, sa, ea), (ib, sb, eb) in itertools.combinations(ivs, 2):
+        if sa < eb and sb < ea:
+            want.add((min(ia, ib), max(ia, ib), min(ea, eb) - max(sa, sb)))
+    assert got == want
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    st.lists(
+        st.integers(0, (1 << 64) - 1), min_size=2, max_size=8, unique=True
+    )
+)
+def test_hamming_pairs_property(spark, hashes):
+    """Banded-Hamming join == brute force at the pigeonhole boundary
+    (t=4, 5 bands) over random 64-bit hashes."""
+    import itertools
+
+    from stateful_spark_streaming_spark.operators.dedup import (
+        hamming_near_pairs,
+    )
+
+    bits = {i: format(h, "064b") for i, h in enumerate(hashes)}
+    df = spark.createDataFrame(
+        [(i, b) for i, b in bits.items()], "image_id long, bits string"
+    )
+    got = {
+        (r["id_a"], r["id_b"], r["hamming"])
+        for r in hamming_near_pairs(df, "image_id", "bits", max_ham=4).collect()
+    }
+    want = {
+        (i, j, sum(x != y for x, y in zip(bits[i], bits[j])))
+        for i, j in itertools.combinations(sorted(bits), 2)
+        if sum(x != y for x, y in zip(bits[i], bits[j])) <= 4
+    }
+    assert got == want
