@@ -257,3 +257,80 @@ def test_hamming_pairs_property(spark, hashes):
         if sum(x != y for x, y in zip(bits[i], bits[j])) <= 4
     }
     assert got == want
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    st.lists(  # change stream: (key 0-3, value, seq 1-5, is_delete)
+        st.tuples(
+            st.integers(0, 3),
+            st.integers(0, 99),
+            st.integers(1, 5),
+            st.booleans(),
+        ),
+        min_size=1,
+        max_size=8,
+    ),
+    st.randoms(),
+)
+def test_merge_apply_random_convergence(spark, changes, rnd):
+    """merge_apply_batch vs a reference latest-wins-with-tombstones model
+    under RANDOM batch splits and application order: the table converges
+    to the highest-seq image per key (ties: arrival order within the
+    engine's max(struct) is deterministic, so equal seqs are excluded by
+    construction here — the contract says give batches unique seqs),
+    deletes tombstone rather than forget, and replaying any batch twice
+    changes nothing."""
+    from stateful_spark_streaming_spark.operators.merge import (
+        merge_apply_batch,
+        merged_view,
+        with_merge_meta,
+    )
+
+    # de-duplicate (key, seq) pairs — the operator's stated contract
+    seen = set()
+    uniq = []
+    for k, v, s, d in changes:
+        if (k, s) not in seen:
+            seen.add((k, s))
+            uniq.append((k, v, s, d))
+    if not uniq:
+        return
+
+    # reference model: per key, the highest-seq change wins
+    ref = {}
+    for k, v, s, d in uniq:
+        if k not in ref or s > ref[k][0]:
+            ref[k] = (s, v, d)
+    base_rows = [(9, 999)]  # untouched key rides through
+    want = sorted(
+        [(k, v) for k, (s, v, d) in ref.items() if not d] + base_rows
+    )
+
+    cur = with_merge_meta(
+        spark.createDataFrame(base_rows, "k long, v long")
+    )
+    # random split into 1-3 batches, applied in shuffled order, one
+    # batch replayed twice
+    n_b = rnd.randint(1, 3)
+    batches = [[] for _ in range(n_b)]
+    for ch in uniq:
+        batches[rnd.randrange(n_b)].append(ch)
+    batches = [b for b in batches if b]
+    rnd.shuffle(batches)
+    if batches:
+        batches.append(rnd.choice(batches))  # replay
+    for b in batches:
+        bdf = spark.createDataFrame(
+            [(k, v, s, "D" if d else "U") for k, v, s, d in b],
+            "k long, v long, __seq int, op string",
+        )
+        cur = merge_apply_batch(cur, bdf, ("k",), seq_col="__seq")
+    got = sorted(
+        (r["k"], r["v"]) for r in merged_view(cur).select("k", "v").collect()
+    )
+    assert got == want
