@@ -48,3 +48,24 @@ def test_left_outer_release_and_withhold(spark, tmp_path):
     # 10:10 -> released with nulls.  u3's click at 12:00: +10min is past
     # the final watermark -> WITHHELD entirely.
     assert rows == {(1, 1, 3, 300_000), (2, 2, None, None)}
+
+
+def test_left_outer_restart_is_idempotent(spark, tmp_path):
+    """Re-running over the SAME checkpoint with no new files must not
+    re-emit anything — the released null row stays released exactly
+    once (append-mode sink + file-source offsets)."""
+    b0 = [
+        (1, _ts("2024-01-01 10:00:00"), 1, "click", 1.0, "{}"),
+        # both sides advance the global watermark (it is the MIN of the
+        # two): the 12:00 click is itself withheld, the 12:00 purchase
+        # matches nothing, and together they release u1's null row
+        (2, _ts("2024-01-01 12:00:00"), 2, "purchase", 1.0, "{}"),
+        (3, _ts("2024-01-01 12:00:00"), 3, "click", 1.0, "{}"),
+    ]
+    land_batches(spark, tmp_path, "ev2", [b0], COLS)
+    kw = dict(max_files_per_trigger=1, checkpoint_dir=str(tmp_path / "ck2"))
+    r1 = sorted(map(tuple, run_streaming_event_pairs_left(
+        spark, str(tmp_path / "ev2"), **kw).collect()))
+    r2 = sorted(map(tuple, run_streaming_event_pairs_left(
+        spark, str(tmp_path / "ev2"), **kw).collect()))
+    assert r1 == r2 == [(1, 1, None, None)]

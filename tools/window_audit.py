@@ -105,6 +105,38 @@ def main() -> int:
     )
     for q, flag in problems:
         print(f"PROBLEM {q}: {flag}")
+
+    # capacity: a query's evidence survives max_stale-1 rounds outside
+    # the window, so the rotation can sustain at most max_stale×WINDOW
+    # queries before some row is ALWAYS flagged
+    cap = max_stale * WINDOW
+    print(
+        f"rotation capacity: {len(names)}/{cap} queries "
+        f"(max_stale={max_stale} × window={WINDOW}); "
+        f"headroom {cap - len(names)}"
+    )
+    # next-round plan: who must lead the NEXT window — entries whose
+    # evidence goes stale after the upcoming driver run and whose refresh
+    # is NOT already queued in the current window (oldest rows first)
+    nxt = latest_round + 1
+    urgency = sorted(
+        names, key=lambda q: (newest_green.get(q, -1), names.index(q))
+    )
+    must = [
+        q
+        for q in urgency
+        if q not in in_window
+        and (nxt + 1) - newest_green.get(q, -(10**9)) >= max_stale
+    ]
+    print(
+        f"suggested r{nxt + 1} window leads ({len(must)} entries whose "
+        f"evidence goes stale if not re-recorded in r{nxt + 1}, assuming "
+        f"the r{nxt} run records the current window):"
+    )
+    for q in must[:WINDOW]:
+        print(f"  {q}  (r{newest_green.get(q, 0) or '-'})")
+    if len(must) > WINDOW:
+        print(f"  ... OVER CAPACITY by {len(must) - WINDOW} — some evidence WILL go stale")
     return 1 if problems else 0
 
 
