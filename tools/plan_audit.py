@@ -370,6 +370,18 @@ CHECKS = {
 #: materialized once": minhash = 1 signature pass + 2 verify set fetches;
 #: cosine LSH = 1 projection pass + 2 vector fetches; simhash = 1.
 MAX_SCANS = {
+    # FastSS/Hamming band joins: both sides come from one exploded frame;
+    # 2 scans = the self-join's two reads of it (the round-1 regression
+    # shape — a union of per-band self-joins — would multiply this)
+    "similar_part_names": 2,
+    "image_near_dups": 2,
+    # interval self-join: two reads of the exploded bin frame
+    "interval_overlap": 2,
+    # the twice-consumed revenue/value agg is pinned: lineitem parquet
+    # scanned ONCE, the second consumer reads the InMemory cache
+    # (top_supplier's 2nd scan is the supplier DIM, not a recompute)
+    "top_supplier": 2,
+    "important_parts": 1,
     "dedup_simhash": 1,
     "dedup_minhash_lsh": 3,
     "cosine_near_pairs_lsh": 3,
