@@ -466,10 +466,16 @@ def main() -> int:
         status = "OK" if not probs else "FAIL: " + "; ".join(probs)
         scan_cols = re.findall(r"ReadSchema: struct<([^>]*)>", plan)
         pushed = re.findall(r"PushedFilters: \[([^\]]*)\]", plan)
-        codegen = len(re.findall(r"WholeStageCodegen", plan))
+        # NOTE: codegen spans are NOT reported — the pre-execution
+        # formatted plan under AQE hides `(codegen id : N)` annotations
+        # (they appear only on the executed final plan), so counting them
+        # here always read 0 and was misleading.  Codegen coverage is
+        # instead guaranteed structurally: every check above forbids the
+        # interpreted operators (row-at-a-time UDFs never appear; Python
+        # stages are explicit mapInPandas nodes).
         lines += [
             f"## {name} — {status}",
-            f"- exchanges: {n_exch}, codegen spans: {codegen}",
+            f"- exchanges: {n_exch}",
             f"- scan columns: {[c[:90] for c in scan_cols]}",
             f"- pushed filters: {[p[:90] for p in pushed if p]}",
             "",
