@@ -4436,6 +4436,50 @@ def q_image_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "streaming_partitioned_ingest",
+    oracle="""
+    SELECT CAST(ts AS DATE) AS event_date, event_type,
+           count(*) AS n_events, round(sum(value), 2) AS sum_value
+    FROM events
+    WHERE CAST(ts AS DATE) >= DATE '2024-01-05'
+      AND CAST(ts AS DATE) <= DATE '2024-01-09'
+    GROUP BY CAST(ts AS DATE), event_type
+    """,
+)
+def q_streaming_partitioned_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of ``partitioned_events_scan`` (same oracle): the
+    event stream lands APPEND-mode under ``event_date=…/`` directories
+    per micro-batch, then the same 5-day slice is read back partition-
+    pruned with the standard key dedupe (replay idempotency).  Layout
+    built offline by ensure_partitioned_dataset, maintained online here."""
+    import os as _os
+    import tempfile as _tf
+
+    from stateful_spark_streaming_spark.streaming.pipeline import (
+        run_streaming_partitioned_ingest,
+    )
+
+    loc = run_streaming_partitioned_ingest(
+        spark,
+        _os.path.join(sf_dir, "events.parquet"),
+        checkpoint_dir=_tf.mkdtemp(prefix="sss_ckpt_ping_"),
+    )
+    ev = spark.read.parquet(loc)
+    return (
+        ev.filter(
+            (F.col("event_date") >= F.lit("2024-01-05"))
+            & (F.col("event_date") <= F.lit("2024-01-09"))
+        )
+        .dropDuplicates(["event_id"])
+        .groupBy("event_date", "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+    )
+
+
+@query(
     "campaign_attribution",
     oracle="""
     WITH cal AS (
@@ -4572,18 +4616,19 @@ _CHEAP_FIRST = [
     "image_near_dups", "streaming_incremental_monthly_revenue",
     "important_parts", "parts_supplier_counts", "idle_rich_customers",
     "orders_expectations", "campaign_attribution", "hard_negatives",
-    "quality_deciles",
-    # (c) backfill: 4 of the 47 queries whose newest green row is r5,
+    "quality_deciles", "streaming_partitioned_ingest",
+    # (c) backfill: 3 of the 47 queries whose newest green row is r5,
     # cheapest first (BENCH sf0.1 warm — hedge against a secondary
     # wall-clock cap).  The 29 most expensive r5-row entries
     # (revenue_cube … training_pipeline_full, listed below past
     # the window) stay on their valid r5 rows and LEAD the r9 window —
     # code + oracles unchanged since r5.
     "customers_without_recent_orders", "forecast_revenue",
-    "geometry_construct_null", "hash_split",
-    # --- past the 50-entry gate window: first the 43 deferred r5-row
+    "geometry_construct_null",
+    # --- past the 50-entry gate window: first the 44 deferred r5-row
     # entries (they lead the r9 rotation), then the r7-window entries on
     # their fresh r7 rows ---
+    "hash_split",
     "sample_n_per_group",
     "token_stats",
     "embedding_norm_stats", "label_centroids",

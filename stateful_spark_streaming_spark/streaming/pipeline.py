@@ -1897,6 +1897,54 @@ def run_streaming_incremental_agg(
     return spark.read.parquet(agg_dir)
 
 
+def run_streaming_partitioned_ingest(
+    spark: SparkSession,
+    events_path: str,
+    out_dir: str | None = None,
+    checkpoint_dir: str | None = None,
+    max_files_per_trigger: int | None = 1,
+) -> str:
+    """Streaming ingest INTO the date-partitioned layout: each
+    micro-batch appends under ``event_date=…/`` directories, so the
+    table is partition-prunable THE MOMENT rows land — time-slice
+    readers touch only the matching day directories while ingest keeps
+    running (the layout `ensure_partitioned_dataset` builds offline,
+    maintained online).
+
+    Replay idempotency is the standard append-sink recipe: rows carry
+    their batch id, and READERS de-duplicate by the natural key
+    (``dropDuplicates('event_id')``) — a crash between a batch's append
+    and its checkpoint commit re-appends byte-identical rows, which the
+    key dedupe collapses.  Returns ``out_dir``."""
+    from pyspark.sql import functions as F
+
+    checkpoint_dir = checkpoint_dir or tempfile.mkdtemp(prefix="sss_ckpt_ping_")
+    out_dir = out_dir or checkpoint_dir + "_data"
+    stream = stream_events_source(
+        spark, events_path, max_files_per_trigger=max_files_per_trigger
+    )
+
+    def _sink(bdf: DataFrame, batch_id: int) -> None:
+        (
+            bdf.withColumn("event_date", F.to_date("ts"))
+            .withColumn("__batch_id", F.lit(batch_id))
+            .repartition(F.col("event_date"))
+            .write.partitionBy("event_date")
+            .mode("append")
+            .parquet(out_dir)
+        )
+
+    q = (
+        stream.writeStream.foreachBatch(_sink)
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return out_dir
+
+
 def run_streaming_corpus_report(
     spark: SparkSession,
     documents_path: str,

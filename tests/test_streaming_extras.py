@@ -334,3 +334,49 @@ def test_console_snapshot_sink_prints_table(spark, capsys, tmp_path):
     out2 = capsys.readouterr().out
     assert "========= ConsoleFlights2" in out2
     assert "F1" in out2 and "F2" in out2
+
+
+def test_streaming_partitioned_ingest_prunes_and_dedupes(spark, tmp_path):
+    """Streaming ingest into the date-partitioned layout: day directories
+    appear per batch, a time-slice read prunes at the partition index,
+    and a replayed (re-appended) batch collapses under the key dedupe."""
+    import datetime
+    import glob
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+    from tests.conftest import land_batches
+
+    from stateful_spark_streaming_spark.streaming.pipeline import (
+        run_streaming_partitioned_ingest,
+    )
+
+    def _ts(s):
+        return datetime.datetime.fromisoformat(s)
+
+    cols = ["event_id", "ts", "user_id", "event_type", "value", "props"]
+    b0 = [(1, _ts("2024-01-01 10:00:00"), 1, "click", 1.0, "{}"),
+          (2, _ts("2024-01-02 10:00:00"), 1, "view", 2.0, "{}")]
+    b1 = [(3, _ts("2024-01-02 11:00:00"), 2, "click", 3.0, "{}")]
+    land_batches(spark, tmp_path, "pev", [b0, b1], cols)
+    loc = run_streaming_partitioned_ingest(
+        spark, str(tmp_path / "pev"), checkpoint_dir=str(tmp_path / "ck")
+    )
+    days = sorted(os.path.basename(d) for d in glob.glob(os.path.join(loc, "event_date=*")))
+    assert days == ["event_date=2024-01-01", "event_date=2024-01-02"]
+
+    back = spark.read.parquet(loc)
+    sliced = back.filter(F.col("event_date") == F.lit("2024-01-02"))
+    plan = sliced._sc._jvm.PythonSQLUtils.explainString(
+        sliced._jdf.queryExecution(), "formatted"
+    )
+    assert "PartitionFilters: [isnotnull(event_date" in plan
+    assert sliced.count() == 2
+
+    # simulate a crash-window replay: re-append one batch's files, then
+    # the reader's key dedupe must collapse the duplicates
+    dup_src = glob.glob(os.path.join(loc, "event_date=2024-01-01", "*.parquet"))[0]
+    shutil.copy(dup_src, dup_src.replace(".parquet", "_replay.parquet"))
+    deduped = spark.read.parquet(loc).dropDuplicates(["event_id"])
+    assert deduped.count() == 3
