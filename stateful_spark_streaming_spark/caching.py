@@ -66,3 +66,37 @@ def release_operator_caches() -> int:
         except Exception:  # noqa: BLE001 — session already stopped, etc.
             pass
     return n
+
+
+#: broadcast variables pinned by operators (e.g. bloom bitmaps) — same
+#: lifetime contract as _TRACKED frames
+_TRACKED_BC: list = []
+
+
+def track_broadcast(bc):
+    """Register a ``sc.broadcast`` handle for
+    :func:`release_operator_caches` — operators that broadcast
+    executor-side state (bloom bitmaps) can't destroy it themselves (the
+    returned plan is lazy), so without tracking, a long-lived session
+    issuing many such queries accumulates dead broadcasts.  Returns the
+    handle."""
+    with _TRACKED_LOCK:
+        _TRACKED_BC.append(bc)
+    return bc
+
+
+def release_operator_broadcasts() -> int:
+    """Destroy every broadcast pinned via :func:`track_broadcast`.  Call
+    only after materializing the queries that used them — unlike a frame
+    unpersist, a destroyed broadcast does NOT recompute: late tasks would
+    fail (Spark re-runs them, but sequence releases after actions)."""
+    with _TRACKED_LOCK:
+        drained, _TRACKED_BC[:] = _TRACKED_BC[:], []
+    n = 0
+    for bc in drained:
+        try:
+            bc.destroy()
+            n += 1
+        except Exception:  # noqa: BLE001
+            pass
+    return n

@@ -496,8 +496,16 @@ def bloom_prune(
     import pandas as pd
     from pyspark.sql.functions import pandas_udf
 
-    words_b = df.sparkSession.sparkContext.broadcast(
-        np.array(bitmap, dtype=np.int64).view(np.uint64)
+    from stateful_spark_streaming_spark.caching import track_broadcast
+
+    # tracked like operator persists: the lazy plan pins the broadcast,
+    # so a long-lived caller drains it via release_operator_broadcasts()
+    # after materializing (repeated decontamination passes otherwise
+    # accumulate dead MiB-scale broadcasts on every executor)
+    words_b = track_broadcast(
+        df.sparkSession.sparkContext.broadcast(
+            np.array(bitmap, dtype=np.int64).view(np.uint64)
+        )
     )
 
     def _probe_fn(pos):
@@ -1506,13 +1514,18 @@ def keep_best(
     not the earliest-crawled one.
 
     Scale shape: the pair graph holds near-duplicates only, so
-    ``clusters`` is tiny relative to the corpus; the winner aggregate is
-    ONE partial-aggregatable ``max(struct(quality_bp, -id, id))`` per
-    cluster (no window — AQE can't skew-split window partitions, and a
-    boilerplate mega-cluster is exactly a skewed key); the corpus-side
-    anti-join keys on ids only (AQE broadcasts the clustered-id set).
-    Quality rides as a scaled-integer basis-point key so the comparison
-    is exact across engines.
+    ``clusters`` is tiny relative to the corpus; winner selection is two
+    partial-aggregatable aggregates over that summary frame — max quality
+    per cluster, then min id among the members achieving it (no window —
+    AQE can't skew-split window partitions, and a boilerplate
+    mega-cluster is exactly a skewed key; ``min(id)`` keeps the tie rule
+    type-agnostic where a ``-id`` struct key would break on string ids).
+    The corpus-side anti-join keys on ids only (AQE broadcasts the
+    clustered-id set).  Quality rides as a scaled-integer basis-point
+    key so the comparison is exact across engines.  Members MISSING from
+    ``quality`` rank worst (coalesced below any real score) but still
+    count toward cluster_size and can win an all-unscored cluster —
+    clusters never vanish because scoring covered a subset.
 
     Returns (doc_id, cluster_size, reason) — reason is ``'unique'`` for
     docs with no near-dup, ``'best_of_cluster'`` for the retained member
@@ -1520,21 +1533,22 @@ def keep_best(
     """
     clusters = track_persist(dup_clusters(pairs, id_a="doc_a", id_b="doc_b"))
     qbp = F.round(F.col(quality_col) * 10000).cast("long")
-    member_q = clusters.join(
-        quality.select(F.col(id_col).alias("doc_id"), qbp.alias("qbp")), "doc_id"
+    member_q = track_persist(
+        clusters.join(
+            quality.select(F.col(id_col).alias("doc_id"), qbp.alias("qbp")),
+            "doc_id",
+            "left",
+        ).withColumn("qbp", F.coalesce(F.col("qbp"), F.lit(-1).cast("long")))
+    )
+    best = member_q.groupBy("cluster_rep").agg(
+        F.max("qbp").alias("__best_q"),
+        F.count(F.lit(1)).cast("int").alias("cluster_size"),
     )
     winners = (
-        member_q.groupBy("cluster_rep")
-        .agg(
-            F.max(
-                F.struct(
-                    F.col("qbp"),
-                    (-F.col("doc_id")).alias("nid"),
-                    F.col("doc_id").alias("d"),
-                )
-            )["d"].alias("doc_id"),
-            F.count(F.lit(1)).cast("int").alias("cluster_size"),
-        )
+        member_q.join(best, "cluster_rep")
+        .filter(F.col("qbp") == F.col("__best_q"))
+        .groupBy("cluster_rep", "cluster_size")
+        .agg(F.min("doc_id").alias("doc_id"))
         .select("doc_id", "cluster_size", F.lit("best_of_cluster").alias("reason"))
     )
     unique = (

@@ -206,11 +206,31 @@ def ensure_bucketed_table(
       lets the sorted-bucket read elide the join's Sort as well.
       (A torn previous write has no ``_SUCCESS`` and is overwritten.)
     """
+    import json
     import os
 
+    spec_path = os.path.join(location, "_bucket_spec.json")
+
+    def _check_spec() -> None:
+        # The layout on disk was produced under ONE (key, n_buckets);
+        # registering metadata that contradicts it would make Spark trust
+        # a HashPartitioning the files don't have — the shuffle-free SMJ
+        # would silently drop join matches.  The spec sidecar pins it.
+        if os.path.exists(spec_path):
+            with open(spec_path) as f:
+                spec = json.load(f)
+            if spec != {"key": key, "n_buckets": n_buckets}:
+                raise ValueError(
+                    f"bucketed data at {location} was written with "
+                    f"{spec}, not (key={key!r}, n_buckets={n_buckets}) — "
+                    "use a different location or rewrite"
+                )
+
     if spark.catalog.tableExists(table):
+        _check_spec()
         return table
     if os.path.exists(os.path.join(location, "_SUCCESS")):
+        _check_spec()
         cols = ", ".join(
             f"`{f.name}` {f.dataType.simpleString()}" for f in df.schema.fields
         )
@@ -229,6 +249,8 @@ def ensure_bucketed_table(
         .mode("overwrite")
         .saveAsTable(table)
     )
+    with open(spec_path, "w") as f:
+        json.dump({"key": key, "n_buckets": n_buckets}, f)
     return table
 
 

@@ -75,7 +75,13 @@ def merge_upsert(
     keys = list(key_cols)
     latest = latest_changes(changes, key_cols, seq_col)
     untouched = base.join(latest.select(*keys), keys, "left_anti")
-    upserts = latest.filter(F.col(op_col) != delete_op).select(*base.columns)
+    # null-SAFE: a NULL op is an upsert, never a silent delete (a plain
+    # `!=` filter evaluates NULL and would drop the row from upserts
+    # while its key still anti-joins the base row away — the key would
+    # vanish from the merged table on malformed CDC input)
+    upserts = latest.filter(
+        ~F.col(op_col).eqNullSafe(delete_op)
+    ).select(*base.columns)
     return untouched.unionByName(upserts)
 
 
@@ -109,7 +115,9 @@ def merge_apply_batch(
     ch = latest.select(
         *[F.col(k).alias(f"__ch_{k}") for k in keys],
         F.col(seq_col).alias("__ch_seq"),
-        (F.col(op_col) == delete_op).alias("__ch_del"),
+        # null-safe: NULL op = upsert, not a NULL tombstone flag that
+        # merged_view's `~deleted` filter would silently drop
+        F.col(op_col).eqNullSafe(delete_op).alias("__ch_del"),
         *[F.col(c).alias(f"__ch_{c}") for c in data_cols],
     )
     cond = [cur[k] == ch[f"__ch_{k}"] for k in keys]
@@ -166,14 +174,28 @@ def snapshot_diff(
     ``fingerprint`` is a Column expression evaluated against each side
     (e.g. ``F.md5(F.col("text"))``).  Scale shape: both sides project to
     (id, fp) BEFORE the full-outer equi-join — the shuffle carries
-    ~40 bytes/row, never the payload."""
-    o = old.select(F.col(id_col).alias("id"), fingerprint.alias("old_fp"))
-    n = new.select(F.col(id_col).alias("id"), fingerprint.alias("new_fp"))
+    ~40 bytes/row, never the payload.
+
+    Membership comes from explicit per-side presence markers, NOT from
+    fingerprint nullity: a nullable fingerprint (``md5(NULL text)``)
+    must classify a both-sides row as changed/unchanged, never as
+    added/removed — and change detection is null-safe, so NULL→value
+    and value→NULL are 'changed', NULL→NULL is unchanged."""
+    o = old.select(
+        F.col(id_col).alias("id"), fingerprint.alias("old_fp"),
+        F.lit(True).alias("__in_old"),
+    )
+    n = new.select(
+        F.col(id_col).alias("id"), fingerprint.alias("new_fp"),
+        F.lit(True).alias("__in_new"),
+    )
     j = o.join(n, "id", "full_outer")
     status = (
-        F.when(F.col("old_fp").isNull(), F.lit("added"))
-        .when(F.col("new_fp").isNull(), F.lit("removed"))
-        .when(F.col("old_fp") != F.col("new_fp"), F.lit("changed"))
+        F.when(F.col("__in_old").isNull(), F.lit("added"))
+        .when(F.col("__in_new").isNull(), F.lit("removed"))
+        .when(
+            ~F.col("old_fp").eqNullSafe(F.col("new_fp")), F.lit("changed")
+        )
     )
     return (
         j.select(F.col("id").alias(id_col), status.alias("status"))

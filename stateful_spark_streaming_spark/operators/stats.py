@@ -164,6 +164,21 @@ def _cms_bucket(token: Column, row: int, width: int) -> Column:
     return F.pmod(h, F.lit(width)).cast("int")
 
 
+def _cms_probes(token_col: str, depth: int, width: int) -> Column:
+    """The (r, b) probe struct-array for one token — THE shared
+    build/probe shape: cms_counters increments exactly the buckets
+    cms_estimate reads, so a change here can never desynchronize them."""
+    return F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("r"),
+                _cms_bucket(F.col(token_col), i, width).alias("b"),
+            )
+            for i in range(depth)
+        ]
+    )
+
+
 def cms_counters(
     occurrences: DataFrame,
     token_col: str = "token",
@@ -177,17 +192,8 @@ def cms_counters(
     state is ≤ depth·width rows no matter the corpus (the whole point:
     vocabulary-frequency tracking whose memory does not grow with the
     vocabulary)."""
-    probes = F.array(
-        *[
-            F.struct(
-                F.lit(i).alias("r"),
-                _cms_bucket(F.col(token_col), i, width).alias("b"),
-            )
-            for i in range(depth)
-        ]
-    )
     return (
-        occurrences.select(F.explode(probes).alias("p"))
+        occurrences.select(F.explode(_cms_probes(token_col, depth, width)).alias("p"))
         .groupBy(F.col("p.r").alias("r"), F.col("p.b").alias("b"))
         .agg(F.count(F.lit(1)).alias("n"))
     )
@@ -207,17 +213,7 @@ def cms_estimate(
     map-side explode + broadcast join + min aggregate."""
     probes = candidates.select(
         F.col(token_col),
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(i).alias("r"),
-                        _cms_bucket(F.col(token_col), i, width).alias("b"),
-                    )
-                    for i in range(depth)
-                ]
-            )
-        ).alias("p"),
+        F.explode(_cms_probes(token_col, depth, width)).alias("p"),
     ).select(token_col, F.col("p.r").alias("r"), F.col("p.b").alias("b"))
     return (
         probes.join(F.broadcast(counters), ["r", "b"], "left")

@@ -867,7 +867,9 @@ def bpe_encode(
         kernel, _id_typed_schema(df, id_col, "doc_id", "n_words int, n_bpe_tokens int")
     )
     return out.withColumn(
-        "fertility_bp", F.expr("(10000 * n_bpe_tokens) div n_words").cast("int")
+        # bigint math: 10000 * an int column wraps int32 past ~220 KB docs
+        "fertility_bp",
+        F.expr("(10000 * cast(n_bpe_tokens as bigint)) div n_words").cast("int")
     )
 
 
@@ -920,5 +922,7 @@ def compression_stats(
         kernel, _id_typed_schema(df, id_col, "doc_id", "n_bytes int, n_compressed int")
     )
     return out.withColumn(
-        "ratio_bp", F.expr("(10000 * n_compressed) div n_bytes").cast("int")
+        # bigint math: 10000 * an int column wraps int32 past ~220 KB blobs
+        "ratio_bp",
+        F.expr("(10000 * cast(n_compressed as bigint)) div n_bytes").cast("int")
     )

@@ -117,3 +117,25 @@ def test_bucketed_ensure_is_session_idempotent(spark, tmp_path):
     finally:
         spark.sql("DROP TABLE IF EXISTS tbkt_left")
         spark.sql("DROP TABLE IF EXISTS tbkt_right")
+
+
+def test_reregister_rejects_mismatched_bucket_spec(spark, tmp_path):
+    """On-disk bucketed data written with one (key, n_buckets) must not
+    re-register under another: Spark would trust a HashPartitioning the
+    files don't have and the exchange-free SMJ would silently drop
+    matches.  The spec sidecar turns that into a loud error."""
+    import pytest
+
+    df = spark.createDataFrame(
+        [(i % 5, i) for i in range(50)], "k long, v long"
+    )
+    loc = str(tmp_path / "t")
+    ensure_bucketed_table(spark, df, "tbkt_spec", "k", 4, loc)
+    spark.sql("DROP TABLE tbkt_spec")
+    with pytest.raises(ValueError, match="was written with"):
+        ensure_bucketed_table(spark, df, "tbkt_spec", "k", 8, loc)
+    with pytest.raises(ValueError, match="was written with"):
+        ensure_bucketed_table(spark, df, "tbkt_spec", "v", 4, loc)
+    # the matching spec still re-registers without rewriting
+    assert ensure_bucketed_table(spark, df, "tbkt_spec", "k", 4, loc) == "tbkt_spec"
+    spark.sql("DROP TABLE tbkt_spec")

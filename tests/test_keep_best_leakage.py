@@ -109,3 +109,34 @@ def test_split_leakage_clean_split_is_empty(spark):
     pairs = _pairs(spark, [(1, 2, 0.9)])
     split = _split(spark, {1: "train", 2: "train"})
     assert split_leakage(pairs, split).count() == 0
+
+
+def test_keep_best_missing_quality_and_string_ids(spark):
+    """Two review-found edge cases pinned: (1) a cluster whose members are
+    MISSING from the quality frame must not vanish — unscored members rank
+    worst but still form a cluster and one wins; (2) ids can be STRINGS:
+    the quality tie still breaks to the LOWEST id (a -id struct key would
+    cast strings to null and pick arbitrarily)."""
+    from stateful_spark_streaming_spark.operators.dedup import keep_best
+
+    docs = spark.createDataFrame(
+        [("a",), ("b",), ("c",), ("d",), ("e",)], "doc_id string"
+    )
+    pairs = spark.createDataFrame(
+        [("a", "b"), ("c", "d")], "doc_a string, doc_b string"
+    )
+    # cluster {a,b}: equal quality -> tie -> lowest id 'a' wins
+    # cluster {c,d}: NEITHER scored -> must still survive, 'c' wins
+    # 'e': unique, scored
+    quality = spark.createDataFrame(
+        [("a", 0.5), ("b", 0.5), ("e", 0.9)], "doc_id string, quality_score double"
+    )
+    got = {
+        r["doc_id"]: (r["cluster_size"], r["reason"])
+        for r in keep_best(docs, pairs, quality).collect()
+    }
+    assert got == {
+        "a": (2, "best_of_cluster"),
+        "c": (2, "best_of_cluster"),
+        "e": (1, "unique"),
+    }

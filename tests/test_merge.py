@@ -339,3 +339,36 @@ def test_streaming_incremental_agg_end_to_end_and_crash_window(spark, tmp_path):
     stale = affected_groups(merged_view(t1_replay), move_only, ("k",), ("g",))
     bad = refresh_groups(a0, merged_view(t1_replay), stale, ("g",), agg_fn)
     assert "g2" in {r["g"] for r in bad.collect()}  # the bug the sidecar fixes
+
+
+def test_null_op_is_upsert_not_silent_delete(spark):
+    """A change row with NULL op must apply as an UPSERT in both merge
+    forms — the unguarded `!=`/`==` comparisons evaluated NULL and made
+    the key silently vanish (one-shot) or tombstone-NULL (incremental)."""
+    base = _base(spark)
+    ch = spark.createDataFrame([(2, "b2", 21.0, 1, None)], CH_SCHEMA)
+    got = _table(merge_upsert(base, ch, ("k",)))
+    assert got == [(1, "a", 10.0), (2, "b2", 21.0), (3, "c", 30.0)]
+
+    cur = with_merge_meta(base)
+    nxt = merge_apply_batch(
+        cur, ch.withColumnRenamed("seq", "__seq"), ("k",), seq_col="__seq"
+    )
+    assert _table(merged_view(nxt)) == got
+
+
+def test_snapshot_diff_null_fingerprints(spark):
+    """Membership derives from join-key presence, not fp nullity: a
+    both-sides row whose text goes NULL->set is 'changed' (not 'added'),
+    set->NULL is 'changed' (not 'removed'), NULL->NULL is unchanged."""
+    old = spark.createDataFrame(
+        [(1, None), (2, "x"), (3, None)], "id long, text string"
+    )
+    new = spark.createDataFrame(
+        [(1, "now set"), (2, None), (3, None)], "id long, text string"
+    )
+    got = {
+        r["id"]: r["status"]
+        for r in snapshot_diff(old, new, "id", F.md5(F.col("text"))).collect()
+    }
+    assert got == {1: "changed", 2: "changed"}  # 3 omitted (NULL==NULL)
