@@ -334,3 +334,96 @@ def test_merge_apply_random_convergence(spark, changes, rnd):
         (r["k"], r["v"]) for r in merged_view(cur).select("k", "v").collect()
     )
     assert got == want
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(0, 5),
+            st.one_of(st.none(), st.floats(-10, 10, allow_nan=False)),
+        ),
+        min_size=1,
+        max_size=12,
+    )
+)
+def test_expectations_report_property(spark, rows):
+    """expectations_report == the Python reference on random frames with
+    NULLs: violations = rows where the predicate is false OR NULL;
+    uniqueness = rows minus distinct keys."""
+    from stateful_spark_streaming_spark.operators.relational import (
+        expectations_report,
+    )
+
+    df = spark.createDataFrame(rows, "k long, v double")
+    got = {
+        r["check"]: (r["n_rows"], r["n_violations"], r["passed"])
+        for r in expectations_report(
+            df, [("v_pos", F.col("v") > 0)], key_col="k"
+        ).collect()
+    }
+    n = len(rows)
+    v_viol = sum(1 for _, v in rows if v is None or not (v > 0))
+    u_viol = n - len({k for k, _ in rows})
+    assert got == {
+        "v_pos": (n, v_viol, v_viol == 0),
+        "unique(k)": (n, u_viol, u_viol == 0),
+    }
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    st.lists(
+        st.integers(0, 10_000), min_size=5, max_size=40
+    )
+)
+def test_bucketize_property(spark, bps):
+    """bucketize_by_quantile == a pure-integer Python reference that
+    replays the exact scaled-integer pipeline (bin -> ceil-edge -> ceil
+    ranks -> lower-edge thresholds -> count of reached thresholds)."""
+    from stateful_spark_streaming_spark.operators.stats import (
+        bucketize_by_quantile,
+    )
+
+    n_bins, scale, k = 20, 10_000, 4
+    rows = [(i, "s", bp / scale) for i, bp in enumerate(bps)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, v double")
+    got = {
+        r["doc_id"]: r["bucket"]
+        for r in bucketize_by_quantile(
+            df, "v", ("source",), n_buckets=k, n_bins=n_bins
+        ).collect()
+    }
+
+    # integer reference
+    def bin_of(bp):
+        return min(bp * n_bins // scale, n_bins - 1)
+
+    from collections import Counter
+
+    hist = Counter(bin_of(bp) for bp in bps)
+    total = len(bps)
+    thresholds = []
+    for i in range(1, k):
+        q = (i * scale) // k
+        rank = (total * q + scale - 1) // scale
+        cum = 0
+        for b in sorted(hist):
+            cum += hist[b]
+            if cum >= rank:
+                lo_bp = (b * scale + n_bins - 1) // n_bins
+                thresholds.append(lo_bp / scale)
+                break
+    want = {
+        i: sum(1 for t in thresholds if bp / scale >= t)
+        for i, bp in enumerate(bps)
+    }
+    assert got == want
