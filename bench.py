@@ -5,17 +5,28 @@ Each query is forced with a count-collapsing action (``df.count()`` after a
 no-op cache-free run would re-plan, so we use ``write.format("noop")`` —
 full execution, zero sink cost, no driver collect).
 
-Methodology (both totals reported so rounds stay comparable):
-- ``value`` / ``warm_total``: the timed loop at the target SF after an
-  untimed sf0.001 warmup pass — steady-state throughput (JIT compilation
-  and Python-worker spin-up amortized out), the r02+ headline number.
-- ``cold_total``: wall time of the entire run — session + JVM + parquet
-  warmup + the sf0.001 warmup pass + the timed loop — i.e. everything a
-  cold process pays, the r01-comparable number.  ``SPARK_GRAFT_WARMUP=0``
-  skips the warmup pass, making the timed loop itself cold.
+Methodology (r9, VERDICT r8 #2 — make the bench falsifiable):
+- **median-of-N warm loops**: after an untimed sf0.001 warmup pass, the
+  full timed loop runs ``SPARK_GRAFT_BENCH_REPEATS`` times (default 3) and
+  every query reports its MEDIAN across loops plus an IQR — r8's single
+  loop drew ±15-30 % box noise, drowning the 2×-of-baseline bar.
+- **budget guard**: a repeat only starts if the elapsed cold time plus the
+  previous loop's duration fits ``SPARK_GRAFT_BENCH_BUDGET`` seconds
+  (default 900) — the driver always gets its JSON line even on a slow box;
+  ``repeats_completed`` says how many loops the medians cover.
+- **solo-run check**: any OTHER live Spark/pyspark JVM on the box at start
+  is recorded as ``solo: false`` (measurements under load are not
+  comparable — an r8 draw of 300 s vs 175 s solo proved it).  With
+  ``SPARK_GRAFT_REQUIRE_SOLO=1`` the run aborts instead.
+- ``value`` / ``warm_total``: the MEDIAN loop total — directly comparable
+  to r02-r08's single-loop ``warm_total``.
+- ``cold_total``: wall time of the entire run (session + warmups + all
+  loops): everything a cold process pays.  ``SPARK_GRAFT_WARMUP=0`` skips
+  the warmup pass, making loop 1 itself cold (medians then mix cold+warm —
+  only use for cold-path studies).
 
 Two JSON lines, compact separators, timings at 2 decimals: first the full
-line with the per-query dict, then a ~150-byte totals-only line LAST.  The
+line with the per-query dicts, then a small totals-only line LAST.  The
 driver captures a bounded tail of stdout and parses from the end — r02's
 pretty-printed 75-query line and r04's totals-before-queries ordering both
 outgrew the tail (parsed=null); a tiny final line survives any catalog
@@ -24,17 +35,49 @@ size while the big line's per-query timings stay greppable in the tail.
 
 from __future__ import annotations
 
+import glob
 import json
 import os
+import statistics
 import sys
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
+def _foreign_spark_jvms() -> list[int]:
+    """PIDs of Spark JVMs already live on this box (we haven't started
+    ours yet, so ANY is foreign: a concurrent pytest/bench/driver run)."""
+    pids = []
+    for cmdf in glob.glob("/proc/[0-9]*/cmdline"):
+        try:
+            with open(cmdf, "rb") as fh:
+                cmd = fh.read().replace(b"\0", b" ").decode("utf-8", "replace")
+        except OSError:
+            continue  # raced a process exit
+        if "java" in cmd and ("org.apache.spark" in cmd or "pyspark" in cmd):
+            pids.append(int(cmdf.split("/")[2]))
+    return pids
+
+
 def main() -> None:
     t_cold0 = time.perf_counter()
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    repeats = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3")))
+    budget = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET", "900"))
+
+    foreign = _foreign_spark_jvms()
+    solo = not foreign
+    if not solo:
+        print(
+            f"bench: {len(foreign)} foreign Spark JVM(s) live {foreign} — "
+            "timings will NOT be comparable",
+            file=sys.stderr,
+        )
+        if os.environ.get("SPARK_GRAFT_REQUIRE_SOLO") == "1":
+            print("SPARK_GRAFT_REQUIRE_SOLO=1: refusing to record", file=sys.stderr)
+            raise SystemExit(2)
+
     import __spark_entry__ as entrymod
     from stateful_spark_streaming_spark.session import get_spark
 
@@ -76,7 +119,7 @@ def main() -> None:
     # Codegen'd classes are cached by generated source, which is identical
     # for the same plan shape regardless of data path/size — so a sf0.001
     # pass JIT-compiles every query's code and spawns every Python-worker
-    # tier for pennies, and the timed loop below measures throughput, not
+    # tier for pennies, and the timed loops below measure throughput, not
     # first-compilation.  Disable with SPARK_GRAFT_WARMUP=0 to time cold.
     warm_dir = os.environ.get("SPARK_GRAFT_WARMUP_SF_DIR", "/root/testdata/sf0.001")
     warmed = os.environ.get("SPARK_GRAFT_WARMUP", "1") != "0" and os.path.isdir(warm_dir)
@@ -88,13 +131,13 @@ def main() -> None:
                 print(f"bench warmup error in {name}: {e}", file=sys.stderr)
             spark.catalog.clearCache()
         # the IVF index lifecycle is build-once/probe-many (persisted per
-        # corpus); build the TARGET corpus's index here so the timed loop
-        # measures the probe path, not the one-time build.  The build cost
+        # corpus); build the TARGET corpus's index here so the timed loops
+        # measure the probe path, not the one-time build.  The build cost
         # stays visible in cold_total.
         # same build-once rationale for the multimodal binary table: the
         # corpus is materialized to parquet once per (process, sf_dir) and
-        # then scanned — prebuild the TARGET corpus here so the timed loop
-        # measures decode+featurize, not the one-time fixture write (which
+        # then scanned — prebuild the TARGET corpus here so the timed loops
+        # measure decode+featurize, not the one-time fixture write (which
         # stays in cold_total; measured +3.6 s on the timed query otherwise).
         for prebuild in ("cosine_topk_ivf", "multimodal_features"):
             try:
@@ -105,54 +148,75 @@ def main() -> None:
             except Exception as e:  # noqa: BLE001
                 print(f"bench warmup error in {prebuild} prebuild: {e}", file=sys.stderr)
 
-    timings: dict[str, float] = {}
-    t_all0 = time.perf_counter()
-    for name, fn in qs.items():
-        t0 = time.perf_counter()
-        try:
-            df = fn(spark, sf_dir)
-            df.write.format("noop").mode("overwrite").save()
-            timings[name] = round(time.perf_counter() - t0, 2)
-        except Exception as e:  # noqa: BLE001
-            timings[name] = -1.0
-            print(f"bench error in {name}: {e}", file=sys.stderr)
-        # several one-shot operators persist intermediates (shingle sets,
-        # LSH buckets) that only their own plan reuses; drop them between
-        # queries so block-manager memory doesn't accumulate across the run
-        spark.catalog.clearCache()
-    warm_total = round(time.perf_counter() - t_all0, 2)
+    # timed loops: per-query samples across repeats → median + IQR
+    samples: dict[str, list[float]] = {name: [] for name in qs}
+    loop_totals: list[float] = []
+    for loop in range(repeats):
+        elapsed = time.perf_counter() - t_cold0
+        if loop > 0 and loop_totals and elapsed + loop_totals[-1] > budget:
+            print(
+                f"bench: budget {budget:.0f}s would be exceeded "
+                f"(elapsed {elapsed:.0f}s + last loop {loop_totals[-1]:.0f}s) "
+                f"— stopping after {loop} loop(s)",
+                file=sys.stderr,
+            )
+            break
+        t_loop0 = time.perf_counter()
+        for name, fn in qs.items():
+            t0 = time.perf_counter()
+            try:
+                df = fn(spark, sf_dir)
+                df.write.format("noop").mode("overwrite").save()
+                samples[name].append(time.perf_counter() - t0)
+            except Exception as e:  # noqa: BLE001
+                samples[name].append(-1.0)
+                print(f"bench error in {name} (loop {loop}): {e}", file=sys.stderr)
+            # several one-shot operators persist intermediates (shingle sets,
+            # LSH buckets) that only their own plan reuses; drop them between
+            # queries so block-manager memory doesn't accumulate across the run
+            spark.catalog.clearCache()
+        loop_totals.append(round(time.perf_counter() - t_loop0, 2))
+
+    def _median(vals: list[float]) -> float:
+        ok = [v for v in vals if v >= 0]
+        return round(statistics.median(ok), 2) if ok else -1.0
+
+    def _iqr(vals: list[float]) -> float:
+        ok = sorted(v for v in vals if v >= 0)
+        if len(ok) < 2:
+            return 0.0
+        ql = statistics.quantiles(ok, n=4, method="inclusive")
+        return round(ql[2] - ql[0], 2)
+
+    timings = {name: _median(v) for name, v in samples.items()}
+    iqrs = {name: _iqr(v) for name, v in samples.items()}
+    # a query is an error only if it failed in EVERY loop it ran
+    n_errors = sum(1 for v in samples.values() if v and all(x < 0 for x in v))
+    warm_total = round(statistics.median(loop_totals), 2) if loop_totals else -1.0
     cold_total = round(time.perf_counter() - t_cold0, 2)
 
     sf = sf_dir.rstrip("/").split("sf")[-1]
+    base = {
+        "metric": "total_query_wall_time",
+        "value": warm_total,
+        "unit": "sec",
+        "warm_total": warm_total,
+        "cold_total": cold_total,
+        "warmed": warmed,
+        "solo": solo,
+        "repeats_completed": len(loop_totals),
+        "loop_totals": loop_totals,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
     line = json.dumps(
-        {
-            "metric": "total_query_wall_time",
-            "value": warm_total,
-            "unit": "sec",
-            "warm_total": warm_total,
-            "cold_total": cold_total,
-            "warmed": warmed,
-            "queries": timings,
-            "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-        },
-        separators=(",", ":"),
+        {**base, "queries": timings, "queries_iqr": iqrs}, separators=(",", ":")
     )
     # a second, COMPACT totals line printed LAST: the driver keeps only a
     # bounded tail of stdout, and r4's single big line put the totals BEFORE
     # the 96-entry queries dict — the tail cut them off (parsed=null).  The
-    # totals-only line is ~150 bytes, so it survives any catalog size.
+    # totals-only line is ~250 bytes, so it survives any catalog size.
     totals_line = json.dumps(
-        {
-            "metric": "total_query_wall_time",
-            "value": warm_total,
-            "unit": "sec",
-            "warm_total": warm_total,
-            "cold_total": cold_total,
-            "warmed": warmed,
-            "n_queries": len(timings),
-            "n_errors": sum(1 for v in timings.values() if v < 0),
-            "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-        },
+        {**base, "n_queries": len(timings), "n_errors": n_errors},
         separators=(",", ":"),
     )
     spark.stop()  # before the JSON lines: Spark shutdown noise must not follow
