@@ -50,7 +50,15 @@ class SnapshotView:
     """foreachBatch sink: upsert each micro-batch's per-key snapshot rows
     into a full snapshot table, register it as a SQL temp view, and
     optionally run/print a query — the reference's showTempView
-    (StreamWithStates.scala:36-53) with working all-keys semantics."""
+    (StreamWithStates.scala:36-53) with working all-keys semantics.
+
+    DRIVER-SIDE BY DESIGN: this is the reference-parity console path (the
+    reference itself collects via ``.show()``) and holds every key's row in
+    driver memory — O(total keys), a scale-killer as a default.  Past
+    ``max_keys`` it warns once per crossing (``SSS_SNAPSHOT_STRICT=1`` in
+    the environment raises instead), pointing at ``ParquetSnapshotSink``,
+    the distributed all-keys path.  Below the bound, behavior is unchanged.
+    """
 
     def __init__(
         self,
@@ -59,16 +67,35 @@ class SnapshotView:
         key: str,
         sql: str | None = None,
         show: bool = False,
+        max_keys: int = 100_000,
     ):
         self.spark = spark
         self.view_name = view_name
         self.key = key
         self.sql = sql or f"select * from {view_name}"  # Q1 default
         self.show = show
+        self.max_keys = max_keys
+        self._warned = False
         self._rows: dict = {}
         self._schema = None
         self._lock = threading.Lock()
         self.batches_seen = 0
+
+    def _check_bound(self) -> None:
+        if len(self._rows) <= self.max_keys or self._warned:
+            return
+        msg = (
+            f"SnapshotView '{self.view_name}' holds {len(self._rows)} keys "
+            f"(> max_keys={self.max_keys}) in DRIVER memory — this sink is "
+            "the reference-parity console path, not a scale path; switch to "
+            "ParquetSnapshotSink (distributed append log + merge-on-read)."
+        )
+        if os.environ.get("SSS_SNAPSHOT_STRICT") == "1":
+            raise RuntimeError(msg)
+        import warnings
+
+        warnings.warn(msg, ResourceWarning, stacklevel=3)
+        self._warned = True  # once per crossing, not per batch
 
     def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
         rows = batch_df.collect()  # snapshot rows only: O(updated keys)
@@ -76,6 +103,7 @@ class SnapshotView:
             self._schema = batch_df.schema
             for r in rows:
                 self._rows[r[self.key]] = r
+            self._check_bound()
             self.batches_seen += 1
             self._register()
             if self.show:
