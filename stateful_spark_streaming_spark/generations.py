@@ -96,3 +96,110 @@ def swap_generation(path: str, tmp: str | None = None) -> None:
         if not (os.path.exists(path) and _complete(path)):
             raise
     shutil.rmtree(old, ignore_errors=True)
+
+
+# --------------------------------------------------------------------------
+# Partition-scoped swaps: promote only the AFFECTED partition subdirs of a
+# Hive-partitioned table, leaving untouched partitions' files alone — the
+# production refinement of the full-image swap for incrementally-maintained
+# tables (a CDC batch touches a handful of months of a 100 TB table; the
+# full-image rewrite is O(table) per trigger, this is O(affected)).
+#
+# In-flight names are HIDDEN (".tmp."/".old." prefixes): Spark's file index
+# skips dot-prefixed entries, so a reader racing a swap never sees a
+# half-promoted partition as a spurious partition VALUE (a visible
+# "month=X.old" dir would parse as the value "X.old").
+# --------------------------------------------------------------------------
+
+
+def _enc_part(rel: str) -> str:
+    """Flatten a (possibly nested) partition path for a same-level hidden
+    rename: 'a=1/b=2' -> 'a=1%2Fb=2'."""
+    return rel.replace(os.sep, "%2F")
+
+
+def _dec_part(flat: str) -> str:
+    return flat.replace("%2F", os.sep)
+
+
+def recover_partitions(table_dir: str) -> None:
+    """Repair a crashed :func:`swap_partitions` at any point; no-op when
+    clean.  Restores any partition whose live dir went missing mid-swap
+    (rename its '.old.' back), then deletes every leftover hidden dir —
+    after which the table is a consistent mix of pre- and post-swap
+    partitions, which the caller's idempotent merge converges from."""
+    if not os.path.isdir(table_dir):
+        return
+    for name in sorted(os.listdir(table_dir)):
+        if name.startswith(".old."):
+            live = os.path.join(table_dir, _dec_part(name[len(".old."):]))
+            if os.path.exists(live):
+                shutil.rmtree(os.path.join(table_dir, name), ignore_errors=True)
+            else:
+                os.makedirs(os.path.dirname(live), exist_ok=True)
+                os.rename(os.path.join(table_dir, name), live)
+    for name in sorted(os.listdir(table_dir)):
+        if name.startswith(".tmp."):
+            shutil.rmtree(os.path.join(table_dir, name), ignore_errors=True)
+
+
+def swap_partitions(table_dir: str, staging_dir: str, partitions: list[str]) -> None:
+    """Promote the given partition subdirs (relative paths like
+    ``month=2024-01-01`` or nested ``a=1/b=2``) from ``staging_dir`` into
+    the live partitioned table at ``table_dir``.
+
+    ``staging_dir`` must carry a root ``_SUCCESS`` marker (the parquet job
+    committed).  Per partition: rename staged -> hidden tmp inside the
+    table, live -> hidden old, tmp -> live, drop old.  Every crash point
+    is repaired by :func:`recover_partitions`, and a replayed batch
+    regenerates staging from the (possibly mixed) table idempotently."""
+    if not _complete(staging_dir):
+        raise ValueError(
+            f"refusing to promote incomplete staging at {staging_dir} "
+            "(no _SUCCESS marker — the write did not commit)"
+        )
+    # validate the WHOLE list before consuming anything: raising
+    # mid-loop would leave earlier partitions already renamed away
+    missing = [
+        rel for rel in partitions
+        if not os.path.isdir(os.path.join(staging_dir, rel))
+    ]
+    if missing:
+        raise ValueError(
+            f"staged partition(s) missing under {staging_dir}: {missing} — "
+            "an affected partition must always re-materialize "
+            "(tombstones keep it non-empty)"
+        )
+    for rel in partitions:
+        src = os.path.join(staging_dir, rel)
+        flat = _enc_part(rel)
+        tmp = os.path.join(table_dir, ".tmp." + flat)
+        old = os.path.join(table_dir, ".old." + flat)
+        live = os.path.join(table_dir, rel)
+        shutil.rmtree(tmp, ignore_errors=True)
+        os.rename(src, tmp)
+        if os.path.exists(live):
+            shutil.rmtree(old, ignore_errors=True)
+            os.rename(live, old)
+        os.makedirs(os.path.dirname(live), exist_ok=True)
+        os.rename(tmp, live)
+        shutil.rmtree(old, ignore_errors=True)
+
+
+def list_staged_partitions(staging_dir: str, depth: int) -> list[str]:
+    """The partition subdirs a partitioned parquet job wrote under
+    ``staging_dir``, as relative paths ``depth`` levels deep (one level
+    per partition column).  Hidden/marker entries are skipped."""
+    out: list[str] = []
+
+    def walk(cur: str, rel: str, d: int) -> None:
+        if d == 0:
+            out.append(rel)
+            return
+        for name in sorted(os.listdir(cur)):
+            if name.startswith((".", "_")) or "=" not in name:
+                continue
+            walk(os.path.join(cur, name), os.path.join(rel, name) if rel else name, d - 1)
+
+    walk(staging_dir, "", depth)
+    return out

@@ -3511,19 +3511,25 @@ _MERGE_ORACLE = """
 
 #: shared by the one-shot and streaming incremental-MV queries: the FULL
 #: recompute of the monthly aggregate over the merged table — hash
-#: equality proves the affected-partition refresh strategy exact.
+#: equality proves the affected-partition refresh strategy exact.  The
+#: change feed is TIME-LOCALIZED (r9): a real CDC stream touches recent,
+#: open months — closed history is immutable — so the maintenance path
+#: exercises its partition-scoped rewrite (~2 affected months of ~80)
+#: instead of degenerating to a backfill.
 _INC_MV_ORACLE = """
-    WITH base AS (SELECT * FROM orders WHERE o_orderkey % 7 <> 0),
+    WITH bound AS (SELECT date_trunc('month', max(o_orderdate))
+                          - INTERVAL 1 MONTH AS lo FROM orders),
+    base AS (SELECT * FROM orders WHERE o_orderkey % 7 <> 0),
     ch AS (
       SELECT o_orderkey, o_custkey, o_orderstatus,
              o_totalprice + 1.5 AS o_totalprice, o_orderdate,
              '9-UPDATED' AS o_orderpriority, 1 AS seq, 'U' AS op
-      FROM orders WHERE o_orderkey % 3 = 0
+      FROM orders, bound WHERE o_orderkey % 3 = 0 AND o_orderdate >= lo
       UNION ALL
       SELECT o_orderkey, o_custkey, o_orderstatus,
              o_totalprice + 2.25, o_orderdate, o_orderpriority, 2,
              CASE WHEN o_orderkey % 12 = 0 THEN 'D' ELSE 'U' END
-      FROM orders WHERE o_orderkey % 6 = 0),
+      FROM orders, bound WHERE o_orderkey % 6 = 0 AND o_orderdate >= lo),
     latest AS (SELECT * FROM ch
                QUALIFY row_number() OVER (PARTITION BY o_orderkey ORDER BY seq DESC) = 1),
     merged AS (
@@ -3564,6 +3570,39 @@ def _order_change_sets(spark: SparkSession, sf_dir: str):
     )
     s2 = (
         o.filter(F.col("o_orderkey") % 6 == 0)
+        .withColumn("o_totalprice", F.col("o_totalprice") + 2.25)
+        .withColumn("seq", F.lit(2).cast("int"))
+        .withColumn(
+            "op",
+            F.when(F.col("o_orderkey") % 12 == 0, F.lit("D")).otherwise(F.lit("U")),
+        )
+    )
+    return s1, s2
+
+
+def _order_change_sets_recent(spark: SparkSession, sf_dir: str):
+    """Time-localized CDC batches for the incremental-MV queries: the
+    same %3/%6 update/delete/insert structure as
+    :func:`_order_change_sets`, restricted to the newest TWO months of
+    orders — a real change feed touches recent open months while closed
+    history is immutable, which is exactly the shape the
+    partition-scoped MV maintenance exists for (~2 affected partitions
+    of ~80).  The month boundary is data-derived (max o_orderdate), so
+    Spark and the DuckDB oracle compute the identical window."""
+    o = _t(spark, sf_dir, "orders")
+    lo = o.agg(
+        F.add_months(F.date_trunc("month", F.max("o_orderdate")).cast("date"), -1)
+    ).collect()[0][0]  # scalar bound: one tiny driver value, not row data
+    recent = o.filter(F.col("o_orderdate") >= F.lit(lo))
+    s1 = (
+        recent.filter(F.col("o_orderkey") % 3 == 0)
+        .withColumn("o_totalprice", F.col("o_totalprice") + 1.5)
+        .withColumn("o_orderpriority", F.lit("9-UPDATED"))
+        .withColumn("seq", F.lit(1).cast("int"))
+        .withColumn("op", F.lit("U"))
+    )
+    s2 = (
+        recent.filter(F.col("o_orderkey") % 6 == 0)
         .withColumn("o_totalprice", F.col("o_totalprice") + 2.25)
         .withColumn("seq", F.lit(2).cast("int"))
         .withColumn(
@@ -3689,7 +3728,7 @@ def q_streaming_incremental_monthly_revenue(
     )
 
     base = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 7 != 0)
-    s1, s2 = _order_change_sets(spark, sf_dir)
+    s1, s2 = _order_change_sets_recent(spark, sf_dir)
     work = _tf.mkdtemp(prefix="sss_incmv_q_")
     base_path = _os.path.join(work, "base")
     ch_dir = _os.path.join(work, "changes")
@@ -3732,7 +3771,7 @@ def q_incremental_monthly_revenue(spark: SparkSession, sf_dir: str) -> DataFrame
     month = F.date_trunc("month", F.col("o_orderdate")).cast("date")
     agg_fn = _monthly_agg_fn
     base = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 7 != 0)
-    s1, s2 = _order_change_sets(spark, sf_dir)
+    s1, s2 = _order_change_sets_recent(spark, sf_dir)
     changes = s1.unionByName(s2)
     materialized = agg_fn(base)
     merged = MG.merge_upsert(base, changes, ("o_orderkey",), seq_col="seq")

@@ -1799,6 +1799,7 @@ def run_streaming_incremental_agg(
     checkpoint_dir: str | None = None,
     max_files_per_trigger: int | None = 1,
     shuffle_partitions: int | None = 8,
+    full_rewrite_frac: float = 0.5,
 ) -> DataFrame:
     """Streaming MATERIALIZED-VIEW maintenance: change batches stream in,
     fold into the generation-managed standing table (exactly
@@ -1824,10 +1825,40 @@ def run_streaming_incremental_agg(
     ``shuffle_partitions`` sizes the per-batch merge/refresh shuffles to
     the change-batch volume (the session default is sized for corpus
     scans; a CDC batch is orders of magnitude smaller — measured ~15%
-    off the run at test SF, and fewer files per generation)."""
+    off the run at test SF, and fewer files per generation).
+
+    Layout (r9, VERDICT r8 #4): the standing table is PARTITIONED BY the
+    group columns and each batch rewrites ONLY the affected partitions
+    (staged parquet job → per-partition hidden-rename swap,
+    ``generations.swap_partitions``).  Per-batch IO is O(affected
+    partitions), not O(table) — the full-image rewrite this replaces is
+    the piece that could not survive a 100 TB maintained table.  Every
+    crash point of the partial swap is repaired by
+    ``recover_partitions`` on the next entry, after which the table is a
+    consistent mix of pre/post-swap partitions that the seq-watermarked
+    merge replays idempotently to convergence.  An affected partition
+    always re-materializes in staging — deletes leave tombstones, so a
+    partition never empties out from under the swap.
+
+    ADAPTIVE: when a batch touches more than ``full_rewrite_frac`` of
+    the live partitions (a backfill, not an incremental feed), the sink
+    falls back to ONE full-image generation swap — at that shape the
+    partition-scoped path degenerates to a full rewrite PLUS a rename
+    per partition, so the single swap strictly wins.  Both paths write
+    the same partitioned layout, so readers and replays never see a
+    layout flip.
+
+    Scale accounting (measured, see SCALE.md): at sf0.1 the partitioned
+    layout is ~128 KB/month — small-file tax makes this runner ~30 %
+    slower than the full-image form it replaced; the crossover is
+    table ≫ batch (sf1 probe), where per-batch IO O(affected) beats
+    O(table) by the table/batch ratio and keeps growing with it."""
     from stateful_spark_streaming_spark.generations import (
+        list_staged_partitions,
         recover_generation,
+        recover_partitions,
         swap_generation,
+        swap_partitions,
     )
     from stateful_spark_streaming_spark.operators.merge import (
         affected_groups,
@@ -1837,28 +1868,60 @@ def run_streaming_incremental_agg(
         with_merge_meta,
     )
 
+    from pyspark.sql import functions as F
+
+    groups = list(group_cols)
     checkpoint_dir = checkpoint_dir or tempfile.mkdtemp(prefix="sss_ckpt_incagg_")
     table_dir = checkpoint_dir + "_table"
     agg_dir = checkpoint_dir + "_agg"
+    staging_dir = checkpoint_dir + "_staging"
     recover_generation(table_dir, clean=True)
     recover_generation(agg_dir, clean=True)
     if not os.path.exists(table_dir):
-        with_merge_meta(spark.read.parquet(base_path)).write.parquet(
-            table_dir + ".tmp"
-        )
+        add_group(with_merge_meta(spark.read.parquet(base_path))).repartition(
+            *[F.col(g) for g in groups]
+        ).write.partitionBy(*groups).parquet(table_dir + ".tmp")
         swap_generation(table_dir)
     if not os.path.exists(agg_dir):
-        agg_fn(merged_view(spark.read.parquet(table_dir))).write.parquet(
+        # aggregate the PLAIN base read, not the just-written partitioned
+        # table: identical rows (fresh meta has no tombstones), and the
+        # few-big-files scan beats re-listing one-file-per-partition dirs
+        agg_fn(add_group(spark.read.parquet(base_path))).write.parquet(
             agg_dir + ".tmp"
         )
         swap_generation(agg_dir)
 
+    # fixed table schema for all later reads: skips per-read footer
+    # inference (several driver round-trips per batch at one file per
+    # partition); partition discovery itself stays, it's just listing
+    tbl_schema = spark.read.parquet(table_dir).schema
+
+    def _read_table():
+        return spark.read.schema(tbl_schema).parquet(table_dir)
+
     stream = _stage_parquet_stream(spark, changes_path, max_files_per_trigger)
+
+    def _affected_pred(rows):
+        """Static partition-pruning predicate from the frozen affected
+        set — collected driver-side (summary-sized BY CONSTRUCTION: at
+        most 2×|batch| distinct group tuples), so the pruned scans carry
+        PartitionFilters instead of relying on runtime DPP."""
+        from functools import reduce
+
+        def one(r):
+            terms = [
+                F.col(g).isNull() if r[g] is None else F.col(g) == F.lit(r[g])
+                for g in groups
+            ]
+            return reduce(lambda a, b: a & b, terms)
+
+        return reduce(lambda a, b: a | b, (one(r) for r in rows))
 
     def _sink(bdf: DataFrame, batch_id: int) -> None:
         recover_generation(table_dir, clean=True)
+        recover_partitions(table_dir)
         recover_generation(agg_dir, clean=True)
-        cur = spark.read.parquet(table_dir)
+        cur = _read_table()
         # The affected-group set is DURABLE per batch, written BEFORE the
         # table swap.  Why: a group-MOVING update's old group is derived
         # from the pre-merge table; after the table swap that information
@@ -1873,33 +1936,75 @@ def run_streaming_incremental_agg(
         if os.path.exists(os.path.join(sidecar, "_SUCCESS")):
             affected = spark.read.parquet(sidecar)
         else:
-            affected_groups(
-                add_group(merged_view(cur)), add_group(bdf), key_cols, group_cols
-            ).write.mode("overwrite").parquet(sidecar)
+            # old_side over the RAW table (tombstones INCLUDED): a
+            # re-inserted previously-deleted key must pull its tombstone's
+            # partition into the merge input, or the tombstone would
+            # survive while a second physical row for the key appears in
+            # the new partition — forking the key across partitions and
+            # double-emitting it from every later merge's key join.
+            affected_groups(cur, add_group(bdf), key_cols, group_cols).write.mode(
+                "overwrite"
+            ).parquet(sidecar)
             affected = spark.read.parquet(sidecar)
-        nxt = merge_apply_batch(
-            cur,
-            bdf.withColumnRenamed(seq_col, "__seq"),
-            key_cols,
-            seq_col="__seq",
-            op_col=op_col,
-            delete_op=delete_op,
-        )
-        nxt.write.parquet(table_dir + ".tmp")
-        swap_generation(table_dir)
-        # refresh FROM the just-promoted table, with the PRE-swap
-        # affected set: together these make the two-swap window
-        # replay-safe for every change class, including group moves
+        rows = affected.collect()
+        if not rows:
+            return  # empty change batch touches nothing
+        pred = _affected_pred(rows)
+        n_live = len(list_staged_partitions(table_dir, len(groups)))
+        batch_ready = add_group(bdf.withColumnRenamed(seq_col, "__seq"))
+        nxt_affected = None
+        if n_live and len(rows) > full_rewrite_frac * n_live:
+            # backfill shape: most partitions touched — one full-image
+            # swap beats per-partition renames at this fraction
+            nxt = merge_apply_batch(
+                cur, batch_ready, key_cols,
+                seq_col="__seq", op_col=op_col, delete_op=delete_op,
+            )
+            nxt.repartition(*[F.col(g) for g in groups]).write.partitionBy(
+                *groups
+            ).parquet(table_dir + ".tmp")
+            swap_generation(table_dir)
+            refresh_detail = merged_view(_read_table()).filter(pred)
+        else:
+            # merge only the affected partitions' rows with the batch;
+            # the scan of `cur` prunes on the partition predicate.
+            # Restricting the merge input is lossless: every changed
+            # key's OLD row lives in an affected partition
+            # (affected_groups includes old groups by construction, over
+            # the raw table so tombstones count), and unchanged
+            # partitions' files never move.  repartition by the group
+            # cols first: one output file per affected partition instead
+            # of shuffle_partitions × partitions tiny files.
+            # PERSISTED (bounded: affected partitions' rows only) for two
+            # reasons: the agg refresh below reuses it without re-reading
+            # the table, and its lineage reads pre-swap files that
+            # swap_partitions retires — a post-swap recompute would die.
+            nxt_affected = merge_apply_batch(
+                cur.filter(pred), batch_ready, key_cols,
+                seq_col="__seq", op_col=op_col, delete_op=delete_op,
+            ).repartition(*[F.col(g) for g in groups]).persist()
+            nxt_affected.write.mode("overwrite").partitionBy(*groups).parquet(
+                staging_dir
+            )
+            swap_partitions(
+                table_dir,
+                staging_dir,
+                list_staged_partitions(staging_dir, len(groups)),
+            )
+            # identical rows to re-reading the just-promoted affected
+            # partitions — nxt_affected IS their new content
+            refresh_detail = merged_view(nxt_affected)
+        # refresh with the PRE-swap affected set: together with the
+        # durable sidecar this makes the two-swap window replay-safe for
+        # every change class, including group moves
         cur_agg = spark.read.parquet(agg_dir)
         nxt_agg = refresh_groups(
-            cur_agg,
-            add_group(merged_view(spark.read.parquet(table_dir))),
-            affected,
-            group_cols,
-            agg_fn,
+            cur_agg, refresh_detail, affected, group_cols, agg_fn
         )
         nxt_agg.write.parquet(agg_dir + ".tmp")
         swap_generation(agg_dir)
+        if nxt_affected is not None:
+            nxt_affected.unpersist()
         # the sidecar has served its purpose once the agg swap commits:
         # a replay after BOTH swaps refreshes already-correct rows from
         # the already-merged table — idempotent whatever set it uses —

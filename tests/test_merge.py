@@ -7,6 +7,7 @@ from __future__ import annotations
 
 import os
 
+import pytest
 from pyspark.sql import functions as F
 
 from stateful_spark_streaming_spark.operators.merge import (
@@ -372,3 +373,221 @@ def test_snapshot_diff_null_fingerprints(spark):
         for r in snapshot_diff(old, new, "id", F.md5(F.col("text"))).collect()
     }
     assert got == {1: "changed", 2: "changed"}  # 3 omitted (NULL==NULL)
+
+
+def _write_change_batches(tmp_path, batches):
+    import os
+
+    ch_dir = str(tmp_path / "changes")
+    os.makedirs(ch_dir, exist_ok=True)
+    for i, b in enumerate(batches):
+        seg = str(tmp_path / f"wseg{i}")
+        b.coalesce(1).write.parquet(seg)
+        part = [f for f in os.listdir(seg) if f.endswith(".parquet")][0]
+        dst = os.path.join(ch_dir, f"batch-{i}.parquet")
+        os.rename(os.path.join(seg, part), dst)
+        os.utime(dst, (1_000_000_000 + i * 100,) * 2)
+    return ch_dir
+
+
+def test_partition_swap_crash_recovery(tmp_path):
+    """swap_partitions/recover_partitions: every crash point of the
+    per-partition hidden-rename protocol is repaired on the next entry —
+    no visible half state, no spurious partition values (r9 layout)."""
+    import os
+
+    from stateful_spark_streaming_spark.generations import (
+        recover_partitions,
+        swap_partitions,
+    )
+
+    def mk(path, marker=None):
+        os.makedirs(path, exist_ok=True)
+        with open(os.path.join(path, marker or "part-0.parquet"), "w") as fh:
+            fh.write("x")
+
+    # staged without _SUCCESS is refused
+    table = str(tmp_path / "t")
+    staging = str(tmp_path / "s")
+    mk(os.path.join(table, "g=a"))
+    mk(os.path.join(staging, "g=a"))
+    with pytest.raises(ValueError, match="_SUCCESS"):
+        swap_partitions(table, staging, ["g=a"])
+    open(os.path.join(staging, "_SUCCESS"), "w").close()
+
+    # a staged-but-missing partition is refused (tombstones make an
+    # affected partition always re-materialize; absence is a bug)
+    with pytest.raises(ValueError, match="staged partition"):
+        swap_partitions(table, staging, ["g=a", "g=zzz"])
+
+    # clean swap: live content replaced, no hidden leftovers
+    with open(os.path.join(staging, "g=a", "part-0.parquet"), "w") as fh:
+        fh.write("NEW")
+    swap_partitions(table, staging, ["g=a"])
+    assert open(os.path.join(table, "g=a", "part-0.parquet")).read() == "NEW"
+    assert not [n for n in os.listdir(table) if n.startswith(".")]
+
+    # crash between live->old and tmp->live: live dir missing, both
+    # hidden dirs present -> recovery rolls the old generation back
+    mk(os.path.join(table, ".tmp.g=b"))
+    os.makedirs(os.path.join(table, ".old.g=b"))
+    with open(os.path.join(table, ".old.g=b", "part-0.parquet"), "w") as fh:
+        fh.write("OLD-B")
+    recover_partitions(table)
+    assert open(os.path.join(table, "g=b", "part-0.parquet")).read() == "OLD-B"
+    assert not [n for n in os.listdir(table) if n.startswith(".")]
+
+    # crash after tmp->live but before dropping old: live wins, old dropped
+    mk(os.path.join(table, "g=c"))
+    mk(os.path.join(table, ".old.g=c"))
+    recover_partitions(table)
+    assert os.path.isdir(os.path.join(table, "g=c"))
+    assert not [n for n in os.listdir(table) if n.startswith(".")]
+
+    # stale .tmp beside a live dir (crash before any rename) is dropped
+    mk(os.path.join(table, ".tmp.g=a"))
+    recover_partitions(table)
+    assert not [n for n in os.listdir(table) if n.startswith(".")]
+
+
+def test_incremental_agg_tombstone_reinsert_no_key_fork(spark, tmp_path):
+    """A key deleted in batch 1 and RE-INSERTED into a different group in
+    batch 2 must end as ONE physical row in the partitioned table.  The
+    affected set is computed over the raw table (tombstones included), so
+    the tombstone's partition joins the merge input and collapses with
+    the re-insert — without that, the key forks into two physical rows
+    and every later merge double-emits it (r9 partition-scoped layout)."""
+    from stateful_spark_streaming_spark.streaming.pipeline import (
+        run_streaming_incremental_agg,
+    )
+
+    def agg_fn(detail):
+        return detail.groupBy("g").agg(
+            F.round(F.sum("v"), 2).alias("sv"), F.count(F.lit(1)).alias("n")
+        )
+
+    base = spark.createDataFrame(
+        [(1, "g1", 10.0), (2, "g2", 20.0)], "k long, g string, v double"
+    )
+    b0 = spark.createDataFrame(
+        [(1, "g1", 0.0, 1, "D")], "k long, g string, v double, seq int, op string"
+    )
+    b1 = spark.createDataFrame(
+        [(1, "g3", 99.0, 2, "U")], "k long, g string, v double, seq int, op string"
+    )
+    base_path = str(tmp_path / "base")
+    base.write.parquet(base_path)
+    ch_dir = _write_change_batches(tmp_path, (b0, b1))
+
+    out = run_streaming_incremental_agg(
+        spark, base_path, ch_dir, ("k",), ("g",), lambda df: df, agg_fn,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    got = {r["g"]: (r["sv"], r["n"]) for r in out.collect()}
+    assert got == {"g2": (20.0, 1), "g3": (99.0, 1)}
+    # the RAW table: exactly one physical row for the re-inserted key
+    raw = spark.read.parquet(str(tmp_path / "ckpt") + "_table")
+    k1 = raw.filter(F.col("k") == 1).collect()
+    assert len(k1) == 1 and k1[0]["g"] == "g3" and not k1[0]["__deleted"]
+
+
+def test_incremental_agg_full_rewrite_fallback_same_result(spark, tmp_path):
+    """full_rewrite_frac=0 forces every batch onto the full-image swap
+    path (the backfill branch); -1 (or 1.0+) keeps the partition-scoped
+    path.  Both must produce identical tables and aggregates."""
+    from stateful_spark_streaming_spark.streaming.pipeline import (
+        run_streaming_incremental_agg,
+    )
+
+    def agg_fn(detail):
+        return detail.groupBy("g").agg(
+            F.round(F.sum("v"), 2).alias("sv"), F.count(F.lit(1)).alias("n")
+        )
+
+    base = spark.createDataFrame(
+        [(1, "g1", 10.0), (2, "g1", 20.0), (3, "g2", 30.0)],
+        "k long, g string, v double",
+    )
+    b0 = spark.createDataFrame(
+        [(3, "g3", 35.0, 1, "U"), (4, "g2", 40.0, 1, "U")],
+        "k long, g string, v double, seq int, op string",
+    )
+    b1 = spark.createDataFrame(
+        [(2, "g1", 0.0, 2, "D"), (4, "g2", 44.0, 2, "U")],
+        "k long, g string, v double, seq int, op string",
+    )
+    base_path = str(tmp_path / "base")
+    base.write.parquet(base_path)
+    results = {}
+    for tag, frac in (("full", 0.0), ("scoped", 10.0)):
+        sub = tmp_path / tag
+        sub.mkdir()
+        ch_dir = _write_change_batches(sub, (b0, b1))
+        out = run_streaming_incremental_agg(
+            spark, base_path, ch_dir, ("k",), ("g",), lambda df: df, agg_fn,
+            checkpoint_dir=str(sub / "ckpt"), full_rewrite_frac=frac,
+        )
+        results[tag] = {r["g"]: (r["sv"], r["n"]) for r in out.collect()}
+    assert results["full"] == results["scoped"] == {
+        "g1": (10.0, 1), "g2": (44.0, 1), "g3": (35.0, 1)
+    }
+
+
+def test_incremental_agg_untouched_partition_files_never_move(spark, tmp_path):
+    """The point of the partition-scoped layout: a partition no batch
+    touches keeps its exact files (same inode/mtime) across the whole
+    run — per-batch IO is O(affected partitions), not O(table)."""
+    import os
+
+    from stateful_spark_streaming_spark.streaming.pipeline import (
+        run_streaming_incremental_agg,
+    )
+
+    def agg_fn(detail):
+        return detail.groupBy("g").agg(
+            F.round(F.sum("v"), 2).alias("sv"), F.count(F.lit(1)).alias("n")
+        )
+
+    base = spark.createDataFrame(
+        [(1, "g1", 10.0), (2, "g2", 20.0), (3, "g3", 30.0)],
+        "k long, g string, v double",
+    )
+    # both batches touch ONLY g2/g3 — g1 must not be rewritten
+    b0 = spark.createDataFrame(
+        [(2, "g2", 25.0, 1, "U")], "k long, g string, v double, seq int, op string"
+    )
+    b1 = spark.createDataFrame(
+        [(3, "g3", 0.0, 2, "D")], "k long, g string, v double, seq int, op string"
+    )
+    base_path = str(tmp_path / "base")
+    base.write.parquet(base_path)
+    ch_dir = _write_change_batches(tmp_path, (b0, b1))
+
+    # pre-create the bootstrap generations exactly as the runner would,
+    # so g1's file identity can be captured before any batch runs
+    from stateful_spark_streaming_spark.generations import swap_generation
+    from stateful_spark_streaming_spark.operators.merge import with_merge_meta
+
+    table_dir = str(tmp_path / "ckpt") + "_table"
+    agg_dir = str(tmp_path / "ckpt") + "_agg"
+    with_merge_meta(base).repartition(F.col("g")).write.partitionBy("g").parquet(
+        table_dir + ".tmp"
+    )
+    swap_generation(table_dir)
+    agg_fn(base).write.parquet(agg_dir + ".tmp")
+    swap_generation(agg_dir)
+
+    g1_dir = os.path.join(table_dir, "g=g1")
+    before = {
+        f: os.stat(os.path.join(g1_dir, f)).st_ino for f in os.listdir(g1_dir)
+    }
+    out = run_streaming_incremental_agg(
+        spark, base_path, ch_dir, ("k",), ("g",), lambda df: df, agg_fn,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    got = {r["g"]: (r["sv"], r["n"]) for r in out.collect()}
+    assert got == {"g1": (10.0, 1), "g2": (25.0, 1)}
+    after = {
+        f: os.stat(os.path.join(g1_dir, f)).st_ino for f in os.listdir(g1_dir)
+    }
+    assert after == before, "untouched partition was rewritten"
