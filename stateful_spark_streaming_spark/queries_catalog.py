@@ -3753,6 +3753,10 @@ def q_streaming_incremental_monthly_revenue(
         _monthly_agg_fn,
         seq_col="seq",
         op_col="op",
+        # an order's month derives from o_orderdate, which the CDC feed
+        # never rewrites for a key — the declaration that removes the
+        # per-batch full-table key scan (O(batch) affected derivation)
+        groups_immutable=True,
     )
 
 

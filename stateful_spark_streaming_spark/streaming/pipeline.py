@@ -1800,6 +1800,7 @@ def run_streaming_incremental_agg(
     max_files_per_trigger: int | None = 1,
     shuffle_partitions: int | None = 8,
     full_rewrite_frac: float = 0.5,
+    groups_immutable: bool = False,
 ) -> DataFrame:
     """Streaming MATERIALIZED-VIEW maintenance: change batches stream in,
     fold into the generation-managed standing table (exactly
@@ -1852,7 +1853,23 @@ def run_streaming_incremental_agg(
     layout is ~128 KB/month — small-file tax makes this runner ~30 %
     slower than the full-image form it replaced; the crossover is
     table ≫ batch (sf1 probe), where per-batch IO O(affected) beats
-    O(table) by the table/batch ratio and keeps growing with it."""
+    O(table) by the table/batch ratio and keeps growing with it.
+
+    ``groups_immutable=True`` is the caller's DECLARATION that the group
+    derivation is a pure function of key-immutable row attributes (a
+    fact table partitioned by creation date — the overwhelmingly common
+    MV shape).  Then a changed key's old row always lives in the same
+    partition as its change image, so the affected set is just the
+    batch's own groups: the per-batch FULL-TABLE key scan disappears
+    (O(batch) instead of O(table) — the last per-batch table scan this
+    runner had), and so does the durable sidecar, because the checkpoint
+    replays the batch byte-identically and the set recomputes
+    deterministically.  The detectable violation class — a matched old
+    row whose group differs from its change image — raises before
+    anything is written; the UNDETECTABLE class (a key re-entering under
+    a different group while its old row sits in an unprobed partition)
+    forks the key across partitions, which is exactly why this is an
+    explicit opt-in declaration, never an inference."""
     from stateful_spark_streaming_spark.generations import (
         list_staged_partitions,
         recover_generation,
@@ -1932,24 +1949,55 @@ def run_streaming_incremental_agg(
         # reuse the id) freezes the pre-swap answer: a torn sidecar
         # (no _SUCCESS) means the table swap can't have happened yet, so
         # recomputing fresh is correct.
-        sidecar = os.path.join(checkpoint_dir + "_affected", f"batch={batch_id}")
-        if os.path.exists(os.path.join(sidecar, "_SUCCESS")):
-            affected = spark.read.parquet(sidecar)
+        if groups_immutable:
+            # declared: old group == new group for every changed key, so
+            # the batch's own groups ARE the affected set — no table
+            # scan, no sidecar (replay recomputes this deterministically
+            # from the byte-identical replayed batch)
+            affected = add_group(bdf).select(*groups).distinct()
         else:
-            # old_side over the RAW table (tombstones INCLUDED): a
-            # re-inserted previously-deleted key must pull its tombstone's
-            # partition into the merge input, or the tombstone would
-            # survive while a second physical row for the key appears in
-            # the new partition — forking the key across partitions and
-            # double-emitting it from every later merge's key join.
-            affected_groups(cur, add_group(bdf), key_cols, group_cols).write.mode(
-                "overwrite"
-            ).parquet(sidecar)
-            affected = spark.read.parquet(sidecar)
+            sidecar = os.path.join(
+                checkpoint_dir + "_affected", f"batch={batch_id}"
+            )
+            if os.path.exists(os.path.join(sidecar, "_SUCCESS")):
+                affected = spark.read.parquet(sidecar)
+            else:
+                # old_side over the RAW table (tombstones INCLUDED): a
+                # re-inserted previously-deleted key must pull its
+                # tombstone's partition into the merge input, or the
+                # tombstone would survive while a second physical row for
+                # the key appears in the new partition — forking the key
+                # across partitions and double-emitting it from every
+                # later merge's key join.
+                affected_groups(
+                    cur, add_group(bdf), key_cols, group_cols
+                ).write.mode("overwrite").parquet(sidecar)
+                affected = spark.read.parquet(sidecar)
         rows = affected.collect()
         if not rows:
             return  # empty change batch touches nothing
         pred = _affected_pred(rows)
+        if groups_immutable:
+            # the detectable violation class: an old row we CAN see (its
+            # partition is probed) whose group differs from its change
+            # image — refuse before anything is written.  O(affected
+            # partitions), consistent with this mode's cost budget.
+            keys = list(key_cols)
+            old_side = cur.filter(pred).select(
+                *keys, *[F.col(g).alias(f"__old_{g}") for g in groups]
+            )
+            chg = add_group(bdf).select(*keys, *groups).distinct()
+            same = None
+            for g in groups:
+                t = F.col(g).eqNullSafe(F.col(f"__old_{g}"))
+                same = t if same is None else (same & t)
+            if old_side.join(chg, keys).filter(~same).limit(1).count():
+                raise ValueError(
+                    "groups_immutable=True declared, but a change batch "
+                    "moves a key to a different group — the affected set "
+                    "would miss the vacated partition; use the default "
+                    "(sidecar) mode for group-moving feeds"
+                )
         n_live = len(list_staged_partitions(table_dir, len(groups)))
         batch_ready = add_group(bdf.withColumnRenamed(seq_col, "__seq"))
         nxt_affected = None
@@ -2005,13 +2053,15 @@ def run_streaming_incremental_agg(
         swap_generation(agg_dir)
         if nxt_affected is not None:
             nxt_affected.unpersist()
-        # the sidecar has served its purpose once the agg swap commits:
-        # a replay after BOTH swaps refreshes already-correct rows from
-        # the already-merged table — idempotent whatever set it uses —
-        # so deleting here bounds sidecar metadata to in-flight batches
-        import shutil
+        if not groups_immutable:
+            # the sidecar has served its purpose once the agg swap
+            # commits: a replay after BOTH swaps refreshes already-correct
+            # rows from the already-merged table — idempotent whatever set
+            # it uses — so deleting here bounds sidecar metadata to
+            # in-flight batches (immutable mode never writes one)
+            import shutil
 
-        shutil.rmtree(sidecar, ignore_errors=True)
+            shutil.rmtree(sidecar, ignore_errors=True)
 
     old_sp = spark.conf.get("spark.sql.shuffle.partitions")
     if shuffle_partitions is not None:

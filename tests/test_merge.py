@@ -591,3 +591,85 @@ def test_incremental_agg_untouched_partition_files_never_move(spark, tmp_path):
         f: os.stat(os.path.join(g1_dir, f)).st_ino for f in os.listdir(g1_dir)
     }
     assert after == before, "untouched partition was rewritten"
+
+
+def test_incremental_agg_groups_immutable_equals_sidecar_mode(spark, tmp_path):
+    """groups_immutable=True (affected = the batch's own groups, no table
+    scan, no sidecar) must produce the identical table and aggregate as
+    the general sidecar mode on a non-group-moving feed."""
+    from stateful_spark_streaming_spark.streaming.pipeline import (
+        run_streaming_incremental_agg,
+    )
+
+    def agg_fn(detail):
+        return detail.groupBy("g").agg(
+            F.round(F.sum("v"), 2).alias("sv"), F.count(F.lit(1)).alias("n")
+        )
+
+    base = spark.createDataFrame(
+        [(1, "g1", 10.0), (2, "g1", 20.0), (3, "g2", 30.0)],
+        "k long, g string, v double",
+    )
+    b0 = spark.createDataFrame(  # update + insert, groups stay put
+        [(3, "g2", 35.0, 1, "U"), (4, "g3", 40.0, 1, "U")],
+        "k long, g string, v double, seq int, op string",
+    )
+    b1 = spark.createDataFrame(  # delete + update, groups stay put
+        [(2, "g1", 0.0, 2, "D"), (4, "g3", 44.0, 2, "U")],
+        "k long, g string, v double, seq int, op string",
+    )
+    base_path = str(tmp_path / "base")
+    base.write.parquet(base_path)
+    results = {}
+    for tag, imm in (("sidecar", False), ("immutable", True)):
+        sub = tmp_path / tag
+        sub.mkdir()
+        ch_dir = _write_change_batches(sub, (b0, b1))
+        out = run_streaming_incremental_agg(
+            spark, base_path, ch_dir, ("k",), ("g",), lambda df: df, agg_fn,
+            checkpoint_dir=str(sub / "ckpt"), groups_immutable=imm,
+        )
+        results[tag] = {r["g"]: (r["sv"], r["n"]) for r in out.collect()}
+        if imm:
+            # no sidecar directory is ever created in immutable mode
+            import os
+
+            assert not os.path.isdir(str(sub / "ckpt") + "_affected")
+    assert results["sidecar"] == results["immutable"] == {
+        "g1": (10.0, 1), "g2": (35.0, 1), "g3": (44.0, 1)
+    }
+
+
+def test_incremental_agg_groups_immutable_rejects_group_move(spark, tmp_path):
+    """A feed that moves a key's group under groups_immutable=True must be
+    REFUSED (detectable class: the old row's partition is probed because
+    the change image shares it... the guard joins old rows in probed
+    partitions against change groups).  Construct the detectable shape:
+    key stays referenced in its old group's partition by another change."""
+    from stateful_spark_streaming_spark.streaming.pipeline import (
+        run_streaming_incremental_agg,
+    )
+
+    def agg_fn(detail):
+        return detail.groupBy("g").agg(
+            F.round(F.sum("v"), 2).alias("sv"), F.count(F.lit(1)).alias("n")
+        )
+
+    base = spark.createDataFrame(
+        [(1, "g1", 10.0), (2, "g1", 20.0)], "k long, g string, v double"
+    )
+    # key 1 moves g1 -> g1? no: key 1 moves to g2, and key 2's change keeps
+    # g1 in the affected set — so key 1's old row IS probed and the guard
+    # must fire
+    b0 = spark.createDataFrame(
+        [(1, "g2", 11.0, 1, "U"), (2, "g1", 22.0, 1, "U")],
+        "k long, g string, v double, seq int, op string",
+    )
+    base_path = str(tmp_path / "base")
+    base.write.parquet(base_path)
+    ch_dir = _write_change_batches(tmp_path, (b0,))
+    with pytest.raises(Exception, match="groups_immutable"):
+        run_streaming_incremental_agg(
+            spark, base_path, ch_dir, ("k",), ("g",), lambda df: df, agg_fn,
+            checkpoint_dir=str(tmp_path / "ckpt"), groups_immutable=True,
+        )
