@@ -158,6 +158,11 @@ def swap_partitions(table_dir: str, staging_dir: str, partitions: list[str]) -> 
             f"refusing to promote incomplete staging at {staging_dir} "
             "(no _SUCCESS marker — the write did not commit)"
         )
+    if not partitions:
+        # an empty list silently "succeeding" is how a listing bug turns
+        # into a merge that applied nothing (caught by test) — callers
+        # always have ≥1 affected partition when they reach a swap
+        raise ValueError("swap_partitions called with an empty partition list")
     # validate the WHOLE list before consuming anything: raising
     # mid-loop would leave earlier partitions already renamed away
     missing = [
@@ -189,7 +194,11 @@ def swap_partitions(table_dir: str, staging_dir: str, partitions: list[str]) -> 
 def list_staged_partitions(staging_dir: str, depth: int) -> list[str]:
     """The partition subdirs a partitioned parquet job wrote under
     ``staging_dir``, as relative paths ``depth`` levels deep (one level
-    per partition column).  Hidden/marker entries are skipped."""
+    per partition column).  Hidden/marker entries are skipped by SPARK'S
+    OWN rule — dot-prefixed always; underscore-prefixed only when the
+    name carries no ``=`` (a partition column named ``__bucket`` writes
+    ``__bucket=N`` dirs, which Spark's file index treats as visible —
+    filtering them here silently swapped NOTHING, caught by test)."""
     out: list[str] = []
 
     def walk(cur: str, rel: str, d: int) -> None:
@@ -197,7 +206,7 @@ def list_staged_partitions(staging_dir: str, depth: int) -> list[str]:
             out.append(rel)
             return
         for name in sorted(os.listdir(cur)):
-            if name.startswith((".", "_")) or "=" not in name:
+            if "=" not in name or name.startswith("."):
                 continue
             walk(os.path.join(cur, name), os.path.join(rel, name) if rel else name, d - 1)
 

@@ -1706,10 +1706,27 @@ def run_streaming_merge_upsert(
     checkpoint_dir: str | None = None,
     max_files_per_trigger: int | None = 1,
     shuffle_partitions: int | None = 8,
+    n_buckets: int | None = None,
+    full_rewrite_frac: float = 0.5,
 ) -> DataFrame:
     """Incremental MERGE INTO — streaming twin of ``merge_upsert`` (same
     oracle): change batches stream in and fold into a generation-managed
     standing table; the final merged view is returned.
+
+    ``n_buckets`` (the 100 TB knob, default off): the table is laid out
+    partitioned by ``__bucket = pmod(xxhash64(keys), n_buckets)`` and each
+    batch rewrites ONLY the buckets its keys hash into — per-batch IO
+    becomes O(table × touched/n_buckets) instead of O(table).  Bucket
+    membership is a PURE function of the key, so the affected-bucket set
+    derives from the batch alone (no table scan, no sidecar — a replayed
+    batch recomputes it deterministically) and there is no moved-key
+    hazard at all: a key's old row, its tombstone, and every future image
+    land in the same bucket by construction.  Batches touching more than
+    ``full_rewrite_frac`` of the buckets fall back to one full-image swap
+    (same layout, crash protocol unchanged).  Size ``n_buckets`` so the
+    expected changed-key count per batch ≪ n_buckets — that is the regime
+    (big table, small feed) the layout exists for; at test SF the default
+    keeps the simple single-image form the oracle gate measures.
 
     Consistency story (the part a naive foreachBatch-MERGE gets wrong):
     - Each batch applies via ``merge_apply_batch``, whose per-row seq
@@ -1733,9 +1750,14 @@ def run_streaming_merge_upsert(
     layout module's key clustering exists to make cheap.
     ``shuffle_partitions`` sizes the per-batch shuffles to change-batch
     volume (see ``run_streaming_incremental_agg``)."""
+    from pyspark.sql import functions as F
+
     from stateful_spark_streaming_spark.generations import (
+        list_staged_partitions,
         recover_generation,
+        recover_partitions,
         swap_generation,
+        swap_partitions,
     )
     from stateful_spark_streaming_spark.operators.merge import (
         merge_apply_batch,
@@ -1743,30 +1765,70 @@ def run_streaming_merge_upsert(
         with_merge_meta,
     )
 
+    def _bucketed(df: DataFrame) -> DataFrame:
+        return df.withColumn(
+            "__bucket", F.pmod(F.xxhash64(*[F.col(k) for k in key_cols]), n_buckets)
+        )
+
     checkpoint_dir = checkpoint_dir or tempfile.mkdtemp(prefix="sss_ckpt_merge_")
     table_dir = checkpoint_dir + "_table"
+    staging_dir = checkpoint_dir + "_staging"
     recover_generation(table_dir, clean=True)
     if not os.path.exists(table_dir):
-        with_merge_meta(spark.read.parquet(base_path)).write.parquet(
-            table_dir + ".tmp"
-        )
+        boot = with_merge_meta(spark.read.parquet(base_path))
+        if n_buckets:
+            _bucketed(boot).repartition(F.col("__bucket")).write.partitionBy(
+                "__bucket"
+            ).parquet(table_dir + ".tmp")
+        else:
+            boot.write.parquet(table_dir + ".tmp")
         swap_generation(table_dir)
 
     stream = _stage_parquet_stream(spark, changes_path, max_files_per_trigger)
 
     def _sink(bdf: DataFrame, batch_id: int) -> None:
         recover_generation(table_dir, clean=True)  # drop any stale .tmp
+        recover_partitions(table_dir)
         cur = spark.read.parquet(table_dir)
-        nxt = merge_apply_batch(
-            cur,
-            bdf.withColumnRenamed(seq_col, "__seq"),
-            key_cols,
-            seq_col="__seq",
-            op_col=op_col,
-            delete_op=delete_op,
+        batch_ready = bdf.withColumnRenamed(seq_col, "__seq")
+        if not n_buckets:
+            nxt = merge_apply_batch(
+                cur, batch_ready, key_cols,
+                seq_col="__seq", op_col=op_col, delete_op=delete_op,
+            )
+            nxt.write.parquet(table_dir + ".tmp")
+            swap_generation(table_dir)
+            return
+        # bucket membership is key-pure: the affected set comes from the
+        # batch alone — summary-sized collect, no table scan, no sidecar
+        batch_ready = _bucketed(batch_ready)
+        touched = sorted(
+            r[0] for r in batch_ready.select("__bucket").distinct().collect()
         )
-        nxt.write.parquet(table_dir + ".tmp")
-        swap_generation(table_dir)
+        if not touched:
+            return
+        if len(touched) > full_rewrite_frac * n_buckets:
+            nxt = merge_apply_batch(
+                cur, batch_ready, key_cols,
+                seq_col="__seq", op_col=op_col, delete_op=delete_op,
+            )
+            nxt.repartition(F.col("__bucket")).write.partitionBy(
+                "__bucket"
+            ).parquet(table_dir + ".tmp")
+            swap_generation(table_dir)
+            return
+        nxt_touched = merge_apply_batch(
+            cur.filter(F.col("__bucket").isin(touched)),
+            batch_ready,
+            key_cols,
+            seq_col="__seq", op_col=op_col, delete_op=delete_op,
+        )
+        nxt_touched.repartition(F.col("__bucket")).write.mode(
+            "overwrite"
+        ).partitionBy("__bucket").parquet(staging_dir)
+        swap_partitions(
+            table_dir, staging_dir, list_staged_partitions(staging_dir, 1)
+        )
 
     old_sp = spark.conf.get("spark.sql.shuffle.partitions")
     if shuffle_partitions is not None:
@@ -1782,7 +1844,8 @@ def run_streaming_merge_upsert(
         q.awaitTermination(300)
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old_sp)
-    return merged_view(spark.read.parquet(table_dir))
+    out = merged_view(spark.read.parquet(table_dir))
+    return out.drop("__bucket") if n_buckets else out
 
 
 def run_streaming_incremental_agg(

@@ -673,3 +673,107 @@ def test_incremental_agg_groups_immutable_rejects_group_move(spark, tmp_path):
             spark, base_path, ch_dir, ("k",), ("g",), lambda df: df, agg_fn,
             checkpoint_dir=str(tmp_path / "ckpt"), groups_immutable=True,
         )
+
+
+def test_streaming_merge_bucketed_equals_default(spark, tmp_path):
+    """n_buckets lays the merge table out by key-hash bucket and rewrites
+    only touched buckets — the merged view must be identical to the
+    default single-image mode on the same feed (updates, inserts,
+    deletes, out-of-order seqs)."""
+    from stateful_spark_streaming_spark.streaming.pipeline import (
+        run_streaming_merge_upsert,
+    )
+
+    base = spark.createDataFrame(
+        [(k, f"v{k}", float(k)) for k in range(40)], "k long, s string, v double"
+    )
+    b0 = spark.createDataFrame(
+        [(3, "u3", 33.0, 2, "U"), (40, "new", 40.0, 2, "U"), (7, "x", 0.0, 2, "D")],
+        "k long, s string, v double, seq int, op string",
+    )
+    b1 = spark.createDataFrame(  # lower seq than b0 for key 3: must lose
+        [(3, "stale", -1.0, 1, "U"), (8, "u8", 88.0, 3, "U")],
+        "k long, s string, v double, seq int, op string",
+    )
+    base_path = str(tmp_path / "base")
+    base.write.parquet(base_path)
+    results = {}
+    for tag, nb in (("default", None), ("bucketed", 8)):
+        sub = tmp_path / tag
+        sub.mkdir()
+        ch_dir = _write_change_batches(sub, (b0, b1))
+        out = run_streaming_merge_upsert(
+            spark, base_path, ch_dir, ("k",),
+            checkpoint_dir=str(sub / "ckpt"), n_buckets=nb,
+        )
+        assert "__bucket" not in out.columns
+        results[tag] = {r["k"]: (r["s"], r["v"]) for r in out.collect()}
+    assert results["default"] == results["bucketed"]
+    want = {k: (f"v{k}", float(k)) for k in range(40) if k != 7}
+    want[3] = ("u3", 33.0)   # seq-2 beat the later-arriving seq-1
+    want[8] = ("u8", 88.0)
+    want[40] = ("new", 40.0)
+    assert results["bucketed"] == want
+
+
+def test_streaming_merge_bucketed_untouched_buckets_never_move(spark, tmp_path):
+    """A single-key change batch must rewrite ONLY that key's bucket —
+    every other bucket keeps its exact files (same inodes)."""
+    import os
+
+    from stateful_spark_streaming_spark.streaming.pipeline import (
+        run_streaming_merge_upsert,
+    )
+
+    base = spark.createDataFrame(
+        [(k, float(k)) for k in range(64)], "k long, v double"
+    )
+    b0 = spark.createDataFrame(
+        [(5, 55.0, 1, "U")], "k long, v double, seq int, op string"
+    )
+    base_path = str(tmp_path / "base")
+    base.write.parquet(base_path)
+    # bootstrap via an empty-feed... simpler: pre-create with the runner's
+    # own bootstrap by running a first single-batch feed, then capture and
+    # run a second
+    ch_dir = _write_change_batches(tmp_path, (b0,))
+    table_dir = str(tmp_path / "ckpt") + "_table"
+    out = run_streaming_merge_upsert(
+        spark, base_path, ch_dir, ("k",),
+        checkpoint_dir=str(tmp_path / "ckpt"), n_buckets=16,
+    )
+    assert {r["k"]: r["v"] for r in out.collect()}[5] == 55.0
+    snap = {}
+    for d in os.listdir(table_dir):
+        if d.startswith("__bucket="):
+            sub = os.path.join(table_dir, d)
+            snap[d] = {f: os.stat(os.path.join(sub, f)).st_ino for f in os.listdir(sub)}
+    # second batch touches a different single key
+    b1 = spark.createDataFrame(
+        [(9, 99.0, 2, "U")], "k long, v double, seq int, op string"
+    )
+    seg = str(tmp_path / "wseg_b1")
+    b1.coalesce(1).write.parquet(seg)
+    part = [f for f in os.listdir(seg) if f.endswith(".parquet")][0]
+    dst = os.path.join(str(tmp_path / "changes"), "batch-9.parquet")
+    os.rename(os.path.join(seg, part), dst)
+    os.utime(dst, (1_000_000_900,) * 2)
+    out2 = run_streaming_merge_upsert(
+        spark, base_path, str(tmp_path / "changes"), ("k",),
+        checkpoint_dir=str(tmp_path / "ckpt"), n_buckets=16,
+    )
+    got = {r["k"]: r["v"] for r in out2.collect()}
+    assert got[5] == 55.0 and got[9] == 99.0
+    from pyspark.sql import functions as F
+    bucket9 = spark.createDataFrame([(9,)], "k long").select(
+        F.pmod(F.xxhash64("k"), F.lit(16)).alias("b")
+    ).collect()[0]["b"]
+    moved = []
+    for d, files in snap.items():
+        sub = os.path.join(table_dir, d)
+        now = {f: os.stat(os.path.join(sub, f)).st_ino for f in os.listdir(sub)}
+        if now != files:
+            moved.append(d)
+    assert moved == [f"__bucket={bucket9}"], (
+        f"buckets rewritten: {moved}, expected only __bucket={bucket9}"
+    )
