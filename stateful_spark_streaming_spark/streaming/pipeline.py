@@ -1774,6 +1774,11 @@ def run_streaming_merge_upsert(
     table_dir = checkpoint_dir + "_table"
     staging_dir = checkpoint_dir + "_staging"
     recover_generation(table_dir, clean=True)
+    # ALSO at run entry, not only per batch: a restart with NO new change
+    # files never enters the sink, and a crash mid-partition-swap would
+    # otherwise leave a bucket hidden (.old) from the final read — the
+    # rows would silently vanish from the returned view (caught by test)
+    recover_partitions(table_dir)
     if not os.path.exists(table_dir):
         boot = with_merge_meta(spark.read.parquet(base_path))
         if n_buckets:
@@ -1956,6 +1961,10 @@ def run_streaming_incremental_agg(
     agg_dir = checkpoint_dir + "_agg"
     staging_dir = checkpoint_dir + "_staging"
     recover_generation(table_dir, clean=True)
+    # entry-time partition recovery too: a restart with no new batches
+    # never runs the sink, and a half-swapped partition would stay hidden
+    # from every read this run serves (same class as the merge runner)
+    recover_partitions(table_dir)
     recover_generation(agg_dir, clean=True)
     if not os.path.exists(table_dir):
         add_group(with_merge_meta(spark.read.parquet(base_path))).repartition(

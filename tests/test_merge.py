@@ -777,3 +777,61 @@ def test_streaming_merge_bucketed_untouched_buckets_never_move(spark, tmp_path):
     assert moved == [f"__bucket={bucket9}"], (
         f"buckets rewritten: {moved}, expected only __bucket={bucket9}"
     )
+
+
+def test_streaming_merge_bucketed_restart_and_crash_recovery(spark, tmp_path):
+    """The restart/crash contract holds under the bucketed layout: a
+    restart over the same checkpoint re-applies nothing; a crash
+    mid-partition-swap (live bucket missing, hidden .old/.tmp present)
+    rolls back on the next run and the replayed batch converges."""
+    from stateful_spark_streaming_spark.streaming.pipeline import (
+        run_streaming_merge_upsert,
+    )
+
+    base_path = str(tmp_path / "base")
+    _base(spark).write.parquet(base_path)
+    ch_dir = _land_change_files(
+        spark,
+        tmp_path,
+        [
+            [(2, "b2", 21.0, 1, "U"), (4, "d", 40.0, 1, "U")],
+            [(2, "b3", 22.0, 2, "U"), (3, "c", 30.0, 2, "D")],
+        ],
+    )
+    ck = str(tmp_path / "ck")
+    got1 = _table(
+        run_streaming_merge_upsert(
+            spark, base_path, ch_dir, ("k",), checkpoint_dir=ck, n_buckets=4
+        )
+    )
+    assert got1 == [(1, "a", 10.0), (2, "b3", 22.0), (4, "d", 40.0)]
+    got2 = _table(
+        run_streaming_merge_upsert(
+            spark, base_path, ch_dir, ("k",), checkpoint_dir=ck, n_buckets=4
+        )
+    )
+    assert got2 == got1
+
+    # simulate a crash between the two renames of one bucket's swap:
+    # live dir moved to hidden .old, a stale hidden .tmp beside it
+    import shutil
+
+    table_dir = ck + "_table"
+    bucket = next(d for d in sorted(os.listdir(table_dir)) if d.startswith("__bucket="))
+    os.rename(
+        os.path.join(table_dir, bucket),
+        os.path.join(table_dir, ".old." + bucket),
+    )
+    os.makedirs(os.path.join(table_dir, ".tmp." + bucket), exist_ok=True)
+    with open(os.path.join(table_dir, ".tmp." + bucket, "junk"), "w") as f:
+        f.write("junk")
+    got3 = _table(
+        run_streaming_merge_upsert(
+            spark, base_path, ch_dir, ("k",), checkpoint_dir=ck, n_buckets=4
+        )
+    )
+    assert got3 == got1
+    leftovers = [
+        d for d in os.listdir(table_dir) if d.startswith((".old.", ".tmp."))
+    ]
+    assert not leftovers
