@@ -38,6 +38,7 @@ from __future__ import annotations
 import glob
 import json
 import os
+import re
 import statistics
 import sys
 import time
@@ -219,6 +220,32 @@ def main() -> None:
         {**base, "n_queries": len(timings), "n_errors": n_errors},
         separators=(",", ":"),
     )
+    # ALSO persist the full per-query medians+IQR to a checked-in file:
+    # the driver's BENCH_r{N}.json keeps only a bounded stdout tail, and in
+    # r9 the tail preserved the IQR fragment but truncated every per-query
+    # median — the judge could not diff medians r8→r9 from artifacts alone
+    # (VERDICT r9, What's missing #1).  The round number comes from the
+    # newest CORRECTNESS_r*.json + 1 (the driver records correctness before
+    # bench in a round); overwriting on re-run is intended — last solo run
+    # of the round wins.
+    try:
+        here = os.path.dirname(os.path.abspath(__file__))
+        rounds = [
+            int(m.group(1))
+            for f in glob.glob(os.path.join(here, "CORRECTNESS_r*.json"))
+            if (m := re.search(r"_r(\d+)\.json$", f))
+        ]
+        rnd = max(rounds, default=0) + 1
+        full_path = os.path.join(here, f"BENCH_full_r{rnd:02d}.json")
+        with open(full_path, "w") as fh:
+            json.dump(
+                {**base, "n_queries": len(timings), "n_errors": n_errors,
+                 "queries": timings, "queries_iqr": iqrs},
+                fh, separators=(",", ":"), sort_keys=False,
+            )
+            fh.write("\n")
+    except OSError as e:  # a read-only checkout must not kill the bench
+        print(f"warn: could not write BENCH_full: {e}", file=sys.stderr)
     spark.stop()  # before the JSON lines: Spark shutdown noise must not follow
     print(line, flush=True)
     print(totals_line, flush=True)

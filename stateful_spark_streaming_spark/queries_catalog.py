@@ -1806,105 +1806,6 @@ def q_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "dedup_clusters",
-    oracle=f"""
-    WITH RECURSIVE toks AS (SELECT doc_id, {_TOKS_SQL} AS t FROM documents),
-    sh0 AS (SELECT doc_id, {_SHINGLES_SQL} AS s FROM toks WHERE len(t) >= 3),
-    exx AS (SELECT doc_id, unnest(s) AS shingle FROM sh0),
-    hot AS (SELECT shingle FROM exx GROUP BY shingle HAVING count(*) > 1000),
-    sh AS (SELECT doc_id, list(shingle) AS s
-           FROM (SELECT * FROM exx ANTI JOIN hot USING (shingle))
-           GROUP BY doc_id),
-    p AS (
-      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
-      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-      WHERE round(len(list_intersect(a.s, b.s))::DOUBLE
-                  / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))), 4) >= 0.6
-        AND len(list_intersect(a.s, b.s)) > 0),
-    e AS (SELECT doc_a AS a, doc_b AS b FROM p
-          UNION SELECT doc_b, doc_a FROM p),
-    r AS (SELECT a AS node, a AS m FROM e
-          UNION
-          SELECT r.node, e.b FROM r JOIN e ON r.m = e.a)
-    SELECT node AS doc_id, min(m) AS cluster_rep FROM r GROUP BY node
-    """,
-)
-def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-dup PAIRS → duplicate CLUSTERS: connected components over the
-    Jaccard pair graph by min-label propagation (the step that turns
-    pairwise similarity into actual dedup decisions).  Oracle: recursive
-    transitive closure in DuckDB over the same pair set."""
-    pairs = DD.jaccard_pairs(
-        _t(spark, sf_dir, "documents"), threshold=0.6, max_shingle_df=1000
-    )
-    return DD.dup_clusters(pairs)
-
-
-@query(
-    "dedup_keep_best",
-    oracle=f"""
-    WITH RECURSIVE toks AS (SELECT doc_id, {_TOKS_SQL} AS t FROM documents),
-    sh0 AS (SELECT doc_id, {_SHINGLES_SQL} AS s FROM toks WHERE len(t) >= 3),
-    exx AS (SELECT doc_id, unnest(s) AS shingle FROM sh0),
-    hot AS (SELECT shingle FROM exx GROUP BY shingle HAVING count(*) > 1000),
-    sh AS (SELECT doc_id, list(shingle) AS s
-           FROM (SELECT * FROM exx ANTI JOIN hot USING (shingle))
-           GROUP BY doc_id),
-    p AS (
-      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
-      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-      WHERE round(len(list_intersect(a.s, b.s))::DOUBLE
-                  / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))), 4) >= 0.6
-        AND len(list_intersect(a.s, b.s)) > 0),
-    e AS (SELECT doc_a AS a, doc_b AS b FROM p
-          UNION SELECT doc_b, doc_a FROM p),
-    r AS (SELECT a AS node, a AS m FROM e
-          UNION
-          SELECT r.node, e.b FROM r JOIN e ON r.m = e.a),
-    cl AS (SELECT node AS doc_id, min(m) AS rep FROM r GROUP BY node),
-    qb AS (
-      SELECT doc_id, {_TOKS_SQL} AS toks,
-             CAST(length(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g')) AS INT) AS n_punct,
-             CAST(length(text) AS INT) AS n_char
-      FROM documents),
-    q AS (
-      SELECT doc_id,
-             CAST(round(round(least(len(toks) / 64.0, 1.0) * 0.4
-                 + (1.0 - least(n_punct / CAST(greatest(n_char, 1) AS DOUBLE), 1.0)) * 0.2
-                 + least(len(list_intersect(list_distinct(toks),
-                       ['the','and','of','to','in','is','that','for'])) / 4.0, 1.0) * 0.2
-                 + round(len(list_distinct(toks))
-                         / CAST(greatest(len(toks), 1) AS DOUBLE), 4) * 0.2,
-                 4) * 10000) AS BIGINT) AS qbp
-      FROM qb),
-    mq AS (SELECT cl.doc_id, cl.rep, q.qbp FROM cl JOIN q USING (doc_id)),
-    win AS (SELECT rep, doc_id,
-                   count(*) OVER (PARTITION BY rep) AS cs,
-                   row_number() OVER (PARTITION BY rep
-                                      ORDER BY qbp DESC, doc_id ASC) AS rn
-            FROM mq)
-    SELECT doc_id, CAST(1 AS INT) AS cluster_size, 'unique' AS reason
-    FROM documents WHERE doc_id NOT IN (SELECT doc_id FROM cl)
-    UNION ALL
-    SELECT doc_id, CAST(cs AS INT) AS cluster_size, 'best_of_cluster' AS reason
-    FROM win WHERE rn = 1
-    """,
-)
-def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Canonical selection: near-dup clusters → keep the BEST-quality member
-    per cluster (tie → lowest id) plus every unclustered doc — the decision
-    rule that turns pairwise similarity into the cleaned corpus, retaining
-    the best copy of each content rather than the earliest-crawled one.
-    Oracle: recursive-CTE clustering + the quality_score expression + a
-    per-cluster rank (oracle-side windows are fine; the Spark side uses a
-    partial-aggregatable max(struct) — no window, AQE-skew-safe)."""
-    docs = _t(spark, sf_dir, "documents")
-    pairs = DD.jaccard_pairs(docs, threshold=0.6, max_shingle_df=1000)
-    q = TXT.quality_score(docs).select("doc_id", "quality_score")
-    return DD.keep_best(docs, pairs, q)
-
-
 # MinHash/SimHash oracles: the signatures are md5-derived, so DuckDB
 # re-derives the ENTIRE pipeline — signatures, band hashes, candidate
 # enumeration, verification — and the two LSH queries are hash-matched,
@@ -1958,6 +1859,92 @@ _MH_PAIRS_CTES = f"""toks AS (SELECT doc_id, {_TOKS_SQL} AS t FROM documents),
     JOIN sh sa ON sa.doc_id = c.doc_a
     JOIN sh sb ON sb.doc_id = c.doc_b
     WHERE {_MH_JACCARD} >= 0.6)"""
+
+
+@query(
+    "dedup_clusters",
+    oracle=f"""
+    WITH RECURSIVE {_MH_PAIRS_CTES},
+    e AS (SELECT doc_a AS a, doc_b AS b FROM mhp
+          UNION SELECT doc_b, doc_a FROM mhp),
+    r AS (SELECT a AS node, a AS m FROM e
+          UNION
+          SELECT r.node, e.b FROM r JOIN e ON r.m = e.a)
+    SELECT node AS doc_id, min(m) AS cluster_rep FROM r GROUP BY node
+    """,
+)
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup PAIRS → duplicate CLUSTERS: connected components over the
+    near-dup pair graph by min-label propagation (the step that turns
+    pairwise similarity into actual dedup decisions).  The pair source is
+    the MinHash+LSH candidate generator — the at-scale form the sf1 probe
+    validated (5.8x wall at 10x data, 0 dropped buckets) — NOT the exact
+    df-capped Jaccard join, whose per-shingle pair expansion measured
+    O(df^2) (231M candidate pairs at sf1, 28x wall; SCALE.md).  The exact
+    generator survives as a bench-scale containment cross-check pytest
+    (tests/test_dedup.py::test_lsh_pairs_contained_in_exact).  Oracle:
+    the shared _MH_PAIRS_CTES pair set (same CTEs that power the
+    dedup_minhash_lsh and split_leakage oracles, so the three cannot
+    desynchronize) + recursive transitive closure in DuckDB."""
+    pairs = DD.minhash_lsh_pairs(_t(spark, sf_dir, "documents"), threshold=0.6)
+    return DD.dup_clusters(pairs)
+
+
+@query(
+    "dedup_keep_best",
+    oracle=f"""
+    WITH RECURSIVE {_MH_PAIRS_CTES},
+    e AS (SELECT doc_a AS a, doc_b AS b FROM mhp
+          UNION SELECT doc_b, doc_a FROM mhp),
+    r AS (SELECT a AS node, a AS m FROM e
+          UNION
+          SELECT r.node, e.b FROM r JOIN e ON r.m = e.a),
+    cl AS (SELECT node AS doc_id, min(m) AS rep FROM r GROUP BY node),
+    qb AS (
+      SELECT doc_id, {_TOKS_SQL} AS toks,
+             CAST(length(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g')) AS INT) AS n_punct,
+             CAST(length(text) AS INT) AS n_char
+      FROM documents),
+    q AS (
+      SELECT doc_id,
+             CAST(round(round(least(len(toks) / 64.0, 1.0) * 0.4
+                 + (1.0 - least(n_punct / CAST(greatest(n_char, 1) AS DOUBLE), 1.0)) * 0.2
+                 + least(len(list_intersect(list_distinct(toks),
+                       ['the','and','of','to','in','is','that','for'])) / 4.0, 1.0) * 0.2
+                 + round(len(list_distinct(toks))
+                         / CAST(greatest(len(toks), 1) AS DOUBLE), 4) * 0.2,
+                 4) * 10000) AS BIGINT) AS qbp
+      FROM qb),
+    mq AS (SELECT cl.doc_id, cl.rep, q.qbp FROM cl JOIN q USING (doc_id)),
+    win AS (SELECT rep, doc_id,
+                   count(*) OVER (PARTITION BY rep) AS cs,
+                   row_number() OVER (PARTITION BY rep
+                                      ORDER BY qbp DESC, doc_id ASC) AS rn
+            FROM mq)
+    SELECT doc_id, CAST(1 AS INT) AS cluster_size, 'unique' AS reason
+    FROM documents WHERE doc_id NOT IN (SELECT doc_id FROM cl)
+    UNION ALL
+    SELECT doc_id, CAST(cs AS INT) AS cluster_size, 'best_of_cluster' AS reason
+    FROM win WHERE rn = 1
+    """,
+)
+def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical selection: near-dup clusters → keep the BEST-quality member
+    per cluster (tie → lowest id) plus every unclustered doc — the decision
+    rule that turns pairwise similarity into the cleaned corpus, retaining
+    the best copy of each content rather than the earliest-crawled one.
+    Pair source: the MinHash+LSH candidate generator (at-scale form —
+    see q_dedup_clusters for the measured O(df^2) story of the exact
+    generator it replaced).  Oracle: the shared _MH_PAIRS_CTES pair set +
+    recursive-CTE clustering + the quality_score expression + a
+    per-cluster rank (oracle-side windows are fine; the Spark side uses a
+    partial-aggregatable max(struct) — no window, AQE-skew-safe)."""
+    docs = _t(spark, sf_dir, "documents")
+    pairs = DD.minhash_lsh_pairs(docs, threshold=0.6)
+    q = TXT.quality_score(docs).select("doc_id", "quality_score")
+    return DD.keep_best(docs, pairs, q)
+
+
 
 
 @query(
@@ -3707,6 +3694,49 @@ def q_streaming_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         _os.utime(dst, (1_000_000_000 + i * 100, 1_000_000_000 + i * 100))
     return run_streaming_merge_upsert(
         spark, base_path, ch_dir, ("o_orderkey",), seq_col="seq", op_col="op"
+    )
+
+
+@query("streaming_merge_upsert_bucketed", oracle=_MERGE_ORACLE)
+def q_streaming_merge_upsert_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The key-hash BUCKETED merge layout (round 9's 100 TB knob), now
+    oracle-gated instead of pytest-only (VERDICT r9 #4).  Same oracle as
+    streaming_merge_upsert: the standing table lives partitioned by
+    __bucket = pmod(xxhash64(key), 128) and the feed exercises BOTH swap
+    strategies — the two full change batches exceed full_rewrite_frac and
+    take the full-image fallback (in the bucketed layout), then a third
+    batch replays a small slice of batch 2 (o_orderkey % 600 == 0, ~25
+    keys at sf0.01) whose keys hash into a strict subset of buckets, so
+    the scoped bucket-swap path runs end-to-end.  The replay slice is a
+    NO-OP on the final state by the per-row seq watermark (idempotent
+    application), which is exactly why the oracle can be shared verbatim:
+    the bucketed run must converge to the same merged image the
+    single-image form produces."""
+    import os as _os
+    import tempfile as _tf
+
+    from stateful_spark_streaming_spark.streaming.pipeline import (
+        run_streaming_merge_upsert,
+    )
+
+    base = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 7 != 0)
+    s1, s2 = _order_change_sets(spark, sf_dir)
+    s3 = s2.filter(F.col("o_orderkey") % 600 == 0)
+    work = _tf.mkdtemp(prefix="sss_merge_qb_")
+    base_path = _os.path.join(work, "base")
+    ch_dir = _os.path.join(work, "changes")
+    base.write.parquet(base_path)
+    _os.makedirs(ch_dir)
+    for i, s in enumerate((s1, s2, s3)):
+        bdir = _os.path.join(work, f"b{i}")
+        s.coalesce(1).write.parquet(bdir)
+        part = [f for f in _os.listdir(bdir) if f.endswith(".parquet")][0]
+        dst = _os.path.join(ch_dir, f"batch-{i}.parquet")
+        _os.rename(_os.path.join(bdir, part), dst)
+        _os.utime(dst, (1_000_000_000 + i * 100, 1_000_000_000 + i * 100))
+    return run_streaming_merge_upsert(
+        spark, base_path, ch_dir, ("o_orderkey",), seq_col="seq", op_col="op",
+        n_buckets=128, full_rewrite_frac=0.9,
     )
 
 

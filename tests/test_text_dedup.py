@@ -79,6 +79,43 @@ def test_minhash_lsh_recall_vs_exact(spark, sf_dir):
         assert recall >= 0.6, f"LSH recall too low: {recall}"
 
 
+def test_lsh_pairs_contained_in_exact(spark, sf_dir):
+    """Test-SF cross-check for the r10 re-plan of dedup_clusters /
+    dedup_keep_best onto the LSH candidate generator (VERDICT r9 #2):
+    (a) the LSH pair set is CONTAINED in the exact df-capped Jaccard pair
+    set the benched queries used through r9 (LSH verifies true Jaccard on
+    the full shingle sets, so at a scale where no shingle exceeds the df
+    cap the two verification predicates coincide and containment is an
+    invariant, not a statistic); (b) the clusters built on LSH pairs are
+    a REFINEMENT of the clusters built on exact pairs — every LSH cluster
+    sits inside one exact cluster, because a subgraph's connected
+    components can only split components, never merge across them."""
+    from stateful_spark_streaming_spark.sources.tables import load_table
+
+    documents = load_table(spark, sf_dir, "documents")
+    exact_pairs = DD.jaccard_pairs(documents, threshold=0.6, max_shingle_df=1000)
+    lsh_pairs = DD.minhash_lsh_pairs(documents, threshold=0.6)
+    exact = {(r.doc_a, r.doc_b) for r in exact_pairs.collect()}
+    approx = {(r.doc_a, r.doc_b) for r in lsh_pairs.collect()}
+    assert approx, "test corpus must produce LSH pairs or the check is vacuous"
+    assert approx <= exact, f"LSH emitted pairs the exact generator lacks: " \
+        f"{sorted(approx - exact)[:5]}"
+
+    exact_rep = {r.doc_id: r.cluster_rep
+                 for r in DD.dup_clusters(exact_pairs).collect()}
+    lsh_rep = {r.doc_id: r.cluster_rep
+               for r in DD.dup_clusters(lsh_pairs).collect()}
+    # refinement: two docs in the same LSH cluster are in the same exact one
+    by_lsh: dict = {}
+    for doc, rep in lsh_rep.items():
+        by_lsh.setdefault(rep, []).append(doc)
+    for rep, members in by_lsh.items():
+        exact_homes = {exact_rep.get(d) for d in members}
+        assert len(exact_homes) == 1 and None not in exact_homes, (
+            f"LSH cluster {rep} straddles exact clusters {exact_homes}"
+        )
+
+
 def test_simhash_identical_and_near(docs):
     fps = {r.doc_id: r.simhash64 for r in DD.simhash(docs).collect()}
     assert fps[1] == fps[2], "identical text → identical simhash"
