@@ -114,12 +114,19 @@ def swap_generation(path: str, tmp: str | None = None) -> None:
 
 def _enc_part(rel: str) -> str:
     """Flatten a (possibly nested) partition path for a same-level hidden
-    rename: 'a=1/b=2' -> 'a=1%2Fb=2'."""
-    return rel.replace(os.sep, "%2F")
+    rename: 'a=1/b=2' -> 'a=1%2Fb=2'.  '%' is escaped FIRST ('%25'): Hive
+    partition-value escaping already writes a literal '/' in a VALUE as
+    %2F in the dirname (g=a%2Fb), so an unescaped '%' would make
+    :func:`_dec_part` split that value into a nested path and a crashed
+    swap would recover the partition to a wrong location."""
+    return rel.replace("%", "%25").replace(os.sep, "%2F")
 
 
 def _dec_part(flat: str) -> str:
-    return flat.replace("%2F", os.sep)
+    # inverse order: separators first, then the '%' escape — '%252F'
+    # (an original literal '%2F') contains no '%2F' substring, so the
+    # first pass cannot misfire on it
+    return flat.replace("%2F", os.sep).replace("%25", "%")
 
 
 def recover_partitions(table_dir: str) -> None:
@@ -143,7 +150,12 @@ def recover_partitions(table_dir: str) -> None:
             shutil.rmtree(os.path.join(table_dir, name), ignore_errors=True)
 
 
-def swap_partitions(table_dir: str, staging_dir: str, partitions: list[str]) -> None:
+def swap_partitions(
+    table_dir: str,
+    staging_dir: str,
+    partitions: list[str],
+    retire: list[str] | None = None,
+) -> None:
     """Promote the given partition subdirs (relative paths like
     ``month=2024-01-01`` or nested ``a=1/b=2``) from ``staging_dir`` into
     the live partitioned table at ``table_dir``.
@@ -152,17 +164,35 @@ def swap_partitions(table_dir: str, staging_dir: str, partitions: list[str]) -> 
     committed).  Per partition: rename staged -> hidden tmp inside the
     table, live -> hidden old, tmp -> live, drop old.  Every crash point
     is repaired by :func:`recover_partitions`, and a replayed batch
-    regenerates staging from the (possibly mixed) table idempotently."""
-    if not _complete(staging_dir):
+    regenerates staging from the (possibly mixed) table idempotently.
+
+    ``retire``: partitions the batch left EMPTY — affected (so their old
+    content is superseded) but absent from staging because no surviving
+    row carries their value (the vacating group-move: the moved key was
+    the partition's only live row, and a move, unlike a delete, writes no
+    tombstone into the old partition).  Their live dirs are removed via
+    the same hidden-rename protocol (live -> '.old.' -> rmtree).  Crash
+    story: a crash mid-retire leaves a hidden '.old.' dir that
+    :func:`recover_partitions` RESURRECTS (whole, consistent, merely
+    stale) — safe because the retire only runs inside an uncommitted
+    batch, so the replay re-derives the empty partition and re-applies
+    the retire; a crash after the rmtree is simply done."""
+    retire = retire or []
+    overlap = set(partitions) & set(retire)
+    if overlap:
         raise ValueError(
-            f"refusing to promote incomplete staging at {staging_dir} "
-            "(no _SUCCESS marker — the write did not commit)"
+            f"partition(s) both promoted and retired: {sorted(overlap)}"
         )
-    if not partitions:
+    if not partitions and not retire:
         # an empty list silently "succeeding" is how a listing bug turns
         # into a merge that applied nothing (caught by test) — callers
         # always have ≥1 affected partition when they reach a swap
         raise ValueError("swap_partitions called with an empty partition list")
+    if partitions and not _complete(staging_dir):
+        raise ValueError(
+            f"refusing to promote incomplete staging at {staging_dir} "
+            "(no _SUCCESS marker — the write did not commit)"
+        )
     # validate the WHOLE list before consuming anything: raising
     # mid-loop would leave earlier partitions already renamed away
     missing = [
@@ -172,8 +202,9 @@ def swap_partitions(table_dir: str, staging_dir: str, partitions: list[str]) -> 
     if missing:
         raise ValueError(
             f"staged partition(s) missing under {staging_dir}: {missing} — "
-            "an affected partition must always re-materialize "
-            "(tombstones keep it non-empty)"
+            "an affected partition must re-materialize or be listed in "
+            "`retire` (deletes leave tombstones; only a vacating group "
+            "move empties one)"
         )
     for rel in partitions:
         src = os.path.join(staging_dir, rel)
@@ -188,6 +219,14 @@ def swap_partitions(table_dir: str, staging_dir: str, partitions: list[str]) -> 
             os.rename(live, old)
         os.makedirs(os.path.dirname(live), exist_ok=True)
         os.rename(tmp, live)
+        shutil.rmtree(old, ignore_errors=True)
+    for rel in retire:
+        live = os.path.join(table_dir, rel)
+        if not os.path.exists(live):
+            continue  # replay of an already-applied retire
+        old = os.path.join(table_dir, ".old." + _enc_part(rel))
+        shutil.rmtree(old, ignore_errors=True)
+        os.rename(live, old)
         shutil.rmtree(old, ignore_errors=True)
 
 

@@ -32,6 +32,7 @@ Two sinks, one contract:
 
 from __future__ import annotations
 
+import json
 import os
 import tempfile
 import threading
@@ -1779,15 +1780,48 @@ def run_streaming_merge_upsert(
     # otherwise leave a bucket hidden (.old) from the final read — the
     # rows would silently vanish from the returned view (caught by test)
     recover_partitions(table_dir)
-    if not os.path.exists(table_dir):
-        boot = with_merge_meta(spark.read.parquet(base_path))
+
+    def _write_layout(df: DataFrame) -> None:
         if n_buckets:
-            _bucketed(boot).repartition(F.col("__bucket")).write.partitionBy(
+            _bucketed(df).repartition(F.col("__bucket")).write.partitionBy(
                 "__bucket"
             ).parquet(table_dir + ".tmp")
         else:
-            boot.write.parquet(table_dir + ".tmp")
+            df.write.parquet(table_dir + ".tmp")
         swap_generation(table_dir)
+        with open(table_dir + ".layout", "w") as fh:
+            json.dump({"n_buckets": n_buckets}, fh)
+
+    if not os.path.exists(table_dir):
+        _write_layout(with_merge_meta(spark.read.parquet(base_path)))
+    else:
+        # A REUSED checkpoint whose _table was written under a different
+        # layout (the pre-r9 unpartitioned form, or another n_buckets) is
+        # otherwise undetected: the boot is skipped and swap_partitions
+        # would add __bucket dirs beside root-level parquet files — a
+        # mixed layout Spark rejects, or silently duplicated rows.
+        # Detect via the layout sidecar (written since r10) with a
+        # directory-shape fallback, and MIGRATE with one full-image
+        # rewrite in the expected layout.
+        marker = table_dir + ".layout"
+        if os.path.exists(marker):
+            with open(marker) as fh:
+                stored = json.load(fh).get("n_buckets")
+            mismatch = stored != n_buckets
+        else:
+            # pre-marker table: a bucketed dir shape cannot prove WHICH
+            # n_buckets wrote it, so any bucketed expectation migrates
+            # once (and stamps the marker); a root-file shape is provably
+            # the single-image form
+            bucketed_dirs = any(
+                n.startswith("__bucket=") for n in os.listdir(table_dir)
+            )
+            mismatch = bucketed_dirs or n_buckets is not None
+        if mismatch:
+            cur0 = spark.read.parquet(table_dir)
+            if "__bucket" in cur0.columns:
+                cur0 = cur0.drop("__bucket")
+            _write_layout(cur0)
 
     stream = _stage_parquet_stream(spark, changes_path, max_files_per_trigger)
 
@@ -1869,6 +1903,7 @@ def run_streaming_incremental_agg(
     shuffle_partitions: int | None = 8,
     full_rewrite_frac: float = 0.5,
     groups_immutable: bool = False,
+    max_pred_terms: int = 1000,
 ) -> DataFrame:
     """Streaming MATERIALIZED-VIEW maintenance: change batches stream in,
     fold into the generation-managed standing table (exactly
@@ -1905,9 +1940,12 @@ def run_streaming_incremental_agg(
     crash point of the partial swap is repaired by
     ``recover_partitions`` on the next entry, after which the table is a
     consistent mix of pre/post-swap partitions that the seq-watermarked
-    merge replays idempotently to convergence.  An affected partition
-    always re-materializes in staging — deletes leave tombstones, so a
-    partition never empties out from under the swap.
+    merge replays idempotently to convergence.  Deletes leave tombstones
+    (the partition re-materializes in staging), but a group-MOVING update
+    can leave an affected partition with NO surviving rows — those are
+    detected (live affected files vs. staged dirs) and RETIRED through
+    the same hidden-rename protocol, or the moved key would exist
+    physically in both its old and new partitions forever.
 
     ADAPTIVE: when a batch touches more than ``full_rewrite_frac`` of
     the live partitions (a backfill, not an incremental feed), the sink
@@ -1968,6 +2006,16 @@ def run_streaming_incremental_agg(
     recover_generation(agg_dir, clean=True)
     if not os.path.exists(table_dir):
         add_group(with_merge_meta(spark.read.parquet(base_path))).repartition(
+            *[F.col(g) for g in groups]
+        ).write.partitionBy(*groups).parquet(table_dir + ".tmp")
+        swap_generation(table_dir)
+    elif any(n.endswith(".parquet") for n in os.listdir(table_dir)):
+        # a reused checkpoint whose _table was written by the pre-r9
+        # UNPARTITIONED layout: swap_partitions would otherwise add group
+        # dirs beside the root-level files — a mixed layout Spark rejects.
+        # Migrate with one full-image partitioned rewrite (group cols are
+        # ordinary data columns in the old layout, so the read is lossless).
+        spark.read.parquet(table_dir).repartition(
             *[F.col(g) for g in groups]
         ).write.partitionBy(*groups).parquet(table_dir + ".tmp")
         swap_generation(table_dir)
@@ -2048,14 +2096,33 @@ def run_streaming_incremental_agg(
         rows = affected.collect()
         if not rows:
             return  # empty change batch touches nothing
-        pred = _affected_pred(rows)
+        if len(rows) <= max_pred_terms:
+            pred = _affected_pred(rows)
+
+            def aff_filter(df: DataFrame) -> DataFrame:
+                return df.filter(pred)
+        else:
+            # past ~10^3 terms the OR-of-ANDs literal predicate would
+            # blow up Catalyst planning before `full_rewrite_frac` (a
+            # RELATIVE bound) ever trips on a high-cardinality group
+            # column.  A broadcast semi-join on the group tuple replaces
+            # it (null-safe per column, matching _affected_pred's NULL
+            # semantics); static PartitionFilters are lost, but this
+            # shape also forces the full-image swap below, which scans
+            # the whole table anyway.
+            def aff_filter(df: DataFrame, _a: DataFrame = affected) -> DataFrame:
+                cond = None
+                for g in groups:
+                    t = df[g].eqNullSafe(_a[g])
+                    cond = t if cond is None else cond & t
+                return df.join(F.broadcast(_a), cond, "left_semi")
         if groups_immutable:
             # the detectable violation class: an old row we CAN see (its
             # partition is probed) whose group differs from its change
             # image — refuse before anything is written.  O(affected
             # partitions), consistent with this mode's cost budget.
             keys = list(key_cols)
-            old_side = cur.filter(pred).select(
+            old_side = aff_filter(cur).select(
                 *keys, *[F.col(g).alias(f"__old_{g}") for g in groups]
             )
             chg = add_group(bdf).select(*keys, *groups).distinct()
@@ -2072,10 +2139,13 @@ def run_streaming_incremental_agg(
                 )
         n_live = len(list_staged_partitions(table_dir, len(groups)))
         batch_ready = add_group(bdf.withColumnRenamed(seq_col, "__seq"))
-        nxt_affected = None
-        if n_live and len(rows) > full_rewrite_frac * n_live:
+        if len(rows) > max_pred_terms or (
+            n_live and len(rows) > full_rewrite_frac * n_live
+        ):
             # backfill shape: most partitions touched — one full-image
-            # swap beats per-partition renames at this fraction
+            # swap beats per-partition renames at this fraction (or the
+            # affected set exceeds the predicate-term cap: semi-join
+            # filtering + one full swap, never a 10^4-term Catalyst tree)
             nxt = merge_apply_batch(
                 cur, batch_ready, key_cols,
                 seq_col="__seq", op_col=op_col, delete_op=delete_op,
@@ -2084,7 +2154,6 @@ def run_streaming_incremental_agg(
                 *groups
             ).parquet(table_dir + ".tmp")
             swap_generation(table_dir)
-            refresh_detail = merged_view(_read_table()).filter(pred)
         else:
             # merge only the affected partitions' rows with the batch;
             # the scan of `cur` prunes on the partition predicate.
@@ -2095,25 +2164,45 @@ def run_streaming_incremental_agg(
             # partitions' files never move.  repartition by the group
             # cols first: one output file per affected partition instead
             # of shuffle_partitions × partitions tiny files.
-            # PERSISTED (bounded: affected partitions' rows only) for two
-            # reasons: the agg refresh below reuses it without re-reading
-            # the table, and its lineage reads pre-swap files that
-            # swap_partitions retires — a post-swap recompute would die.
-            nxt_affected = merge_apply_batch(
+            #
+            # BEFORE the swap: record which live files the affected
+            # partitions hold, from Spark's own layout (input_file_name)
+            # — no re-implementation of Hive value escaping.  An affected
+            # partition ABSENT from staging is one the batch left EMPTY
+            # (a group-moving update vacated it; moves, unlike deletes,
+            # write no tombstone into the old partition) — its live dir
+            # must RETIRE, or the moved key exists physically in both
+            # partitions and every later merge double-counts it.
+            from urllib.parse import unquote, urlparse
+
+            tbl_abs = os.path.abspath(table_dir)
+            live_rels = set()
+            for (fname,) in (
+                cur.filter(pred).select(F.input_file_name()).distinct().collect()
+            ):
+                p = unquote(urlparse(fname).path)
+                rel = os.path.relpath(os.path.dirname(p), tbl_abs)
+                if not rel.startswith(".."):
+                    live_rels.add(rel)
+            merge_apply_batch(
                 cur.filter(pred), batch_ready, key_cols,
                 seq_col="__seq", op_col=op_col, delete_op=delete_op,
-            ).repartition(*[F.col(g) for g in groups]).persist()
-            nxt_affected.write.mode("overwrite").partitionBy(*groups).parquet(
-                staging_dir
-            )
+            ).repartition(*[F.col(g) for g in groups]).write.mode(
+                "overwrite"
+            ).partitionBy(*groups).parquet(staging_dir)
+            staged = list_staged_partitions(staging_dir, len(groups))
             swap_partitions(
                 table_dir,
                 staging_dir,
-                list_staged_partitions(staging_dir, len(groups)),
+                staged,
+                retire=sorted(live_rels - set(staged)),
             )
-            # identical rows to re-reading the just-promoted affected
-            # partitions — nxt_affected IS their new content
-            refresh_detail = merged_view(nxt_affected)
+        # refresh detail: re-read the JUST-PROMOTED affected partitions
+        # from the table (pruned scan) instead of reusing a frame whose
+        # lineage points at pre-swap files — persist() alone does not
+        # guarantee cached blocks survive to the agg refresh, and a
+        # post-swap recompute against retired files fails the batch.
+        refresh_detail = aff_filter(merged_view(_read_table()))
         # refresh with the PRE-swap affected set: together with the
         # durable sidecar this makes the two-swap window replay-safe for
         # every change class, including group moves
@@ -2123,8 +2212,6 @@ def run_streaming_incremental_agg(
         )
         nxt_agg.write.parquet(agg_dir + ".tmp")
         swap_generation(agg_dir)
-        if nxt_affected is not None:
-            nxt_affected.unpersist()
         if not groups_immutable:
             # the sidecar has served its purpose once the agg swap
             # commits: a replay after BOTH swaps refreshes already-correct

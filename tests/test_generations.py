@@ -184,3 +184,75 @@ def test_swap_still_raises_on_genuinely_lost_tmp(tmp_path):
         mp.setattr(gen.os, "rename", vanishing_rename)
         with pytest.raises(FileNotFoundError):
             swap_generation(p)
+
+
+def test_partition_retire_and_percent_escape(tmp_path):
+    """Round 10: (a) `retire` removes a live partition the batch left
+    empty via the hidden-rename protocol, and a crash mid-retire is
+    resurrected WHOLE by recover_partitions (replay re-applies);
+    (b) _enc_part escapes '%' first, so a Hive-escaped value containing
+    a literal %2F (an escaped '/') survives a crash round-trip instead
+    of being recovered into a bogus nested path."""
+    import shutil
+
+    from stateful_spark_streaming_spark.generations import (
+        _dec_part,
+        _enc_part,
+        recover_partitions,
+        swap_partitions,
+    )
+
+    def mk(path, content="x"):
+        os.makedirs(path, exist_ok=True)
+        with open(os.path.join(path, "part-0.parquet"), "w") as fh:
+            fh.write(content)
+
+    # --- retire semantics
+    table = str(tmp_path / "t")
+    staging = str(tmp_path / "s")
+    mk(os.path.join(table, "g=keep"))
+    mk(os.path.join(table, "g=vacated"))
+    mk(os.path.join(staging, "g=keep"), "NEW")
+    open(os.path.join(staging, "_SUCCESS"), "w").close()
+    swap_partitions(table, staging, ["g=keep"], retire=["g=vacated"])
+    assert not os.path.exists(os.path.join(table, "g=vacated"))
+    assert open(os.path.join(table, "g=keep", "part-0.parquet")).read() == "NEW"
+    assert not [n for n in os.listdir(table) if n.startswith(".")]
+
+    # retire of an already-absent partition is a no-op (replay)
+    swap_partitions(table, staging, [], retire=["g=vacated"])
+
+    # a retire-only call with nothing to do at all is still refused
+    with pytest.raises(ValueError, match="empty partition list"):
+        swap_partitions(table, staging, [], retire=[])
+
+    # promote+retire overlap is a caller bug, refused before any rename
+    with pytest.raises(ValueError, match="both promoted and retired"):
+        swap_partitions(table, staging, ["g=keep"], retire=["g=keep"])
+
+    # crash mid-retire (after live->.old., before rmtree): recovery
+    # resurrects the partition whole — merely stale, converged by replay
+    mk(os.path.join(table, "g=crash"), "STALE")
+    os.rename(
+        os.path.join(table, "g=crash"),
+        os.path.join(table, ".old." + _enc_part("g=crash")),
+    )
+    recover_partitions(table)
+    assert (
+        open(os.path.join(table, "g=crash", "part-0.parquet")).read() == "STALE"
+    )
+    shutil.rmtree(os.path.join(table, "g=crash"))
+
+    # --- percent escaping: a Hive-escaped '/' in a partition VALUE
+    hive_name = "g=a%2Fb"  # value 'a/b' as Spark writes it on disk
+    assert _dec_part(_enc_part(hive_name)) == hive_name
+    nested = os.path.join("a=1", hive_name)
+    assert _dec_part(_enc_part(nested)) == nested
+    # crash round-trip: the hidden name must decode back to the SAME
+    # single-level dir, not to the nested path g=a/b
+    mk(os.path.join(table, ".old." + _enc_part(hive_name)), "PCT")
+    recover_partitions(table)
+    assert (
+        open(os.path.join(table, hive_name, "part-0.parquet")).read() == "PCT"
+    ), "recovered to the literal Hive-escaped dirname"
+    assert not os.path.exists(os.path.join(table, "g=a", "b"))

@@ -835,3 +835,182 @@ def test_streaming_merge_bucketed_restart_and_crash_recovery(spark, tmp_path):
         d for d in os.listdir(table_dir) if d.startswith((".old.", ".tmp."))
     ]
     assert not leftovers
+
+
+# ---------------------------------------------------------------------------
+# Round 10: vacating group moves, the predicate-term cap, and layout
+# migration at run entry (ADVICE r9 high/low items)
+# ---------------------------------------------------------------------------
+
+INC_SCHEMA = "k long, g string, v double"
+INC_CH_SCHEMA = "k long, g string, v double, seq int, op string"
+
+
+def _land_inc_feed(spark, tmp_path, batches, sub="changes"):
+    ch_dir = str(tmp_path / sub)
+    os.makedirs(ch_dir)
+    for i, rows in enumerate(batches):
+        bdir = str(tmp_path / f"{sub}_b{i}")
+        spark.createDataFrame(rows, INC_CH_SCHEMA).coalesce(1).write.parquet(bdir)
+        part = [f for f in os.listdir(bdir) if f.endswith(".parquet")][0]
+        dst = os.path.join(ch_dir, f"batch-{i}.parquet")
+        os.rename(os.path.join(bdir, part), dst)
+        os.utime(dst, (1_000_000_000 + i * 100,) * 2)
+    return ch_dir
+
+
+def _inc_agg(detail):
+    return detail.groupBy("g").agg(
+        F.round(F.sum("v"), 2).alias("sv"), F.count(F.lit(1)).alias("n")
+    )
+
+
+def test_incremental_agg_vacating_group_move_retires_partition(spark, tmp_path):
+    """ADVICE r9 (high): a group-moving update whose key was the ONLY live
+    row of its old partition stages no dir for that partition; before the
+    retire fix the stale live dir survived the swap, the key existed
+    physically in both partitions, and merged_view emitted it twice.
+    Scoped path forced (full_rewrite_frac > 1), sidecar mode (the default,
+    which ADVERTISES group-move safety)."""
+    from stateful_spark_streaming_spark.operators.merge import merged_view
+    from stateful_spark_streaming_spark.streaming.pipeline import (
+        run_streaming_incremental_agg,
+    )
+
+    base_path = str(tmp_path / "base")
+    spark.createDataFrame(
+        [(1, "g1", 10.0), (2, "g2", 20.0)], INC_SCHEMA
+    ).write.parquet(base_path)
+    ch_dir = _land_inc_feed(spark, tmp_path, [[(2, "g3", 21.0, 1, "U")]])
+    ck = str(tmp_path / "ck")
+    out = run_streaming_incremental_agg(
+        spark, base_path, ch_dir, ("k",), ("g",), lambda df: df, _inc_agg,
+        checkpoint_dir=ck, full_rewrite_frac=10.0,
+    )
+    got = {r["g"]: (r["sv"], r["n"]) for r in out.collect()}
+    assert got == {"g1": (10.0, 1), "g3": (21.0, 1)}, "no stale g2 agg row"
+    table_dir = ck + "_table"
+    assert not os.path.exists(os.path.join(table_dir, "g=g2")), (
+        "the vacated partition's live dir must retire"
+    )
+    rows = merged_view(spark.read.parquet(table_dir)).collect()
+    per_key = {}
+    for r in rows:
+        per_key[r["k"]] = per_key.get(r["k"], 0) + 1
+    assert per_key == {1: 1, 2: 1}, f"one physical row per key, got {per_key}"
+    # no hidden leftovers from the retire
+    assert not [
+        n for n in os.listdir(table_dir) if n.startswith((".old.", ".tmp."))
+    ]
+
+
+def test_incremental_agg_pred_term_cap_forces_full_swap(spark, tmp_path):
+    """VERDICT r9 #6: past ``max_pred_terms`` affected groups the runner
+    must not build the OR-of-ANDs Catalyst predicate at all — it takes the
+    full-image swap with broadcast-semi-join filtering.  Observable: the
+    scoped path is the only writer of the staging dir, so with the cap at
+    0 the staging dir never appears; results stay oracle-equal to the
+    default-cap run."""
+    from stateful_spark_streaming_spark.streaming.pipeline import (
+        run_streaming_incremental_agg,
+    )
+
+    base_path = str(tmp_path / "base")
+    spark.createDataFrame(
+        [(i, f"g{i % 7}", float(i)) for i in range(1, 30)], INC_SCHEMA
+    ).write.parquet(base_path)
+    batches = [
+        [(5, "g5", 500.0, 1, "U"), (6, "g6", 600.0, 1, "U"),
+         (7, "g0", 7.5, 1, "D")],
+        [(30, "gNEW", 300.0, 2, "U"), (5, "g5", 550.0, 2, "U")],
+    ]
+    results = {}
+    for tag, cap in (("capped", 0), ("default", 1000)):
+        sub = tmp_path / tag
+        os.makedirs(sub)
+        ch_dir = _land_inc_feed(spark, sub, batches)
+        ck = str(sub / "ck")
+        out = run_streaming_incremental_agg(
+            spark, base_path, ch_dir, ("k",), ("g",), lambda df: df, _inc_agg,
+            checkpoint_dir=ck, full_rewrite_frac=10.0, max_pred_terms=cap,
+        )
+        results[tag] = {r["g"]: (r["sv"], r["n"]) for r in out.collect()}
+        staging_made = os.path.exists(ck + "_staging")
+        assert staging_made == (tag == "default"), (
+            f"{tag}: scoped path ran={staging_made}, expected the opposite"
+        )
+    assert results["capped"] == results["default"]
+
+
+def test_incremental_agg_migrates_pre_partitioned_layout(spark, tmp_path):
+    """ADVICE r9 (low): a reused checkpoint whose _table was written by
+    the pre-r9 UNPARTITIONED layout must be detected at run entry and
+    migrated with one full-image partitioned rewrite — otherwise
+    swap_partitions adds group dirs beside root-level parquet files (a
+    mixed layout Spark rejects, or duplicated rows)."""
+    from stateful_spark_streaming_spark.operators.merge import with_merge_meta
+    from stateful_spark_streaming_spark.streaming.pipeline import (
+        run_streaming_incremental_agg,
+    )
+
+    base_path = str(tmp_path / "base")
+    base = spark.createDataFrame(
+        [(1, "g1", 10.0), (2, "g2", 20.0)], INC_SCHEMA
+    )
+    base.write.parquet(base_path)
+    ck = str(tmp_path / "ck")
+    # fabricate the r8 shape: merge-meta'd rows, group col as a DATA
+    # column, no partition dirs
+    with_merge_meta(base).write.parquet(ck + "_table")
+    ch_dir = _land_inc_feed(spark, tmp_path, [[(2, "g2", 25.0, 1, "U")]])
+    out = run_streaming_incremental_agg(
+        spark, base_path, ch_dir, ("k",), ("g",), lambda df: df, _inc_agg,
+        checkpoint_dir=ck, full_rewrite_frac=10.0,
+    )
+    got = {r["g"]: (r["sv"], r["n"]) for r in out.collect()}
+    assert got == {"g1": (10.0, 1), "g2": (25.0, 1)}
+    table_dir = ck + "_table"
+    assert not [n for n in os.listdir(table_dir) if n.endswith(".parquet")], (
+        "root-level data files must be gone after migration"
+    )
+    assert os.path.isdir(os.path.join(table_dir, "g=g1"))
+
+
+def test_streaming_merge_layout_mismatch_migrates(spark, tmp_path):
+    """ADVICE r9 (low): reusing a merge checkpoint with a DIFFERENT
+    n_buckets setting (including None<->N) must migrate the standing
+    table instead of mixing layouts.  Three runs over one checkpoint:
+    single -> bucketed(8) -> single; each sees the same converged rows."""
+    from stateful_spark_streaming_spark.streaming.pipeline import (
+        run_streaming_merge_upsert,
+    )
+
+    base_path = str(tmp_path / "base")
+    _base(spark).write.parquet(base_path)
+    ch_dir = _land_change_files(
+        spark, tmp_path, [[(2, "b2", 21.0, 1, "U"), (4, "d", 40.0, 1, "U")]]
+    )
+    ck = str(tmp_path / "ck")
+    want = [(1, "a", 10.0), (2, "b2", 21.0), (3, "c", 30.0), (4, "d", 40.0)]
+    got1 = _table(run_streaming_merge_upsert(
+        spark, base_path, ch_dir, ("k",), checkpoint_dir=ck
+    ))
+    assert got1 == want
+    table_dir = ck + "_table"
+    # run 2: same checkpoint, now bucketed — migrates, marker stamped
+    got2 = _table(run_streaming_merge_upsert(
+        spark, base_path, ch_dir, ("k",), checkpoint_dir=ck, n_buckets=8
+    ))
+    assert got2 == want
+    assert [n for n in os.listdir(table_dir) if n.startswith("__bucket=")]
+    assert not [n for n in os.listdir(table_dir) if n.endswith(".parquet")]
+    import json as _json
+
+    assert _json.load(open(table_dir + ".layout"))["n_buckets"] == 8
+    # run 3: back to the single-image form
+    got3 = _table(run_streaming_merge_upsert(
+        spark, base_path, ch_dir, ("k",), checkpoint_dir=ck
+    ))
+    assert got3 == want
+    assert not [n for n in os.listdir(table_dir) if n.startswith("__bucket=")]
+    assert _json.load(open(table_dir + ".layout"))["n_buckets"] is None
