@@ -207,3 +207,35 @@ def test_streaming_sessions_append_restart_merges_state(spark, sf_dir, split_eve
     cols = ["user_id", "session_start_ms", "session_end_ms", "n_events", "sum_value"]
     assert _norm(got, cols) == _norm(want, cols)
     assert len(_norm(got, cols)) > 0
+
+
+def test_stream_stream_join_state_is_watermark_bounded(spark, sf_dir, split_events_dir, tmp_path):
+    """The 100 TB property of the stream-stream join (measured at sf1 in
+    SCALE.md: 1,460 retained rows/side vs ~600k input events), pinned at
+    test SF: after the 3-batch replay the state store retains FEWER rows
+    than one side's total input — the event-time range condition plus
+    both-side watermarks let Spark evict buffered rows once the other
+    side's watermark passes their join horizon.  Without eviction the
+    retained total would be 2x the input (both sides buffer everything)."""
+    from stateful_spark_streaming_spark.streaming import pipeline as _P
+
+    got = run_streaming_event_pairs(
+        spark,
+        split_events_dir,
+        checkpoint_dir=str(tmp_path / "ckpt_ssj_state"),
+        max_files_per_trigger=1,
+    )
+    assert got.count() > 0  # non-vacuous: the join did real work
+    n_events = load_table(spark, sf_dir, "events").count()
+    last = None
+    for p in _P._last_join_progress:
+        d = p if isinstance(p, dict) else p.asDict() if hasattr(p, "asDict") else {}
+        ops = d.get("stateOperators") or []
+        if ops:
+            last = ops
+    assert last is not None, "join replay recorded no state operators"
+    state_total = sum(op.get("numRowsTotal", 0) for op in last)
+    assert 0 < state_total < n_events, (
+        f"retained join state {state_total} rows vs {n_events} input events "
+        "— expected strictly fewer than ONE side's input (eviction proof)"
+    )
