@@ -1142,6 +1142,7 @@ def minhash_lsh_pairs(
     num_hashes: int = 32,
     bands: int = 8,
     threshold: float = 0.6,
+    max_bucket_size: int | None = 2000,
 ) -> DataFrame:
     """MinHash + LSH banding: candidate pairs collide on ≥1 band, then are
     verified with exact Jaccard (no false positives in the output).
@@ -1149,6 +1150,16 @@ def minhash_lsh_pairs(
     rows/bands = 4 → collision prob at τ=0.6 per band = τ⁴ ≈ 0.13, across 8
     bands ≈ 67% recall per the standard S-curve; raise num_hashes/bands for
     higher recall at scale.
+
+    ``max_bucket_size`` passes through to :func:`banded_candidate_pairs`.
+    The default (2000, mirrored by every LSH oracle) bounds PER-TASK pair
+    expansion, but TOTAL candidate mass is Σ sz(sz−1)/2 over buckets under
+    the cap — on a boilerplate-heavy corpus bucket sizes grow with the
+    corpus, so mass grows super-linearly (measured: 73 k → 14.8 M → 867 M
+    candidates at 5 k → 50 k → 500 k docs on the replica-marked probe
+    corpus, SCALE.md r10).  At 100 TB, measure the bucket histogram first
+    (``lsh_bucket_stats`` — one aggregate) and size this cap to the pair
+    budget, exactly like ``jaccard_pairs``'s ``max_shingle_df``.
 
     Cache lifetime: the shingle sets that verification joins twice are
     persisted and stay cached past the caller's action (see jaccard_pairs
@@ -1172,7 +1183,7 @@ def minhash_lsh_pairs(
         "band_hash",
         F.struct(F.col("doc_id").alias("id")).alias("item"),
     )
-    cands = banded_candidate_pairs(items).select(
+    cands = banded_candidate_pairs(items, max_bucket_size=max_bucket_size).select(
         F.col("a.id").alias("doc_a"), F.col("b.id").alias("doc_b")
     )
     # verify candidates with exact Jaccard (joins back to shingle sets);
@@ -1184,9 +1195,17 @@ def minhash_lsh_pairs(
     )
     a = sets.select(F.col("doc").alias("doc_a"), F.col("sh").alias("sh_a"))
     b_ = sets.select(F.col("doc").alias("doc_b"), F.col("sh").alias("sh_b"))
+    # MERGE hints on the verification joins: the shingle-set side is
+    # O(corpus) with array payloads, but Catalyst's LOGICAL size estimate
+    # for it shrinks under autoBroadcastJoinThreshold at scale and the
+    # STATIC plan then broadcasts it — measured at the 500k-doc probe:
+    # driver OOM building a ~GB broadcast (SCALE.md r10).  AQE cannot
+    # repair a static broadcast choice (it only demotes on empty
+    # partitions), so the join strategy must be pinned: sort-merge on the
+    # id scales unconditionally and AQE skew-join still applies.
     out = (
-        cands.join(a, "doc_a")
-        .join(b_, "doc_b")
+        cands.join(a.hint("merge"), "doc_a")
+        .join(b_.hint("merge"), "doc_b")
         .withColumn("n_common", F.size(F.array_intersect("sh_a", "sh_b")))
         .withColumn(
             "jaccard",

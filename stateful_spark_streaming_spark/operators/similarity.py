@@ -1121,7 +1121,11 @@ def cosine_near_pairs_lsh(
     )
     va = embeddings.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
     vb = embeddings.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
-    cands = id_pairs.join(va, "id_a").join(vb, "id_b")
+    # MERGE hints: same static-broadcast hazard as minhash_lsh_pairs (see
+    # its comment) — the embedding side is O(corpus) of float arrays; a
+    # logical misestimate under the broadcast threshold statically
+    # broadcasts it and OOMs the driver at scale. Pin sort-merge.
+    cands = id_pairs.join(va.hint("merge"), "id_a").join(vb.hint("merge"), "id_b")
 
     def verify(batches):
         for pdf in batches:
