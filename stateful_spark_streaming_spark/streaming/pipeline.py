@@ -1709,6 +1709,7 @@ def run_streaming_merge_upsert(
     shuffle_partitions: int | None = 8,
     n_buckets: int | None = None,
     full_rewrite_frac: float = 0.5,
+    max_pred_terms: int = 1000,
 ) -> DataFrame:
     """Incremental MERGE INTO — streaming twin of ``merge_upsert`` (same
     oracle): change batches stream in and fold into a generation-managed
@@ -1728,6 +1729,16 @@ def run_streaming_merge_upsert(
     expected changed-key count per batch ≪ n_buckets — that is the regime
     (big table, small feed) the layout exists for; at test SF the default
     keeps the simple single-image form the oracle gate measures.
+
+    ``max_pred_terms`` (same bound as the MV runner's): the scoped path's
+    touched-bucket filter is a literal IN list, which prunes the scan at
+    the partition index but whose Catalyst tree grows with the batch's
+    key spread — at production n_buckets a backfill-ish batch could pass
+    ``full_rewrite_frac`` (a RELATIVE bound) with 10⁵ touched buckets.
+    Past the cap the filter becomes a broadcast semi-join on the bucket
+    id: static pruning is lost (one full table READ), but the WRITE and
+    the swap stay scoped to the touched buckets — strictly cheaper than
+    the full-image fallback, which pays both.
 
     Consistency story (the part a naive foreachBatch-MERGE gets wrong):
     - Each batch applies via ``merge_apply_batch``, whose per-row seq
@@ -1856,8 +1867,15 @@ def run_streaming_merge_upsert(
             ).parquet(table_dir + ".tmp")
             swap_generation(table_dir)
             return
+        if len(touched) <= max_pred_terms:
+            cur_touched = cur.filter(F.col("__bucket").isin(touched))
+        else:
+            tdf = spark.createDataFrame([(int(b),) for b in touched], "__b long")
+            cur_touched = cur.join(
+                F.broadcast(tdf), cur["__bucket"] == tdf["__b"], "left_semi"
+            )
         nxt_touched = merge_apply_batch(
-            cur.filter(F.col("__bucket").isin(touched)),
+            cur_touched,
             batch_ready,
             key_cols,
             seq_col="__seq", op_col=op_col, delete_op=delete_op,
@@ -1985,6 +2003,7 @@ def run_streaming_incremental_agg(
     )
     from stateful_spark_streaming_spark.operators.merge import (
         affected_groups,
+        latest_changes,
         merge_apply_batch,
         merged_view,
         refresh_groups,
@@ -2147,7 +2166,8 @@ def run_streaming_incremental_agg(
             # affected set exceeds the predicate-term cap: semi-join
             # filtering + one full swap, never a 10^4-term Catalyst tree)
             nxt = merge_apply_batch(
-                cur, batch_ready, key_cols,
+                latest_changes(cur, key_cols, seq_col="__seq"),
+                batch_ready, key_cols,
                 seq_col="__seq", op_col=op_col, delete_op=delete_op,
             )
             nxt.repartition(*[F.col(g) for g in groups]).write.partitionBy(
@@ -2184,8 +2204,26 @@ def run_streaming_incremental_agg(
                 rel = os.path.relpath(os.path.dirname(p), tbl_abs)
                 if not rel.startswith(".."):
                     live_rels.add(rel)
+            # COLLAPSE to one row per key (max __seq) before the merge:
+            # a crash mid-partition-swap on a group-MOVING batch leaves
+            # the table mixed — the moved key's OLD row (resurrected
+            # retire, or a promote that crashed between two staged
+            # partitions) coexists with its already-promoted NEW row.
+            # merge_apply_batch assumes key-unique input; fed both rows,
+            # its full-outer join emits the key TWICE (the old row takes
+            # the change, the tied-seq new row keeps current), both land
+            # in the new partition, and the duplicate is PERMANENT once
+            # the replay commits (caught by test).  latest-wins over the
+            # O(affected)-sized slice converges every mixed state — and
+            # heals a table a pre-fix crash already poisoned.  Same wrap
+            # on the full-image path above (its groupBy exchange is
+            # reused by the key join).  The bucketed MERGE runner needs
+            # none of this: bucket membership is key-pure, so a key's
+            # old and new rows share one partition dir whose promote is
+            # a single atomic rename — no mixed state can split a key.
             merge_apply_batch(
-                cur.filter(pred), batch_ready, key_cols,
+                latest_changes(cur.filter(pred), key_cols, seq_col="__seq"),
+                batch_ready, key_cols,
                 seq_col="__seq", op_col=op_col, delete_op=delete_op,
             ).repartition(*[F.col(g) for g in groups]).write.mode(
                 "overwrite"

@@ -1014,3 +1014,119 @@ def test_streaming_merge_layout_mismatch_migrates(spark, tmp_path):
     assert got3 == want
     assert not [n for n in os.listdir(table_dir) if n.startswith("__bucket=")]
     assert _json.load(open(table_dir + ".layout"))["n_buckets"] is None
+
+def test_incremental_agg_group_move_crash_replay_no_duplicate(spark, tmp_path):
+    """A crash mid-partition-swap on a group-MOVING batch leaves the
+    table MIXED: the moved key's old row (a retire that crashed between
+    its hidden rename and the rmtree — recover_partitions resurrects the
+    partition whole; equivalently, a promote that crashed between two
+    staged partitions) coexists with its already-promoted new row.  The
+    replay's merge input then carries the key TWICE (seq -1 old image +
+    seq N new image); before the latest-wins collapse,
+    merge_apply_batch's full-outer join emitted the key twice — the old
+    row took the change, the tied-seq new row kept current — and both
+    copies landed in the new partition, a PERMANENT physical duplicate
+    (no later replay heals a committed batch) that also double-counted
+    the maintained aggregate."""
+    from stateful_spark_streaming_spark.operators.merge import merged_view
+    from stateful_spark_streaming_spark.streaming.pipeline import (
+        run_streaming_incremental_agg,
+    )
+    import shutil
+
+    base_path = str(tmp_path / "base")
+    spark.createDataFrame(
+        [(1, "g1", 10.0), (2, "g2", 20.0)], INC_SCHEMA
+    ).write.parquet(base_path)
+    ck = str(tmp_path / "ck")
+    table_dir = ck + "_table"
+
+    def _run(ch_dir):
+        return run_streaming_incremental_agg(
+            spark, base_path, ch_dir, ("k",), ("g",), lambda df: df,
+            _inc_agg, checkpoint_dir=ck, full_rewrite_frac=10.0,
+        )
+
+    # batch 0: in-place touch of key 1 (bootstraps the table, commits)
+    ch_dir = _land_inc_feed(spark, tmp_path, [[(1, "g1", 11.0, 1, "U")]])
+    _run(ch_dir)
+    # keep the pre-move g2 content — exactly what a crashed retire's
+    # .old. dir holds and recover_partitions restores
+    shutil.copytree(os.path.join(table_dir, "g=g2"), str(tmp_path / "g2_saved"))
+
+    # batch 1: the group move vacating g2 (key 2 -> g3)
+    bdir = str(tmp_path / "mv")
+    spark.createDataFrame(
+        [(2, "g3", 21.0, 2, "U")], INC_CH_SCHEMA
+    ).coalesce(1).write.parquet(bdir)
+    part = [f for f in os.listdir(bdir) if f.endswith(".parquet")][0]
+    dst = os.path.join(ch_dir, "batch-1.parquet")
+    os.rename(os.path.join(bdir, part), dst)
+    os.utime(dst, (1_000_000_100,) * 2)
+    _run(ch_dir)
+
+    # simulate the crash window: resurrected old partition + un-committed
+    # batch 1 (drop the commit marker AND its checksum sibling)
+    shutil.copytree(str(tmp_path / "g2_saved"), os.path.join(table_dir, "g=g2"))
+    os.remove(os.path.join(ck, "commits", "1"))
+    crc = os.path.join(ck, "commits", ".1.crc")
+    if os.path.exists(crc):
+        os.remove(crc)
+
+    out = _run(ch_dir)  # replays batch 1 against the mixed table
+    raw = spark.read.parquet(table_dir)
+    per_key = {r["k"]: r["cnt"] for r in
+               raw.groupBy("k").agg(F.count("*").alias("cnt")).collect()}
+    assert per_key == {1: 1, 2: 1}, f"one physical row per key, got {per_key}"
+    assert sorted((r["k"], r["g"]) for r in merged_view(raw).collect()) == [
+        (1, "g1"), (2, "g3")
+    ]
+    assert {r["g"]: (r["sv"], r["n"]) for r in out.collect()} == {
+        "g1": (11.0, 1), "g3": (21.0, 1)
+    }, "the maintained aggregate must not double-count the moved key"
+    assert not os.path.exists(os.path.join(table_dir, "g=g2")), (
+        "the resurrected vacated partition must retire again on replay"
+    )
+
+def test_streaming_merge_bucketed_pred_term_cap_semi_join(spark, tmp_path):
+    """The bucketed scoped path's touched-bucket filter is a literal IN
+    list; past ``max_pred_terms`` it must switch to a broadcast semi-join
+    (never a 10^5-literal Catalyst tree at production n_buckets) while
+    keeping the WRITE scoped: results equal the default-cap run and
+    untouched buckets keep their exact files."""
+    import os
+
+    from stateful_spark_streaming_spark.streaming.pipeline import (
+        run_streaming_merge_upsert,
+    )
+
+    base = spark.createDataFrame(
+        [(k, float(k)) for k in range(64)], "k long, v double"
+    )
+    b0 = spark.createDataFrame(
+        [(5, 55.0, 1, "U"), (64, 640.0, 1, "U"), (9, 0.0, 1, "D")],
+        "k long, v double, seq int, op string",
+    )
+    results, untouched_moved = {}, {}
+    for tag, cap in (("default", 1000), ("capped", 0)):
+        sub = tmp_path / tag
+        sub.mkdir()
+        base_path = str(sub / "base")
+        base.write.parquet(base_path)
+        ch_dir = _write_change_batches(sub, (b0,))
+        ck = str(sub / "ckpt")
+        table_dir = ck + "_table"
+        # bootstrap first (empty processed feed would be simpler, but the
+        # runner boots on first call anyway) — snapshot files after run 1
+        out = run_streaming_merge_upsert(
+            spark, base_path, ch_dir, ("k",),
+            checkpoint_dir=ck, n_buckets=16, max_pred_terms=cap,
+        )
+        results[tag] = sorted(map(tuple, out.collect()))
+        assert os.path.exists(ck + "_staging"), (
+            f"{tag}: the scoped path (not the full-image fallback) must run"
+        )
+    assert results["capped"] == results["default"]
+    want = {k: float(k) for k in range(64) if k != 9}
+    want[5], want[64] = 55.0, 640.0
+    assert dict(results["capped"]) == want
