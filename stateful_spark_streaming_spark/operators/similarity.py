@@ -23,6 +23,15 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
+# Per-worker transient score-matrix budget for the exact-cosine kernels:
+# slabs are sized so slab_rows × other_side_rows ≤ this many float64s
+# (~64 MB).  With 32 concurrent workers that is ~2 GB of transient score
+# memory on this box; on small executors the bound is what keeps the
+# blocked/broadcast matmuls alive at any corpus size (see
+# cosine_near_pairs — the unbounded form OOM-killed workers at 200 k).
+_SCORE_BUDGET_FLOATS = 8_000_000
+
+
 def _dot(a, b):
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
@@ -881,6 +890,14 @@ def cosine_near_pairs(
 
     An all-pairs ``join + per-pair aggregate`` formulation measured ~7×
     slower (interpreted HOF dot product per pair).
+
+    Transient-memory bound (the defect tools/ann_probe.py caught at the
+    200 k-vector probe): the score matrix is never materialized whole —
+    both tiers matmul in row SLABS of ``_SCORE_BUDGET_FLOATS // corpus``
+    rows, so per-worker transient memory is ~64 MB regardless of corpus
+    size.  Without the slabbing, a 6 k-row Arrow batch × 200 k corpus
+    built a 10 GB float64 score per worker and the OS OOM-killed all 32
+    workers (measured: every task lost, job dead — not slow, DEAD).
     """
     import numpy as np
     import pandas as pd
@@ -906,21 +923,39 @@ def cosine_near_pairs(
     m /= np.linalg.norm(m, axis=1, keepdims=True)
     bc = spark.sparkContext.broadcast((ids_all, m))
 
+    # captured as a VALUE so workers (which re-import this module and
+    # would otherwise see their own copy of the global) honor the
+    # driver-side setting — also what makes the slab path testable
+    budget = _SCORE_BUDGET_FLOATS
+
     def kernel(batches):
         ids_b, mat = bc.value
+        slab = max(1, budget // max(1, len(ids_b)))
         for pdf in batches:
             ids_a = pdf[id_col].to_numpy()
             # bulk tolist() → ndarray: one C-level conversion, no per-row map
             a = np.array(pdf[vec_col].tolist(), dtype=np.float64)
             a /= np.linalg.norm(a, axis=1, keepdims=True)
-            s = a @ mat.T
-            # prefilter margin = half-ulp of the 6-dp rounding plus slack, so
-            # raw values that would round UP to the threshold are never
-            # dropped before the authoritative post-rounding Spark filter
-            ii, jj = np.nonzero((s >= threshold - 1e-6) & (ids_a[:, None] < ids_b[None, :]))
-            yield pd.DataFrame(
-                {"id_a": ids_a[ii], "id_b": ids_b[jj], "raw_cos": s[ii, jj]}
-            )
+            # slab the matmul: score memory is slab × corpus, never
+            # batch × corpus (see docstring — unbounded, this OOM-killed
+            # workers at the 200 k probe)
+            for lo in range(0, len(a), slab):
+                s = a[lo:lo + slab] @ mat.T
+                # prefilter margin = half-ulp of the 6-dp rounding plus
+                # slack, so raw values that would round UP to the threshold
+                # are never dropped before the authoritative post-rounding
+                # Spark filter
+                ii, jj = np.nonzero(
+                    (s >= threshold - 1e-6)
+                    & (ids_a[lo:lo + slab, None] < ids_b[None, :])
+                )
+                yield pd.DataFrame(
+                    {
+                        "id_a": ids_a[lo + ii],
+                        "id_b": ids_b[jj],
+                        "raw_cos": s[ii, jj],
+                    }
+                )
 
     pairs = (
         embeddings.repartition(spark.sparkContext.defaultParallelism)
@@ -988,6 +1023,7 @@ def _cosine_near_pairs_blocked(
     both = left.unionByName(right)
 
     thr = threshold
+    budget = _SCORE_BUDGET_FLOATS  # closure value — see cosine_near_pairs
 
     _empty = pd.DataFrame({"id_a": [], "id_b": [], "raw_cos": []})
 
@@ -1011,19 +1047,31 @@ def _cosine_near_pairs_blocked(
             ids_b = b_rows["_id"].to_numpy()
             B = np.array(b_rows["_vec"].tolist(), dtype=np.float64)
             B /= np.linalg.norm(B, axis=1, keepdims=True)
-            s = A @ B.T
-            ii, jj = np.nonzero(s >= thr - 1e-6)
-            lo = np.minimum(ids_a[ii], ids_b[jj])
-            hi = np.maximum(ids_a[ii], ids_b[jj])
-            return pd.DataFrame({"id_a": lo, "id_b": hi, "raw_cos": s[ii, jj]})
-        # diagonal group (block vs itself): id order halves the matrix
-        s = A @ A.T
-        ii, jj = np.nonzero(
-            (s >= thr - 1e-6) & (ids_a[:, None] < ids_a[None, :])
-        )
-        return pd.DataFrame(
-            {"id_a": ids_a[ii], "id_b": ids_a[jj], "raw_cos": s[ii, jj]}
-        )
+        else:
+            # diagonal group (block vs itself): id order halves the matrix
+            ids_b, B = ids_a, A
+        # slab the matmul (same transient bound as the broadcast tier —
+        # at the default block_rows a whole-block score would be
+        # block_rows² floats, far past worker memory)
+        slab = max(1, budget // max(1, len(ids_b)))
+        outs = []
+        for off in range(0, len(A), slab):
+            s = A[off:off + slab] @ B.T
+            mask = s >= thr - 1e-6
+            if is_diag:
+                mask &= ids_a[off:off + slab, None] < ids_b[None, :]
+            ii, jj = np.nonzero(mask)
+            if not len(ii):
+                continue
+            if is_diag:
+                lo, hi = ids_a[off + ii], ids_b[jj]
+            else:
+                lo = np.minimum(ids_a[off + ii], ids_b[jj])
+                hi = np.maximum(ids_a[off + ii], ids_b[jj])
+            outs.append(
+                pd.DataFrame({"id_a": lo, "id_b": hi, "raw_cos": s[ii, jj]})
+            )
+        return pd.concat(outs, ignore_index=True) if outs else _empty
 
     pairs = both.groupBy("ba", "bb").applyInPandas(
         kernel, "id_a long, id_b long, raw_cos double"
@@ -1068,9 +1116,22 @@ def cosine_near_pairs_lsh(
     seed: int = 42,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_bucket_size: int | None = 2000,
 ) -> DataFrame:
     """Random-hyperplane LSH: bucket = sign pattern of n_planes projections;
     pairs colliding in ≥1 of n_tables tables are verified exactly.
+
+    SIZING AT SCALE (measured, tools/ann_probe.py): the bucket space is
+    2^n_planes per table, so n_planes must GROW with the corpus or every
+    bucket blows past ``max_bucket_size`` and is silently dropped —
+    recall collapses to zero, not gracefully.  Rule: n_planes ≈
+    log2(n_vecs / target_bucket_rows); then pick n_tables for recall via
+    the S-curve (per-table collision = (1 − θ/π)^n_planes).  Deep hashes
+    only pay off in the NEAR-DUP regime (τ ≳ 0.9, agreement ≳ 0.85/plane)
+    — for weak-similarity mining (τ ≈ 0.4) the per-pair signal is too
+    faint for sign-LSH at scale; use IVF/centroid blocking instead.
+    ``max_bucket_size`` mirrors ``minhash_lsh_pairs``'s hot-bucket guard
+    and passes through to :func:`banded_candidate_pairs`.
 
     Hyperplanes are md5-derived ±1 Rademacher matrices (see
     ``_rademacher_planes``) living in the UDF closure — deterministic
@@ -1116,7 +1177,7 @@ def cosine_near_pairs_lsh(
         F.struct(F.col(id_col).alias("id")).alias("item"),
         F.posexplode(table_keys_udf(F.col(vec_col))).alias("band_id", "band_hash"),
     )
-    id_pairs = banded_candidate_pairs(items).select(
+    id_pairs = banded_candidate_pairs(items, max_bucket_size=max_bucket_size).select(
         F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b")
     )
     va = embeddings.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))

@@ -1107,7 +1107,7 @@ def test_streaming_merge_bucketed_pred_term_cap_semi_join(spark, tmp_path):
         [(5, 55.0, 1, "U"), (64, 640.0, 1, "U"), (9, 0.0, 1, "D")],
         "k long, v double, seq int, op string",
     )
-    results, untouched_moved = {}, {}
+    results = {}
     for tag, cap in (("default", 1000), ("capped", 0)):
         sub = tmp_path / tag
         sub.mkdir()

@@ -733,3 +733,31 @@ def test_hard_negatives_excludes_same_label(spark):
     assert [(r["rank"], r["negative_id"], r["neg_label"]) for r in got] == [
         (1, 3, 1), (2, 4, 1)
     ]
+
+def test_cosine_near_pairs_slabbed_kernels_exact(spark, sf_dir, monkeypatch):
+    """The exact kernels matmul in row slabs so transient score memory is
+    bounded by _SCORE_BUDGET_FLOATS regardless of corpus size — the
+    unbounded form materialized batch × corpus scores and OOM-killed every
+    worker at the 200 k-vector probe (tools/ann_probe.py).  Force a budget
+    so small every batch needs MANY slabs (slab = 1–2 rows) and assert
+    both tiers still produce the exact pair set."""
+    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 400)
+    want = sorted(
+        map(tuple, SIM.cosine_near_pairs(emb, 0.4).select("id_a", "id_b").collect())
+    )
+    assert want, "fixture must produce pairs"
+    monkeypatch.setattr(SIM, "_SCORE_BUDGET_FLOATS", 500)
+    got_b = sorted(
+        map(tuple, SIM.cosine_near_pairs(emb, 0.4).select("id_a", "id_b").collect())
+    )
+    assert SIM.cosine_near_pairs.last_tier == "broadcast"
+    got_d = sorted(
+        map(
+            tuple,
+            SIM._cosine_near_pairs_blocked(emb, 0.4, "vec_id", "embedding",
+                                           block_rows=150)
+            .select("id_a", "id_b").collect(),
+        )
+    )
+    assert got_b == want
+    assert got_d == want

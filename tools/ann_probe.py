@@ -1,0 +1,204 @@
+"""Similarity/ANN family scale probe — the embeddings twin of
+``scale_probe.py`` (which covers the document/dedup families).
+
+``python tools/ann_probe.py [sf_dir ...]`` — default runs
+``/root/testdata/sf0.1`` (2 k vectors), ``.scratch/sf100emb`` (200 k)
+and ``.scratch/sf1000emb`` (2 M).  Generate the scaled corpora with::
+
+    python - <<'EOF'
+    import sys, os; sys.path.insert(0, "tools")
+    from gen_scale import scale_embeddings
+    for reps, name in ((100, "sf100emb"), (1000, "sf1000emb")):
+        os.makedirs(f".scratch/{name}", exist_ok=True)
+        scale_embeddings("/root/testdata/sf0.1/embeddings.parquet",
+                         f".scratch/{name}/embeddings.parquet", reps)
+    EOF
+
+The replicas are orthogonal transforms (dim permutation × sign flips):
+norms and intra-replica dot products are preserved EXACTLY, cross-replica
+cosines are randomized — so per-replica structure (top-k neighborhoods,
+near-pair graph) is a scaled copy while the corpus as a whole is not
+degenerate.
+
+Probe tiers:
+- LINEAR family (norm stats, centroids, brute top-k over fixed queries,
+  hard negatives, SQ8): expected ~linear in corpus size at every SF.
+- INDEX family (IVF / PQ / IVFADC, cold build forced by clearing
+  /tmp/sss_ivf_idx_* and /tmp/sss_pq_*): build is linear, probe is
+  pruned — the 100 TB path.
+- PAIR family: ``cosine_near_pairs`` (exact blocked GEMM, O(n²) work by
+  construction) runs only while n² stays under ``--exact-cap`` (default
+  skips it past 200 k vectors — at 2 M the 4×10¹² dot products are the
+  point where ONLY the LSH path survives); ``cosine_near_pairs_lsh``
+  runs at every SF and is the scale path whose bucket behavior this
+  probe exists to measure.
+
+Timing discipline: run SOLO (the bench's rule applies — any concurrent
+Spark JVM invalidates the numbers).  Results print per-query and as one
+final JSON line.
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import shutil
+import sys
+import time
+
+sys.path.insert(0, __file__.rsplit("/", 2)[0])
+
+LINEAR = [
+    "embedding_norm_stats",
+    "label_centroids",
+    "cosine_topk",
+    "hard_negatives",
+    "sq8_encode",
+]
+INDEX = [
+    "cosine_topk_ivf",
+    "pq_topk",
+    "ivfpq_topk",
+]
+PAIR_EXACT = ["cosine_near_pairs", "embedding_dup_clusters"]
+PAIR_LSH = ["cosine_near_pairs_lsh"]
+
+EXACT_CAP_VECS = 200_000  # past this, the exact O(n²) tier is skipped
+
+
+def _planted_corpus(src_dir: str, base_dir: str, dst_dir: str) -> str:
+    """A ground-truth variant of the scaled corpus: replica 1's vectors
+    are REPLACED by replica 0's (ids keep their stride), so every base
+    vector i has exactly one exact duplicate at id i + n_base — n_base
+    planted cosine-1.0 pairs inside the scaled corpus.  Gives the SRP-LSH
+    sizing demo a known recall denominator (the orthogonal-transform
+    replicas alone have no cross-replica near-dups to find)."""
+    import os
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    dst = f"{dst_dir}/embeddings.parquet"
+    if os.path.exists(dst):
+        return dst_dir
+    os.makedirs(dst_dir, exist_ok=True)
+    n_base = pq.read_metadata(f"{base_dir}/embeddings.parquet").num_rows
+    tbl = pq.read_table(f"{src_dir}/embeddings.parquet")
+    vec_id = np.asarray(tbl.column("vec_id").to_pylist())
+    emb = np.asarray(tbl.column("embedding").to_pylist(), dtype=np.float32)
+    # gen_scale lays replicas out as dense id blocks: replica r holds ids
+    # [r*n_base, (r+1)*n_base) with the base vectors at replica 0
+    base_vec = np.empty((n_base, emb.shape[1]), dtype=np.float32)
+    rep0 = vec_id < n_base
+    base_vec[vec_id[rep0]] = emb[rep0]
+    rep1 = (vec_id >= n_base) & (vec_id < 2 * n_base)
+    emb[rep1] = base_vec[vec_id[rep1] - n_base]
+    out = pa.table(
+        {
+            "vec_id": pa.array(vec_id),
+            "embedding": pa.array(list(emb), type=tbl.schema.field("embedding").type),
+            "label": tbl.column("label"),
+        },
+        schema=tbl.schema,
+    )
+    pq.write_table(out, dst)
+    return dst_dir
+
+
+def main() -> int:
+    args = sys.argv[1:]
+    demo_only = "--demo-only" in args
+    args = [a for a in args if a != "--demo-only"]
+    sf_dirs = args or [
+        "/root/testdata/sf0.1",
+        ".scratch/sf100emb",
+        ".scratch/sf1000emb",
+    ]
+    import __spark_entry__ as entry
+
+    from stateful_spark_streaming_spark.session import get_spark
+
+    spark = get_spark("ann_probe")
+    spark.sparkContext.setLogLevel("ERROR")
+    qs = entry.queries()
+    results: dict[str, dict] = {}
+
+    def run(sf_dir: str, name: str) -> None:
+        t0 = time.perf_counter()
+        try:
+            n = qs[name](spark, sf_dir).count()
+            row = {"sec": round(time.perf_counter() - t0, 2), "rows": n}
+        except Exception as e:  # noqa: BLE001 — a probe error is a datum
+            row = {"err": str(e)[:200]}
+        results[f"{sf_dir}/{name}"] = row
+        print(f"{sf_dir} {name}: {row}", flush=True)
+        spark.catalog.clearCache()
+
+    for sf_dir in sf_dirs if not demo_only else []:
+        n_vecs = spark.read.parquet(f"{sf_dir}/embeddings.parquet").count()
+        print(f"== {sf_dir}: {n_vecs} vectors ==", flush=True)
+        # cold index builds: the build cost IS the measurement
+        for pat in ("/tmp/sss_ivf_idx_*", "/tmp/sss_pq_*", "/tmp/sss_ivfpq_*"):
+            for d in glob.glob(pat):
+                shutil.rmtree(d, ignore_errors=True)
+        for name in LINEAR + INDEX + PAIR_LSH:
+            run(sf_dir, name)
+        if n_vecs <= EXACT_CAP_VECS:
+            for name in PAIR_EXACT:
+                run(sf_dir, name)
+        else:
+            for name in PAIR_EXACT:
+                results[f"{sf_dir}/{name}"] = {"skipped": f"n={n_vecs} > exact cap"}
+                print(f"{sf_dir} {name}: skipped (past exact O(n²) cap)", flush=True)
+
+    # ---- SRP-LSH sizing demonstration (planted ground truth) ----------
+    # The catalog query pins n_planes=4 (16 buckets/table — right for 2 k
+    # vectors where near pairs top out at cosine ~0.5); past ~32 k vectors
+    # EVERY bucket exceeds max_bucket_size and is dropped — recall
+    # collapses to zero, silently.  Plant n_base exact duplicates in the
+    # largest corpus and measure both tunings at τ=0.9 (the regime
+    # sign-LSH is for): tiny-SF planes → 0 found; corpus-sized planes
+    # (n_planes ≈ log2(n/target_bucket)) → every planted pair found, at
+    # near-linear cost.
+    big = next((d for d in reversed(sf_dirs) if "1000" in d), None)
+    if big:
+        from pyspark.sql import functions as F
+
+        from stateful_spark_streaming_spark.operators import similarity as SIM
+
+        base_dir = "/root/testdata/sf0.1"  # the corpus gen_scale scaled from
+        planted = _planted_corpus(big, base_dir, ".scratch/sf1000emb_planted")
+        emb = spark.read.parquet(f"{planted}/embeddings.parquet")
+        n_base = spark.read.parquet(f"{base_dir}/embeddings.parquet").count()
+        # corpus-sized = the histogram-driven rule (measured at 2 M):
+        # candidate mass under the cap falls ~10× per +4 planes
+        # (16 planes → 238 M cands → 240 GB verify shuffle, spill death;
+        # 20 planes → 22.4 M; 24 planes → 1.1 M), while planted EXACT
+        # duplicates collide at every depth — recall on them is free.
+        for tag, planes, tables in (("tiny-sf-tuning", 4, 8),
+                                    ("corpus-sized", 20, 4)):
+            t0 = time.perf_counter()
+            pairs = SIM.cosine_near_pairs_lsh(
+                emb, threshold=0.9, n_planes=planes, n_tables=tables
+            )
+            found = pairs.filter(
+                (F.col("id_b") - F.col("id_a") == n_base)
+                & (F.col("id_a") < n_base)
+            ).count()
+            row = {
+                "sec": round(time.perf_counter() - t0, 2),
+                "planted_found": found,
+                "planted_total": n_base,
+            }
+            results[f"srp_demo/{tag}"] = row
+            print(f"srp_demo {tag} (planes={planes}, tables={tables}): {row}",
+                  flush=True)
+            spark.catalog.clearCache()
+    spark.stop()
+    print(json.dumps(results, separators=(",", ":")))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
