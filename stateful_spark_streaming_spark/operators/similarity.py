@@ -94,6 +94,96 @@ def embedding_norm_stats(
     )
 
 
+def _brute_topk_scan(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int,
+    id_col: str,
+    vec_col: str,
+    label_col: str | None = None,
+):
+    """Shared exact-scan stage for ``cosine_topk_bruteforce`` and
+    ``hard_negatives``: broadcast the (bounded) query matrix, ONE
+    Arrow-batched GEMM pass over the corpus, per-batch partial top-k —
+    the global window then ranks a few hundred survivors instead of
+    |corpus| × |queries| scored rows.
+
+    Why not the crossJoin + higher-order-function dot it replaces: HOF
+    expressions (zip_with + aggregate) evaluate INTERPRETED per row —
+    measured 88 s at 200 k vectors and 507 s at 2 M for 20 queries
+    (tools/ann_probe.py); the GEMM form is the same arithmetic in one
+    BLAS call per batch.  Exactness is preserved: a global top-k row is
+    top-k within every subset containing it, so per-batch top-k by the
+    same (rounded-cosine desc, id asc) order loses nothing; the batch
+    keeps k + 8 (slack absorbs numpy HALF_EVEN vs Spark HALF_UP rounding
+    flips on exact half-ulp boundaries, which real cosines never hit).
+
+    With ``label_col``: rows with the SAME label as the query are masked
+    out (plus NULL labels on either side, matching the `<>` predicate);
+    without it, the self row (neighbor id == query id) is masked.
+    Emits (query_id, neighbor_id[, neg_label], raw_cos)."""
+    import numpy as np
+
+    spark = embeddings.sparkSession
+    qcols = [id_col, vec_col] + ([label_col] if label_col else [])
+    q_rows = queries.select(*qcols).collect()  # bounded query set
+    qids = np.array([r[0] for r in q_rows], dtype=np.int64)
+    Q = np.array([r[1] for r in q_rows], dtype=np.float64)
+    Q /= np.linalg.norm(Q, axis=1, keepdims=True)
+    qlabels = [r[2] for r in q_rows] if label_col else None
+    bc = spark.sparkContext.broadcast((qids, Q, qlabels))
+    keep_m = k + 8
+
+    out_fields = "query_id long, neighbor_id long"
+    if label_col:
+        lt = embeddings.schema[label_col].dataType.simpleString()
+        out_fields += f", neg_label {lt}"
+    out_fields += ", raw_cos double"
+
+    def kernel(batches):
+        import pandas as pd
+
+        ids_q, Qn, labs_q = bc.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids = pdf[id_col].to_numpy()
+            X = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            X /= np.linalg.norm(X, axis=1, keepdims=True)
+            S = X @ Qn.T  # (batch, n_queries)
+            if labs_q is not None:
+                labs_b = pdf[label_col].tolist()
+                mask = np.array(
+                    [
+                        [
+                            lb is None or lq is None or lb == lq
+                            for lq in labs_q
+                        ]
+                        for lb in labs_b
+                    ]
+                )
+                S = np.where(mask, -np.inf, S)
+            else:
+                S = np.where(ids[:, None] == ids_q[None, :], -np.inf, S)
+            # selection by the FINAL order (6-dp rounded desc, id asc)
+            R = np.round(S, 6)
+            for qi in range(len(ids_q)):
+                sel = np.lexsort((ids, -R[:, qi]))[:keep_m]
+                sel = sel[np.isfinite(S[sel, qi])]
+                if not len(sel):
+                    continue
+                row = {
+                    "query_id": np.full(len(sel), ids_q[qi]),
+                    "neighbor_id": ids[sel],
+                }
+                if labs_q is not None:
+                    row["neg_label"] = pdf[label_col].to_numpy()[sel]
+                row["raw_cos"] = S[sel, qi]
+                yield pd.DataFrame(row)
+
+    return embeddings.select(*qcols).mapInPandas(kernel, out_fields)
+
+
 def cosine_topk_bruteforce(
     embeddings: DataFrame,
     queries: DataFrame,
@@ -101,27 +191,13 @@ def cosine_topk_bruteforce(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Exact top-k: broadcast queries × scan corpus; per-query top-k window.
+    """Exact top-k: broadcast queries × ONE GEMM corpus scan with
+    per-batch partial top-k (see ``_brute_topk_scan``); the final window
+    ranks only the per-batch survivors.
 
     Ties at the k-th neighbor break on neighbor id (deterministic)."""
-    q = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
-    )
-    c = embeddings.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cvec")
-    )
-    scored = (
-        c.crossJoin(F.broadcast(q))
-        .filter(F.col("neighbor_id") != F.col("query_id"))
-        .withColumn(
-            "cosine",
-            F.round(
-                _dot(F.col("qvec"), F.col("cvec"))
-                / (_norm(F.col("qvec")) * _norm(F.col("cvec"))),
-                6,
-            ),
-        )
-    )
+    cand = _brute_topk_scan(embeddings, queries, k, id_col, vec_col)
+    scored = cand.withColumn("cosine", F.round("raw_cos", 6))
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id").asc()
     )
@@ -1229,31 +1305,19 @@ def hard_negatives(
     negatives).
 
     Same plan shape as ``cosine_topk_bruteforce`` (broadcast anchors ×
-    one corpus scan, per-anchor top-k window): the label inequality is
-    one more predicate pushed into the scored stream, BEFORE the window,
-    so the ranking state never holds same-label rows.  The IVF/PQ paths
-    compose the same way when the corpus outgrows brute force."""
-    q = queries.select(
-        F.col(id_col).alias("anchor_id"),
-        F.col(vec_col).alias("qvec"),
-        F.col(label_col).alias("anchor_label"),
+    ONE GEMM corpus scan with per-batch partial top-k, see
+    ``_brute_topk_scan``): the label inequality is a mask applied inside
+    the kernel, BEFORE the partial top-k, so ranking state never holds
+    same-label rows.  The IVF/PQ paths compose the same way when the
+    corpus outgrows brute force."""
+    cand = _brute_topk_scan(
+        embeddings, queries, k, id_col, vec_col, label_col=label_col
     )
-    c = embeddings.select(
-        F.col(id_col).alias("negative_id"),
-        F.col(vec_col).alias("cvec"),
-        F.col(label_col).alias("neg_label"),
-    )
-    scored = (
-        c.crossJoin(F.broadcast(q))
-        .filter(F.col("neg_label") != F.col("anchor_label"))
-        .withColumn(
-            "cosine",
-            F.round(
-                _dot(F.col("qvec"), F.col("cvec"))
-                / (_norm(F.col("qvec")) * _norm(F.col("cvec"))),
-                6,
-            ),
-        )
+    scored = cand.select(
+        F.col("query_id").alias("anchor_id"),
+        F.col("neighbor_id").alias("negative_id"),
+        "neg_label",
+        F.round("raw_cos", 6).alias("cosine"),
     )
     w = Window.partitionBy("anchor_id").orderBy(
         F.col("cosine").desc(), F.col("negative_id").asc()
