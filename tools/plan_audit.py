@@ -67,9 +67,10 @@ CHECKS = {
     # IVFADC: same shape — encode + cell-masked ADC are chained map stages
     # over the persisted index scan, then the one per-query window
     "ivfpq_topk": ([], ["Join", "CartesianProduct"], 1),
-    # brute-force topk deliberately crossJoins a BROADCAST query side — the
-    # nested-loop is the documented design, so require the broadcast kind
-    "cosine_topk": (["BroadcastNestedLoopJoin"], ["CartesianProduct"], None),
+    # brute-force topk: ONE Arrow GEMM scan (queries broadcast into the
+    # kernel closure, per-batch partial top-k) — no join of any kind; the
+    # interpreted HOF crossJoin it replaced measured 507 s at 2 M vectors
+    "cosine_topk": (["MapInPandas"], ["CartesianProduct", "Join"], None),
     # as-of join: union + ONE keyed window — never a range sort-merge join
     "asof_clicks_purchases": ([], ["CartesianProduct", "BroadcastNestedLoopJoin",
                                    "SortMergeJoin"], None),
@@ -356,9 +357,9 @@ CHECKS = {
     # side must not shuffle before the final aggregate
     "campaign_attribution": (["BroadcastNestedLoopJoin"],
                              ["CartesianProduct", "SortMergeJoin"], 1),
-    # contrastive mining: broadcast anchors × one corpus scan (like
-    # cosine_topk); the label filter sits BEFORE the per-anchor window
-    "hard_negatives": (["BroadcastNestedLoopJoin"], ["CartesianProduct"], None),
+    # contrastive mining: same GEMM scan as cosine_topk, label mask
+    # applied inside the kernel BEFORE the partial top-k — no join
+    "hard_negatives": (["MapInPandas"], ["CartesianProduct", "Join"], None),
     # equi-height bucketing: thresholds broadcast from the summary-sized
     # histogram; assignment is map-only — never an NTILE global sort
     # (the only Window runs over the ≤ n_bins aggregated histogram)
