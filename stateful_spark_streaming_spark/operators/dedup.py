@@ -941,17 +941,33 @@ def banded_candidate_pairs(
     band_hash) value shared by m items would otherwise collect_list an
     m-element array into ONE row and expand m²/2 pairs inside ONE task —
     at corpus scale that bucket is boilerplate hashing together, and it is
-    an executor-OOM by construction.  Buckets over the cap are dropped
-    before pair expansion; ``lsh_bucket_stats`` reports how many (run it
-    when tuning the cap — the operator itself stays a single-action plan).
-    Pass ``None`` to disable (exact candidate enumeration)."""
+    an executor-OOM by construction.  Over-cap buckets are removed BEFORE
+    the collect_list, not after: a post-collect size filter still
+    materializes the m-element array in one aggregation buffer just to
+    drop it, which is the same OOM wearing a different stack trace.  The
+    pre-filter is a map-side-combined count + broadcast ANTI-join on the
+    hot keys — the hot set is provably ≤ rows/cap keys, so the broadcast
+    is always summary-sized; ``items`` is persisted so its subplan (the
+    signature UDF — the expensive stage) still evaluates once.
+    ``lsh_bucket_stats`` reports the skew when tuning the cap.  Pass
+    ``None`` to disable (exact candidate enumeration)."""
+    src = items
+    if max_bucket_size is not None:
+        from stateful_spark_streaming_spark.caching import track_persist
+
+        src = track_persist(items)
+        hot = (
+            src.groupBy("band_id", "band_hash")
+            .agg(F.count(F.lit(1)).alias("sz"))
+            .filter(F.col("sz") > max_bucket_size)
+            .select("band_id", "band_hash")
+        )
+        src = src.join(F.broadcast(hot), ["band_id", "band_hash"], "left_anti")
     buckets = (
-        items.groupBy("band_id", "band_hash")
+        src.groupBy("band_id", "band_hash")
         .agg(F.collect_list("item").alias("bucket"))
         .filter(F.size("bucket") >= 2)
     )
-    if max_bucket_size is not None:
-        buckets = buckets.filter(F.size("bucket") <= max_bucket_size)
     return (
         buckets.select(F.explode("bucket").alias("a"), "bucket")
         .select("a", F.explode("bucket").alias("b"))

@@ -837,3 +837,28 @@ def test_gopher_quality_filter_rules(spark):
         r = got[d]
         assert sum([r.ok_words, r.ok_word_len, r.ok_symbols,
                     r.ok_alpha, r.ok_stopwords]) >= 3
+
+def test_banded_candidate_pairs_cap_prefilters_before_collect(spark):
+    """The hot-bucket guard must remove over-cap buckets BEFORE the
+    collect_list — a post-collect size filter still materializes the
+    m-element array in one aggregation buffer just to drop it (the same
+    executor-OOM the cap exists to prevent).  Structural pin: with a cap
+    the physical plan carries the broadcast LEFT ANTI join on the hot
+    keys below the list aggregate; with cap=None it must not."""
+    from pyspark.sql import functions as F
+
+    items = spark.createDataFrame(
+        [(0, "h", i) for i in range(8)],
+        ["band_id", "band_hash", "id"],
+    ).select("band_id", "band_hash", F.struct(F.col("id")).alias("item"))
+    capped_plan = (
+        DD.banded_candidate_pairs(items, max_bucket_size=3)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "LeftAnti" in capped_plan, "hot-key anti join missing from plan"
+    assert "BroadcastHashJoin" in capped_plan or "BroadcastExchange" in capped_plan
+    open_plan = (
+        DD.banded_candidate_pairs(items, max_bucket_size=None)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "LeftAnti" not in open_plan

@@ -52,9 +52,11 @@ CHECKS = {
     # self-join, no cartesian; the hot-shingle cap is mandatory here
     "containment_pairs": ([], ["CartesianProduct", "BroadcastNestedLoopJoin"], None),
     "dedup_minhash_lsh": ([], ["CartesianProduct", "BroadcastNestedLoopJoin"], None),
-    # simhash candidates come from ONE groupBy+explode — no join of any kind
+    # simhash candidates come from ONE groupBy+explode; the only join
+    # allowed is the hot-bucket guard's broadcast ANTI (pre-collect_list
+    # filter — the hot-key set is ≤ rows/cap, always broadcastable)
     "dedup_simhash": ([], ["CartesianProduct", "BroadcastNestedLoopJoin",
-                           "SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin"], None),
+                           "SortMergeJoin", "ShuffledHashJoin"], None),
     "cosine_near_pairs_lsh": ([], ["CartesianProduct", "BroadcastNestedLoopJoin"], None),
     # exact near-pairs: broadcast-matrix kernel — no join, one repartition
     "cosine_near_pairs": ([], ["CartesianProduct", "SortMergeJoin",
@@ -383,9 +385,12 @@ MAX_SCANS = {
     # (top_supplier's 2nd scan is the supplier DIM, not a recompute)
     "top_supplier": 2,
     "important_parts": 1,
-    "dedup_simhash": 1,
-    "dedup_minhash_lsh": 3,
-    "cosine_near_pairs_lsh": 3,
+    # +1 exchange each since the hot-bucket guard pre-counts bucket
+    # sizes (map-side-combined, summary-sized shuffle) before the
+    # collect_list — the price of never materializing an over-cap array
+    "dedup_simhash": 2,
+    "dedup_minhash_lsh": 4,
+    "cosine_near_pairs_lsh": 4,
     "dedup_jaccard_pairs": 2,  # persisted index: parquet scanned once, InMemory reused
     "containment_pairs": 2,
     "cosine_near_pairs": 1,
