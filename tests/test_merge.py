@@ -1130,3 +1130,125 @@ def test_streaming_merge_bucketed_pred_term_cap_semi_join(spark, tmp_path):
     want = {k: float(k) for k in range(64) if k != 9}
     want[5], want[64] = 55.0, 640.0
     assert dict(results["capped"]) == want
+
+def test_partition_swap_every_crash_point_converges(tmp_path):
+    """MECHANICAL crash enumeration for the partition-swap protocol: a
+    crash is injected after EVERY filesystem mutation (os.rename /
+    shutil.rmtree) a full promote+retire swap performs — not just the
+    hand-picked windows the other tests cover.  After each injected
+    crash: (1) recover_partitions must leave a CONSISTENT table — every
+    partition dir holds a whole generation (both of its files), no
+    hidden dirs, no partial mixes; (2) regenerating staging and replaying
+    the same swap must converge to the clean-run end state (the runner's
+    idempotent-replay contract)."""
+    import os
+    import shutil as _sh
+
+    import stateful_spark_streaming_spark.generations as G
+
+    OLD = {"g=a": "old_a", "g=b": "old_b", "g=c": "old_c"}
+    NEW = {"g=a": "new_a", "g=nw": "new_nw"}   # g=b vacated -> retire
+    RETIRE = ["g=b"]
+
+    def mk_partition(root, rel, content):
+        d = os.path.join(root, rel)
+        os.makedirs(d, exist_ok=True)
+        # two files that must travel together — catches partial-dir loss
+        for f in ("part-0.parquet", "part-1.parquet"):
+            with open(os.path.join(d, f), "w") as fh:
+                fh.write(content)
+
+    def build(table, staging):
+        for rel, c in OLD.items():
+            mk_partition(table, rel, c)
+        _sh.rmtree(staging, ignore_errors=True)
+        for rel, c in NEW.items():
+            mk_partition(staging, rel, c)
+        open(os.path.join(staging, "_SUCCESS"), "w").close()
+
+    def snapshot(table):
+        out = {}
+        for rel in sorted(os.listdir(table)):
+            assert not rel.startswith((".tmp.", ".old.")), f"hidden leftover {rel}"
+            files = sorted(os.listdir(os.path.join(table, rel)))
+            assert files == ["part-0.parquet", "part-1.parquet"], (
+                f"{rel} lost half its generation: {files}"
+            )
+            contents = {
+                open(os.path.join(table, rel, f)).read() for f in files
+            }
+            assert len(contents) == 1, f"{rel} mixes generations: {contents}"
+            out[rel] = contents.pop()
+        return out
+
+    # clean run fixes the expected end state and the mutation count
+    table, staging = str(tmp_path / "t_clean"), str(tmp_path / "s_clean")
+    build(table, staging)
+    n_mut = 0
+    real_rename, real_rmtree = os.rename, _sh.rmtree
+
+    def count_rename(*a, **k):
+        nonlocal n_mut
+        n_mut += 1
+        return real_rename(*a, **k)
+
+    def count_rmtree(*a, **k):
+        nonlocal n_mut
+        n_mut += 1
+        return real_rmtree(*a, **k)
+
+    os.rename, _sh.rmtree = count_rename, count_rmtree
+    try:
+        G.swap_partitions(table, staging, sorted(NEW), retire=RETIRE)
+    finally:
+        os.rename, _sh.rmtree = real_rename, real_rmtree
+    want = snapshot(table)
+    assert want == {"g=a": "new_a", "g=c": "old_c", "g=nw": "new_nw"}
+    assert n_mut >= 6, f"expected several mutations, counted {n_mut}"
+
+    class Crash(RuntimeError):
+        pass
+
+    for crash_at in range(n_mut):
+        table = str(tmp_path / f"t_{crash_at}")
+        staging = str(tmp_path / f"s_{crash_at}")
+        build(table, staging)
+        left = crash_at
+
+        def fail_rename(*a, **k):
+            nonlocal left
+            if left == 0:
+                raise Crash()
+            left -= 1
+            return real_rename(*a, **k)
+
+        def fail_rmtree(*a, **k):
+            nonlocal left
+            if left == 0:
+                raise Crash()
+            left -= 1
+            return real_rmtree(*a, **k)
+
+        os.rename, _sh.rmtree = fail_rename, fail_rmtree
+        try:
+            G.swap_partitions(table, staging, sorted(NEW), retire=RETIRE)
+            crashed = False
+        except Crash:
+            crashed = True
+        finally:
+            os.rename, _sh.rmtree = real_rename, real_rmtree
+        assert crashed, f"crash point {crash_at} never reached"
+        # next entry: recovery must restore consistency...
+        G.recover_partitions(table)
+        mid = snapshot(table)
+        for rel, c in mid.items():
+            assert c in (OLD.get(rel), NEW.get(rel)), (
+                f"crash {crash_at}: {rel} holds unknown generation {c}"
+            )
+        # ...and the replay (staging regenerated, same swap) must converge
+        _sh.rmtree(staging, ignore_errors=True)
+        for rel, c in NEW.items():
+            mk_partition(staging, rel, c)
+        open(os.path.join(staging, "_SUCCESS"), "w").close()
+        G.swap_partitions(table, staging, sorted(NEW), retire=RETIRE)
+        assert snapshot(table) == want, f"crash {crash_at}: replay diverged"
