@@ -1284,14 +1284,18 @@ def dup_clusters(
             StructField("cluster_rep", pairs.schema[id_a].dataType, True),
         ]
     )
-    probe = pairs.select(id_a, id_b).limit(max_driver_edges + 1).collect()
+    # Arrow collect, not Row collect: 2 M Row objects cost ~100 B each
+    # (~200 MB of driver boxing for 32 MB of longs); toPandas lands the
+    # same bound as two compact int64 columns, so the documented 2M-edge
+    # cap really is ~32 MB of driver memory
+    probe = pairs.select(id_a, id_b).limit(max_driver_edges + 1).toPandas()
     if len(probe) <= max_driver_edges:
         dup_clusters.last_tier = "driver"
         log.info(
             "dup_clusters: driver union-find tier (%d edges <= %d)",
             len(probe), max_driver_edges,
         )
-        edges = probe
+        edges = zip(probe[id_a].tolist(), probe[id_b].tolist())
         parent: dict = {}
 
         def find(x):
@@ -1300,8 +1304,7 @@ def dup_clusters(
                 x = parent[x]
             return x
 
-        for r in edges:
-            a, b = r[0], r[1]
+        for a, b in edges:
             parent.setdefault(a, a)
             parent.setdefault(b, b)
             ra, rb = find(a), find(b)
