@@ -256,3 +256,90 @@ def test_partition_retire_and_percent_escape(tmp_path):
         open(os.path.join(table, hive_name, "part-0.parquet")).read() == "PCT"
     ), "recovered to the literal Hive-escaped dirname"
     assert not os.path.exists(os.path.join(table, "g=a", "b"))
+
+def test_swap_generation_every_crash_point_converges(tmp_path):
+    """MECHANICAL crash enumeration for the single-dir generation swap
+    (the twin of test_merge's partition-swap enumeration): inject a
+    failure after EVERY rename/rmtree a full swap performs.  After each
+    crash, recover_generation must leave the live dir holding ONE whole
+    generation with its commit marker (old or new, never missing, never
+    mixed), and rewriting tmp + re-swapping must converge to the new
+    generation."""
+    import shutil as _sh
+
+    import stateful_spark_streaming_spark.generations as G
+
+    def build(p):
+        _mk(p, "old")
+        _mk(p + ".tmp", "new")
+
+    def whole(p):
+        files = sorted(os.listdir(p))
+        assert "_SUCCESS" in files, f"live dir lost its commit marker: {files}"
+        tags = [f[:-8] for f in files if f.endswith(".parquet")]
+        assert len(tags) == 1, f"live dir mixes generations: {tags}"
+        return tags[0]
+
+    # count mutations in a clean run
+    p = str(tmp_path / "clean")
+    build(p)
+    n_mut = 0
+    real_rename, real_rmtree = os.rename, _sh.rmtree
+
+    def count_rename(*a, **k):
+        nonlocal n_mut
+        n_mut += 1
+        return real_rename(*a, **k)
+
+    def count_rmtree(*a, **k):
+        nonlocal n_mut
+        n_mut += 1
+        return real_rmtree(*a, **k)
+
+    os.rename, _sh.rmtree = count_rename, count_rmtree
+    try:
+        G.swap_generation(p)
+    finally:
+        os.rename, _sh.rmtree = real_rename, real_rmtree
+    assert whole(p) == "new" and not os.path.exists(p + ".old")
+    assert n_mut >= 3, f"expected several mutations, counted {n_mut}"
+
+    class Crash(RuntimeError):
+        pass
+
+    for crash_at in range(n_mut):
+        p = str(tmp_path / f"c{crash_at}")
+        build(p)
+        left = crash_at
+
+        def fail_rename(*a, **k):
+            nonlocal left
+            if left == 0:
+                raise Crash()
+            left -= 1
+            return real_rename(*a, **k)
+
+        def fail_rmtree(*a, **k):
+            nonlocal left
+            if left == 0:
+                raise Crash()
+            left -= 1
+            return real_rmtree(*a, **k)
+
+        os.rename, _sh.rmtree = fail_rename, fail_rmtree
+        try:
+            G.swap_generation(p)
+            crashed = False
+        except Crash:
+            crashed = True
+        finally:
+            os.rename, _sh.rmtree = real_rename, real_rmtree
+        assert crashed, f"crash point {crash_at} never reached"
+        G.recover_generation(p, clean=True)
+        assert whole(p) in ("old", "new"), f"crash {crash_at}"
+        # replay: rewrite tmp (the job's restart) and swap again
+        _sh.rmtree(p + ".tmp", ignore_errors=True)
+        _mk(p + ".tmp", "new")
+        G.swap_generation(p)
+        assert whole(p) == "new", f"crash {crash_at}: replay diverged"
+        assert not os.path.exists(p + ".tmp") and not os.path.exists(p + ".old")
