@@ -8,6 +8,8 @@ Runs the probe query list once per SF dir in ONE session (first dir
 carries the cold JIT — list it first), prints per-query wall time and
 row counts, then the LSH bucket-skew diagnostics and the df-capped
 Jaccard candidate-mass histogram that explains the quadratic family.
+``--queries a,b,c`` probes a custom catalog-query list instead (skips
+the LSH/Jaccard diagnostics, which belong to the dedup family).
 Timing discipline: run SOLO (any concurrent Spark JVM invalidates the
 numbers — the bench's solo rule applies here too).
 """
@@ -41,7 +43,15 @@ PROBES = [
 
 
 def main() -> int:
-    sf_dirs = sys.argv[1:] or ["/root/testdata/sf0.1", ".scratch/sf1"]
+    argv = sys.argv[1:]
+    probes = list(PROBES)
+    diagnostics = True
+    if "--queries" in argv:
+        i = argv.index("--queries")
+        probes = argv[i + 1].split(",")
+        del argv[i : i + 2]
+        diagnostics = False  # custom lists skip the LSH/Jaccard diagnostics
+    sf_dirs = argv or ["/root/testdata/sf0.1", ".scratch/sf1"]
     import __spark_entry__ as entry
     from pyspark.sql import functions as F
 
@@ -58,7 +68,7 @@ def main() -> int:
     qs = entry.queries()
     results: dict[str, dict] = {}
     for sf_dir in sf_dirs:
-        for name in PROBES:
+        for name in probes:
             t0 = time.perf_counter()
             try:
                 n = qs[name](spark, sf_dir).count()
@@ -68,6 +78,8 @@ def main() -> int:
             results[f"{sf_dir}/{name}"] = row
             print(f"{sf_dir} {name}: {row}", flush=True)
             spark.catalog.clearCache()
+        if not diagnostics:
+            continue
         docs = load_table(spark, sf_dir, "documents")
         band_rows = minhash_band_rows_mapinpandas(docs, "text", "doc_id", 3, 32, 8)
         items = band_rows.select(
