@@ -125,13 +125,23 @@ def temperature_mix(
     rates = (
         w.crossJoin(F.broadcast(big_w))
         .withColumn(
+            # DECIMAL(38,0), not BIGINT: at extreme-but-plausible parameters
+            # (target_total ~1e10 docs, w_s ~3e5) the basis-point numerator
+            # 10000·target·w crosses 9.2e18 and BIGINT would wrap silently.
+            # The cap must apply BEFORE the division — Spark's `div` always
+            # returns LONG and wraps when the raw quotient itself exceeds
+            # BIGINT — so the numerator is clamped to 10000·denominator in
+            # decimal space (quotient ≤ 10000 by construction, then exact).
+            # Decimal bounds: numerator ≤ ~2.8e32, 10000·denominator stays
+            # under 1e38 for any per-source count that fits BIGINT.  Results
+            # at non-overflowing scales — and the oracle hashes — are
+            # unchanged; DuckDB mirrors with HUGEINT.
             "rate_bp",
-            F.least(
-                F.lit(10000).cast("long"),
-                F.expr(
-                    f"(10000 * CAST({target_total} AS BIGINT) * _w) div (_wsum * _n)"
-                ),
-            ).cast("int"),
+            F.expr(
+                f"CAST(least(CAST(10000 AS DECIMAL(38,0)) * {target_total} * _w,"
+                f" CAST(10000 AS DECIMAL(38,0)) * (CAST(_wsum AS DECIMAL(38,0)) * _n))"
+                f" div (CAST(_wsum AS DECIMAL(38,0)) * _n) AS INT)"
+            ),
         )
         .select(group_col, "rate_bp")
     )

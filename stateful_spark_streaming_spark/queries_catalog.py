@@ -4004,7 +4004,7 @@ def q_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     w AS (SELECT source, n_docs, CAST(floor(sqrt(n_docs)) AS BIGINT) AS wv FROM n),
     t AS (SELECT sum(wv) AS wsum FROM w),
     r AS (SELECT source,
-                 least(10000, (10000 * 500 * wv) // (wsum * n_docs)) AS rate_bp
+                 least(10000, (10000::HUGEINT * 500 * wv) // (wsum::HUGEINT * n_docs)) AS rate_bp
           FROM w, t)
     SELECT d.doc_id, d.source, CAST(r.rate_bp AS INT) AS rate_bp
     FROM documents d JOIN r USING (source)

@@ -62,6 +62,18 @@ def test_temperature_mix_exact_rates_and_rows(spark):
     assert got == want and got
 
 
+def test_temperature_mix_survives_bigint_overflow_target(spark):
+    # target_total ~4e18: the basis-point numerator 10000·target·w crosses
+    # 9.2e18, so BIGINT arithmetic would wrap (negative rate → 0 rows kept,
+    # silently).  The DECIMAL(38,0) form must still floor-divide exactly:
+    # every rate caps at 10000 and every row survives.
+    rows = [(i, "a") for i in range(5)] + [(10 + i, "b") for i in range(3)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    out = temperature_mix(df, target_total=4 * 10**18).collect()
+    assert {r["rate_bp"] for r in out} == {10000}
+    assert len(out) == len(rows)
+
+
 def test_temperature_mix_small_source_rate_caps_at_10000(spark):
     # target larger than the corpus → every rate hits the 10000 cap and
     # every row is kept (the LEAST guard, not a >100% rate)
