@@ -143,6 +143,78 @@ def merge_apply_batch(
     return joined.select(*out_cols)
 
 
+def evolve_schema(
+    cur: DataFrame,
+    batch: DataFrame,
+    key_cols: tuple[str, ...],
+    seq_col: str = "__seq",
+    op_col: str = "op",
+    tombstone_col: str = "__deleted",
+    ignore_cols: tuple[str, ...] = (),
+) -> tuple[DataFrame, DataFrame, bool]:
+    """ADDITIVE schema evolution for the CDC merge (the Delta/Iceberg
+    ``mergeSchema`` shape): align a standing table and a change batch
+    whose column sets drifted apart, so maintenance survives the one
+    schema change every long-lived 100 TB table eventually sees.
+
+    - a column present in the batch but not the table WIDENS the table:
+      existing rows backfill NULL (exactly what a lakehouse ADD COLUMN
+      does — no rewrite of history into fake values);
+    - a column present in the table but absent from the batch becomes
+      NULL in the change images — the full-row-image CDC contract (an
+      upsert REPLACES the row; an absent column means "no value"), not
+      a partial-update patch;
+    - a shared column with a DIFFERENT type raises: silent cross-type
+      coercion is how a long-lived table acquires corrupt history.
+      (Type widening is a separate, explicit migration.)
+
+    Key columns must exist in both inputs — a key column can never be
+    evolved in.  ``ignore_cols`` are left alone on both sides (e.g. a
+    runner-managed partition column like ``__bucket`` that is derived,
+    not carried).  Returns (cur', batch', widened) where ``widened``
+    tells the caller the TABLE gained columns (partition-scoped writers
+    must force a full-image rewrite for that batch, or untouched
+    partitions would keep old-schema files that a fixed-schema read
+    would mask).
+    """
+    keys = set(key_cols)
+    missing_keys = keys - set(batch.columns)
+    if missing_keys:
+        raise ValueError(f"change batch lacks key column(s): {sorted(missing_keys)}")
+    cur_types = {f.name: f.dataType for f in cur.schema.fields}
+    batch_types = {f.name: f.dataType for f in batch.schema.fields}
+    # meta and runner-managed columns are exempt from the conflict check:
+    # e.g. a feed's int seq against the table's long __seq is routine, and
+    # the merge's seq comparison coerces numerics safely
+    meta = {seq_col, op_col, tombstone_col, *ignore_cols}
+    conflicts = {
+        n: (str(cur_types[n]), str(batch_types[n]))
+        for n in (set(cur_types) & set(batch_types)) - meta
+        if cur_types[n] != batch_types[n]
+    }
+    if conflicts:
+        raise ValueError(
+            f"schema evolution refuses type changes: {conflicts} — "
+            "widen types with an explicit migration, not a change batch"
+        )
+    skip = set(ignore_cols)
+    new_cols = [
+        f for f in batch.schema.fields
+        if f.name not in cur_types and f.name not in (seq_col, op_col)
+        and f.name not in skip
+    ]
+    for f in new_cols:
+        cur = cur.withColumn(f.name, F.lit(None).cast(f.dataType))
+    absent = [
+        f for f in cur.schema.fields
+        if f.name not in batch_types and f.name not in (seq_col, tombstone_col)
+        and f.name not in skip
+    ]
+    for f in absent:
+        batch = batch.withColumn(f.name, F.lit(None).cast(f.dataType))
+    return cur, batch, bool(new_cols)
+
+
 def with_merge_meta(
     df: DataFrame, seq_col: str = "__seq", tombstone_col: str = "__deleted"
 ) -> DataFrame:

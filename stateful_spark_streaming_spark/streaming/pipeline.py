@@ -620,14 +620,26 @@ def run_snapshot_query(
 
 
 def _stage_parquet_stream(
-    spark: SparkSession, path: str, max_files_per_trigger: int | None = None
+    spark: SparkSession,
+    path: str,
+    max_files_per_trigger: int | None = None,
+    merge_schema: bool = False,
 ) -> DataFrame:
     """Open a parquet path as a file-source STREAM: read the footer schema
     (file sources need an explicit one), symlink a single file into a temp
     dir (file sources need a directory), and apply the per-trigger file
     cap.  One definition for every streaming entry point — a staging fix
-    (schema drift, deleted source) lands once."""
-    raw_schema = spark.read.parquet(path).schema
+    (schema drift, deleted source) lands once.
+
+    ``merge_schema=True`` (the schema-evolution feed): the stream schema
+    is the UNION of every existing file's footer, so a feed whose later
+    files carry new columns surfaces them from the start (earlier files'
+    batches read NULL there).  Default off — the plain inference picks
+    one footer, which is cheaper and right for homogeneous feeds."""
+    raw_read = spark.read
+    if merge_schema:
+        raw_read = raw_read.option("mergeSchema", "true")
+    raw_schema = raw_read.parquet(path).schema
     src_dir = path
     if os.path.isfile(path):
         src_dir = tempfile.mkdtemp(prefix="sss_stream_src_")
@@ -1710,10 +1722,21 @@ def run_streaming_merge_upsert(
     n_buckets: int | None = None,
     full_rewrite_frac: float = 0.5,
     max_pred_terms: int = 1000,
+    schema_evolution: bool = False,
 ) -> DataFrame:
     """Incremental MERGE INTO — streaming twin of ``merge_upsert`` (same
     oracle): change batches stream in and fold into a generation-managed
     standing table; the final merged view is returned.
+
+    ``schema_evolution=True`` turns on ADDITIVE evolution
+    (``merge.evolve_schema``): a change batch may carry NEW data columns
+    — the standing table widens, existing rows backfill NULL — and may
+    omit existing ones (full-row-image contract: the change image gets
+    NULL there).  A widening batch always takes the FULL-IMAGE swap even
+    under ``n_buckets`` (untouched buckets would otherwise keep
+    old-schema files that the fixed-schema read masks to NULL forever);
+    subsequent same-schema batches return to the scoped path.  Type
+    changes raise — that is an explicit migration, not a change batch.
 
     ``n_buckets`` (the 100 TB knob, default off): the table is laid out
     partitioned by ``__bucket = pmod(xxhash64(keys), n_buckets)`` and each
@@ -1772,6 +1795,7 @@ def run_streaming_merge_upsert(
         swap_partitions,
     )
     from stateful_spark_streaming_spark.operators.merge import (
+        evolve_schema,
         merge_apply_batch,
         merged_view,
         with_merge_meta,
@@ -1834,13 +1858,42 @@ def run_streaming_merge_upsert(
                 cur0 = cur0.drop("__bucket")
             _write_layout(cur0)
 
-    stream = _stage_parquet_stream(spark, changes_path, max_files_per_trigger)
+    # fixed table schema for all later reads, exactly as the MV runner
+    # does: skips per-read footer inference (a driver round trip per
+    # read; measured negligible at test SF — the runner's fixed cost is
+    # the 128-dir write-commit renames — but footers grow with real
+    # column counts).  Partition discovery itself stays, it's just
+    # listing.  The holder is mutable because schema evolution widens it
+    # mid-stream (refreshed from the just-promoted generation, which a
+    # widening batch always writes FULL-image, so the new footer schema
+    # is authoritative).
+    _schema_holder = {"schema": spark.read.parquet(table_dir).schema}
+
+    def _read_table():
+        return spark.read.schema(_schema_holder["schema"]).parquet(table_dir)
+
+    def _refresh_schema() -> None:
+        _schema_holder["schema"] = spark.read.parquet(table_dir).schema
+
+    stream = _stage_parquet_stream(
+        spark, changes_path, max_files_per_trigger, merge_schema=schema_evolution
+    )
 
     def _sink(bdf: DataFrame, batch_id: int) -> None:
         recover_generation(table_dir, clean=True)  # drop any stale .tmp
         recover_partitions(table_dir)
-        cur = spark.read.parquet(table_dir)
+        cur = _read_table()
         batch_ready = bdf.withColumnRenamed(seq_col, "__seq")
+        if schema_evolution:
+            # replay-safe: an already-widened table sees no new columns
+            # the second time around, so widened=False and the batch
+            # takes whatever path its touch count dictates
+            cur, batch_ready, widened = evolve_schema(
+                cur, batch_ready, key_cols,
+                seq_col="__seq", op_col=op_col, ignore_cols=("__bucket",),
+            )
+        else:
+            widened = False
         if not n_buckets:
             nxt = merge_apply_batch(
                 cur, batch_ready, key_cols,
@@ -1848,6 +1901,8 @@ def run_streaming_merge_upsert(
             )
             nxt.write.parquet(table_dir + ".tmp")
             swap_generation(table_dir)
+            if widened:
+                _refresh_schema()
             return
         # bucket membership is key-pure: the affected set comes from the
         # batch alone — summary-sized collect, no table scan, no sidecar
@@ -1857,7 +1912,11 @@ def run_streaming_merge_upsert(
         )
         if not touched:
             return
-        if len(touched) > full_rewrite_frac * n_buckets:
+        if widened or len(touched) > full_rewrite_frac * n_buckets:
+            # `widened` forces the full image: a scoped write would leave
+            # untouched buckets' files on the old schema, and the fixed-
+            # schema read would surface the new column as NULL for rows
+            # that later re-merge — the one batch that widens pays O(table)
             nxt = merge_apply_batch(
                 cur, batch_ready, key_cols,
                 seq_col="__seq", op_col=op_col, delete_op=delete_op,
@@ -1866,6 +1925,8 @@ def run_streaming_merge_upsert(
                 "__bucket"
             ).parquet(table_dir + ".tmp")
             swap_generation(table_dir)
+            if widened:
+                _refresh_schema()
             return
         if len(touched) <= max_pred_terms:
             cur_touched = cur.filter(F.col("__bucket").isin(touched))
@@ -1901,7 +1962,7 @@ def run_streaming_merge_upsert(
         q.awaitTermination(300)
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old_sp)
-    out = merged_view(spark.read.parquet(table_dir))
+    out = merged_view(_read_table())
     return out.drop("__bucket") if n_buckets else out
 
 

@@ -1252,3 +1252,176 @@ def test_partition_swap_every_crash_point_converges(tmp_path):
         open(os.path.join(staging, "_SUCCESS"), "w").close()
         G.swap_partitions(table, staging, sorted(NEW), retire=RETIRE)
         assert snapshot(table) == want, f"crash {crash_at}: replay diverged"
+
+
+# ---------------------------------------------------------------------------
+# Schema evolution (merge.evolve_schema + run_streaming_merge_upsert's
+# schema_evolution flag): additive widening, full-row-image NULLs for
+# absent columns, the bucketed full-image-then-scoped dance, and the
+# type-conflict refusal.
+# ---------------------------------------------------------------------------
+
+WIDE_CH_SCHEMA = "k long, name string, val double, lang string, seq int, op string"
+
+
+def _land_hetero_change_files(spark, tmp_path, batches, sub="changes"):
+    """Like _land_change_files but each batch brings its OWN schema —
+    the drifted-feed shape schema evolution exists for."""
+    ch_dir = str(tmp_path / sub)
+    os.makedirs(ch_dir, exist_ok=True)
+    start = len([f for f in os.listdir(ch_dir) if f.endswith(".parquet")])
+    for i, (rows, schema) in enumerate(batches, start=start):
+        bdir = str(tmp_path / f"hb{sub}{i}")
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(bdir)
+        part = [f for f in os.listdir(bdir) if f.endswith(".parquet")][0]
+        dst = os.path.join(ch_dir, f"batch-{i}.parquet")
+        os.rename(os.path.join(bdir, part), dst)
+        os.utime(dst, (1_000_000_000 + i * 100,) * 2)
+    return ch_dir
+
+
+def test_evolve_schema_unit_semantics(spark):
+    from stateful_spark_streaming_spark.operators.merge import evolve_schema
+
+    cur = with_merge_meta(_base(spark))
+    # batch seq already renamed to __seq, as the runner does before evolving
+    batch = spark.createDataFrame(
+        [(2, 21.0, "en", 1, "U")],  # no `name` column, new `lang` column
+        "k long, val double, lang string, __seq long, op string",
+    )
+    cur2, batch2, widened = evolve_schema(cur, batch, ("k",))
+    assert widened
+    assert "lang" in cur2.columns and cur2.filter(F.col("lang").isNotNull()).count() == 0
+    # absent column in the change image -> NULL (full-row-image contract)
+    got = batch2.select("k", "name", "val", "lang").collect()[0]
+    assert (got["k"], got["name"], got["val"], got["lang"]) == (2, None, 21.0, "en")
+    # replay shape: already-widened table sees nothing new
+    _, _, widened2 = evolve_schema(cur2, batch2, ("k",))
+    assert not widened2
+    # type conflict refuses
+    bad = spark.createDataFrame(
+        [(2, "oops", 1, "U")], "k long, val string, __seq long, op string"
+    )
+    with pytest.raises(ValueError, match="type change"):
+        evolve_schema(cur, bad, ("k",))
+    # missing key column refuses
+    nokey = spark.createDataFrame([(21.0, 1, "U")], "val double, __seq long, op string")
+    with pytest.raises(ValueError, match="key column"):
+        evolve_schema(cur, nokey, ("k",))
+
+
+def test_streaming_merge_schema_evolution_single_image(spark, tmp_path):
+    from stateful_spark_streaming_spark.streaming.pipeline import (
+        run_streaming_merge_upsert,
+    )
+
+    base_path = str(tmp_path / "base")
+    _base(spark).write.parquet(base_path)
+    ch_dir = _land_hetero_change_files(
+        spark,
+        tmp_path,
+        [
+            ([(2, "b2", 21.0, 1, "U")], CH_SCHEMA),           # narrow batch
+            ([(4, "d", 40.0, "en", 2, "U")], WIDE_CH_SCHEMA), # widening batch
+        ],
+    )
+    ck = str(tmp_path / "ck")
+    out = run_streaming_merge_upsert(
+        spark, base_path, ch_dir, ("k",),
+        checkpoint_dir=ck, schema_evolution=True,
+    )
+    got = {r["k"]: (r["name"], r["val"], r["lang"]) for r in out.collect()}
+    assert got == {
+        1: ("a", 10.0, None),   # untouched base row: NULL backfill
+        2: ("b2", 21.0, None),  # narrow change image: NULL lang
+        3: ("c", 30.0, None),
+        4: ("d", 40.0, "en"),   # the widening upsert
+    }
+    # restart over the same checkpoint: no re-application, schema stable
+    out2 = run_streaming_merge_upsert(
+        spark, base_path, ch_dir, ("k",),
+        checkpoint_dir=ck, schema_evolution=True,
+    )
+    assert {r["k"]: (r["name"], r["val"], r["lang"]) for r in out2.collect()} == got
+
+
+def test_streaming_merge_schema_evolution_bucketed(spark, tmp_path):
+    """Bucketed + evolution: a widening batch takes the FULL-IMAGE swap
+    (every bucket's files carry the new column afterwards — asserted from
+    parquet footers), and a later same-schema batch returns to the scoped
+    path (untouched buckets keep their exact files)."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from stateful_spark_streaming_spark.streaming.pipeline import (
+        run_streaming_merge_upsert,
+    )
+
+    base = spark.createDataFrame(
+        [(k, f"v{k}", float(k)) for k in range(40)], "k long, name string, val double"
+    )
+    base_path = str(tmp_path / "base")
+    base.write.parquet(base_path)
+    ck = str(tmp_path / "ck")
+    table_dir = ck + "_table"
+    kw = dict(checkpoint_dir=ck, n_buckets=8, schema_evolution=True)
+
+    # run 1: narrow single-key batch — boots the bucketed table
+    ch_dir = _land_hetero_change_files(
+        spark, tmp_path, [([(3, "u3", 33.0, 1, "U")], CH_SCHEMA)]
+    )
+    run_streaming_merge_upsert(spark, base_path, ch_dir, ("k",), **kw)
+
+    # run 2: WIDENING single-key batch — must full-image despite touching
+    # one bucket: every bucket's footer gains `lang`
+    _land_hetero_change_files(
+        spark, tmp_path, [([(8, "u8", 88.0, "fr", 2, "U")], WIDE_CH_SCHEMA)]
+    )
+    out2 = run_streaming_merge_upsert(spark, base_path, ch_dir, ("k",), **kw)
+    for f in glob.glob(os.path.join(table_dir, "__bucket=*", "*.parquet")):
+        assert "lang" in pq.read_schema(f).names, f
+    got2 = {r["k"]: (r["name"], r["val"], r["lang"]) for r in out2.collect()}
+    assert got2[8] == ("u8", 88.0, "fr") and got2[3] == ("u3", 33.0, None)
+    assert all(v[2] is None for k, v in got2.items() if k != 8)
+
+    # run 3: same-schema single-key batch — scoped again: every bucket
+    # except the touched key's keeps its exact inode
+    inodes_before = {
+        f: os.stat(f).st_ino
+        for f in glob.glob(os.path.join(table_dir, "__bucket=*", "*.parquet"))
+    }
+    _land_hetero_change_files(
+        spark, tmp_path, [([(9, "u9", 99.0, "de", 3, "U")], WIDE_CH_SCHEMA)]
+    )
+    out3 = run_streaming_merge_upsert(spark, base_path, ch_dir, ("k",), **kw)
+    from pyspark.sql import functions as FF
+    kb = spark.createDataFrame([(9,)], "k long").select(
+        FF.pmod(FF.xxhash64("k"), FF.lit(8)).alias("b")
+    ).collect()[0]["b"]
+    moved = {
+        f for f, ino in inodes_before.items()
+        if not os.path.exists(f) or os.stat(f).st_ino != ino
+    }
+    assert all(f"__bucket={kb}" in f for f in moved), moved
+    got3 = {r["k"]: (r["name"], r["val"], r["lang"]) for r in out3.collect()}
+    assert got3[9] == ("u9", 99.0, "de")
+
+
+def test_streaming_merge_schema_evolution_type_conflict_fails(spark, tmp_path):
+    from stateful_spark_streaming_spark.streaming.pipeline import (
+        run_streaming_merge_upsert,
+    )
+
+    base_path = str(tmp_path / "base")
+    _base(spark).write.parquet(base_path)
+    ch_dir = _land_hetero_change_files(
+        spark, tmp_path,
+        [([(2, "b2", "not-a-double", 1, "U")],
+          "k long, name string, val string, seq int, op string")],
+    )
+    with pytest.raises(Exception, match="type change"):
+        run_streaming_merge_upsert(
+            spark, base_path, ch_dir, ("k",),
+            checkpoint_dir=str(tmp_path / "ck"), schema_evolution=True,
+        )
