@@ -2139,6 +2139,20 @@ def run_streaming_incremental_agg(
         recover_partitions(table_dir)
         recover_generation(agg_dir, clean=True)
         cur = _read_table()
+        # a feed that grew a column would otherwise be SILENTLY dropped:
+        # merge_apply_batch projects data columns from the TABLE's schema,
+        # so the new column never lands and no error surfaces.  The MV
+        # runner has no evolution mode (the maintained aggregate's schema
+        # is the caller's agg_fn contract) — refuse loudly instead.
+        extra = set(bdf.columns) - set(tbl_schema.names) - {seq_col, op_col}
+        if extra:
+            raise ValueError(
+                f"change batch carries column(s) {sorted(extra)} absent from "
+                "the maintained table — the MV runner does not evolve "
+                "schemas (the aggregate's schema is agg_fn's contract); "
+                "rebuild the MV, or maintain the table with "
+                "run_streaming_merge_upsert(schema_evolution=True)"
+            )
         # The affected-group set is DURABLE per batch, written BEFORE the
         # table swap.  Why: a group-MOVING update's old group is derived
         # from the pre-merge table; after the table swap that information

@@ -1425,3 +1425,38 @@ def test_streaming_merge_schema_evolution_type_conflict_fails(spark, tmp_path):
             spark, base_path, ch_dir, ("k",),
             checkpoint_dir=str(tmp_path / "ck"), schema_evolution=True,
         )
+
+
+def test_incremental_agg_refuses_widened_feed(spark, tmp_path):
+    """The MV runner has no schema evolution: a feed that grew a column
+    would be SILENTLY dropped by the merge's table-schema projection —
+    it must refuse loudly and point at the merge runner's evolution mode."""
+    from stateful_spark_streaming_spark.streaming.pipeline import (
+        run_streaming_incremental_agg,
+    )
+
+    base = spark.createDataFrame(
+        [(1, "g1", 10.0), (2, "g2", 20.0)], "k long, g string, v double"
+    )
+    base_path = str(tmp_path / "base")
+    base.write.parquet(base_path)
+    ch_dir = str(tmp_path / "changes")
+    os.makedirs(ch_dir)
+    wide = spark.createDataFrame(
+        [(1, "g1", 11.0, "surprise", 1, "U")],
+        "k long, g string, v double, extra string, seq int, op string",
+    )
+    bdir = str(tmp_path / "wb")
+    wide.coalesce(1).write.parquet(bdir)
+    part = [f for f in os.listdir(bdir) if f.endswith(".parquet")][0]
+    os.rename(os.path.join(bdir, part), os.path.join(ch_dir, "batch-0.parquet"))
+
+    with pytest.raises(Exception, match="schema_evolution"):
+        run_streaming_incremental_agg(
+            spark, base_path, ch_dir, ("k",), ("g",),
+            add_group=lambda df: df,
+            agg_fn=lambda d: d.groupBy("g").agg(
+                F.round(F.sum("v"), 2).alias("sv"), F.count(F.lit(1)).alias("n")
+            ),
+            checkpoint_dir=str(tmp_path / "ck"),
+        )
