@@ -619,6 +619,24 @@ def run_snapshot_query(
         spark.conf.set("spark.sql.shuffle.partitions", old_sp)
 
 
+def _await_or_die(q, seconds: int = 300) -> None:
+    """Await an availableNow replay, LOUDLY.  These replays finish in
+    seconds; ``awaitTermination`` returning False means the stream HUNG —
+    proceeding would serve a half-applied standing table as if the run
+    completed (the silent-partial-result class).  Stop the query and
+    raise instead; the checkpoint makes the next run resume exactly where
+    the hung one stopped."""
+    if not q.awaitTermination(seconds):
+        try:
+            q.stop()
+        finally:
+            raise TimeoutError(
+                f"streaming query did not terminate within {seconds}s — "
+                "refusing to serve a partially-applied result (the "
+                "checkpoint resumes the replay on the next run)"
+            )
+
+
 def _stage_parquet_stream(
     spark: SparkSession,
     path: str,
@@ -708,7 +726,7 @@ def _run_snapshot_query(
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    _await_or_die(q)
     return sink.query()
 
 
@@ -749,7 +767,7 @@ def run_streaming_sliding_counts(
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(300)
+        _await_or_die(q)
         return sink.query()
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old_sp)
@@ -806,7 +824,7 @@ def run_streaming_dedup(
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(300)
+        _await_or_die(q)
         return spark.read.parquet(out_dir)
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old_sp)
@@ -877,7 +895,7 @@ def run_streaming_session_windows(
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(300)
+        _await_or_die(q)
         return sink.query()
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old_sp)
@@ -931,7 +949,7 @@ def run_streaming_session_windows_append(
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(300)
+        _await_or_die(q)
         global _last_session_append_progress
         _last_session_append_progress = [p for p in q.recentProgress]
         return spark.read.parquet(out_dir)
@@ -1140,7 +1158,7 @@ def run_streaming_dedup_minhash(
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(300)
+        _await_or_die(q)
         if not os.path.exists(out_dir):
             # zero micro-batches ever fired (e.g. empty source dir):
             # nothing was appended — return a typed empty frame, not a
@@ -1223,7 +1241,7 @@ def run_streaming_decontaminate(
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    _await_or_die(q)
     if not os.path.exists(out_dir):
         # zero micro-batches (empty source / filter matched nothing):
         # typed empty result, not a PATH_NOT_FOUND crash
@@ -1297,7 +1315,7 @@ def run_streaming_vocab(
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    _await_or_die(q)
 
     from stateful_spark_streaming_spark.operators.text import vocab_rank
 
@@ -1399,7 +1417,7 @@ def run_streaming_lm_logprob(
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    _await_or_die(q)
 
     if not os.path.exists(out_dir):
         # zero micro-batches: empty scores through the SAME scoring tail
@@ -1472,7 +1490,7 @@ def run_streaming_distinct_stats(
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    _await_or_die(q)
 
     if not os.path.exists(out_dir):
         from pyspark.sql.types import (
@@ -1561,7 +1579,7 @@ def run_streaming_quality_histogram(
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    _await_or_die(q)
 
     if not os.path.exists(out_dir):
         staged = spark.createDataFrame(
@@ -1621,7 +1639,7 @@ def run_streaming_source_drift(
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    _await_or_die(q)
 
     if not os.path.exists(out_dir):
         staged = spark.createDataFrame(
@@ -1691,7 +1709,7 @@ def run_streaming_heavy_hitters(
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    _await_or_die(q)
 
     if not os.path.exists(ctr_dir):
         counters = spark.createDataFrame([], "r int, b int, n bigint")
@@ -1959,7 +1977,7 @@ def run_streaming_merge_upsert(
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(300)
+        _await_or_die(q)
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old_sp)
     out = merged_view(_read_table())
@@ -2346,7 +2364,7 @@ def run_streaming_incremental_agg(
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(300)
+        _await_or_die(q)
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old_sp)
     return spark.read.parquet(agg_dir)
@@ -2396,7 +2414,7 @@ def run_streaming_partitioned_ingest(
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    _await_or_die(q)
     return out_dir
 
 
@@ -2488,7 +2506,7 @@ def run_streaming_corpus_report(
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    _await_or_die(q)
 
     if not os.path.exists(stats_dir):
         # zero micro-batches: empty card through the SAME merge code over
@@ -2634,7 +2652,7 @@ def run_streaming_dup_spans(
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    _await_or_die(q)
 
     if not os.path.exists(out_dir):
         # zero micro-batches: empty span set, not a PATH_NOT_FOUND crash.
@@ -2736,7 +2754,7 @@ def run_streaming_ivf_topk(
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    _await_or_die(q)
     if not os.path.exists(out_dir):
         # every micro-batch was empty (e.g. a query_filter matching no
         # rows): nothing was ever appended — return the empty frame the
@@ -2823,7 +2841,7 @@ def run_streaming_ivf_ingest(
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    _await_or_die(q)
     assigned, cents = ivf_load_index(spark, index_path)
     return assigned.dropDuplicates([id_col]), cents
 
@@ -2924,7 +2942,7 @@ def run_streaming_event_pairs(
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(300)
+        _await_or_die(q)
         global _last_join_progress
         _last_join_progress = [p for p in q.recentProgress]
         return spark.read.parquet(out_dir)
@@ -3051,7 +3069,7 @@ def run_streaming_enriched_counts(
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(300)
+        _await_or_die(q)
         return sink.query().drop("grp_key")
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old_sp)
@@ -3093,7 +3111,7 @@ def run_streaming_tumbling_counts(
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(300)
+        _await_or_die(q)
         return sink.query()
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old_sp)
