@@ -1460,3 +1460,49 @@ def test_incremental_agg_refuses_widened_feed(spark, tmp_path):
             ),
             checkpoint_dir=str(tmp_path / "ck"),
         )
+
+
+def test_streaming_merge_schema_evolution_widening_crash_replay(spark, tmp_path):
+    """The widening batch's crash window: its full-image swap committed
+    but the checkpoint did not.  The replay re-delivers the widening
+    batch against the ALREADY-widened table — evolve_schema sees nothing
+    new (widened=False), so the replay takes the normal scoped path and
+    the per-row seq watermark makes it a no-op: same final state, one
+    physical row per key, no second widening."""
+    import shutil
+
+    from stateful_spark_streaming_spark.streaming.pipeline import (
+        run_streaming_merge_upsert,
+    )
+
+    base = spark.createDataFrame(
+        [(k, f"v{k}", float(k)) for k in range(20)], "k long, name string, val double"
+    )
+    base_path = str(tmp_path / "base")
+    base.write.parquet(base_path)
+    ck = str(tmp_path / "ck")
+    kw = dict(checkpoint_dir=ck, n_buckets=4, schema_evolution=True)
+    ch_dir = _land_hetero_change_files(
+        spark, tmp_path,
+        [
+            ([(3, "u3", 33.0, 1, "U")], CH_SCHEMA),            # batch 0
+            ([(8, "u8", 88.0, "fr", 2, "U")], WIDE_CH_SCHEMA), # batch 1 widens
+        ],
+    )
+    out1 = run_streaming_merge_upsert(spark, base_path, ch_dir, ("k",), **kw)
+    got1 = sorted((r["k"], r["name"], r["val"], r["lang"]) for r in out1.collect())
+
+    # crash window: batch 1's table swap is durable, its commit is not
+    os.remove(os.path.join(ck, "commits", "1"))
+    crc = os.path.join(ck, "commits", ".1.crc")
+    if os.path.exists(crc):
+        os.remove(crc)
+
+    out2 = run_streaming_merge_upsert(spark, base_path, ch_dir, ("k",), **kw)
+    got2 = sorted((r["k"], r["name"], r["val"], r["lang"]) for r in out2.collect())
+    assert got2 == got1
+    raw = spark.read.parquet(ck + "_table")
+    per_key = {r["k"]: r["cnt"] for r in
+               raw.groupBy("k").agg(F.count("*").alias("cnt")).collect()}
+    assert set(per_key.values()) == {1}, f"one physical row per key: {per_key}"
+    assert [f for f in raw.columns if f == "lang"] == ["lang"]
