@@ -179,3 +179,27 @@ def test_interval_overlap_drops_empty_intervals(spark):
         "event_id long, start_ms long, end_ms long",
     )
     assert interval_overlap_pairs(df, bin_ms=100).collect() == []
+
+
+def test_interval_overlap_randomized_negative_ts_and_odd_bin(spark):
+    """Seeded randomized cross-check on the regime the crafted cases
+    skip: timestamps STRADDLING ZERO (where ``cast('long')`` truncates
+    toward zero instead of flooring — correct only because BOTH the bin
+    expansion and the emit-at-overlap-start rule use the same
+    truncation; this pins that consistency) and a bin width that divides
+    nothing.  Exactly-once is asserted by comparing a LIST-sized collect
+    against the SET-sized brute force."""
+    import random
+
+    rng = random.Random(42)
+    ivs = []
+    for i in range(80):
+        s = rng.randint(-500, 450)
+        ivs.append((i, s, s + rng.randint(1, 160)))
+    df = spark.createDataFrame(ivs, "event_id long, start_ms long, end_ms long")
+    for W in (100, 7, 333):
+        rows = interval_overlap_pairs(df, bin_ms=W).collect()
+        got = [(r["id_a"], r["id_b"], r["overlap_ms"]) for r in rows]
+        want = _brute_overlaps(ivs)
+        assert len(got) == len(want), f"W={W}: duplicate or dropped emissions"
+        assert set(got) == want, f"W={W}"
