@@ -102,3 +102,40 @@ def test_track_rolling_stats_hand_computed(spark):
     assert out[2].roll_n == 3 and out[2].roll_avg == 3.0  # (1+3+5)/3
     assert out[5].roll_n == 3 and out[5].roll_avg == 9.0  # (7+9+11)/3
     assert out[5].roll_max == 11.0
+
+
+def test_range_join_randomized_pre_epoch_timestamps(spark):
+    """Seeded randomized brute-force cross-check for the 3-cell banded
+    range join on PRE-EPOCH timestamps: negative epoch-millis make the
+    cell id come from toward-zero truncation, not floor (the cell
+    containing zero is double-width).  Completeness still holds — a
+    tolerance-length jump crosses at most one multiple-of-tol boundary,
+    and the zero merge only removes boundaries — and exactly-once holds
+    because one side's cell is fixed while the other replicates into 3
+    DISTINCT cells.  List-vs-set compare catches duplicates."""
+    import itertools
+    import random
+
+    from pyspark.sql import functions as F
+
+    rng = random.Random(7)
+    rows = [
+        (i % 3, i, rng.randint(-5_000_000, 5_000_000)) for i in range(120)
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, event_id long, ms long"
+    ).select("user_id", "event_id", F.expr("timestamp_millis(ms)").alias("ts"))
+    for tol_s in (600, 37):
+        got = [
+            (r.id_a, r.id_b, r.gap_ms)
+            for r in TMP.range_join_pairs(
+                df, key="user_id", tolerance_seconds=tol_s
+            ).collect()
+        ]
+        want = {
+            (ia, ib, abs(ma - mb))
+            for (ka, ia, ma), (kb, ib, mb) in itertools.combinations(rows, 2)
+            if ka == kb and ia < ib and abs(ma - mb) <= tol_s * 1000
+        }
+        assert len(got) == len(want), f"tol={tol_s}: duplicate/dropped pairs"
+        assert set(got) == want, f"tol={tol_s}"
