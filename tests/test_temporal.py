@@ -139,3 +139,42 @@ def test_range_join_randomized_pre_epoch_timestamps(spark):
         }
         assert len(got) == len(want), f"tol={tol_s}: duplicate/dropped pairs"
         assert set(got) == want, f"tol={tol_s}"
+
+
+def test_asof_join_randomized_against_reference(spark):
+    """Seeded randomized cross-check of the union-window as-of join
+    against the straight-line definition (per left row: the right row of
+    the same key with the greatest right_ts <= left_ts).  Random data
+    exercises what the crafted cases can't enumerate: dense ts ties
+    BETWEEN the sides, left rows before any right row, keys with no
+    right rows at all, and NULL right values that must not be skipped
+    past (the struct-packing property).  Right side unique per (key, ts)
+    — the operator's documented precondition for determinism."""
+    import random
+
+    rng = random.Random(11)
+    lefts = [(i, rng.randint(0, 4), rng.randint(0, 400)) for i in range(150)]
+    rights = {}
+    for _ in range(120):
+        k, t = rng.randint(0, 4), rng.randint(0, 400)
+        if k < 4:  # key 4 never gets right rows
+            rights[(k, t)] = (
+                None if rng.random() < 0.2 else round(rng.random(), 6)
+            )
+    left = spark.createDataFrame(
+        [(i, k, t) for i, k, t in lefts], "lid long, k long, ts long"
+    )
+    right = spark.createDataFrame(
+        [(k, t, v) for (k, t), v in rights.items()], "k long, ts long, v double"
+    )
+    got = {
+        r["lid"]: (r["asof_ts"], r["asof_v"])
+        for r in TMP.asof_join(left, right, key="k", right_cols=("v",)).collect()
+    }
+    assert len(got) == len(lefts), "one output row per left row, no fan-out"
+    for i, k, t in lefts:
+        cands = [rt for (rk, rt) in rights if rk == k and rt <= t]
+        want = (
+            (max(cands), rights[(k, max(cands))]) if cands else (None, None)
+        )
+        assert got[i] == want, f"lid={i} key={k} ts={t}: {got[i]} != {want}"
