@@ -178,3 +178,53 @@ def test_asof_join_randomized_against_reference(spark):
             (max(cands), rights[(k, max(cands))]) if cands else (None, None)
         )
         assert got[i] == want, f"lid={i} key={k} ts={t}: {got[i]} != {want}"
+
+
+def test_funnel_steps_randomized_against_reference(spark):
+    """Seeded randomized cross-check of the chained conditional-min
+    funnel against the sequential definition: step N's time is the min
+    event time of its type STRICTLY after step N-1's resolved time.
+    Random data hits the tie cases the crafted test can't enumerate —
+    same-ts view+click (click must NOT count), multiple candidates per
+    step, keys stalling at every depth."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    rng = random.Random(13)
+    steps = ("view", "click", "purchase")
+    rows = [
+        (rng.randint(0, 19), rng.choice(steps), rng.randint(0, 30))
+        for _ in range(400)
+    ]
+    df = spark.createDataFrame(
+        [(k, s, t * 1000) for k, s, t in rows],
+        "user_id long, event_type string, ms long",
+    ).select(
+        "user_id", "event_type", F.expr("timestamp_millis(ms)").alias("ts")
+    )
+    got = {
+        r["user_id"]: (
+            r["t_view_ms"], r["t_click_ms"], r["t_purchase_ms"],
+            r["steps_completed"],
+        )
+        for r in TMP.funnel_steps(df, key="user_id").collect()
+    }
+    bykey: dict = {}
+    for k, s, t in rows:
+        bykey.setdefault(k, []).append((s, t * 1000))
+    for k, evs in bykey.items():
+        prev, times, done = None, [], 0
+        for step in steps:
+            cands = [
+                t for s, t in evs
+                if s == step and (prev is None or t > prev)
+            ]
+            if not cands:
+                # once a step is missed, deeper steps cannot complete
+                times.extend([None] * (len(steps) - len(times)))
+                break
+            prev = min(cands)
+            times.append(prev)
+            done += 1
+        assert got[k] == (*times[:3], done), f"user {k}: {got[k]} vs {(*times[:3], done)}"
