@@ -184,6 +184,7 @@ def cms_counters(
     token_col: str = "token",
     depth: int = 4,
     width: int = 1024,
+    precount: bool = True,
 ) -> DataFrame:
     """The ``depth × width`` count-min counter table as (r, b, n) rows —
     each token OCCURRENCE increments one bucket per hash row.  Fully
@@ -191,11 +192,49 @@ def cms_counters(
     map-side and cross-batch/stream merge is addition; the aggregated
     state is ≤ depth·width rows no matter the corpus (the whole point:
     vocabulary-frequency tracking whose memory does not grow with the
-    vocabulary)."""
+    vocabulary).
+
+    ``precount=True`` hashes per DISTINCT token, not per occurrence:
+    counter values are bit-identical (Σ occurrences hashing into a
+    bucket = Σ_token n_token·[token→bucket]) but the md5 probe work
+    drops from depth×occurrences to depth×vocabulary — the sf10 probe
+    measured the per-occurrence form at 138 s for 33 M occurrences of a
+    130-token vocabulary, vs ~12 s pre-counted (Zipf corpora: distinct ≪
+    occurrences).  The tradeoff, stated honestly: the pre-count's
+    map-side combine emits distinct-per-task rows into a vocab-keyed
+    shuffle, while the direct form's shuffle is always ≤ depth·width
+    rows — for an ADVERSARIALLY unique key space (every token distinct,
+    the regime the sketch exists for) pass ``precount=False`` to keep
+    the shuffle sketch-sized; the hash cost is the same there anyway."""
+    if precount:
+        per = occurrences.groupBy(token_col).agg(F.count(F.lit(1)).alias("__n"))
+        return cms_counters_from_counts(per, token_col, "__n", depth, width)
     return (
         occurrences.select(F.explode(_cms_probes(token_col, depth, width)).alias("p"))
         .groupBy(F.col("p.r").alias("r"), F.col("p.b").alias("b"))
         .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def cms_counters_from_counts(
+    counts: DataFrame,
+    token_col: str = "token",
+    n_col: str = "n",
+    depth: int = 4,
+    width: int = 1024,
+) -> DataFrame:
+    """Counter table from an already-aggregated (token, count) vocabulary
+    frame: each token's probes carry its full count in one row — the
+    shared tail of ``cms_counters(precount=True)`` and callers that
+    already hold a vocabulary frame for other reasons (so the corpus is
+    tokenized exactly once)."""
+    return (
+        counts.select(
+            F.explode(_cms_probes(token_col, depth, width)).alias("p"),
+            F.col(n_col).alias("__cnt"),
+        )
+        .groupBy(F.col("p.r").alias("r"), F.col("p.b").alias("b"))
+        .agg(F.sum("__cnt").alias("n"))
     )
 
 
@@ -252,13 +291,24 @@ def heavy_hitters_cms(
     n-gram counting) — while the sketch's aggregated state is a fixed
     depth×width table.  Candidates here are the corpus's distinct
     tokens (exact-equivalent demo form); the production refinement at a
-    truly unbounded key space is per-batch candidate heaps."""
+    truly unbounded key space is per-batch candidate heaps.
+
+    ONE corpus pass: the per-token count frame (vocab-sized, pinned —
+    it feeds both the counter build and the candidate list) replaces
+    the old occurrence-level probe explode + separate distinct, which
+    the sf10 probe measured as the family's one super-linear outlier
+    (133 s at 100× docs: depth·occurrences md5 probes for a 130-token
+    vocabulary, plus a second tokenize for the candidates)."""
+    from stateful_spark_streaming_spark.caching import track_persist
     from stateful_spark_streaming_spark.operators.text import _token_occurrences
 
     occ = _token_occurrences(df, text_col, id_col)
+    vocab = track_persist(
+        occ.groupBy("token").agg(F.count(F.lit(1)).alias("__n"))
+    )
     return cms_topk(
-        cms_counters(occ, "token", depth, width),
-        occ.select("token").distinct(),
+        cms_counters_from_counts(vocab, "token", "__n", depth, width),
+        vocab.select("token"),
         k,
         "token",
         depth,
