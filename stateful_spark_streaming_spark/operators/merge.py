@@ -183,6 +183,25 @@ def evolve_schema(
         raise ValueError(f"change batch lacks key column(s): {sorted(missing_keys)}")
     cur_types = {f.name: f.dataType for f in cur.schema.fields}
     batch_types = {f.name: f.dataType for f in batch.schema.fields}
+    # CASING DRIFT refuses before anything else: Spark resolves column
+    # names case-insensitively by default, so a batch column differing
+    # from a table column only in case ("Lang" vs "lang") would pass the
+    # case-SENSITIVE new-column check below and then
+    # ``withColumn("Lang", NULL)`` would silently REPLACE the existing
+    # column with NULLs (verified behavior) — destroying standing data.
+    cur_by_lower = {n.lower(): n for n in cur_types}
+    batch_by_lower = {n.lower(): n for n in batch_types}
+    drift = {
+        (cur_by_lower[l], batch_by_lower[l])
+        for l in set(cur_by_lower) & set(batch_by_lower)
+        if cur_by_lower[l] != batch_by_lower[l]
+    }
+    if drift:
+        raise ValueError(
+            f"schema evolution refuses case-drifted column names: {sorted(drift)}"
+            " — Spark resolves names case-insensitively, so widening would"
+            " silently overwrite the existing column; rename the feed column"
+        )
     # meta and runner-managed columns are exempt from the conflict check:
     # e.g. a feed's int seq against the table's long __seq is routine, and
     # the merge's seq comparison coerces numerics safely

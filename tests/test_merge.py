@@ -1506,3 +1506,20 @@ def test_streaming_merge_schema_evolution_widening_crash_replay(spark, tmp_path)
                raw.groupBy("k").agg(F.count("*").alias("cnt")).collect()}
     assert set(per_key.values()) == {1}, f"one physical row per key: {per_key}"
     assert [f for f in raw.columns if f == "lang"] == ["lang"]
+
+
+def test_evolve_schema_refuses_case_drifted_columns(spark):
+    """Spark resolves column names case-insensitively, so a feed column
+    differing from a table column only in case would slip past a
+    case-sensitive new-column check and then withColumn would silently
+    REPLACE the existing column with NULLs — standing data destroyed.
+    evolve_schema must refuse the drift instead."""
+    from stateful_spark_streaming_spark.operators.merge import evolve_schema
+
+    cur = with_merge_meta(_base(spark))  # has `name`
+    drifted = spark.createDataFrame(
+        [(2, "B2", 21.0, 1, "U")],
+        "k long, Name string, val double, __seq long, op string",
+    )
+    with pytest.raises(ValueError, match="case-drift"):
+        evolve_schema(cur, drifted, ("k",))
