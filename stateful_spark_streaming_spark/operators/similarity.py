@@ -1263,15 +1263,41 @@ def _rademacher_planes(n_planes_total: int, dim: int, seed: int):
     )
 
 
+def srp_plane_count(
+    n_vecs: int,
+    target_bucket_rows: int = 128,
+    floor: int = 4,
+    cap: int = 32,
+) -> int:
+    """The SRP-LSH self-sizing rule: ``n_planes = ceil(log2(n_vecs /
+    target_bucket_rows))`` clamped to [floor, cap] — the bucket space
+    2^n_planes per table grows with the corpus so the EXPECTED bucket
+    stays near ``target_bucket_rows`` and never blows past the hot-bucket
+    guard corpus-wide (the zero-recall cliff tools/ann_probe.py measured
+    with a fixed plane count at 100×).  Same self-sizing move as
+    ``bloom_size_bits`` (dedup.py).  ``cap=32`` keeps band hashes inside
+    an int64 bit-shift with slack; 2^32 buckets/table is past any corpus
+    where a deeper hash would still change bucket occupancy before
+    ``n_tables`` does.  Deterministic in ``n_vecs`` and re-derivable in
+    ANSI SQL (the catalog oracle carries the same formula), so the gate
+    hash-checks the sizing rule itself, not just one pinned depth."""
+    import math
+
+    if n_vecs <= target_bucket_rows:
+        return floor
+    return min(cap, max(floor, math.ceil(math.log2(n_vecs / target_bucket_rows))))
+
+
 def cosine_near_pairs_lsh(
     embeddings: DataFrame,
     threshold: float = 0.9,
-    n_planes: int = 16,
+    n_planes: int | None = None,
     n_tables: int = 4,
     seed: int = 42,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     max_bucket_size: int | None = 2000,
+    target_bucket_rows: int = 128,
 ) -> DataFrame:
     """Random-hyperplane LSH: bucket = sign pattern of n_planes projections;
     pairs colliding in ≥1 of n_tables tables are verified exactly.
@@ -1279,9 +1305,12 @@ def cosine_near_pairs_lsh(
     SIZING AT SCALE (measured, tools/ann_probe.py): the bucket space is
     2^n_planes per table, so n_planes must GROW with the corpus or every
     bucket blows past ``max_bucket_size`` and is silently dropped —
-    recall collapses to zero, not gracefully.  Rule: n_planes ≈
-    log2(n_vecs / target_bucket_rows); then pick n_tables for recall via
-    the S-curve (per-table collision = (1 − θ/π)^n_planes).  Deep hashes
+    recall collapses to zero, not gracefully.  ``n_planes=None`` (the
+    default) therefore SELF-SIZES from one corpus ``count()`` via
+    :func:`srp_plane_count` — n_planes = ceil(log2(n_vecs /
+    target_bucket_rows)), clamped to [4, 32]; pass an explicit int only
+    to pin a tuning (probes, regression tests).  Pick n_tables for recall
+    via the S-curve (per-table collision = (1 − θ/π)^n_planes).  Deep hashes
     only pay off in the NEAR-DUP regime (τ ≳ 0.9, agreement ≳ 0.85/plane)
     — for weak-similarity mining (τ ≈ 0.4) the per-pair signal is too
     faint for sign-LSH at scale; use IVF/centroid blocking instead.
@@ -1310,6 +1339,12 @@ def cosine_near_pairs_lsh(
 
     from stateful_spark_streaming_spark.operators.dedup import banded_candidate_pairs
 
+    if n_planes is None:
+        # One count() sizes the hash depth to the corpus (parquet counts
+        # are footer-metadata reads, not data scans) — the alternative,
+        # a pinned depth, is the measured silent zero-recall config at
+        # 100× (SCALE.md, ann_probe srp_demo).
+        n_planes = srp_plane_count(embeddings.count(), target_bucket_rows)
     dim = len(embeddings.select(vec_col).first()[0])
     # (n_tables*n_planes, dim) — one GEMM computes every table's projections.
     # RADEMACHER (±1) planes derived from md5, not numpy Gaussians: sign-of-

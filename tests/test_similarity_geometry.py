@@ -55,6 +55,64 @@ def test_lsh_pairs_subset_of_exact(spark, sf_dir):
     assert lsh <= exact, "LSH output is exact-verified → subset of brute force"
 
 
+def test_srp_plane_count_sizing_rule():
+    # clamp floor below/at target, log2 growth above, int64-safe cap
+    assert SIM.srp_plane_count(0) == 4
+    assert SIM.srp_plane_count(128) == 4
+    assert SIM.srp_plane_count(500) == 4  # sf0.01 gate corpus
+    assert SIM.srp_plane_count(2_000) == 4  # sf0.1 gate corpus
+    assert SIM.srp_plane_count(200_000) == 11  # ann_probe 100× tier
+    assert SIM.srp_plane_count(2_000_000) == 14  # ann_probe 1000× tier
+    assert SIM.srp_plane_count(128 << 40) == 32  # cap: shifts stay in int64
+    # exact power-of-two boundary: 128·2^k → exactly k planes (IEEE log2
+    # of a power of two is exact, so ceil cannot jump engines)
+    assert SIM.srp_plane_count(128 * 1024) == 10
+
+
+def test_lsh_auto_sizing_planted_duplicate_recall(spark):
+    """The r10 verdict's cliff, as a regression net: a corpus big enough
+    that the old pinned n_planes=4 drops EVERY bucket over the hot-bucket
+    cap (zero pairs, silently) must — with the self-sized default — find
+    every planted exact duplicate.  Exact duplicates share every sign
+    bit, so they collide in all tables at any depth; recall on them is
+    exactly the survival of their buckets under the cap."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    n_base, n_dup, dim = 6_000, 50, 16
+    base = rng.standard_normal((n_base, dim))
+    rows = [
+        Row(vec_id=i, embedding=[float(x) for x in base[i]]) for i in range(n_base)
+    ] + [
+        Row(vec_id=n_base + j, embedding=[float(x) for x in base[j]])
+        for j in range(n_dup)
+    ]
+    emb = spark.createDataFrame(rows).repartition(8)
+    # tight cap makes the cliff reproducible at test scale: pinned 4
+    # planes → 16 buckets/table for 6 050 rows → every bucket ~378 rows,
+    # all dropped → zero pairs found (the measured 2 M-vector behavior)
+    pinned = SIM.cosine_near_pairs_lsh(
+        emb, threshold=0.999, n_planes=4, n_tables=4, max_bucket_size=100
+    )
+    assert pinned.count() == 0, "pinned tiny-SF depth should hit the cliff"
+    # self-sized with the default headroom ratio (max_bucket_size ≈ 16×
+    # target_bucket_rows, here 100/8 vs the operator's 2000/128):
+    # ceil(log2(6050/8)) = 10 planes → 1024 buckets/table, expected
+    # bucket ~6 rows ≪ cap → planted dups all survive.  An EXPECTED
+    # bucket near the cap would still drop the fat tail of the sign-
+    # bucket distribution — headroom is part of the sizing rule.
+    auto = SIM.cosine_near_pairs_lsh(
+        emb, threshold=0.999, n_tables=4, max_bucket_size=100, target_bucket_rows=8
+    )
+    found = {
+        (r.id_a, r.id_b) for r in auto.filter(F.col("cosine") >= 0.999999).collect()
+    }
+    planted = {(j, n_base + j) for j in range(n_dup)}
+    assert planted <= found, (
+        f"auto-sizing missed {len(planted - found)}/{n_dup} planted duplicates"
+    )
+
+
 def test_ivf_index_persist_roundtrip(spark, sf_dir, tmp_path):
     """Persisted index probes must return exactly what the inline-built
     index returns (same seed/determinism), and loading must not retrain."""

@@ -153,11 +153,14 @@ def main() -> int:
                 print(f"{sf_dir} {name}: skipped (past exact O(n²) cap)", flush=True)
 
     # ---- SRP-LSH sizing demonstration (planted ground truth) ----------
-    # The catalog query pins n_planes=4 (16 buckets/table — right for 2 k
-    # vectors where near pairs top out at cosine ~0.5); past ~32 k vectors
-    # EVERY bucket exceeds max_bucket_size and is dropped — recall
-    # collapses to zero, silently.  Plant n_base exact duplicates in the
-    # largest corpus and measure both tunings at τ=0.9 (the regime
+    # A PINNED n_planes=4 (16 buckets/table — right for 2 k vectors where
+    # near pairs top out at cosine ~0.5) collapses past ~32 k vectors:
+    # EVERY bucket exceeds max_bucket_size and is dropped — recall goes
+    # to zero, silently.  Since r11 the operator self-sizes
+    # (srp_plane_count) and the catalog query no longer pins, so the
+    # third tag below measures the DEFAULT path.  Plant n_base exact
+    # duplicates in the largest corpus and measure all tunings at τ=0.9
+    # (the regime
     # sign-LSH is for): tiny-SF planes → 0 found; corpus-sized planes
     # (n_planes ≈ log2(n/target_bucket)) → every planted pair found, at
     # near-linear cost.
@@ -177,7 +180,8 @@ def main() -> int:
         # 20 planes → 22.4 M; 24 planes → 1.1 M), while planted EXACT
         # duplicates collide at every depth — recall on them is free.
         for tag, planes, tables in (("tiny-sf-tuning", 4, 8),
-                                    ("corpus-sized", 20, 4)):
+                                    ("corpus-sized", 20, 4),
+                                    ("auto-sized-default", None, 4)):
             t0 = time.perf_counter()
             pairs = SIM.cosine_near_pairs_lsh(
                 emb, threshold=0.9, n_planes=planes, n_tables=tables
