@@ -136,11 +136,26 @@ def temperature_mix(
             # under 1e38 for any per-source count that fits BIGINT.  Results
             # at non-overflowing scales — and the oracle hashes — are
             # unchanged; DuckDB mirrors with HUGEINT.
+            #
+            # LOUD overflow (ADVICE r10): past even those bounds, a
+            # DECIMAL(38,0) overflow under non-ANSI mode yields NULL, and
+            # least() SKIPS nulls — an overflowed numerator would silently
+            # return the 10000·denominator clamp (rate 10000: keep
+            # everything), and both overflowing would make the rate NULL
+            # (source silently filtered out).  The CASE raises instead:
+            # keep-all/keep-none must never be how overflow presents.
             "rate_bp",
             F.expr(
-                f"CAST(least(CAST(10000 AS DECIMAL(38,0)) * {target_total} * _w,"
+                f"CAST(CASE WHEN"
+                f" CAST(10000 AS DECIMAL(38,0)) * {target_total} * _w IS NULL"
+                f" OR CAST(10000 AS DECIMAL(38,0))"
+                f"    * (CAST(_wsum AS DECIMAL(38,0)) * _n) IS NULL"
+                f" THEN raise_error('temperature_mix: basis-point arithmetic"
+                f" overflowed DECIMAL(38,0) — corpus/target beyond supported"
+                f" scale; reduce target_total or rescale weights')"
+                f" ELSE least(CAST(10000 AS DECIMAL(38,0)) * {target_total} * _w,"
                 f" CAST(10000 AS DECIMAL(38,0)) * (CAST(_wsum AS DECIMAL(38,0)) * _n))"
-                f" div (CAST(_wsum AS DECIMAL(38,0)) * _n) AS INT)"
+                f" div (CAST(_wsum AS DECIMAL(38,0)) * _n) END AS INT)"
             ),
         )
         .select(group_col, "rate_bp")

@@ -625,16 +625,34 @@ def _await_or_die(q, seconds: int = 300) -> None:
     proceeding would serve a half-applied standing table as if the run
     completed (the silent-partial-result class).  Stop the query and
     raise instead; the checkpoint makes the next run resume exactly where
-    the hung one stopped."""
+    the hung one stopped.
+
+    The stop is best-effort in a daemon thread: Spark's default
+    ``spark.sql.streaming.stopTimeout`` waits INDEFINITELY for the
+    micro-batch thread, so a batch that ignores interruption would turn
+    ``q.stop()`` into a second silent hang inside the very helper that
+    exists to raise loudly (ADVICE r10) — the TimeoutError must win the
+    race, not the stop."""
     if not q.awaitTermination(seconds):
-        try:
-            q.stop()
-        finally:
-            raise TimeoutError(
-                f"streaming query did not terminate within {seconds}s — "
-                "refusing to serve a partially-applied result (the "
-                "checkpoint resumes the replay on the next run)"
-            )
+        import threading
+
+        threading.Thread(
+            target=lambda: _swallow(q.stop), daemon=True, name="await-or-die-stop"
+        ).start()
+        raise TimeoutError(
+            f"streaming query did not terminate within {seconds}s — "
+            "refusing to serve a partially-applied result (the "
+            "checkpoint resumes the replay on the next run)"
+        )
+
+
+def _swallow(fn) -> None:
+    """Run ``fn`` ignoring exceptions — only for best-effort cleanup on a
+    path that is already raising the real error."""
+    try:
+        fn()
+    except Exception:  # noqa: BLE001 — cleanup must not mask the raise
+        pass
 
 
 def _stage_parquet_stream(
@@ -1911,6 +1929,21 @@ def run_streaming_merge_upsert(
                 seq_col="__seq", op_col=op_col, ignore_cols=("__bucket",),
             )
         else:
+            # with evolution OFF, a feed that grew a column would be
+            # SILENTLY dropped — merge_apply_batch projects data columns
+            # from the TABLE's schema, so the new column never lands and
+            # no error surfaces.  Same hazard class the MV runner refuses
+            # loudly (run_streaming_incremental_agg below); the two
+            # runners must agree (ADVICE r10).
+            extra = set(batch_ready.columns) - set(cur.columns) - {"__seq", op_col}
+            if extra:
+                raise ValueError(
+                    f"change batch carries column(s) {sorted(extra)} absent "
+                    "from the maintained table and schema_evolution=False — "
+                    "they would be silently dropped by the merge; pass "
+                    "schema_evolution=True to widen the table additively, "
+                    "or project the feed to the table's schema"
+                )
             widened = False
         if not n_buckets:
             nxt = merge_apply_batch(

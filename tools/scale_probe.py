@@ -48,7 +48,13 @@ def main() -> int:
     diagnostics = True
     if "--queries" in argv:
         i = argv.index("--queries")
-        probes = argv[i + 1].split(",")
+        if i + 1 >= len(argv) or not argv[i + 1].strip(","):
+            # a trailing/empty --queries must fail with usage, not
+            # IndexError or a probe list of [''] (ADVICE r10)
+            print("usage: scale_probe.py [sf_dir ...] --queries q1,q2,...",
+                  file=sys.stderr)
+            return 2
+        probes = [q for q in argv[i + 1].split(",") if q]
         del argv[i : i + 2]
         diagnostics = False  # custom lists skip the LSH/Jaccard diagnostics
     sf_dirs = argv or ["/root/testdata/sf0.1", ".scratch/sf1"]
