@@ -496,22 +496,13 @@ def q_priority_top_orders_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("approx_distinct_stats")  # HLL++/t-digest estimators: no cross-engine oracle
-def q_approx_distinct_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sketch aggregates (HLL++ distinct, t-digest percentiles) per
-    mktsegment over orders⋈customer — constant state per group at any
-    scale; accuracy bounded in pytest against the exact forms."""
-    orders = _t(spark, sf_dir, "orders")
-    cust = _t(spark, sf_dir, "customer")
-    joined = orders.join(
-        F.broadcast(cust.select("c_custkey", "c_mktsegment")),
-        orders.o_custkey == cust.c_custkey,
-    )
-    return REL.approx_distinct_stats(
-        joined, key="c_mktsegment", value_col="o_totalprice", count_col="o_custkey"
-    )
-
-
+# approx_distinct_stats RETIRED as a catalog query in r11 (verdict #5):
+# it and distinct_sketch_stats answered the same question rows-only; the
+# MERGEABLE DataSketches form below is the one with the streaming twin
+# and the partition-invariance pin, so it keeps the slot.  The OPERATOR
+# (relational.py approx_distinct_stats — Spark HLL++/t-digest) remains
+# part of the engine surface, pytest-covered in test_relational.py and
+# test_rows_only_pins.py.
 @query("distinct_sketch_stats")  # DataSketches HLL: no cross-engine oracle
 def q_distinct_sketch_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-event-type distinct-user counts via MERGEABLE DataSketches HLL
@@ -4744,7 +4735,7 @@ _CHEAP_FIRST = [
     "vocab_topk", "corpus_report", "streaming_vocab_topk",
     "training_pipeline", "training_pipeline_full",
     "session_windows", "pack_sequences_emit", "event_pairs_within_10min",
-    "approx_distinct_stats", "monthly_revenue", "token_budget_mix",
+    "monthly_revenue", "token_budget_mix",
     "dup_ngram_spans", "remove_dup_spans", "streaming_dup_spans",
     "streaming_unigram_logprob", "streaming_bigram_logprob",
     "unigram_logprob", "bigram_logprob", "streaming_corpus_report",
