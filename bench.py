@@ -149,9 +149,49 @@ def main() -> None:
             except Exception as e:  # noqa: BLE001
                 print(f"bench warmup error in {prebuild} prebuild: {e}", file=sys.stderr)
 
+    # ---- loop-boundary hygiene + diagnostics (r11, VERDICT r10 #4) ----
+    # The 3-loop totals spread up to ~23% round-to-round.  Two box-level
+    # causes are controllable from here:
+    #  - shuffle files/broadcasts accumulate until the DRIVER's JVM GC
+    #    happens to run (ContextCleaner is weak-reference driven), so a
+    #    full GC + cleanup storm lands in a RANDOM loop.  Forcing
+    #    System.gc() at every loop BOUNDARY moves that cost to a fixed,
+    #    untimed point — cleanup becomes a constant of the harness, not a
+    #    per-loop lottery.
+    #  - the local[32] JVM runs ALL executor threads in an 8g driver
+    #    heap; per-loop GC-time deltas (SPARK_GRAFT_BENCH_DIAG=1, stderr)
+    #    attribute any residual spread to collector pressure vs plan
+    #    noise.
+    diag = os.environ.get("SPARK_GRAFT_BENCH_DIAG") == "1"
+    jvm = spark.sparkContext._jvm  # noqa: SLF001 — harness diagnostics
+
+    def _gc_stats() -> tuple[int, int, int]:
+        """(collections, gc_millis, heap_used_mb) from JVM management beans."""
+        mf = jvm.java.lang.management.ManagementFactory
+        n = ms = 0
+        for b in mf.getGarbageCollectorMXBeans():
+            n += max(0, b.getCollectionCount())
+            ms += max(0, b.getCollectionTime())
+        heap = mf.getMemoryMXBean().getHeapMemoryUsage().getUsed() // (1 << 20)
+        return n, ms, heap
+
+    def _loop_boundary(tag: str, prev: tuple[int, int, int]) -> tuple[int, int, int]:
+        jvm.System.gc()
+        if not diag:
+            return prev
+        n, ms, heap = _gc_stats()
+        print(
+            f"bench-diag {tag}: gc+{n - prev[0]} collections, "
+            f"+{ms - prev[1]}ms gc time, heap {heap}MB after forced gc",
+            file=sys.stderr,
+        )
+        return n, ms, heap
+
     # timed loops: per-query samples across repeats → median + IQR
     samples: dict[str, list[float]] = {name: [] for name in qs}
     loop_totals: list[float] = []
+    gc_prev = _gc_stats() if diag else (0, 0, 0)
+    gc_prev = _loop_boundary("pre-loops", gc_prev)
     for loop in range(repeats):
         elapsed = time.perf_counter() - t_cold0
         if loop > 0 and loop_totals and elapsed + loop_totals[-1] > budget:
@@ -177,6 +217,7 @@ def main() -> None:
             # queries so block-manager memory doesn't accumulate across the run
             spark.catalog.clearCache()
         loop_totals.append(round(time.perf_counter() - t_loop0, 2))
+        gc_prev = _loop_boundary(f"loop{loop}", gc_prev)
 
     def _median(vals: list[float]) -> float:
         ok = [v for v in vals if v >= 0]
