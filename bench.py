@@ -175,14 +175,36 @@ def main() -> None:
         heap = mf.getMemoryMXBean().getHeapMemoryUsage().getUsed() // (1 << 20)
         return n, ms, heap
 
+    # per-CALL temp dirs the one-shot streaming replays leave behind
+    # (fresh mkdtemp every run, never revisited).  Persistent per-corpus
+    # fixtures (sss_ivf_idx_*, sss_pq_*, ssss_images_*, ssss_lsh_pairs_*)
+    # are deliberately NOT listed — deleting those would put their
+    # one-time build cost back into a timed loop.
+    _DEAD_TMP_GLOBS = [
+        "/tmp/sss_ckpt_*", "/tmp/sss_stream_src_*",
+        "/tmp/sss_merge_q_*", "/tmp/sss_merge_qb_*", "/tmp/sss_incmv_q_*",
+    ]
+
+    def _sweep_dead_tmp() -> int:
+        import shutil
+
+        n = 0
+        for g in _DEAD_TMP_GLOBS:
+            for d in glob.glob(g):
+                shutil.rmtree(d, ignore_errors=True)
+                n += 1
+        return n
+
     def _loop_boundary(tag: str, prev: tuple[int, int, int]) -> tuple[int, int, int]:
+        swept = _sweep_dead_tmp()
         jvm.System.gc()
         if not diag:
             return prev
         n, ms, heap = _gc_stats()
         print(
             f"bench-diag {tag}: gc+{n - prev[0]} collections, "
-            f"+{ms - prev[1]}ms gc time, heap {heap}MB after forced gc",
+            f"+{ms - prev[1]}ms gc time, heap {heap}MB after forced gc, "
+            f"swept {swept} dead stream tmp dirs",
             file=sys.stderr,
         )
         return n, ms, heap

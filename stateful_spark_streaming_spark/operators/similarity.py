@@ -1265,7 +1265,7 @@ def _rademacher_planes(n_planes_total: int, dim: int, seed: int):
 
 def srp_plane_count(
     n_vecs: int,
-    target_bucket_rows: int = 128,
+    target_bucket_rows: int = 8,
     floor: int = 4,
     cap: int = 32,
 ) -> int:
@@ -1275,12 +1275,27 @@ def srp_plane_count(
     stays near ``target_bucket_rows`` and never blows past the hot-bucket
     guard corpus-wide (the zero-recall cliff tools/ann_probe.py measured
     with a fixed plane count at 100×).  Same self-sizing move as
-    ``bloom_size_bits`` (dedup.py).  ``cap=32`` keeps band hashes inside
-    an int64 bit-shift with slack; 2^32 buckets/table is past any corpus
-    where a deeper hash would still change bucket occupancy before
-    ``n_tables`` does.  Deterministic in ``n_vecs`` and re-derivable in
-    ANSI SQL (the catalog oracle carries the same formula), so the gate
-    hash-checks the sizing rule itself, not just one pinned depth."""
+    ``bloom_size_bits`` (dedup.py).
+
+    ``target_bucket_rows`` is really a VERIFY BUDGET: expected exact
+    verifications per corpus vector ≈ target_bucket_rows × n_tables / 2,
+    at EVERY corpus size.  The default 8 keeps that constant at ~16-32 —
+    the near-dup regime the r10 probe validated (its 2 M-vector
+    histogram: 16 planes ≈ bucket 30 → 238 M candidates → 240 GB verify
+    shuffle, spill death; 20 planes ≈ bucket 2 → 22.4 M, healthy).  A
+    target like 128 looks harmless at test SF but costs ~512
+    verifications/vector — linear, yet a constant that re-creates the
+    probe's spill death at 1000×.  Raise it only with a small
+    ``n_tables`` and a real recall requirement at weak τ — and past
+    that, weak-similarity mining belongs to IVF blocking, not deeper
+    sign hashes (see cosine_near_pairs_lsh's docstring).
+
+    ``cap=32`` keeps band hashes inside an int64 bit-shift with slack;
+    2^32 buckets/table is past any corpus where a deeper hash would
+    still change bucket occupancy before ``n_tables`` does.
+    Deterministic in ``n_vecs`` and re-derivable in ANSI SQL (the
+    catalog oracle carries the same formula), so the gate hash-checks
+    the sizing rule itself, not just one pinned depth."""
     import math
 
     if n_vecs <= target_bucket_rows:
@@ -1297,7 +1312,7 @@ def cosine_near_pairs_lsh(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     max_bucket_size: int | None = 2000,
-    target_bucket_rows: int = 128,
+    target_bucket_rows: int = 8,
 ) -> DataFrame:
     """Random-hyperplane LSH: bucket = sign pattern of n_planes projections;
     pairs colliding in ≥1 of n_tables tables are verified exactly.

@@ -2689,7 +2689,7 @@ def q_streaming_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH params AS (
       SELECT least(32, greatest(4,
-               CAST(ceil(log2(count(*) / 128.0)) AS INT))) AS np
+               CAST(ceil(log2(count(*) / 8.0)) AS INT))) AS np
       FROM embeddings),
     pw AS (
       SELECT p, d,
@@ -2728,15 +2728,17 @@ def q_streaming_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_cosine_near_pairs_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # n_planes deliberately NOT pinned: the operator self-sizes from the
-    # corpus count (srp_plane_count — 4 planes at both gate SFs, 14 at
-    # 2 M vectors), so the gate hash-checks the sizing rule itself and the
+    # corpus count (srp_plane_count — 6 planes at sf0.01, 8 at sf0.1, 18
+    # at 2 M vectors, expected verify cost ~n_tables·4/vector at EVERY
+    # size), so the gate hash-checks the sizing rule itself and the
     # benched shape can never again be the measured zero-recall-at-100×
-    # tuning (r10 verdict).  8 tables keeps recall usable in this corpus's
-    # weak-similarity regime (near pairs top out at cosine ~0.5 →
-    # per-plane agreement ~0.63); at τ≈0.4 and 100 TB this query is
-    # CANDIDATE GENERATION — exact verification stays, but treat the pair
-    # set as recall-bounded and use IVF/centroid blocking (cosine_topk_ivf)
-    # when weak-similarity recall must be controlled.
+    # tuning (r10 verdict) NOR the 128-rows/bucket shape whose ~1 B
+    # candidate pairs at 2 M re-create the probe's verify-shuffle spill
+    # death.  At τ≈0.4 this query is CANDIDATE GENERATION — exact
+    # verification keeps precision at 1.0, recall is the S-curve's
+    # (deliberately scale-thinning) tail; weak-similarity mining with
+    # controlled recall belongs to IVF/centroid blocking
+    # (cosine_topk_ivf), per the operator docstring.
     return SIM.cosine_near_pairs_lsh(
         _t(spark, sf_dir, "embeddings"), threshold=0.4, n_tables=8
     )

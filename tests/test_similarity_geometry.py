@@ -58,15 +58,20 @@ def test_lsh_pairs_subset_of_exact(spark, sf_dir):
 def test_srp_plane_count_sizing_rule():
     # clamp floor below/at target, log2 growth above, int64-safe cap
     assert SIM.srp_plane_count(0) == 4
-    assert SIM.srp_plane_count(128) == 4
-    assert SIM.srp_plane_count(500) == 4  # sf0.01 gate corpus
-    assert SIM.srp_plane_count(2_000) == 4  # sf0.1 gate corpus
-    assert SIM.srp_plane_count(200_000) == 11  # ann_probe 100× tier
-    assert SIM.srp_plane_count(2_000_000) == 14  # ann_probe 1000× tier
-    assert SIM.srp_plane_count(128 << 40) == 32  # cap: shifts stay in int64
-    # exact power-of-two boundary: 128·2^k → exactly k planes (IEEE log2
+    assert SIM.srp_plane_count(8) == 4
+    assert SIM.srp_plane_count(500) == 6  # sf0.01 gate corpus
+    assert SIM.srp_plane_count(2_000) == 8  # sf0.1 gate corpus
+    assert SIM.srp_plane_count(200_000) == 15  # ann_probe 100× tier
+    assert SIM.srp_plane_count(2_000_000) == 18  # ann_probe 1000× tier
+    assert SIM.srp_plane_count(8 << 40) == 32  # cap: shifts stay in int64
+    # exact power-of-two boundary: 8·2^k → exactly k planes (IEEE log2
     # of a power of two is exact, so ceil cannot jump engines)
-    assert SIM.srp_plane_count(128 * 1024) == 10
+    assert SIM.srp_plane_count(8 * 1024) == 10
+    # the verify-budget invariant: expected bucket never exceeds 2×target
+    for n in (10, 1_000, 123_456, 10**7, 10**9):
+        p = SIM.srp_plane_count(n)
+        if p < 32:  # below the cap the rule must hold
+            assert n / (1 << p) <= 8, (n, p)
 
 
 def test_lsh_auto_sizing_planted_duplicate_recall(spark):
@@ -95,8 +100,8 @@ def test_lsh_auto_sizing_planted_duplicate_recall(spark):
         emb, threshold=0.999, n_planes=4, n_tables=4, max_bucket_size=100
     )
     assert pinned.count() == 0, "pinned tiny-SF depth should hit the cliff"
-    # self-sized with the default headroom ratio (max_bucket_size ≈ 16×
-    # target_bucket_rows, here 100/8 vs the operator's 2000/128):
+    # self-sized with the operator-default verify budget
+    # (target_bucket_rows=8, cap 100 ≈ 12× headroom):
     # ceil(log2(6050/8)) = 10 planes → 1024 buckets/table, expected
     # bucket ~6 rows ≪ cap → planted dups all survive.  An EXPECTED
     # bucket near the cap would still drop the fat tail of the sign-
