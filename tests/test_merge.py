@@ -1462,6 +1462,39 @@ def test_incremental_agg_refuses_widened_feed(spark, tmp_path):
         )
 
 
+def test_merge_upsert_refuses_widened_feed_without_evolution(spark, tmp_path):
+    """With schema_evolution=False (the default) the merge runner must
+    refuse a change batch carrying columns the table lacks — before r11
+    merge_apply_batch's table-schema projection dropped them SILENTLY,
+    the exact hazard class the MV runner refuses loudly (ADVICE r10: the
+    two runners must agree)."""
+    from stateful_spark_streaming_spark.streaming.pipeline import (
+        run_streaming_merge_upsert,
+    )
+
+    base = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0)], "k long, s string, v double"
+    )
+    base_path = str(tmp_path / "tbl")
+    base.write.parquet(base_path)
+    ch_dir = str(tmp_path / "changes")
+    os.makedirs(ch_dir)
+    wide = spark.createDataFrame(
+        [(1, "a", 11.0, "surprise", 1, "U")],
+        "k long, s string, v double, extra string, seq int, op string",
+    )
+    bdir = str(tmp_path / "wb")
+    wide.coalesce(1).write.parquet(bdir)
+    part = [f for f in os.listdir(bdir) if f.endswith(".parquet")][0]
+    os.rename(os.path.join(bdir, part), os.path.join(ch_dir, "batch-0.parquet"))
+
+    with pytest.raises(Exception, match="schema_evolution"):
+        run_streaming_merge_upsert(
+            spark, base_path, ch_dir, ("k",),
+            checkpoint_dir=str(tmp_path / "ck"),
+        )
+
+
 def test_streaming_merge_schema_evolution_widening_crash_replay(spark, tmp_path):
     """The widening batch's crash window: its full-image swap committed
     but the checkpoint did not.  The replay re-delivers the widening
