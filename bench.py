@@ -254,6 +254,14 @@ def main() -> None:
 
     timings = {name: _median(v) for name, v in samples.items()}
     iqrs = {name: _iqr(v) for name, v in samples.items()}
+    # sum of per-QUERY medians: the stable headline.  The r11 diag runs
+    # attributed the loop-total spread (up to ~25% max-min) to episodic
+    # noise SPREAD across the ~35 streaming queries' micro-batch
+    # scheduling (sum of per-query IQRs ≈ the loop spread; GC measured
+    # 1.4-2.6 s/loop, tmp-dir sweep didn't move it) — per-query medians
+    # cancel that covariance, so their sum moves a few percent where
+    # loop totals swing tens of seconds.
+    sum_medians = round(sum(v for v in timings.values() if v >= 0), 2)
     # a query is an error only if it failed in EVERY loop it ran
     n_errors = sum(1 for v in samples.values() if v and all(x < 0 for x in v))
     warm_total = round(statistics.median(loop_totals), 2) if loop_totals else -1.0
@@ -265,6 +273,7 @@ def main() -> None:
         "value": warm_total,
         "unit": "sec",
         "warm_total": warm_total,
+        "sum_query_medians": sum_medians,
         "cold_total": cold_total,
         "warmed": warmed,
         "solo": solo,
