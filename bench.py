@@ -179,10 +179,18 @@ def main() -> None:
     # (fresh mkdtemp every run, never revisited).  Persistent per-corpus
     # fixtures (sss_ivf_idx_*, sss_pq_*, ssss_images_*, ssss_lsh_pairs_*)
     # are deliberately NOT listed — deleting those would put their
-    # one-time build cost back into a timed loop.
+    # one-time build cost back into a timed loop.  Rooted at
+    # tempfile.gettempdir() (mkdtemp honors TMPDIR; a hardcoded /tmp
+    # would silently sweep nothing on a TMPDIR box), and swept ONLY on a
+    # solo run — these prefixes are shared with pytest/gate/probe
+    # processes, whose LIVE checkpoints a concurrent sweep would destroy.
+    import tempfile
+
+    _tmp = tempfile.gettempdir()
     _DEAD_TMP_GLOBS = [
-        "/tmp/sss_ckpt_*", "/tmp/sss_stream_src_*",
-        "/tmp/sss_merge_q_*", "/tmp/sss_merge_qb_*", "/tmp/sss_incmv_q_*",
+        os.path.join(_tmp, g)
+        for g in ("sss_ckpt_*", "sss_stream_src_*",
+                  "sss_merge_q_*", "sss_merge_qb_*", "sss_incmv_q_*")
     ]
 
     def _sweep_dead_tmp() -> int:
@@ -196,7 +204,7 @@ def main() -> None:
         return n
 
     def _loop_boundary(tag: str, prev: tuple[int, int, int]) -> tuple[int, int, int]:
-        swept = _sweep_dead_tmp()
+        swept = _sweep_dead_tmp() if solo else 0
         jvm.System.gc()
         if not diag:
             return prev
@@ -260,10 +268,16 @@ def main() -> None:
     # scheduling (sum of per-query IQRs ≈ the loop spread; GC measured
     # 1.4-2.6 s/loop, tmp-dir sweep didn't move it) — per-query medians
     # cancel that covariance, so their sum moves a few percent where
-    # loop totals swing tens of seconds.
-    sum_medians = round(sum(v for v in timings.values() if v >= 0), 2)
+    # loop totals swing tens of seconds.  Only meaningful over the FULL
+    # query set: with any all-loops-errored query the sum would silently
+    # exclude it and report a phantom speedup, so it reports -1 instead
+    # (n_errors says why).
+    _n_err = sum(1 for v in samples.values() if v and all(x < 0 for x in v))
+    sum_medians = (
+        round(sum(v for v in timings.values() if v >= 0), 2) if _n_err == 0 else -1.0
+    )
     # a query is an error only if it failed in EVERY loop it ran
-    n_errors = sum(1 for v in samples.values() if v and all(x < 0 for x in v))
+    n_errors = _n_err
     warm_total = round(statistics.median(loop_totals), 2) if loop_totals else -1.0
     cold_total = round(time.perf_counter() - t_cold0, 2)
 

@@ -1952,28 +1952,46 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return DD.minhash_lsh_pairs(_t(spark, sf_dir, "documents"), threshold=0.6)
 
 
+def _materialized_fixture(spark: SparkSession, sf_dir: str, table: str,
+                          prefix: str, build):
+    """ONE materialize-once protocol for per-corpus derived fixtures (the
+    LSH pair set, the synthetic image corpus): cache path keyed by the
+    source parquet's (path, mtime, size) fingerprint via _fixture_tag —
+    regenerated source data invalidates the fixture — PLUS a caller
+    version salt folded into ``prefix``, so a pipeline/parameter change
+    invalidates it too (without the salt, a /tmp fixture from an older
+    operator version would keep serving stale derived rows to every
+    consumer until someone cleared /tmp by hand).  ``build`` returns the
+    DataFrame to persist; a missing _SUCCESS (torn write) rebuilds."""
+    import tempfile
+
+    key = _fixture_tag(sf_dir, table)
+    path = os.path.join(tempfile.gettempdir(), f"{prefix}_{key}.parquet")
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        build().write.mode("overwrite").parquet(path)
+    return spark.read.parquet(path)
+
+
+#: bump when minhash_lsh_pairs' pipeline or the pinned threshold changes —
+#: part of the fixture cache key (see _materialized_fixture)
+_LSH_PAIRS_SALT = "mh060v1"
+
+
 def _lsh_pairs_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The verified MinHash+LSH pair set, materialized ONCE per corpus
     fingerprint and shared by its three consumers (dedup_clusters,
     dedup_keep_best, split_leakage) — at 100 TB pair GENERATION is the
     dominant stage of all three, and before r11 each rebuilt the full
-    chain from raw text (r10 verdict #3).  Same pattern as
-    _image_fixture / the IVF index cache: keyed by the source parquet's
-    (path, mtime, size) via _fixture_tag, so regenerated data invalidates
-    the fixture instead of serving stale pairs.  In production this is a
+    chain from raw text (r10 verdict #3).  In production this is a
     bucketed corpus-fingerprint table (ensure_bucketed_table,
     layout.py); at test SF a plain parquet materialization shows the same
     plan shape — consumers SCAN pairs, they don't re-mine them.  The
     oracles are unchanged: materialized pairs ≡ the live chain's output,
     so all three still hash-match the shared _MH_PAIRS_CTES."""
-    import tempfile
-
-    key = _fixture_tag(sf_dir, "documents")
-    path = os.path.join(tempfile.gettempdir(), f"ssss_lsh_pairs_{key}.parquet")
-    if not os.path.exists(os.path.join(path, "_SUCCESS")):
-        pairs = DD.minhash_lsh_pairs(_t(spark, sf_dir, "documents"), threshold=0.6)
-        pairs.write.mode("overwrite").parquet(path)
-    return spark.read.parquet(path)
+    return _materialized_fixture(
+        spark, sf_dir, "documents", f"ssss_lsh_pairs_{_LSH_PAIRS_SALT}",
+        lambda: DD.minhash_lsh_pairs(_t(spark, sf_dir, "documents"), threshold=0.6),
+    )
 
 
 _SPLIT_SQL = (
@@ -2676,8 +2694,9 @@ def q_streaming_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # EXACT oracle for hyperplane LSH (r4, self-sizing r11): the planes are
 # md5-derived ±1 Rademacher entries, so DuckDB re-derives the ENTIRE
 # pipeline — plane-count sizing rule (params CTE, the same
-# ceil(log2(n/128)) clamp srp_plane_count computes from one corpus
-# count()), projections, sign patterns, banding (with the operator's 2000
+# clamp(4..32, ceil(log2(n/8))) srp_plane_count computes from one corpus
+# count(); 8 = the verify-budget default, see srp_plane_count's
+# docstring), projections, sign patterns, banding (with the operator's 2000
 # hot-bucket cap), candidate enumeration, exact-cosine verification.
 # Sign bits are robust to summation-order FP differences because every
 # product is EXACTLY ±v[d] (no multiply rounding); a flip would need
@@ -2797,16 +2816,10 @@ def _image_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     pipeline).  Small fixture files bin-pack into one 128 MB scan split —
     re-spread so decode kernels run wide (a real 100 TB table has many
     splits)."""
-    import tempfile
-
-    key = _fixture_tag(sf_dir, "documents")
-    path = os.path.join(tempfile.gettempdir(), f"ssss_images_{key}.parquet")
-    if not os.path.exists(os.path.join(path, "_SUCCESS")):
-        docs = _t(spark, sf_dir, "documents")
-        MM.synthesize_image_table(spark, docs).write.mode("overwrite").parquet(path)
-    return spark.read.parquet(path).repartition(
-        spark.sparkContext.defaultParallelism
-    )
+    return _materialized_fixture(
+        spark, sf_dir, "documents", "ssss_images",
+        lambda: MM.synthesize_image_table(spark, _t(spark, sf_dir, "documents")),
+    ).repartition(spark.sparkContext.defaultParallelism)
 
 
 @query(

@@ -627,18 +627,32 @@ def _await_or_die(q, seconds: int = 300) -> None:
     raise instead; the checkpoint makes the next run resume exactly where
     the hung one stopped.
 
-    The stop is best-effort in a daemon thread: Spark's default
-    ``spark.sql.streaming.stopTimeout`` waits INDEFINITELY for the
+    The stop is synchronous but BOUNDED: Spark's default
+    ``spark.sql.streaming.stopTimeout`` (0) waits INDEFINITELY for the
     micro-batch thread, so a batch that ignores interruption would turn
     ``q.stop()`` into a second silent hang inside the very helper that
-    exists to raise loudly (ADVICE r10) — the TimeoutError must win the
-    race, not the stop."""
+    exists to raise loudly (ADVICE r10).  A temporary 10 s stopTimeout
+    bounds the wait while still SIGNALING the stop and normally joining
+    the thread — a fire-and-forget stop would abandon a live query that
+    keeps committing generation swaps to its standing table behind the
+    caller's back, which is the same half-applied hazard this helper
+    exists to prevent.  Either way the TimeoutError is raised."""
     if not q.awaitTermination(seconds):
-        import threading
+        from pyspark.sql import SparkSession
 
-        threading.Thread(
-            target=lambda: _swallow(q.stop), daemon=True, name="await-or-die-stop"
-        ).start()
+        spark = SparkSession.getActiveSession()
+        _KEY = "spark.sql.streaming.stopTimeout"
+        old = spark.conf.get(_KEY, None) if spark else None
+        try:
+            if spark:
+                spark.conf.set(_KEY, "10000")
+            _swallow(q.stop)  # a stop timeout must not mask the raise below
+        finally:
+            if spark:
+                if old is None:
+                    spark.conf.unset(_KEY)
+                else:
+                    spark.conf.set(_KEY, old)
         raise TimeoutError(
             f"streaming query did not terminate within {seconds}s — "
             "refusing to serve a partially-applied result (the "
@@ -1911,6 +1925,27 @@ def run_streaming_merge_upsert(
     def _refresh_schema() -> None:
         _schema_holder["schema"] = spark.read.parquet(table_dir).schema
 
+    if not schema_evolution:
+        # Stream-START guard over the UNION of every change file's footer
+        # (mergeSchema inference is footer-metadata only, no data scan).
+        # The per-batch guard below cannot see a column only SOME files
+        # carry — with merge_schema=False the stream's schema is fixed
+        # from ONE footer, so a wider file's extra column is projected
+        # away at the SCAN and never reaches the sink.  For availableNow
+        # replays (every runner here) all files exist now, so this check
+        # is complete; the per-batch guard remains as defense in depth.
+        union_cols = set(
+            spark.read.option("mergeSchema", "true").parquet(changes_path).schema.names
+        )
+        extra0 = union_cols - set(_schema_holder["schema"].names) - {seq_col, op_col}
+        if extra0:
+            raise ValueError(
+                f"change feed carries column(s) {sorted(extra0)} absent from "
+                "the maintained table and schema_evolution=False — they "
+                "would be silently dropped by the fixed stream schema; pass "
+                "schema_evolution=True to widen the table additively, or "
+                "project the feed to the table's schema"
+            )
     stream = _stage_parquet_stream(
         spark, changes_path, max_files_per_trigger, merge_schema=schema_evolution
     )
@@ -2166,6 +2201,24 @@ def run_streaming_incremental_agg(
 
     def _read_table():
         return spark.read.schema(tbl_schema).parquet(table_dir)
+
+    # stream-START guard over the UNION of all change-file footers — same
+    # rationale as run_streaming_merge_upsert's: the per-batch guard in
+    # _sink can only see columns the fixed stream schema (one footer)
+    # happened to include, so a column carried by SOME files would be
+    # projected away at the scan and silently dropped without this
+    union_cols = set(
+        spark.read.option("mergeSchema", "true").parquet(changes_path).schema.names
+    )
+    extra0 = union_cols - set(tbl_schema.names) - {seq_col, op_col}
+    if extra0:
+        raise ValueError(
+            f"change feed carries column(s) {sorted(extra0)} absent from "
+            "the maintained table — the MV runner does not evolve schemas "
+            "(the aggregate's schema is agg_fn's contract); rebuild the MV, "
+            "or maintain the table with "
+            "run_streaming_merge_upsert(schema_evolution=True)"
+        )
 
     stream = _stage_parquet_stream(spark, changes_path, max_files_per_trigger)
 

@@ -190,8 +190,14 @@ def main() -> int:
                 (F.col("id_b") - F.col("id_a") == n_base)
                 & (F.col("id_a") < n_base)
             ).count()
+            # record the RESOLVED depth, not None — the artifact must say
+            # what the default path actually chose for this corpus
+            resolved = planes if planes is not None else SIM.srp_plane_count(
+                emb.count()
+            )
             row = {
                 "sec": round(time.perf_counter() - t0, 2),
+                "n_planes": resolved,
                 "planted_found": found,
                 "planted_total": n_base,
             }
