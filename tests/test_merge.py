@@ -1495,6 +1495,49 @@ def test_merge_upsert_refuses_widened_feed_without_evolution(spark, tmp_path):
         )
 
 
+def test_merge_upsert_refuses_midstream_widened_file(spark, tmp_path):
+    """The subtle variant (r11 self-review #1): only the SECOND change
+    file carries the extra column.  With merge_schema=False the stream's
+    fixed one-footer schema would project the column away AT THE SCAN, so
+    the per-batch guard never sees it — the stream-START guard over the
+    mergeSchema UNION of all footers must refuse instead."""
+    from stateful_spark_streaming_spark.streaming.pipeline import (
+        run_streaming_merge_upsert,
+    )
+
+    base = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0)], "k long, s string, v double"
+    )
+    base_path = str(tmp_path / "tbl")
+    base.write.parquet(base_path)
+    ch_dir = str(tmp_path / "changes")
+    os.makedirs(ch_dir)
+
+    def _one_file(df, name, mtime):
+        bdir = str(tmp_path / ("stage_" + name))
+        df.coalesce(1).write.parquet(bdir)
+        part = [f for f in os.listdir(bdir) if f.endswith(".parquet")][0]
+        dst = os.path.join(ch_dir, name)
+        os.rename(os.path.join(bdir, part), dst)
+        os.utime(dst, (mtime, mtime))  # deterministic replay order
+
+    narrow = spark.createDataFrame(
+        [(1, "a", 11.0, 1, "U")], "k long, s string, v double, seq int, op string"
+    )
+    wide = spark.createDataFrame(
+        [(2, "b", 21.0, "surprise", 2, "U")],
+        "k long, s string, v double, extra string, seq int, op string",
+    )
+    _one_file(narrow, "batch-0.parquet", 1_000_000_000)
+    _one_file(wide, "batch-1.parquet", 1_000_000_100)
+
+    with pytest.raises(Exception, match="schema_evolution"):
+        run_streaming_merge_upsert(
+            spark, base_path, ch_dir, ("k",),
+            checkpoint_dir=str(tmp_path / "ck"),
+        )
+
+
 def test_streaming_merge_schema_evolution_widening_crash_replay(spark, tmp_path):
     """The widening batch's crash window: its full-image swap committed
     but the checkpoint did not.  The replay re-delivers the widening
