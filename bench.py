@@ -140,7 +140,11 @@ def main() -> None:
         # then scanned — prebuild the TARGET corpus here so the timed loops
         # measure decode+featurize, not the one-time fixture write (which
         # stays in cold_total; measured +3.6 s on the timed query otherwise).
-        for prebuild in ("cosine_topk_ivf", "multimodal_features"):
+        # dedup_clusters is the cheapest consumer of the materialized LSH
+        # pair fixture (r11): running it here builds the TARGET corpus's
+        # pair table once, so the timed loops measure pair-table scans in
+        # all three consumers, not a one-time build in whichever runs first
+        for prebuild in ("cosine_topk_ivf", "multimodal_features", "dedup_clusters"):
             try:
                 qs[prebuild](spark, sf_dir).write.format("noop").mode(
                     "overwrite"
