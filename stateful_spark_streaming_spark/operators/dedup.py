@@ -921,7 +921,10 @@ def md5_h60(col, seed: int | str | None = None):
 
 
 def banded_candidate_pairs(
-    items: DataFrame, id_field: str = "id", max_bucket_size: int | None = 2000
+    items: DataFrame,
+    id_field: str = "id",
+    max_bucket_size: int | None = 2000,
+    distinct: bool = True,
 ) -> DataFrame:
     """One-shuffle LSH candidate generation, shared by MinHash / SimHash /
     random-hyperplane LSH.
@@ -950,7 +953,17 @@ def banded_candidate_pairs(
     is always summary-sized; ``items`` is persisted so its subplan (the
     signature UDF — the expensive stage) still evaluates once.
     ``lsh_bucket_stats`` reports the skew when tuning the cap.  Pass
-    ``None`` to disable (exact candidate enumeration)."""
+    ``None`` to disable (exact candidate enumeration).
+
+    ``distinct=False`` skips the cross-band pair dedup.  Use it when the
+    item struct carries a LARGE payload (e.g. the embedding vector for
+    in-bucket verification, ``cosine_near_pairs_lsh``): dropDuplicates
+    shuffles whole (a, b) struct pairs, so with vector payload the dedup
+    exchange alone would move pairs × 2 × dim floats — the very join-back
+    volume the payload was meant to avoid.  The caller then dedups AFTER
+    reducing each pair to scalars (ids + verified score); a pair
+    colliding in k bands is verified k times, but k ≤ n_tables and the
+    duplicated work is a bounded constant, not a shuffle."""
     src = items
     if max_bucket_size is not None:
         from stateful_spark_streaming_spark.caching import track_persist
@@ -968,11 +981,15 @@ def banded_candidate_pairs(
         .agg(F.collect_list("item").alias("bucket"))
         .filter(F.size("bucket") >= 2)
     )
-    return (
+    pairs = (
         buckets.select(F.explode("bucket").alias("a"), "bucket")
         .select("a", F.explode("bucket").alias("b"))
         .filter(F.col(f"a.{id_field}") < F.col(f"b.{id_field}"))
-        .withColumn("_ida", F.col(f"a.{id_field}"))
+    )
+    if not distinct:
+        return pairs
+    return (
+        pairs.withColumn("_ida", F.col(f"a.{id_field}"))
         .withColumn("_idb", F.col(f"b.{id_field}"))
         .dropDuplicates(["_ida", "_idb"])
         .drop("_ida", "_idb")

@@ -1346,9 +1346,22 @@ def cosine_near_pairs_lsh(
 
     Candidate generation is ONE bucket shuffle: grouped on (table_id,
     pattern), pairs expanded within buckets — the projection subplan is
-    never recomputed per table.  Vectors for exact verification are
-    fetched with an equi-join back to the corpus, so the bucket shuffle
-    moves only (id, table, pattern) triples."""
+    never recomputed per table.
+
+    VERIFY-IN-BUCKET (r11): each item carries its vector THROUGH the
+    bucket shuffle, and the within-bucket pair expansion feeds the exact
+    cosine kernel in the SAME stage — no exchange between candidate
+    enumeration and verification.  The alternative (join candidate ids
+    back to the corpus for vectors) shuffles pairs × 2 × dim floats: at
+    2 M vectors / 8 tables / target-8 buckets that is ~64 M pairs ×
+    ~0.5 KB ≈ 30-60 GB through two sort-merge joins, versus
+    n_tables × corpus ≈ 8 GB of carried payload here (ratio ≈ expected
+    bucket size / 2).  Cross-band dedup moves AFTER verification, where
+    a pair is three scalars, and a pair colliding in k ≤ n_tables bands
+    just re-verifies k times (identical floats → identical rounded
+    cosine → exact dedup).  The hot-bucket cap bounds the carried bucket
+    array at max_bucket_size × dim floats ≈ 1 MB per row at the
+    defaults."""
     import numpy as np
     from pyspark.sql.types import ArrayType, LongType
 
@@ -1379,19 +1392,20 @@ def cosine_near_pairs_lsh(
         return pd.Series(list(keys))
 
     items = embeddings.select(
-        F.struct(F.col(id_col).alias("id")).alias("item"),
+        F.struct(
+            F.col(id_col).alias("id"), F.col(vec_col).alias("vec")
+        ).alias("item"),
         F.posexplode(table_keys_udf(F.col(vec_col))).alias("band_id", "band_hash"),
     )
-    id_pairs = banded_candidate_pairs(items, max_bucket_size=max_bucket_size).select(
-        F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b")
+    # distinct=False: dedup AFTER verification (see banded_candidate_pairs
+    # docstring) — deduping (a, b) struct pairs here would shuffle the
+    # carried vectors pairwise, re-creating the join-back volume
+    cands = banded_candidate_pairs(
+        items, max_bucket_size=max_bucket_size, distinct=False
+    ).select(
+        F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
+        F.col("a.vec").alias("va"), F.col("b.vec").alias("vb"),
     )
-    va = embeddings.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
-    vb = embeddings.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
-    # MERGE hints: same static-broadcast hazard as minhash_lsh_pairs (see
-    # its comment) — the embedding side is O(corpus) of float arrays; a
-    # logical misestimate under the broadcast threshold statically
-    # broadcasts it and OOMs the driver at scale. Pin sort-merge.
-    cands = id_pairs.join(va.hint("merge"), "id_a").join(vb.hint("merge"), "id_b")
 
     def verify(batches):
         for pdf in batches:
@@ -1415,6 +1429,9 @@ def cosine_near_pairs_lsh(
     return (
         verified.withColumn("cosine", F.round("raw_cos", 6))
         .filter(F.col("cosine") >= threshold)
+        # cross-band dedup on three scalars: a pair verified in k bands
+        # yields k IDENTICAL rows (same floats in, same rounded value out)
+        .dropDuplicates(["id_a", "id_b"])
         .select("id_a", "id_b", "cosine")
     )
 
