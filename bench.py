@@ -204,7 +204,8 @@ def main() -> None:
         for g in _DEAD_TMP_GLOBS:
             for d in glob.glob(g):
                 shutil.rmtree(d, ignore_errors=True)
-                n += 1
+                if not os.path.exists(d):  # count REMOVALS, not matches —
+                    n += 1  # the diag line must not report survivors as swept
         return n
 
     def _loop_boundary(tag: str, prev: tuple[int, int, int]) -> tuple[int, int, int]:

@@ -1976,6 +1976,10 @@ def _materialized_fixture(spark: SparkSession, sf_dir: str, table: str,
 #: part of the fixture cache key (see _materialized_fixture)
 _LSH_PAIRS_SALT = "mh060v1"
 
+#: bump when synthesize_image_table's pixel/layout recipe changes — same
+#: stale-fixture protocol as _LSH_PAIRS_SALT
+_IMAGES_SALT = "synth1"
+
 
 def _lsh_pairs_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The verified MinHash+LSH pair set, materialized ONCE per corpus
@@ -2817,7 +2821,7 @@ def _image_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     re-spread so decode kernels run wide (a real 100 TB table has many
     splits)."""
     return _materialized_fixture(
-        spark, sf_dir, "documents", "ssss_images",
+        spark, sf_dir, "documents", f"ssss_images_{_IMAGES_SALT}",
         lambda: MM.synthesize_image_table(spark, _t(spark, sf_dir, "documents")),
     ).repartition(spark.sparkContext.defaultParallelism)
 

@@ -641,14 +641,25 @@ def _await_or_die(q, seconds: int = 300) -> None:
         from pyspark.sql import SparkSession
 
         spark = SparkSession.getActiveSession()
-        _KEY = "spark.sql.streaming.stopTimeout"
-        old = spark.conf.get(_KEY, None) if spark else None
-        try:
-            if spark:
+        if spark is None:
+            # no session to bound stopTimeout on (stop() would then wait
+            # indefinitely, default 0) — fall back to a fire-and-forget
+            # daemon stop so the loud raise below cannot be swallowed by
+            # a second hang; every in-repo runner calls this helper on
+            # the session thread, so this branch is defensive only
+            import threading
+
+            threading.Thread(
+                target=lambda: _swallow(q.stop), daemon=True,
+                name="await-or-die-stop",
+            ).start()
+        else:
+            _KEY = "spark.sql.streaming.stopTimeout"
+            old = spark.conf.get(_KEY, None)
+            try:
                 spark.conf.set(_KEY, "10000")
-            _swallow(q.stop)  # a stop timeout must not mask the raise below
-        finally:
-            if spark:
+                _swallow(q.stop)  # a stop timeout must not mask the raise
+            finally:
                 if old is None:
                     spark.conf.unset(_KEY)
                 else:
@@ -1944,7 +1955,13 @@ def run_streaming_merge_upsert(
                 "the maintained table and schema_evolution=False — they "
                 "would be silently dropped by the fixed stream schema; pass "
                 "schema_evolution=True to widen the table additively, or "
-                "project the feed to the table's schema"
+                "project the feed to the table's schema.  (Comparison is "
+                "case-sensitive, matching evolve_schema's case-drift "
+                "refusal.  A checkpoint-resumed feed whose ALREADY-processed "
+                "files carry the column trips this too: those columns were "
+                "silently dropped by the pre-guard code, which is the data "
+                "loss this refusal exists to surface — schema_evolution=True "
+                "widens the table and lets the feed proceed.)"
             )
     stream = _stage_parquet_stream(
         spark, changes_path, max_files_per_trigger, merge_schema=schema_evolution

@@ -374,7 +374,10 @@ CHECKS = {
 
 #: upper bound on `Scan parquet` occurrences — "the signature subplan is
 #: materialized once": minhash = 1 signature pass + 2 verify set fetches;
-#: cosine LSH = 1 projection pass + 2 vector fetches; simhash = 1.
+#: cosine LSH verifies IN-BUCKET since r11 (vectors ride the bucket
+#: shuffle): ONE embeddings scan feeds projection + verification — the
+#: old join-back shape (1 projection pass + 2 vector-fetch scans, the
+#: 30-60 GB shuffle at 2 M vectors) would trip the bound; simhash = 1.
 MAX_SCANS = {
     # FastSS/Hamming band joins: both sides come from one exploded frame;
     # 2 scans = the self-join's two reads of it (the round-1 regression
@@ -393,7 +396,7 @@ MAX_SCANS = {
     # collect_list — the price of never materializing an over-cap array
     "dedup_simhash": 2,
     "dedup_minhash_lsh": 4,
-    "cosine_near_pairs_lsh": 4,
+    "cosine_near_pairs_lsh": 1,
     "dedup_jaccard_pairs": 2,  # persisted index: parquet scanned once, InMemory reused
     "containment_pairs": 2,
     "cosine_near_pairs": 1,
