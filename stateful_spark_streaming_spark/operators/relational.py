@@ -301,6 +301,106 @@ def distinct_sketch_stats(
     )
 
 
+def kmv_bottom_hashes(
+    df: DataFrame, key: str, count_col: str, k: int = 256, salt_buckets: int = 16
+) -> DataFrame:
+    """Bottom-k (KMV) sketch BUILD stage: the k smallest DISTINCT
+    md5-derived 60-bit hashes of ``count_col`` per ``key`` — the
+    mergeable core shared by the batch estimator and the streaming
+    per-batch partial.
+
+    Hash: first 15 hex chars of md5(value) as a long — the repo-standard
+    ``md5_h60`` recipe (``dedup.py:910``), chosen because DuckDB
+    reproduces it verbatim (``('0x' || substring(md5(x),1,15))::BIGINT``),
+    which is what makes the DOWNSTREAM ESTIMATE oracle-exact, not
+    rows-only — the same move that made MinHash, SRP-LSH, and CMS
+    hash-checkable.
+
+    Scale shape: distinct (key, hash) is one spillable hash aggregate;
+    the bottom-k is then TWO-LEVEL (local row_number per (key, salt) with
+    salt = hash mod ``salt_buckets``, then global per key over at most
+    ``salt_buckets * k`` survivors) so no single task ever sorts a hot
+    key's full distinct set — the ``salted_topn`` pattern with the order
+    inverted.  Exact: every global bottom-k hash is in its salt bucket's
+    bottom-k, so the composition equals a single global pass.  Never
+    ``collect_set`` of all distincts (unbounded per-group state).
+    """
+    h = F.conv(
+        F.substring(F.md5(F.col(count_col).cast("string")), 1, 15), 16, 10
+    ).cast("long")
+    hashes = (
+        df.filter(F.col(count_col).isNotNull())
+        .select(key, h.alias("h"))
+        .distinct()
+    )
+    salt = F.pmod(F.col("h"), F.lit(salt_buckets))
+    w_local = Window.partitionBy(F.col(key), salt).orderBy(F.col("h").asc())
+    local = (
+        hashes.withColumn("__rk", F.row_number().over(w_local))
+        .filter(F.col("__rk") <= k)
+        .drop("__rk")
+    )
+    w_global = Window.partitionBy(key).orderBy(F.col("h").asc())
+    return (
+        local.withColumn("__rk", F.row_number().over(w_global))
+        .filter(F.col("__rk") <= k)
+        .drop("__rk")
+    )
+
+
+def kmv_finalize(
+    bottom: DataFrame, counts: DataFrame, key: str, k: int
+) -> DataFrame:
+    """KMV ESTIMATE stage over bottom-k hash rows (``kmv_bottom_hashes``
+    output or a merged union of partials — bottom-k of a union of
+    per-partial bottom-ks equals the global bottom-k, which is the
+    mergeability proof the streaming twin rides on).
+
+    Estimator (Bar-Yossef et al., "Counting distinct elements in a data
+    stream", RANDOM 2002): with m = |hashes kept| and h_k = the k-th
+    smallest 60-bit hash, estimate = m exactly when m < k (the sketch
+    saw every distinct value), else floor((k-1) * 2^60 / h_k).  The
+    double arithmetic is IEEE-identical in Spark and DuckDB (k-1 and
+    2^60 are exact doubles; long→double narrowing is round-to-nearest in
+    both), and ``floor`` (NOT round / NOT cast-to-int, whose .5 and
+    truncation semantics differ across engines) makes the estimate
+    hash-match cross-engine — the oracle re-derives the estimator, not
+    just the rows.
+    """
+    sk = bottom.groupBy(key).agg(
+        F.count(F.lit(1)).alias("__m"), F.max("h").alias("__hk")
+    )
+    est = F.when(F.col("__m") < k, F.col("__m")).otherwise(
+        F.floor(
+            F.lit(float(k - 1)) * F.lit(2.0**60) / F.col("__hk").cast("double")
+        )
+    )
+    return (
+        counts.join(sk, key)
+        .withColumn("kmv_distinct", est.cast("long"))
+        .drop("__m", "__hk")
+    )
+
+
+def distinct_kmv_stats(
+    df: DataFrame, key: str, count_col: str, k: int = 256
+) -> DataFrame:
+    """Per-group distinct counting via a bottom-k (KMV) sketch with
+    md5-derived hashes — the ORACLE-EXACT mergeable sibling of
+    ``distinct_sketch_stats``.  Same mergeability story as the
+    DataSketches HLL form (union of per-batch bottom-k sets, then
+    bottom-k again, equals one global pass — set union is associative /
+    commutative / idempotent), but every step is plain SQL a second
+    engine can re-derive: md5, substring, hex→int, window bottom-k,
+    one floor'd double division.  The HLL operator stays as the engine
+    surface for when sketch BYTES must be stored (2^lg_k registers vs
+    k longs); this is the form the correctness gate can hash-check.
+    """
+    counts = df.groupBy(key).agg(F.count(F.lit(1)).alias("n_rows"))
+    bottom = kmv_bottom_hashes(df, key, count_col, k=k)
+    return kmv_finalize(bottom, counts, key, k)
+
+
 def revenue_cube(orders: DataFrame) -> DataFrame:
     """GROUP BY CUBE over (order year, order status): all four grouping
     sets in one pass.  Spark expands rows per grouping set BEFORE the

@@ -503,31 +503,65 @@ def q_priority_top_orders_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (relational.py approx_distinct_stats — Spark HLL++/t-digest) remains
 # part of the engine surface, pytest-covered in test_relational.py and
 # test_rows_only_pins.py.
-@query("distinct_sketch_stats")  # DataSketches HLL: no cross-engine oracle
+# KMV oracle: md5-derived 60-bit hashes are re-derivable in DuckDB, so
+# the whole estimator — distinct bottom-k AND the floor'd (k-1)*2^60/h_k
+# division — hash-checks cross-engine (the MinHash/SRP/CMS move applied
+# to the last sketch family; r11 verdict #2).  k=64 < the 150 distinct
+# users at sf0.01, so the gate exercises the ESTIMATION branch, not just
+# the exact-count fallback.
+_KMV_K = 64
+_KMV_SQL = f"""
+    WITH hashes AS (
+      SELECT DISTINCT event_type,
+             ('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT AS h
+      FROM events WHERE user_id IS NOT NULL
+    ), ranked AS (
+      SELECT event_type, h,
+             row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
+      FROM hashes
+    ), sk AS (
+      SELECT event_type, COUNT(*) AS m, MAX(h) AS hk
+      FROM ranked WHERE rn <= {_KMV_K} GROUP BY event_type
+    ), counts AS (
+      SELECT event_type, COUNT(*) AS n_rows FROM events GROUP BY event_type
+    )
+    SELECT counts.event_type, counts.n_rows,
+           CASE WHEN sk.m < {_KMV_K} THEN sk.m
+                ELSE CAST(floor({float(_KMV_K - 1)} * power(2.0, 60)
+                               / CAST(sk.hk AS DOUBLE)) AS BIGINT)
+           END AS kmv_distinct
+    FROM counts JOIN sk ON counts.event_type = sk.event_type
+"""
+
+
+@query("distinct_sketch_stats", oracle=_KMV_SQL)
 def q_distinct_sketch_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-event-type distinct-user counts via MERGEABLE DataSketches HLL
-    — the public-binary-sketch sibling of approx_distinct_stats, and the
-    batch side of the ingest-time cardinality twin (union-of-partials ≡
-    single-pass, pytested as exact equality)."""
-    return REL.distinct_sketch_stats(
-        _t(spark, sf_dir, "events"), key="event_type", count_col="user_id"
+    """Per-event-type distinct-user counts via the bottom-k (KMV) sketch
+    — mergeable like the DataSketches HLL sibling (which remains the
+    engine surface for binary-sketch storage, pytest-covered), but every
+    step is plain SQL DuckDB re-derives, so the gate hash-checks the
+    estimator itself."""
+    return REL.distinct_kmv_stats(
+        _t(spark, sf_dir, "events"), key="event_type", count_col="user_id",
+        k=_KMV_K,
     )
 
 
-@query("streaming_distinct_stats")  # sketch estimator: no cross-engine oracle
+@query("streaming_distinct_stats", oracle=_KMV_SQL)
 def q_streaming_distinct_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Ingest-time cardinality tracking: per-batch (count, HLL sketch)
-    partials appended by foreachBatch, hll_union_agg on read — streaming
-    ≡ batch EXACTLY (register-max union is order-insensitive; pytested as
-    equality, not tolerance)."""
+    """Ingest-time cardinality tracking: per-batch (count, bottom-k hash
+    array) partials appended by foreachBatch, set-union + re-bottom-k on
+    read — streaming ≡ batch EXACTLY (bottom-k of unioned bottom-ks is
+    the global bottom-k), so the BATCH oracle gates the streaming path
+    at full hash strength."""
     import os as _os
 
     from stateful_spark_streaming_spark.streaming.pipeline import (
-        run_streaming_distinct_stats,
+        run_streaming_distinct_kmv,
     )
 
-    return run_streaming_distinct_stats(
-        spark, _os.path.join(sf_dir, "events.parquet")
+    return run_streaming_distinct_kmv(
+        spark, _os.path.join(sf_dir, "events.parquet"), k=_KMV_K
     )
 
 

@@ -313,6 +313,8 @@ def compact_partial_log(
     mins: tuple[str, ...] = (),
     maxs: tuple[str, ...] = (),
     hlls: tuple[str, ...] = (),
+    kmvs: tuple[str, ...] = (),
+    kmv_k: int = 256,
     batch_col: str | None = "_batch_id",
     checkpoint_dir: str | None = None,
 ) -> None:
@@ -380,7 +382,7 @@ def compact_partial_log(
         return  # nothing staged yet — zero-batch streams have no log
     df = spark.read.parquet(path)
     orig_cols = list(df.columns)
-    value_cols = [*sums, *mins, *maxs, *hlls]
+    value_cols = [*sums, *mins, *maxs, *hlls, *kmvs]
     declared = set(keys) | set(value_cols) | ({batch_col} if batch_col else set())
     if set(orig_cols) != declared:
         raise ValueError(
@@ -406,6 +408,19 @@ def compact_partial_log(
             # DataSketches HLL binaries fold by union (register-wise max
             # — idempotent, so this is also safe on replayed rows)
             *[F.hll_union_agg(c, F.lit(False)).alias(c) for c in hlls],
+            # KMV bottom-k hash arrays fold by set-union + re-bottom-k
+            # (idempotent; kmv_k MUST match the writing runner's k).
+            # Bounded per key by n_batches * k longs inside one agg row.
+            *[
+                F.slice(
+                    F.array_sort(
+                        F.array_distinct(F.flatten(F.collect_list(c)))
+                    ),
+                    1,
+                    kmv_k,
+                ).alias(c)
+                for c in kmvs
+            ],
             F.max(batch_col).alias(batch_col),
         )
     folded.select(*orig_cols).write.mode("overwrite").parquet(path + ".tmp")
@@ -437,6 +452,14 @@ STAGED_SINK_COMPACTION = {
     # run_streaming_distinct_stats: <ckpt>_sketches (HLL binaries fold by
     # union; the row count is the additive half)
     "distinct_sketch": dict(keys=["event_type"], sums=("n_rows",), hlls=("sk",)),
+    # run_streaming_distinct_kmv: <ckpt>_sketches (bottom-k hash arrays
+    # fold by set-union + re-bottom-k).  NOTE: assumes the runner's
+    # DEFAULT k=256 — a log written with another k must use
+    # distinct_kmv_compaction_spec(k) or the fold would widen/narrow the
+    # sketch relative to the read path.
+    "distinct_kmv": dict(
+        keys=["event_type"], sums=("n_rows",), kmvs=("hs",), kmv_k=256
+    ),
     # run_streaming_heavy_hitters: <ckpt>_counters (CMS counters are
     # additive) and <ckpt>_cands (identity rows, replay-deduped on read)
     "cms_counters": dict(keys=["r", "b"], sums=("n",)),
@@ -451,6 +474,15 @@ STAGED_SINK_COMPACTION = {
     # additive).  Same default-group_col caveat as quality_hist.
     "source_token_counts": dict(keys=["source", "token"], sums=("c",)),
 }
+
+
+def distinct_kmv_compaction_spec(k: int = 256, key: str = "event_type") -> dict:
+    """Compaction spec for a ``run_streaming_distinct_kmv`` staged log
+    written with a non-default ``k`` or key column (the static
+    ``STAGED_SINK_COMPACTION['distinct_kmv']`` entry hardcodes the
+    defaults; folding with the wrong k silently changes the sketch the
+    read path sees)."""
+    return dict(keys=[key], sums=("n_rows",), kmvs=("hs",), kmv_k=k)
 
 
 def quality_hist_compaction_spec(group_col: str = "source") -> dict:
@@ -1566,6 +1598,107 @@ def run_streaming_distinct_stats(
             .alias("approx_distinct"),
         )
     )
+
+
+def run_streaming_distinct_kmv(
+    spark: SparkSession,
+    events_path: str,
+    key: str = "event_type",
+    count_col: str = "user_id",
+    k: int = 256,
+    checkpoint_dir: str | None = None,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """Ingest-time cardinality tracking via the bottom-k (KMV) sketch —
+    the ORACLE-EXACT streaming twin of ``relational.distinct_kmv_stats``
+    (the DataSketches-HLL runner above stays as the binary-sketch
+    surface; this is the form the gate hash-checks).
+
+    Each micro-batch appends its per-key (n_rows, sorted bottom-k hash
+    ARRAY) partial — state per key is bounded by k longs regardless of
+    batch size because the bottom-k is computed by the shared
+    ``kmv_bottom_hashes`` two-level window, never a collect of the full
+    distinct set.  The read side dedupes replays per (key, batch),
+    explodes the arrays, re-runs distinct + bottom-k over the union, and
+    finalizes with the SAME estimator as the batch operator: bottom-k of
+    a union of per-batch bottom-ks equals the global bottom-k (any
+    globally-kept hash arrived in some batch and survived that batch's
+    bottom-k), so streaming ≡ batch EXACTLY — equality, not tolerance.
+
+    Replay idempotency: partials are batch-stamped and deterministic, so
+    the (key, batch) dedupe restores exactly-once — and even a missed
+    duplicate would be absorbed by set-union idempotency for the sketch
+    (only the additive row count strictly needs the dedupe)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from stateful_spark_streaming_spark.operators.relational import (
+        kmv_bottom_hashes,
+        kmv_finalize,
+    )
+
+    checkpoint_dir = checkpoint_dir or tempfile.mkdtemp(prefix="sss_ckpt_kmv_")
+    out_dir = checkpoint_dir + "_sketches"
+    stream = _stage_parquet_stream(spark, events_path, max_files_per_trigger)
+
+    def _sink(bdf: DataFrame, batch_id: int) -> None:
+        counts = bdf.groupBy(key).agg(F.count(F.lit(1)).alias("n_rows"))
+        bottom = (
+            kmv_bottom_hashes(bdf, key, count_col, k=k)
+            .groupBy(key)
+            .agg(F.array_sort(F.collect_list("h")).alias("hs"))
+        )
+        (
+            counts.join(bottom, key, "left")
+            .withColumn("_batch_id", F.lit(batch_id))
+            .coalesce(1)  # partials are key-cardinality tiny
+            .write.mode("append")
+            .parquet(out_dir)
+        )
+
+    q = (
+        stream.writeStream.foreachBatch(_sink)
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    _await_or_die(q)
+
+    if not os.path.exists(out_dir):
+        from pyspark.sql.types import (
+            ArrayType,
+            LongType,
+            StructField,
+            StructType,
+        )
+
+        staged = spark.createDataFrame(
+            [],
+            StructType(
+                [
+                    StructField(key, stream.schema[key].dataType),
+                    StructField("n_rows", LongType()),
+                    StructField("hs", ArrayType(LongType())),
+                    StructField("_batch_id", LongType()),
+                ]
+            ),
+        )
+    else:
+        staged = spark.read.parquet(out_dir)
+    staged = staged.dropDuplicates([key, "_batch_id"])
+    counts = staged.groupBy(key).agg(F.sum("n_rows").alias("n_rows"))
+    merged = (
+        staged.select(key, F.explode("hs").alias("h"))
+        .distinct()
+    )
+    w = Window.partitionBy(key).orderBy(F.col("h").asc())
+    bottom = (
+        merged.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= k)
+        .drop("__rk")
+    )
+    return kmv_finalize(bottom, counts, key, k)
 
 
 def run_streaming_quality_histogram(

@@ -253,3 +253,58 @@ def test_compaction_refuses_uncommitted_checkpoint(spark, tmp_path):
         spark, log, keys=["k"], sums=("c",),
         checkpoint_dir=str(tmp_path / "empty_ckpt"),
     )
+
+
+def test_streaming_distinct_kmv_exact_and_compactable(spark, tmp_path):
+    """The ORACLE-EXACT sketch ingest twin (KMV bottom-k), same three
+    contracts as the HLL fixture above: (1) multi-batch streaming EQUALS
+    the single-pass batch operator exactly (bottom-k of unioned
+    bottom-ks is the global bottom-k); (2) replayed appends change
+    nothing; (3) the staged log compacts through the kmv fold class with
+    read results identical and fewer files."""
+    from stateful_spark_streaming_spark.operators.relational import (
+        distinct_kmv_stats,
+    )
+    from stateful_spark_streaming_spark.streaming.pipeline import (
+        distinct_kmv_compaction_spec,
+        run_streaming_distinct_kmv,
+    )
+
+    k = 8  # << 51 distinct users per type: the estimator branch engages
+    rows = [(i, f"t{i % 3}", i % 51) for i in range(300)]
+    cols = ("event_id", "event_type", "user_id")
+    batches = [rows[:100], rows[100:180], rows[180:]]
+    src = _land_batches(spark, tmp_path, "ev", batches, cols)
+    ck = str(tmp_path / "ck_kmv")
+
+    def run():
+        return run_streaming_distinct_kmv(
+            spark, src, k=k, checkpoint_dir=ck, max_files_per_trigger=1
+        )
+
+    streamed = sorted(map(tuple, run().collect()))
+    batch = sorted(
+        map(
+            tuple,
+            distinct_kmv_stats(
+                spark.createDataFrame(rows, list(cols)),
+                key="event_type",
+                count_col="user_id",
+                k=k,
+            ).collect(),
+        )
+    )
+    assert streamed == batch, "KMV union-of-partials must EQUAL single-pass"
+    assert all(n == 100 for _, n, _ in streamed)  # 3 types x 100 rows
+
+    # replayed append: duplicate the staged partial files
+    out_dir = ck + "_sketches"
+    for f in glob.glob(os.path.join(out_dir, "part-*.parquet")):
+        shutil.copy(f, f.replace("part-", "replay-part-"))
+    assert sorted(map(tuple, run().collect())) == streamed
+
+    # compaction (kmv fold class): read-identical, fewer files
+    n_dirty = _n_files(out_dir)
+    compact_partial_log(spark, out_dir, **distinct_kmv_compaction_spec(k=k))
+    assert _n_files(out_dir) < n_dirty
+    assert sorted(map(tuple, run().collect())) == streamed

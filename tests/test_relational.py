@@ -149,3 +149,65 @@ def test_profile_columns_known_values(spark):
     got = {r.column_name: r for r in REL.profile_columns(df, ["a", "b"]).collect()}
     assert got["a"].n_rows == 4 and got["a"].n_null == 1 and got["a"].n_distinct == 2
     assert got["b"].n_rows == 4 and got["b"].n_null == 1 and got["b"].n_distinct == 2
+
+
+def test_kmv_exact_when_k_covers_distincts(spark, sf_dir):
+    """With k >= the true distinct count the KMV sketch keeps every hash,
+    so the m < k branch returns the EXACT distinct count."""
+    ev = load_table(spark, sf_dir, "events")
+    kmv = {r.event_type: r for r in REL.distinct_kmv_stats(
+        ev, key="event_type", count_col="user_id", k=100_000).collect()}
+    exact = {r.event_type: r for r in ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct("user_id").alias("nd")).collect()}
+    assert set(kmv) == set(exact)
+    for et, e in exact.items():
+        assert kmv[et].n_rows == e.n
+        assert kmv[et].kmv_distinct == e.nd
+
+
+def test_kmv_estimator_error_bounds(spark, sf_dir):
+    """With k << distincts the (k-1)*2^60/h_k estimator engages; KMV's
+    published relative standard error is ~1/sqrt(k-2) (Bar-Yossef et
+    al.), so bound at 5 sigma — deterministic given md5 hashing."""
+    ev = load_table(spark, sf_dir, "events")
+    k = 64
+    kmv = {r.event_type: r.kmv_distinct for r in REL.distinct_kmv_stats(
+        ev, key="event_type", count_col="user_id", k=k).collect()}
+    exact = {r.event_type: r.nd for r in ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("nd")).collect()}
+    for et, nd in exact.items():
+        assert abs(kmv[et] - nd) <= max(2, 5.0 / (k - 2) ** 0.5 * nd), (
+            f"{et}: KMV estimate {kmv[et]} vs exact {nd}"
+        )
+
+
+def test_kmv_merge_equals_single_pass(spark, sf_dir):
+    """Mergeability, the property the streaming twin rides on: bottom-k
+    of the union of per-split bottom-k sets EQUALS the single-pass
+    bottom-k — estimates identical, not close.  Also pins partition
+    invariance (same identity, different physical split)."""
+    ev = load_table(spark, sf_dir, "events")
+    k = 16
+    single = sorted(map(tuple, REL.distinct_kmv_stats(
+        ev, key="event_type", count_col="user_id", k=k).collect()))
+
+    # split by event_id parity, sketch each half, merge hash sets
+    left = ev.filter(F.col("event_id") % 2 == 0)
+    right = ev.filter(F.col("event_id") % 2 == 1)
+    parts = REL.kmv_bottom_hashes(left, "event_type", "user_id", k=k).union(
+        REL.kmv_bottom_hashes(right, "event_type", "user_id", k=k)
+    ).distinct()
+    w = Window.partitionBy("event_type").orderBy(F.col("h").asc())
+    bottom = parts.withColumn("rk", F.row_number().over(w)).filter(
+        F.col("rk") <= k).drop("rk")
+    counts = ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_rows"))
+    merged = sorted(map(tuple, REL.kmv_finalize(
+        bottom, counts, "event_type", k).collect()))
+    assert merged == single
+
+    for parts_n in (1, 7, 32):
+        got = sorted(map(tuple, REL.distinct_kmv_stats(
+            ev.repartition(parts_n), key="event_type", count_col="user_id",
+            k=k).collect()))
+        assert got == single

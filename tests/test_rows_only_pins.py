@@ -1,9 +1,14 @@
 """Second, independent adversarial checks for the rows-only query class
-(VERDICT r8 #6): the nine queries with no DuckDB oracle BY CONSTRUCTION
-(sketches, trained ANN, iterative BPE, deflate) each already carry one
+(VERDICT r8 #6): the queries with no DuckDB oracle BY CONSTRUCTION
+(trained ANN, iterative BPE, deflate — SIX after r11 retired
+approx_distinct_stats and r12 moved the distinct-count catalog pair to
+the oracle-exact KMV sketch) each already carry one
 equivalence/recall/byte-parity pytest — these add a check from a
 DIFFERENT angle, so the weakest evidence class in the gate has two
-independent anchors per query.
+independent anchors per query.  The two HLL sketch invariance tests
+below now pin ENGINE-SURFACE operators (approx_distinct_stats /
+distinct_sketch_stats stay exported for binary-sketch storage) rather
+than catalog queries.
 
 Angles used here:
 - partition/order invariance (sketch aggregates, ANN probes): a
