@@ -950,8 +950,11 @@ def banded_candidate_pairs(
     drop it, which is the same OOM wearing a different stack trace.  The
     pre-filter is a map-side-combined count + broadcast ANTI-join on the
     hot keys — the hot set is provably ≤ rows/cap keys, so the broadcast
-    is always summary-sized; ``items`` is persisted so its subplan (the
-    signature UDF — the expensive stage) still evaluates once.
+    is always summary-sized.  What gets persisted for the count depends
+    on the payload: small-payload mode caches ``items`` whole (signature
+    subplan evaluates once); heavy-payload mode (``distinct=False``)
+    caches only the projected band columns so the cache never pins
+    n_bands copies of the payload — see the inline note.
     ``lsh_bucket_stats`` reports the skew when tuning the cap.  Pass
     ``None`` to disable (exact candidate enumeration).
 
@@ -968,9 +971,24 @@ def banded_candidate_pairs(
     if max_bucket_size is not None:
         from stateful_spark_streaming_spark.caching import track_persist
 
-        src = track_persist(items)
+        if distinct:
+            # small-payload mode: cache the whole frame so the signature
+            # subplan feeds both the hot-bucket count and the bucketing
+            src = track_persist(items)
+            count_src = src
+        else:
+            # heavy-payload mode (the distinct=False contract above):
+            # caching items here would pin n_bands copies of the carried
+            # payload (≈8 GB at 2 M vectors × 8 tables × 64 dims —
+            # ADVICE r11) solely so a two-long count reuses the
+            # signature subplan.  Persist only the projected band
+            # columns (~16 B/row) for the count and leave the payload
+            # frame un-cached: the signature evaluates once more on the
+            # main path, but that is a map-side kernel with no shuffle —
+            # the right trade at any corpus size.
+            count_src = track_persist(items.select("band_id", "band_hash"))
         hot = (
-            src.groupBy("band_id", "band_hash")
+            count_src.groupBy("band_id", "band_hash")
             .agg(F.count(F.lit(1)).alias("sz"))
             .filter(F.col("sz") > max_bucket_size)
             .select("band_id", "band_hash")

@@ -1303,16 +1303,71 @@ def srp_plane_count(
     return min(cap, max(floor, math.ceil(math.log2(n_vecs / target_bucket_rows))))
 
 
+def srp_table_recall(n_tables: int, n_planes: int, sim: float) -> float:
+    """Analytic SRP-LSH recall for a pair at cosine ``sim``: per-table
+    collision p = (1 − arccos(sim)/π)^n_planes (all sign bits agree),
+    so recall over L independent tables = 1 − (1 − p)^L — the S-curve.
+    Pure math, no data; the inverse is :func:`srp_table_count` and the
+    planted-near-duplicate test asserts the empirical recall tracks it."""
+    import math
+
+    p = (1.0 - math.acos(max(-1.0, min(1.0, sim))) / math.pi) ** n_planes
+    return 1.0 - (1.0 - p) ** n_tables
+
+
+def srp_table_count(
+    n_planes: int,
+    sim: float = 0.95,
+    recall_target: float = 0.9,
+    floor: int = 2,
+    cap: int = 16,
+) -> int:
+    """The SRP-LSH table-count sizing rule — the S-curve INVERSION that
+    closes the last pinned LSH tuning (r11 verdict #4): the smallest L
+    with analytic recall ≥ ``recall_target`` for a pair at cosine
+    ``sim``, i.e. L = ceil(ln(1−R) / ln(1−p)) with p = (1 −
+    arccos(sim)/π)^n_planes.  Companion of :func:`srp_plane_count`:
+    planes size the BUCKET SPACE to the corpus; tables size RECALL to a
+    stated target.
+
+    ``sim`` defaults to 0.95 — the similarity OF THE DUPLICATES near-dup
+    mining exists to find (true dups sit at cos ≳ 0.95; the query
+    threshold is candidate widening below that) — because inverting at a
+    weak τ diverges: p falls geometrically in n_planes, so at τ = 0.4
+    and the 2 M-vector depth the formula asks for hundreds of tables.
+    That divergence is the REGIME BOUNDARY, which is why ``cap`` exists
+    and is small: hitting it means sign-LSH is the wrong tool for the
+    similarity you are mining and the answer is IVF/centroid blocking
+    (see cosine_near_pairs_lsh's docstring), not more tables — each
+    table re-shuffles the full carried corpus payload, so L is a LINEAR
+    cost knob and an uncapped derivation would quietly re-create the
+    verify-shuffle spill the hot-bucket guard closed.
+
+    Deterministic in its arguments; the planted-near-duplicate
+    recall-floor test pins that empirical recall meets the target the
+    derivation names."""
+    import math
+
+    if recall_target <= 0 or recall_target >= 1:
+        raise ValueError(f"recall_target must be in (0, 1), got {recall_target}")
+    p = (1.0 - math.acos(max(-1.0, min(1.0, sim))) / math.pi) ** n_planes
+    if p >= 1.0:
+        return floor
+    need = math.ceil(math.log(1.0 - recall_target) / math.log(1.0 - p))
+    return min(cap, max(floor, need))
+
+
 def cosine_near_pairs_lsh(
     embeddings: DataFrame,
     threshold: float = 0.9,
     n_planes: int | None = None,
-    n_tables: int = 4,
+    n_tables: int | None = None,
     seed: int = 42,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     max_bucket_size: int | None = 2000,
     target_bucket_rows: int = 8,
+    recall_target: float = 0.9,
 ) -> DataFrame:
     """Random-hyperplane LSH: bucket = sign pattern of n_planes projections;
     pairs colliding in ≥1 of n_tables tables are verified exactly.
@@ -1324,8 +1379,13 @@ def cosine_near_pairs_lsh(
     default) therefore SELF-SIZES from one corpus ``count()`` via
     :func:`srp_plane_count` — n_planes = ceil(log2(n_vecs /
     target_bucket_rows)), clamped to [4, 32]; pass an explicit int only
-    to pin a tuning (probes, regression tests).  Pick n_tables for recall
-    via the S-curve (per-table collision = (1 − θ/π)^n_planes).  Deep hashes
+    to pin a tuning (probes, regression tests).  ``n_tables=None`` (the
+    default) likewise SELF-SIZES via :func:`srp_table_count` — the
+    smallest L whose S-curve recall at the duplicate similarity
+    (max(threshold, 0.95)) meets ``recall_target``; pass an explicit int
+    to trade recall for cost (each table re-shuffles the carried corpus
+    payload once — L is linear cost), and name the traded guarantee via
+    :func:`srp_table_recall` where you do.  Deep hashes
     only pay off in the NEAR-DUP regime (τ ≳ 0.9, agreement ≳ 0.85/plane)
     — for weak-similarity mining (τ ≈ 0.4) the per-pair signal is too
     faint for sign-LSH at scale; use IVF/centroid blocking instead.
@@ -1368,11 +1428,23 @@ def cosine_near_pairs_lsh(
     from stateful_spark_streaming_spark.operators.dedup import banded_candidate_pairs
 
     if n_planes is None:
-        # One count() sizes the hash depth to the corpus (parquet counts
-        # are footer-metadata reads, not data scans) — the alternative,
-        # a pinned depth, is the measured silent zero-recall config at
-        # 100× (SCALE.md, ann_probe srp_demo).
+        # One count() sizes the hash depth to the corpus — the
+        # alternative, a pinned depth, is the measured silent
+        # zero-recall config at 100× (SCALE.md, ann_probe srp_demo).
+        # COST CAVEAT (ADVICE r11): the footer-metadata-only claim holds
+        # for a RAW parquet-backed frame; a filtered/derived embeddings
+        # DataFrame pays a full evaluation of its upstream plan
+        # (including any UDF featurization) just to size the hash.
+        # Callers with derived inputs should persist the frame first or
+        # pass an explicit n_planes.
         n_planes = srp_plane_count(embeddings.count(), target_bucket_rows)
+    if n_tables is None:
+        # Recall is stated at the similarity of the DUPLICATES being
+        # mined (>= 0.95), not at a weak candidate-widening threshold —
+        # see srp_table_count's regime-boundary note.
+        n_tables = srp_table_count(
+            n_planes, sim=max(threshold, 0.95), recall_target=recall_target
+        )
     dim = len(embeddings.select(vec_col).first()[0])
     # (n_tables*n_planes, dim) — one GEMM computes every table's projections.
     # RADEMACHER (±1) planes derived from md5, not numpy Gaussians: sign-of-

@@ -1902,6 +1902,41 @@ def run_streaming_heavy_hitters(
     return cms_topk(counters, cands, k, "token", depth, width)
 
 
+def _change_feed_union_columns(spark: SparkSession, changes_path: str) -> set:
+    """Union of every change file's footer column names (mergeSchema
+    inference — footer metadata only, no data scan) for the stream-start
+    wider-feed guards.
+
+    Spark's footer-schema TYPE merge can itself fail when files carry the
+    SAME column at different parquet types (even compatibly-widenable
+    ones like int32 vs int64 raise 'Failed to merge fields') — a feed the
+    old single-footer path tolerated by silently projecting through one
+    footer.  Re-raise that as a diagnosis naming the heterogeneous feed
+    (ADVICE r11) rather than a bare start-time stack: the guard exists to
+    surface feed problems loudly, and a type-drifted writer IS one."""
+    try:
+        return set(
+            spark.read.option("mergeSchema", "true")
+            .parquet(changes_path)
+            .schema.names
+        )
+    except Exception as e:  # Spark wraps the merge error variously
+        low = str(e).lower()
+        if "merge" in low and ("field" in low or "schema" in low or "type" in low):
+            first = str(e).splitlines()[0]
+            raise ValueError(
+                f"change feed at {changes_path} carries the same column at "
+                f"different parquet types across files — Spark cannot merge "
+                f"the footer schemas ({first}).  The wider-feed stream-start "
+                "guard needs one type per column: normalize the feed writer "
+                "(cast before append) or rewrite the drifted files; a feed "
+                "with type drift would otherwise corrupt or drop values "
+                "depending on which footer the fixed stream schema came from."
+            ) from e
+        raise
+
+
+
 def run_streaming_merge_upsert(
     spark: SparkSession,
     base_path: str,
@@ -2078,9 +2113,7 @@ def run_streaming_merge_upsert(
         # away at the SCAN and never reaches the sink.  For availableNow
         # replays (every runner here) all files exist now, so this check
         # is complete; the per-batch guard remains as defense in depth.
-        union_cols = set(
-            spark.read.option("mergeSchema", "true").parquet(changes_path).schema.names
-        )
+        union_cols = _change_feed_union_columns(spark, changes_path)
         extra0 = union_cols - set(_schema_holder["schema"].names) - {seq_col, op_col}
         if extra0:
             raise ValueError(
@@ -2357,9 +2390,7 @@ def run_streaming_incremental_agg(
     # _sink can only see columns the fixed stream schema (one footer)
     # happened to include, so a column carried by SOME files would be
     # projected away at the scan and silently dropped without this
-    union_cols = set(
-        spark.read.option("mergeSchema", "true").parquet(changes_path).schema.names
-    )
+    union_cols = _change_feed_union_columns(spark, changes_path)
     extra0 = union_cols - set(tbl_schema.names) - {seq_col, op_col}
     if extra0:
         raise ValueError(

@@ -1599,3 +1599,39 @@ def test_evolve_schema_refuses_case_drifted_columns(spark):
     )
     with pytest.raises(ValueError, match="case-drift"):
         evolve_schema(cur, drifted, ("k",))
+
+
+def test_merge_upsert_diagnoses_type_drifted_feed(spark, tmp_path):
+    """ADVICE r11: the stream-start wider-feed guard reads the feed with
+    mergeSchema=true; if change files carry the SAME column at different
+    parquet types (int32 vs int64 here), Spark's footer-type merge fails
+    before the guard's intended ValueError.  The runner must surface
+    that as a pointed type-drift diagnosis naming the feed, not a bare
+    'Failed to merge fields' stack."""
+    from stateful_spark_streaming_spark.streaming.pipeline import (
+        run_streaming_merge_upsert,
+    )
+
+    base = spark.createDataFrame(
+        [(1, 10, 1, "U")], "k long, v long, seq int, op string"
+    )
+    base_path = str(tmp_path / "tbl")
+    base.select("k", "v").write.parquet(base_path)
+    ch_dir = str(tmp_path / "changes")
+    os.makedirs(ch_dir)
+    for i, vtype in enumerate(("int", "long")):
+        b = spark.createDataFrame(
+            [(1, 11, 1 + i, "U")], f"k long, v {vtype}, seq int, op string"
+        )
+        bdir = str(tmp_path / f"wb{i}")
+        b.coalesce(1).write.parquet(bdir)
+        part = [f for f in os.listdir(bdir) if f.endswith(".parquet")][0]
+        os.rename(
+            os.path.join(bdir, part), os.path.join(ch_dir, f"batch-{i}.parquet")
+        )
+
+    with pytest.raises(ValueError, match="different parquet types"):
+        run_streaming_merge_upsert(
+            spark, base_path, ch_dir, ("k",),
+            checkpoint_dir=str(tmp_path / "ck"),
+        )
