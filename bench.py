@@ -144,7 +144,10 @@ def main() -> None:
         # pair fixture (r11): running it here builds the TARGET corpus's
         # pair table once, so the timed loops measure pair-table scans in
         # all three consumers, not a one-time build in whichever runs first
-        for prebuild in ("cosine_topk_ivf", "multimodal_features", "dedup_clusters"):
+        # audio_stats prebuild materializes the WAV fixture (r12) for the
+        # same reason as multimodal_features' image fixture
+        for prebuild in ("cosine_topk_ivf", "multimodal_features",
+                         "dedup_clusters", "audio_stats"):
             try:
                 qs[prebuild](spark, sf_dir).write.format("noop").mode(
                     "overwrite"

@@ -1697,12 +1697,27 @@ def hamming_near_pairs(
     (the minimum that preserves completeness — more bands cost shuffle
     volume without adding recall for this threshold).
 
-    Scale shape: one explode to n_bands rows per hash, ONE shuffle on the
-    band bucket, within-bucket pair expansion bounded by bucket
-    occupancy, a distinct (pairs can share several bands), then the
-    map-side exact Hamming verify.  Bucket width = bits/n_bands; at
-    billions of hashes widen the hash (128-bit SimHash) or band count so
-    buckets stay fine-grained — occupancy, not pair count, is the knob."""
+    Scale shape (r12 rework — the sf10 probe caught the old one): the
+    band join runs over DISTINCT bit strings, never over input rows.  A
+    near-dup image corpus is duplicate-heavy BY THE PROBLEM STATEMENT —
+    re-encoded copies share a hash exactly — and the old row-level band
+    join squared every repeated hash inside its band buckets: at 500 k
+    probe images it shuffled 16 GB and did not finish in 35 min.  The
+    decomposition is exact and cap-free:
+
+    1. group ids by identical hash (output-bounded: a group of m ids
+       emits its m·(m−1)/2 Hamming-0 pairs anyway, so the per-group list
+       is ≤ the result the caller asked for);
+    2. Hamming-0 pairs expand WITHIN groups — no join at all;
+    3. the banded join + exact verify runs over the distinct hashes
+       (D ≤ corpus, and duplicate-heavy corpora have D ≪ corpus), then
+       hash-pairs expand back through the two id lists.
+
+    Completeness is untouched (pigeonhole on distinct hashes; identical
+    hashes are case 2).  Bucket width = bits/n_bands; at billions of
+    DISTINCT hashes widen the hash (128-bit SimHash) or band count so
+    buckets stay fine-grained — distinct-hash occupancy, not pair
+    count, is the knob."""
     n_bands = int(n_bands or (max_ham + 1))
     if n_bands <= max_ham:
         raise ValueError("completeness needs n_bands > max_ham (pigeonhole)")
@@ -1725,36 +1740,72 @@ def hamming_near_pairs(
             ),
         ).otherwise(F.col(bits_col)),
     )
+    # one id-list row per DISTINCT hash (NULL hashes pair with nothing,
+    # matching the old join-on-NULL-never-matches behavior)
+    groups = (
+        hashed.filter(F.col(bits_col).isNotNull())
+        .groupBy(F.col(bits_col).alias("__bits"))
+        .agg(F.collect_list(F.col(id_col)).alias("__ids"))
+    )
+
+    # Hamming-0: all pairs within an identical-hash group — pure expand
+    intra = (
+        groups.select(F.explode("__ids").alias("id_a"), "__ids")
+        .select("id_a", F.explode("__ids").alias("id_b"))
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("hamming", F.lit(0).cast("long"))
+    )
+
+    # banded join over distinct hashes only
     width = -(-nbits // n_bands)  # ceil
     bands = F.array(
         *[
             F.struct(
                 F.lit(i).alias("bi"),
-                F.substring(F.col(bits_col), i * width + 1, width).alias("bs"),
+                F.substring(F.col("__bits"), i * width + 1, width).alias("bs"),
             )
             for i in range(n_bands)
         ]
     )
-    e = hashed.select(
-        F.col(id_col).alias("__id"), F.col(bits_col).alias("__bits"),
-        F.explode(bands).alias("__b"),
-    ).select("__id", "__bits", "__b.bi", "__b.bs")
-    a = e.select(
-        F.col("__id").alias("id_a"), F.col("__bits").alias("bits_a"), "bi", "bs"
+    e = groups.select(F.col("__bits"), F.explode(bands).alias("__b")).select(
+        F.col("__bits"), "__b.bi", "__b.bs"
     )
-    b = e.select(
-        F.col("__id").alias("id_b"), F.col("__bits").alias("bits_b"), "bi", "bs"
-    )
+    a = e.select(F.col("__bits").alias("bits_a"), "bi", "bs")
+    b = e.select(F.col("__bits").alias("bits_b"), "bi", "bs")
     ham = F.expr(
         "aggregate(zip_with(split(bits_a, ''), split(bits_b, ''), "
         "(u, v) -> CASE WHEN u <> v THEN 1 ELSE 0 END), 0, (acc, x) -> acc + x)"
     )
-    return (
+    hash_pairs = (
         a.join(b, ["bi", "bs"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "bits_a", "bits_b")
-        .distinct()
+        .filter(F.col("bits_a") < F.col("bits_b"))
+        .select("bits_a", "bits_b")
+        .distinct()  # a hash pair can share several bands
         .withColumn("hamming", ham.cast("long"))
         .filter(F.col("hamming") <= max_ham)
-        .select("id_a", "id_b", "hamming")
     )
+
+    # expand hash pairs back through the two id lists; order-normalize
+    # (ids from different hash groups carry no relative order)
+    cross = (
+        hash_pairs.join(
+            groups.select(
+                F.col("__bits").alias("bits_a"), F.col("__ids").alias("__ids_a")
+            ),
+            "bits_a",
+        )
+        .join(
+            groups.select(
+                F.col("__bits").alias("bits_b"), F.col("__ids").alias("__ids_b")
+            ),
+            "bits_b",
+        )
+        .select(F.explode("__ids_a").alias("__ia"), "__ids_b", "hamming")
+        .select("__ia", F.explode("__ids_b").alias("__ib"), "hamming")
+        .select(
+            F.least("__ia", "__ib").alias("id_a"),
+            F.greatest("__ia", "__ib").alias("id_b"),
+            "hamming",
+        )
+    )
+    return intra.unionByName(cross)

@@ -351,3 +351,197 @@ def image_ahash(images: DataFrame, grid: int = 8) -> DataFrame:
             )
 
     return images.select("image_id", "data").mapInPandas(kernel, schema=out_schema)
+
+
+# ----------------------------------------------------------------- audio
+#: typed-metadata schema for an audio corpus table (BINARY blob + sibling
+#: typed columns, same design rules as IMAGE_TABLE_SCHEMA)
+AUDIO_TABLE_SCHEMA = StructType(
+    [
+        StructField("audio_id", LongType(), False),
+        StructField("data", BinaryType(), True),
+        StructField("format", StringType(), True),
+        StructField("sample_rate", IntegerType(), True),
+        StructField("n_samples", LongType(), True),
+    ]
+)
+
+
+def encode_wav_pcm16(samples: np.ndarray, rate: int = 8000) -> bytes:
+    """int16 mono samples → RIFF/WAVE PCM16 bytes — numpy + struct only,
+    the audio analog of ``encode_ppm`` (WAV-PCM is the codec-less audio
+    container the way binary PPM is the codec-less image one)."""
+    import struct
+
+    data = samples.astype("<i2").tobytes()
+    return (
+        struct.pack(
+            "<4sI4s4sIHHIIHH4sI",
+            b"RIFF", 36 + len(data), b"WAVE",
+            b"fmt ", 16, 1, 1, rate, rate * 2, 2, 16,
+            b"data", len(data),
+        )
+        + data
+    )
+
+
+def decode_wav_pcm16(blob: bytes) -> tuple[np.ndarray, int]:
+    """RIFF/WAVE PCM16 bytes → (int16 sample array, sample_rate).  Mono
+    PCM only; compressed codecs (mp3/aac/opus) and non-16-bit PCM raise
+    loudly — the honest boundary where ffmpeg/torchaudio would slot in,
+    exactly like ``decode_ppm``'s non-P6 refusal."""
+    import struct
+
+    blob = bytes(blob)
+    if blob[:4] != b"RIFF" or blob[8:12] != b"WAVE":
+        raise NotImplementedError(
+            "only RIFF/WAVE parses without an audio library; plug "
+            "ffmpeg/torchaudio into this kernel for other containers"
+        )
+    off, rate, bits, channels, fmt = 12, None, None, None, None
+    while off + 8 <= len(blob):
+        cid, sz = blob[off : off + 4], struct.unpack("<I", blob[off + 4 : off + 8])[0]
+        body = blob[off + 8 : off + 8 + sz]
+        if cid == b"fmt ":
+            fmt, channels, rate = struct.unpack("<HHI", body[:8])
+            bits = struct.unpack("<H", body[14:16])[0]
+        elif cid == b"data":
+            if fmt != 1 or bits != 16 or channels != 1:
+                raise NotImplementedError(
+                    f"only mono 16-bit PCM decodes here (fmt={fmt}, "
+                    f"bits={bits}, ch={channels}); plug an audio codec "
+                    "library in for anything else"
+                )
+            return np.frombuffer(body, dtype="<i2"), int(rate)
+        off += 8 + sz + (sz & 1)  # RIFF chunks are word-aligned
+    raise NotImplementedError("WAV blob has no data chunk")
+
+
+def synthesize_audio_table(spark, docs: DataFrame, rate: int = 8000) -> DataFrame:
+    """Deterministic REAL audio corpus derived from the documents table:
+    each doc becomes a genuine WAV-PCM16 clip whose samples are an
+    integer arithmetic pattern of (audio_id, t) — decodable by any WAV
+    reader, re-derivable in SQL (the ``audio_stats`` oracle), the audio
+    sibling of ``synthesize_image_table``."""
+    meta = docs.repartition(spark.sparkContext.defaultParallelism).select(
+        F.col("doc_id").alias("audio_id"),
+        (F.col("n_chars") % 2000 + 400).cast("long").alias("n_samples"),
+    )
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            blobs = []
+            for aid, n in zip(pdf["audio_id"], pdf["n_samples"]):
+                t = np.arange(int(n), dtype=np.int64)
+                s = (int(aid) * 7 + t * 13) % 4096 - 2048
+                blobs.append(encode_wav_pcm16(s, rate))
+            yield pd.DataFrame(
+                {
+                    "audio_id": pdf["audio_id"],
+                    "data": blobs,
+                    "format": "wav",
+                    "sample_rate": rate,
+                    "n_samples": pdf["n_samples"],
+                }
+            )
+
+    return meta.mapInPandas(kernel, schema=AUDIO_TABLE_SCHEMA)
+
+
+def audio_stats(audio: DataFrame) -> DataFrame:
+    """decode → EXACT integer per-clip statistics: sample count, byte
+    size, int64 sample/|sample| sums, peak amplitude, and the
+    zero-crossing count (sign flips between consecutive samples — the
+    cheap voiced/unvoiced + silence heuristic).  Like ``image_stats``,
+    every value is an integer derived from decoded samples, so an
+    independent engine re-deriving the synthetic sample formula
+    hash-matches EXACTLY — the multimodal decode path at full-oracle
+    strength.  Map-only Arrow kernel; blob column projected only into
+    this stage."""
+    out_schema = StructType(
+        [
+            StructField("audio_id", LongType(), False),
+            StructField("sample_rate", IntegerType(), True),
+            StructField("n_samples", LongType(), True),
+            StructField("n_bytes", LongType(), True),
+            StructField("sum_samples", LongType(), True),
+            StructField("sum_abs", LongType(), True),
+            StructField("peak_abs", LongType(), True),
+            StructField("n_zero_cross", LongType(), True),
+        ]
+    )
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {k: [] for k in
+                    ("audio_id", "sample_rate", "n_samples", "n_bytes",
+                     "sum_samples", "sum_abs", "peak_abs", "n_zero_cross")}
+            for aid, blob in zip(pdf["audio_id"], pdf["data"]):
+                rows["audio_id"].append(aid)
+                if blob is None:
+                    for k in ("sample_rate", "n_samples", "n_bytes",
+                              "sum_samples", "sum_abs", "peak_abs",
+                              "n_zero_cross"):
+                        rows[k].append(0)
+                    continue
+                s, rate = decode_wav_pcm16(blob)
+                s64 = s.astype(np.int64)
+                neg = s64 < 0
+                rows["sample_rate"].append(rate)
+                rows["n_samples"].append(len(s64))
+                rows["n_bytes"].append(len(bytes(blob)))
+                rows["sum_samples"].append(int(s64.sum()))
+                rows["sum_abs"].append(int(np.abs(s64).sum()))
+                rows["peak_abs"].append(int(np.abs(s64).max()) if len(s64) else 0)
+                rows["n_zero_cross"].append(
+                    int((neg[1:] != neg[:-1]).sum()) if len(s64) > 1 else 0
+                )
+            yield pd.DataFrame(rows)
+
+    return audio.select("audio_id", "data").mapInPandas(kernel, schema=out_schema)
+
+
+def audio_frame_energy(audio: DataFrame, frame_len: int = 256) -> DataFrame:
+    """decode → fixed-length NON-OVERLAPPING frames with int64 energy
+    (sum of squared samples) and peak per frame — the windowing primitive
+    under VAD / silence trimming / loudness normalization, and the audio
+    analog of ``sample_video_frames`` (fixed-shape rows out of a variable
+    blob).  Trailing partial frames are dropped (every emitted frame has
+    exactly ``frame_len`` samples, so energies are comparable).  Integer
+    arithmetic throughout: max |sample| is 2^15 so a frame's energy is
+    ≤ frame_len·2^30 — int64-safe for any sane frame length."""
+    out_schema = StructType(
+        [
+            StructField("audio_id", LongType(), False),
+            StructField("frame_idx", LongType(), False),
+            StructField("energy", LongType(), True),
+            StructField("peak_abs", LongType(), True),
+        ]
+    )
+    fl = int(frame_len)
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, energies, peaks = [], [], [], []
+            for aid, blob in zip(pdf["audio_id"], pdf["data"]):
+                if blob is None:
+                    continue
+                s, _ = decode_wav_pcm16(blob)
+                nf = len(s) // fl
+                if nf == 0:
+                    continue
+                fr = s[: nf * fl].astype(np.int64).reshape(nf, fl)
+                ids.extend([aid] * nf)
+                idxs.extend(range(nf))
+                energies.extend((fr * fr).sum(axis=1).tolist())
+                peaks.extend(np.abs(fr).max(axis=1).tolist())
+            yield pd.DataFrame(
+                {
+                    "audio_id": ids,
+                    "frame_idx": idxs,
+                    "energy": energies,
+                    "peak_abs": peaks,
+                }
+            )
+
+    return audio.select("audio_id", "data").mapInPandas(kernel, schema=out_schema)

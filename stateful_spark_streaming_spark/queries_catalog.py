@@ -2898,6 +2898,93 @@ def _image_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).repartition(spark.sparkContext.defaultParallelism)
 
 
+#: bump when synthesize_audio_table's sample formula or clip sizing changes
+_AUDIO_SALT = "wav1"
+
+
+def _audio_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The synthetic WAV-PCM16 corpus, materialized once per (process,
+    sf_dir) — same production shape as ``_image_fixture``: binaries live
+    in storage, decode kernels read them from a scan."""
+    return _materialized_fixture(
+        spark, sf_dir, "documents", f"ssss_audio_{_AUDIO_SALT}",
+        lambda: MM.synthesize_audio_table(spark, _t(spark, sf_dir, "documents")),
+    ).repartition(spark.sparkContext.defaultParallelism)
+
+
+# Shared sample-model CTEs: clip n = n_chars % 2000 + 400 samples at
+# 8 kHz; sample s(t) = (id·7 + t·13) mod 4096 − 2048 (int16-ranged).
+# The previous sample s(t−1) is re-derived arithmetically instead of a
+# lag window — cheaper, and keeps the oracle window-free.
+_AUDIO_SAMPLE_CTES = """
+    meta AS (
+      SELECT doc_id AS audio_id,
+             CAST(n_chars % 2000 + 400 AS BIGINT) AS n
+      FROM documents),
+    samp AS (
+      SELECT audio_id, n, t,
+             (audio_id*7 + t*13) % 4096 - 2048 AS s,
+             CASE WHEN t > 0
+                  THEN (audio_id*7 + (t-1)*13) % 4096 - 2048 END AS sp
+      FROM meta, LATERAL unnest(range(0, n)) AS ts(t))
+"""
+
+
+@query(
+    "audio_stats",
+    oracle=f"""
+    WITH {_AUDIO_SAMPLE_CTES}
+    SELECT audio_id,
+           CAST(8000 AS INT) AS sample_rate,
+           CAST(max(n) AS BIGINT) AS n_samples,
+           CAST(44 + 2*max(n) AS BIGINT) AS n_bytes,
+           CAST(sum(s) AS BIGINT) AS sum_samples,
+           CAST(sum(abs(s)) AS BIGINT) AS sum_abs,
+           CAST(max(abs(s)) AS BIGINT) AS peak_abs,
+           CAST(count(*) FILTER (WHERE sp IS NOT NULL
+                                   AND (s < 0) <> (sp < 0)) AS BIGINT)
+               AS n_zero_cross
+    FROM samp GROUP BY audio_id
+    """,
+)
+def q_audio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decode a stored binary-column AUDIO table (WAV-PCM16) into EXACT
+    integer per-clip statistics — sample/byte counts, int64 sample and
+    |sample| sums, peak amplitude, zero-crossing count.  Completes the
+    multimodal column story (r11 verdict #7): image had the PPM decode
+    path at full-oracle strength; this is the audio sibling, same design
+    (real RIFF/WAVE parse in an Arrow kernel, loud NotImplementedError at
+    the codec boundary where ffmpeg/torchaudio would slot in, blob column
+    projected only into the decode stage).  FULL oracle: every output is
+    integer arithmetic over the synthetic sample formula, so DuckDB
+    re-derives the decode exactly."""
+    return MM.audio_stats(_audio_fixture(spark, sf_dir))
+
+
+@query(
+    "audio_frame_energy",
+    oracle=f"""
+    WITH {_AUDIO_SAMPLE_CTES}
+    SELECT audio_id,
+           t // 256 AS frame_idx,
+           CAST(sum(s*s) AS BIGINT) AS energy,
+           CAST(max(abs(s)) AS BIGINT) AS peak_abs
+    FROM samp
+    WHERE t < (n // 256) * 256
+    GROUP BY audio_id, t // 256
+    """,
+)
+def q_audio_frame_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-length frame windowing over decoded audio: non-overlapping
+    256-sample frames with int64 energy (sum of squares) and peak — the
+    primitive under VAD / silence trimming / loudness normalization, and
+    the fixed-shape-rows-out-of-variable-blobs pattern
+    (``sample_video_frames``'s audio analog).  Trailing partial frames
+    are dropped so energies are comparable.  FULL oracle: integer frame
+    aggregates re-derived from the sample formula."""
+    return MM.audio_frame_energy(_audio_fixture(spark, sf_dir), frame_len=256)
+
+
 @query(
     "track_membership",
     oracle="""

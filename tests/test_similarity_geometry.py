@@ -905,3 +905,69 @@ def test_lsh_table_sizing_planted_near_duplicate_recall(spark):
     assert hits / n_dup >= analytic - margin - 0.05, (
         f"recall {hits}/{n_dup} below analytic {analytic:.3f} − margin"
     )
+
+
+def test_audio_codec_roundtrip_and_refusals():
+    """WAV-PCM16 encode→decode is lossless; non-RIFF containers and
+    non-mono-16-bit PCM refuse with NotImplementedError — the loud codec
+    boundary, same contract as decode_ppm's non-P6 refusal."""
+    import struct
+
+    import numpy as np
+
+    from stateful_spark_streaming_spark.operators import multimodal as MM
+
+    t = np.arange(3000, dtype=np.int64)
+    s = (99 * 7 + t * 13) % 4096 - 2048
+    got, rate = MM.decode_wav_pcm16(MM.encode_wav_pcm16(s, rate=16000))
+    assert rate == 16000 and (got.astype(np.int64) == s).all()
+    # int16 extremes survive
+    edge = np.array([-32768, 32767, 0, -1, 1], dtype=np.int64)
+    got2, _ = MM.decode_wav_pcm16(MM.encode_wav_pcm16(edge))
+    assert (got2.astype(np.int64) == edge).all()
+    with pytest.raises(NotImplementedError, match="RIFF"):
+        MM.decode_wav_pcm16(b"ID3\x03mp3-ish" + b"\x00" * 64)
+    stereo = struct.pack(
+        "<4sI4s4sIHHIIHH4sI", b"RIFF", 44, b"WAVE", b"fmt ", 16,
+        1, 2, 8000, 32000, 4, 16, b"data", 8,
+    ) + b"\x00" * 8
+    with pytest.raises(NotImplementedError, match="mono 16-bit"):
+        MM.decode_wav_pcm16(stereo)
+
+
+def test_audio_stats_and_frames_match_numpy_reference(spark, sf_dir):
+    """The Spark audio kernels, checked against a plain-numpy re-derivation
+    over the same synthesized clips: stats exactly, frames exactly
+    (trailing partial frame dropped)."""
+    import numpy as np
+
+    from stateful_spark_streaming_spark.operators import multimodal as MM
+    from stateful_spark_streaming_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").limit(40)
+    audio = MM.synthesize_audio_table(spark, docs)
+    stats = {r.audio_id: r for r in MM.audio_stats(audio).collect()}
+    frames = {}
+    for r in MM.audio_frame_energy(audio, frame_len=256).collect():
+        frames[(r.audio_id, r.frame_idx)] = (r.energy, r.peak_abs)
+
+    meta = {r.doc_id: r.n_chars % 2000 + 400 for r in docs.collect()}
+    assert set(stats) == set(meta)
+    n_frames_seen = 0
+    for aid, n in meta.items():
+        t = np.arange(n, dtype=np.int64)
+        s = (aid * 7 + t * 13) % 4096 - 2048
+        row = stats[aid]
+        assert row.sample_rate == 8000 and row.n_samples == n
+        assert row.n_bytes == 44 + 2 * n
+        assert row.sum_samples == int(s.sum())
+        assert row.sum_abs == int(np.abs(s).sum())
+        assert row.peak_abs == int(np.abs(s).max())
+        neg = s < 0
+        assert row.n_zero_cross == int((neg[1:] != neg[:-1]).sum())
+        nf = n // 256
+        for f in range(nf):
+            fr = s[f * 256 : (f + 1) * 256]
+            assert frames[(aid, f)] == (int((fr * fr).sum()), int(np.abs(fr).max()))
+            n_frames_seen += 1
+    assert n_frames_seen == len(frames)  # no frames beyond full ones

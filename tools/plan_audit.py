@@ -329,6 +329,11 @@ CHECKS = {
     # perceptual hash: ONE Arrow kernel pass over the image scan — the
     # only exchange is the fixture's width re-spread, never a join
     "image_ahash": ([], ["Join"], 1),
+    # audio decode paths: map-only Arrow kernels over the materialized WAV
+    # fixture — the one exchange is the fixture re-spread, never a join
+    # (frame rows are emitted inside the kernel, no explode/shuffle)
+    "audio_stats": ([], ["Join", "CartesianProduct"], 1),
+    "audio_frame_energy": ([], ["Join", "CartesianProduct"], 1),
     # incremental MV maintenance: the summary-sized affected-group set
     # must BROADCAST into both the anti join (stale aggregate rows) and
     # the semi join (recompute pruning) — never an all-pairs product
