@@ -1740,9 +1740,15 @@ def hamming_near_pairs(
             ),
         ).otherwise(F.col(bits_col)),
     )
+    from stateful_spark_streaming_spark.caching import track_persist
+
     # one id-list row per DISTINCT hash (NULL hashes pair with nothing,
-    # matching the old join-on-NULL-never-matches behavior)
-    groups = (
+    # matching the old join-on-NULL-never-matches behavior).  PERSISTED:
+    # the groups frame feeds THREE consumers (intra expand + both sides
+    # of the hash-pair id expansion) and its upstream is typically an
+    # expensive decode/hash kernel (image_ahash re-decodes every blob) —
+    # the cache is distinct-hash-sized, bounded above by the input.
+    groups = track_persist(
         hashed.filter(F.col(bits_col).isNotNull())
         .groupBy(F.col(bits_col).alias("__bits"))
         .agg(F.collect_list(F.col(id_col)).alias("__ids"))

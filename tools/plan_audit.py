@@ -203,12 +203,16 @@ CHECKS = {
                                   ["CartesianProduct"], None),
     "streaming_bigram_logprob": ([], ["CartesianProduct",
                                       "BroadcastNestedLoopJoin"], None),
-    # mergeable-sketch distinct counts: ONE keyed aggregate (the HLL
-    # sketch IS the partial state — map-side combine at any scale)
-    "distinct_sketch_stats": ([], ["Join", "CartesianProduct"], 1),
-    # streaming sketch READ side: replay dedupe + keyed union aggregate
-    # over key-cardinality staged partials — no join anywhere
-    "streaming_distinct_stats": ([], ["Join", "CartesianProduct"], 2),
+    # KMV bottom-k distinct counts (r12, oracle-exact): distinct (key,
+    # hash) aggregate + salted two-level bottom-k windows + the tiny
+    # counts><sketch join (both sides key-cardinality; AQE broadcasts) —
+    # 4 exchanges, never a cartesian
+    "distinct_sketch_stats": (
+        [], ["CartesianProduct", "BroadcastNestedLoopJoin"], 4),
+    # streaming KMV READ side: replay dedupe + explode/distinct/bottom-k
+    # over n_batches x k staged rows + the same tiny finalize join
+    "streaming_distinct_stats": (
+        [], ["CartesianProduct", "BroadcastNestedLoopJoin"], 5),
     # fixed-width histogram: scan prunes to (text, source), the score stays
     # in codegen, ONE summary-sized exchange (map-side combine collapses
     # each task to ≤ groups×n_bins rows), no join
@@ -388,6 +392,8 @@ MAX_SCANS = {
     # 2 scans = the self-join's two reads of it (the round-1 regression
     # shape — a union of per-band self-joins — would multiply this)
     "similar_part_names": 2,
+    # distinct-hash decomposition (r12): ONE scan builds the persisted
+    # groups cache; intra + both expansion sides read the InMemory frame
     "image_near_dups": 2,
     # interval self-join: two reads of the exploded bin frame
     "interval_overlap": 2,
@@ -401,7 +407,11 @@ MAX_SCANS = {
     # collect_list — the price of never materializing an over-cap array
     "dedup_simhash": 2,
     "dedup_minhash_lsh": 4,
-    "cosine_near_pairs_lsh": 1,
+    # heavy-payload LSH (r12, ADVICE r11): the hot-bucket count reads a
+    # persisted PROJECTED band frame while the main path re-evaluates the
+    # signature projection — 2 scans by design, the trade that keeps
+    # n_tables copies of the vectors out of the cache
+    "cosine_near_pairs_lsh": 2,
     "dedup_jaccard_pairs": 2,  # persisted index: parquet scanned once, InMemory reused
     "containment_pairs": 2,
     "cosine_near_pairs": 1,
