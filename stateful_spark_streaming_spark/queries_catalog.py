@@ -2827,7 +2827,9 @@ def q_cosine_near_pairs_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # n_tables=8 is an EXPLICIT recall/cost trade, its guarantee named
     # by the S-curve (r11 verdict: no bare constant without one):
     # srp_table_recall(8, n_planes, 0.95) ≥ 0.97 at every gate/bench
-    # depth (6-8 planes) and ~0.72 at the 2 M-vector depth (18 planes) —
+    # depth (6-8 planes) and ~0.72 at the 2 M-vector depth (18 planes;
+    # measured 0.725 empirical vs 0.719 analytic on planted cos-0.95
+    # pairs at 2 M — ann_probe near_demo, SCALE.md r12) —
     # pinned by test_srp_table_count_names_the_benched_guarantee, with
     # the empirical planted-near-dup floor in
     # test_lsh_table_sizing_planted_near_duplicate_recall.  The

@@ -106,6 +106,54 @@ def _planted_corpus(src_dir: str, base_dir: str, dst_dir: str) -> str:
     return dst_dir
 
 
+def _planted_near_corpus(src_dir: str, base_dir: str, dst_dir: str,
+                         sim: float = 0.95) -> str:
+    """Like :func:`_planted_corpus` but replica 1 gets NEAR duplicates:
+    each base vector i is replaced at id i + n_base by
+    sim·v + sqrt(1−sim²)·r with r a seeded unit vector orthogonal to v —
+    cosine exactly ≈ ``sim``.  Exact duplicates collide at every table
+    count (all sign bits equal), so they cannot exercise the n_tables
+    recall knob; these can — the ground truth for the r12
+    srp_table_count demo."""
+    import os
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    dst = f"{dst_dir}/embeddings.parquet"
+    if os.path.exists(dst):
+        return dst_dir
+    os.makedirs(dst_dir, exist_ok=True)
+    n_base = pq.read_metadata(f"{base_dir}/embeddings.parquet").num_rows
+    tbl = pq.read_table(f"{src_dir}/embeddings.parquet")
+    vec_id = np.asarray(tbl.column("vec_id").to_pylist())
+    emb = np.asarray(tbl.column("embedding").to_pylist(), dtype=np.float32)
+    base_vec = np.empty((n_base, emb.shape[1]), dtype=np.float64)
+    rep0 = vec_id < n_base
+    base_vec[vec_id[rep0]] = emb[rep0]
+    v = base_vec / np.linalg.norm(base_vec, axis=1, keepdims=True)
+    rng = np.random.default_rng(13)
+    r = rng.standard_normal(v.shape)
+    r -= (r * v).sum(axis=1, keepdims=True) * v
+    r /= np.linalg.norm(r, axis=1, keepdims=True)
+    near = (sim * v + np.sqrt(1.0 - sim * sim) * r) * np.linalg.norm(
+        base_vec, axis=1, keepdims=True
+    )
+    rep1 = (vec_id >= n_base) & (vec_id < 2 * n_base)
+    emb[rep1] = near[vec_id[rep1] - n_base].astype(np.float32)
+    out = pa.table(
+        {
+            "vec_id": pa.array(vec_id),
+            "embedding": pa.array(list(emb), type=tbl.schema.field("embedding").type),
+            "label": tbl.column("label"),
+        },
+        schema=tbl.schema,
+    )
+    pq.write_table(out, dst)
+    return dst_dir
+
+
 def main() -> int:
     args = sys.argv[1:]
     demo_only = "--demo-only" in args
@@ -205,6 +253,55 @@ def main() -> int:
             print(f"srp_demo {tag} (planes={planes}, tables={tables}): {row}",
                   flush=True)
             spark.catalog.clearCache()
+    # ---- n_tables recall demo (r12): planted NEAR duplicates ----------
+    # srp_table_count inverts the S-curve at the duplicate similarity;
+    # this measures the claim at the 2 M shape: recall on cos≈0.95
+    # planted pairs under the benched n_tables=8 vs the self-sized
+    # default, against the analytic srp_table_recall prediction.  float32
+    # storage of the planted vectors wobbles cosine a hair below 0.95, so
+    # the query threshold backs off to 0.94 (verification is exact — the
+    # planted pair is found iff it collides in >=1 table, which is what
+    # the table count controls).
+    if big:
+        planted_near = _planted_near_corpus(
+            big, base_dir, ".scratch/sf1000emb_planted_near"
+        )
+        embn = spark.read.parquet(f"{planted_near}/embeddings.parquet")
+        n_vecs = embn.count()
+        resolved_planes = SIM.srp_plane_count(n_vecs)
+        for tag, tables in (("benched-8", 8), ("self-sized", None)):
+            resolved_tables = (
+                tables
+                if tables is not None
+                else SIM.srp_table_count(resolved_planes, sim=0.95,
+                                         recall_target=0.9)
+            )
+            analytic = SIM.srp_table_recall(resolved_tables, resolved_planes,
+                                            0.95)
+            t0 = time.perf_counter()
+            pairs = SIM.cosine_near_pairs_lsh(
+                embn, threshold=0.94, n_tables=tables
+            )
+            found = pairs.filter(
+                (F.col("id_b") - F.col("id_a") == n_base)
+                & (F.col("id_a") < n_base)
+            ).count()
+            row = {
+                "sec": round(time.perf_counter() - t0, 2),
+                "n_planes": resolved_planes,
+                "n_tables": resolved_tables,
+                "analytic_recall": round(analytic, 3),
+                "empirical_recall": round(found / n_base, 3),
+                "planted_found": found,
+                "planted_total": n_base,
+            }
+            results[f"near_demo/{tag}"] = row
+            print(f"near_demo {tag}: {row}", flush=True)
+            spark.catalog.clearCache()
+            from stateful_spark_streaming_spark.caching import (
+                release_operator_caches,
+            )
+            release_operator_caches()
     spark.stop()
     print(json.dumps(results, separators=(",", ":")))
     return 0
