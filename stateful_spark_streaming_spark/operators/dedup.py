@@ -1813,5 +1813,9 @@ def hamming_near_pairs(
             F.greatest("__ia", "__ib").alias("id_b"),
             "hamming",
         )
+        # an id appearing under TWO hashes (duplicate-id input — outside
+        # the contract) would otherwise surface as a self-pair here; the
+        # old row-level join's id_a < id_b filter excluded it, keep that
+        .filter(F.col("id_a") != F.col("id_b"))
     )
     return intra.unionByName(cross)
