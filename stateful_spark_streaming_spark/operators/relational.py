@@ -314,7 +314,11 @@ def kmv_bottom_hashes(
     reproduces it verbatim (``('0x' || substring(md5(x),1,15))::BIGINT``),
     which is what makes the DOWNSTREAM ESTIMATE oracle-exact, not
     rows-only — the same move that made MinHash, SRP-LSH, and CMS
-    hash-checkable.
+    hash-checkable.  The cast-to-string must itself render identically
+    in both engines, which holds for INTEGER and STRING ``count_col``
+    (the catalog shape); float/timestamp columns format differently
+    across engines — the sketch still works, but stringify such columns
+    yourself before counting if you need the cross-engine oracle.
 
     Scale shape: distinct (key, hash) is one spillable hash aggregate;
     the bottom-k is then TWO-LEVEL (local row_number per (key, salt) with
