@@ -427,3 +427,61 @@ def test_bucketize_property(spark, bps):
         for i, bp in enumerate(bps)
     }
     assert got == want
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    st.lists(
+        st.tuples(st.sampled_from("abc"), st.integers(0, 400)),
+        min_size=1,
+        max_size=120,
+    ),
+    st.sampled_from([4, 16]),
+)
+def test_kmv_kernel_property(spark, rows, k):
+    """KMV sketch kernel properties on arbitrary (key, value) data:
+    (1) with k >= distinct values per key the estimate is EXACT;
+    (2) the two-level salted bottom-k is invariant in salt_buckets
+    (1 vs 16 vs 64 — the decomposition-exactness proof as a test);
+    (3) a python re-derivation of the estimator from the same md5
+    hashes matches the Spark result exactly."""
+    import hashlib
+    import math
+
+    from stateful_spark_streaming_spark.operators import relational as REL
+
+    df = spark.createDataFrame(
+        [(key, v) for key, v in rows], "k string, v long"
+    )
+    outs = []
+    for sb in (1, 16, 64):
+        bottom = REL.kmv_bottom_hashes(df, "k", "v", k=k, salt_buckets=sb)
+        counts = df.groupBy("k").agg(F.count(F.lit(1)).alias("n_rows"))
+        got = {
+            r["k"]: (r["n_rows"], r["kmv_distinct"])
+            for r in REL.kmv_finalize(bottom, counts, "k", k).collect()
+        }
+        outs.append(got)
+    assert outs[0] == outs[1] == outs[2], "salt_buckets changed the sketch"
+
+    # python reference: same md5-60bit hashes, same estimator
+    by_key: dict = {}
+    n_by_key: dict = {}
+    for key, v in rows:
+        n_by_key[key] = n_by_key.get(key, 0) + 1
+        h = int(hashlib.md5(str(v).encode()).hexdigest()[:15], 16)
+        by_key.setdefault(key, set()).add(h)
+    for key, hashes in by_key.items():
+        bottom_k = sorted(hashes)[:k]
+        m = len(bottom_k)
+        if m < k:
+            want = m
+        else:
+            want = math.floor(float(k - 1) * 2.0**60 / float(bottom_k[-1]))
+        assert outs[0][key] == (n_by_key[key], want), key
+        if len(hashes) < k:  # STRICT: at exactly k the estimator engages
+            assert outs[0][key][1] == len(hashes)  # exact branch
