@@ -3926,7 +3926,16 @@ def q_streaming_merge_upsert_bucketed(spark: SparkSession, sf_dir: str) -> DataF
     NO-OP on the final state by the per-row seq watermark (idempotent
     application), which is exactly why the oracle can be shared verbatim:
     the bucketed run must converge to the same merged image the
-    single-image form produces."""
+    single-image form produces.
+
+    n_buckets=128 is deliberately NOT small-file-optimal for a ~2.5 MB
+    test table (SCALE.md's r12 guidance: size table/n_buckets to tens of
+    MB in production; measured nb=32 runs this query ~2x faster): it is
+    the smallest count where the %600 slice (250 keys at sf0.1) still
+    touches a strict subset of buckets (108/128 = 0.84 < frac 0.9) at
+    BOTH gate SFs — smaller counts silently route batch 3 through the
+    full-image fallback and the scoped swap path stops being exercised.
+    Mechanism coverage wins over bench seconds here."""
     import os as _os
     import tempfile as _tf
 
