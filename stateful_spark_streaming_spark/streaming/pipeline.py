@@ -1937,6 +1937,32 @@ def _change_feed_union_columns(spark: SparkSession, changes_path: str) -> set:
 
 
 
+def merge_bucket_count(
+    n_bytes: int,
+    target_bucket_bytes: int = 64 << 20,
+    floor: int = 8,
+    cap: int = 4096,
+) -> int:
+    """The bucketed-merge layout sizing rule (SCALE.md r12 guidance as
+    code — the ``srp_plane_count`` move applied to the CDC layout):
+    n_buckets = ceil(table_bytes / target_bucket_bytes), clamped.  The
+    probe measured both failure directions at sf10: too FEW buckets
+    approaches the full-image rewrite per batch; too MANY (1024 over a
+    250 MB table) nearly doubled every marginal batch on small-file /
+    listing / swap overhead.  64 MB per bucket keeps a touched bucket a
+    few row groups — large enough to amortize the swap, small enough
+    that one hot bucket's rewrite stays trivially cheap.  ``cap``
+    bounds partition-directory count (and the scoped path's pruning
+    structures) at table sizes where 64 MB/bucket would explode it —
+    past the cap, buckets grow beyond the target instead, which only
+    moves the scoped-rewrite constant."""
+    import math
+
+    if n_bytes <= 0:
+        return floor
+    return min(cap, max(floor, math.ceil(n_bytes / target_bucket_bytes)))
+
+
 def run_streaming_merge_upsert(
     spark: SparkSession,
     base_path: str,
@@ -1948,7 +1974,7 @@ def run_streaming_merge_upsert(
     checkpoint_dir: str | None = None,
     max_files_per_trigger: int | None = 1,
     shuffle_partitions: int | None = 8,
-    n_buckets: int | None = None,
+    n_buckets: int | str | None = None,
     full_rewrite_frac: float = 0.5,
     max_pred_terms: int = 1000,
     schema_evolution: bool = False,
@@ -1967,7 +1993,12 @@ def run_streaming_merge_upsert(
     subsequent same-schema batches return to the scoped path.  Type
     changes raise — that is an explicit migration, not a change batch.
 
-    ``n_buckets`` (the 100 TB knob, default off): the table is laid out
+    ``n_buckets`` (the 100 TB knob, default off; pass ``"auto"`` to
+    SELF-SIZE from the base table's on-disk bytes via
+    :func:`merge_bucket_count` — resolved once here and recorded in the
+    layout marker, so later runs over the same base resolve identically;
+    a re-bootstrapped/regrown base that resolves differently triggers
+    the ordinary layout-migration rebuild): the table is laid out
     partitioned by ``__bucket = pmod(xxhash64(keys), n_buckets)`` and each
     batch rewrites ONLY the buckets its keys hash into — per-batch IO
     becomes O(table × touched/n_buckets) instead of O(table).  Bucket
@@ -2029,6 +2060,19 @@ def run_streaming_merge_upsert(
         merged_view,
         with_merge_meta,
     )
+
+    if n_buckets == "auto":
+        # driver-side file listing only, no data scan; hidden/marker
+        # files excluded so the size is the data bytes the rule is about
+        n_bytes = sum(
+            os.path.getsize(os.path.join(r, f))
+            for r, _dirs, fs in os.walk(base_path)
+            for f in fs
+            if not f.startswith(("_", "."))
+        )
+        n_buckets = merge_bucket_count(n_bytes)
+    elif isinstance(n_buckets, str):
+        raise ValueError(f"n_buckets must be an int, None, or 'auto'; got {n_buckets!r}")
 
     def _bucketed(df: DataFrame) -> DataFrame:
         return df.withColumn(

@@ -1717,3 +1717,61 @@ def test_streaming_merge_bucketed_hot_entity_skew(spark, tmp_path):
     for k in hot:
         want[k] = 3000.0 + k  # last batch (seq 3) wins
     assert got == want
+
+
+def test_merge_bucket_count_sizing_rule():
+    from stateful_spark_streaming_spark.streaming.pipeline import (
+        merge_bucket_count,
+    )
+
+    assert merge_bucket_count(0) == 8                       # floor
+    assert merge_bucket_count(2_500_000) == 8               # sf0.1-ish: floor
+    assert merge_bucket_count(250 << 20) == 8               # sf10 probe table: ceil(4) -> floor
+    assert merge_bucket_count(100 << 30) == 1600            # 100 GB
+    assert merge_bucket_count(1 << 50) == 4096              # cap
+
+
+def test_streaming_merge_auto_buckets(spark, tmp_path):
+    """n_buckets='auto' resolves from base-table bytes (floor=8 at test
+    SF), records the RESOLVED int in the layout marker, and produces the
+    same merged result as the explicit count."""
+    import json as _json
+    import os
+
+    from stateful_spark_streaming_spark.streaming.pipeline import (
+        run_streaming_merge_upsert,
+    )
+
+    base = spark.createDataFrame(
+        [(k, float(k)) for k in range(100)], "k long, v double"
+    )
+    b0 = spark.createDataFrame(
+        [(5, 55.0, 1, "U"), (100, 1.0, 1, "U")],
+        "k long, v double, seq int, op string",
+    )
+    results = {}
+    for tag, nb in (("auto", "auto"), ("explicit", 8)):
+        sub = tmp_path / tag
+        sub.mkdir()
+        base_path = str(sub / "base")
+        base.write.parquet(base_path)
+        ch_dir = str(sub / "changes")
+        os.makedirs(ch_dir)
+        bdir = str(sub / "wb")
+        b0.coalesce(1).write.parquet(bdir)
+        part = [f for f in os.listdir(bdir) if f.endswith(".parquet")][0]
+        os.rename(os.path.join(bdir, part), os.path.join(ch_dir, "b0.parquet"))
+        ck = str(sub / "ck")
+        out = run_streaming_merge_upsert(
+            spark, base_path, ch_dir, ("k",), checkpoint_dir=ck, n_buckets=nb
+        )
+        results[tag] = sorted(map(tuple, out.collect()))
+        layout = _json.load(open(ck + "_table.layout"))
+        assert layout["n_buckets"] == 8, tag  # resolved int, never "auto"
+    assert results["auto"] == results["explicit"]
+
+    with pytest.raises(ValueError, match="auto"):
+        run_streaming_merge_upsert(
+            spark, str(tmp_path / "auto" / "base"), str(tmp_path / "auto" / "changes"),
+            ("k",), checkpoint_dir=str(tmp_path / "ck2"), n_buckets="turbo",
+        )
