@@ -971,3 +971,56 @@ def test_audio_stats_and_frames_match_numpy_reference(spark, sf_dir):
             assert frames[(aid, f)] == (int((fr * fr).sum()), int(np.abs(fr).max()))
             n_frames_seen += 1
     assert n_frames_seen == len(frames)  # no frames beyond full ones
+
+
+def test_materialized_fixture_atomic_build_and_torn_recovery(spark, tmp_path):
+    """The r12 fixture protocol: (1) a build lands via rename so the live
+    path is only ever COMPLETE-or-absent; (2) a pre-existing legacy torn
+    dir (no _SUCCESS — the shape the old overwrite path could leave) is
+    cleared and rebuilt; (3) a second call serves the cache (build runs
+    once)."""
+    import os
+    import shutil
+
+    from stateful_spark_streaming_spark.queries_catalog import (
+        _fixture_tag,
+        _materialized_fixture,
+    )
+
+    d = str(tmp_path / "sf")
+    os.makedirs(d)
+    spark.createDataFrame(
+        [(i, f"t{i}") for i in range(20)], "doc_id long, text string"
+    ).write.parquet(os.path.join(d, "documents.parquet"))
+
+    calls = {"n": 0}
+
+    def build():
+        calls["n"] += 1
+        return spark.read.parquet(os.path.join(d, "documents.parquet"))
+
+    import tempfile as _tf
+    prefix = f"test_fx_{os.path.basename(str(tmp_path))}"
+    key = _fixture_tag(d, "documents")
+    live = os.path.join(_tf.gettempdir(), f"{prefix}_{key}.parquet")
+    try:
+        # plant a legacy torn dir: files but no _SUCCESS
+        os.makedirs(live)
+        with open(os.path.join(live, "part-junk.parquet"), "w") as fh:
+            fh.write("torn")
+        out = _materialized_fixture(spark, d, "documents", prefix, build)
+        assert out.count() == 20
+        assert calls["n"] == 1
+        assert os.path.exists(os.path.join(live, "_SUCCESS"))
+        assert not os.path.exists(os.path.join(live, "part-junk.parquet"))
+        # cache hit: no rebuild
+        out2 = _materialized_fixture(spark, d, "documents", prefix, build)
+        assert out2.count() == 20 and calls["n"] == 1
+        # no stray build dirs left behind
+        strays = [
+            p for p in os.listdir(_tf.gettempdir())
+            if p.startswith(f"{prefix}_{key}.build_")
+        ]
+        assert strays == []
+    finally:
+        shutil.rmtree(live, ignore_errors=True)
