@@ -147,7 +147,7 @@ def main() -> None:
         # audio_stats prebuild materializes the WAV fixture (r12) for the
         # same reason as multimodal_features' image fixture
         for prebuild in ("cosine_topk_ivf", "multimodal_features",
-                         "dedup_clusters", "audio_stats"):
+                         "dedup_clusters", "audio_stats", "video_frame_stats"):
             try:
                 qs[prebuild](spark, sf_dir).write.format("noop").mode(
                     "overwrite"

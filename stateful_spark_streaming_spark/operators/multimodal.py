@@ -545,3 +545,116 @@ def audio_frame_energy(audio: DataFrame, frame_len: int = 256) -> DataFrame:
             )
 
     return audio.select("audio_id", "data").mapInPandas(kernel, schema=out_schema)
+
+
+# ----------------------------------------------------------------- video
+def synthesize_video_table(
+    spark, docs: DataFrame, frame_w: int = 16, frame_h: int = 12
+) -> DataFrame:
+    """Deterministic REAL video corpus derived from the documents table:
+    each doc becomes a concatenated-PPM stream (the codec-less video
+    container ``sample_video_frames`` parses) of ``n_chars % 8 + 2``
+    frames whose pixels are an arithmetic pattern of (video_id,
+    frame_idx, x, y) — re-derivable in SQL, the video sibling of
+    ``synthesize_image_table`` / ``synthesize_audio_table``."""
+    meta = docs.repartition(spark.sparkContext.defaultParallelism).select(
+        F.col("doc_id").alias("video_id"),
+        (F.col("n_chars") % 8 + 2).cast("int").alias("n_frames"),
+    )
+    out_schema = StructType(
+        [
+            StructField("video_id", LongType(), False),
+            StructField("data", BinaryType(), True),
+            StructField("format", StringType(), True),
+            StructField("n_frames", IntegerType(), True),
+            StructField("width", IntegerType(), True),
+            StructField("height", IntegerType(), True),
+        ]
+    )
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            blobs = []
+            for vid, nf in zip(pdf["video_id"], pdf["n_frames"]):
+                frames = []
+                y, x, c = np.ogrid[0:frame_h, 0:frame_w, 0:3]
+                for fi in range(int(nf)):
+                    px = (int(vid) * 7 + fi * 13 + x * 3 + y * 5 + c * 11) % 256
+                    frames.append(encode_ppm(px.astype(np.uint8)))
+                blobs.append(b"".join(frames))
+            yield pd.DataFrame(
+                {
+                    "video_id": pdf["video_id"],
+                    "data": blobs,
+                    "format": "ppm-stream",
+                    "n_frames": pdf["n_frames"],
+                    "width": frame_w,
+                    "height": frame_h,
+                }
+            )
+
+    return meta.mapInPandas(kernel, schema=out_schema)
+
+
+def video_frame_stats(videos: DataFrame, every_n: int = 2) -> DataFrame:
+    """Parse a concatenated-PPM video stream, SAMPLE every ``every_n``-th
+    frame, and emit EXACT integer statistics per sampled frame (dims +
+    the int64 sum over all channels) — parse, sampling, and stats in ONE
+    Arrow kernel pass, deliberately NOT ``sample_video_frames`` chained
+    into ``image_stats``: each chained ``mapInPandas`` tier spawns its
+    own Python-worker pool (~15 s cold at 32 cores, the measured lesson
+    behind the image fixture's single-stage design) and would also ship
+    every sampled frame blob through an Arrow boundary just to sum it.
+    Container formats raise from the parser, same boundary as
+    ``sample_video_frames``.  Integer outputs make the decode+sample
+    path fully oracle-checkable (the image_stats/audio_stats move)."""
+    out_schema = StructType(
+        [
+            StructField("video_id", LongType(), False),
+            StructField("frame_idx", IntegerType(), False),
+            StructField("width", IntegerType(), True),
+            StructField("height", IntegerType(), True),
+            StructField("rgb_sum", LongType(), True),
+        ]
+    )
+    step = int(every_n)
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            vids, idxs, ws, hs, sums = [], [], [], [], []
+            for vid, blob in zip(pdf["video_id"], pdf["data"]):
+                if blob is None:
+                    continue
+                blob = bytes(blob)
+                off, k = 0, 0
+                while off < len(blob):
+                    m = _PPM_HEADER.match(blob[off : off + 64])
+                    if m is None:
+                        raise NotImplementedError(
+                            "only concatenated-PPM streams parse without a "
+                            "codec library; plug pyav in here for containers"
+                        )
+                    w, h = int(m.group(1)), int(m.group(2))
+                    end = off + m.end() + w * h * 3
+                    if k % step == 0:
+                        px = np.frombuffer(
+                            blob, dtype=np.uint8, count=w * h * 3,
+                            offset=off + m.end(),
+                        )
+                        vids.append(vid)
+                        idxs.append(k)
+                        ws.append(w)
+                        hs.append(h)
+                        sums.append(int(px.sum(dtype=np.int64)))
+                    off, k = end, k + 1
+            yield pd.DataFrame(
+                {
+                    "video_id": vids,
+                    "frame_idx": idxs,
+                    "width": ws,
+                    "height": hs,
+                    "rgb_sum": sums,
+                }
+            )
+
+    return videos.select("video_id", "data").mapInPandas(kernel, schema=out_schema)

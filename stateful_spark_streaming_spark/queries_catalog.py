@@ -2932,6 +2932,56 @@ _AUDIO_SAMPLE_CTES = """
 """
 
 
+#: bump when synthesize_video_table's frame formula or sizing changes
+_VIDEO_SALT = "vid1"
+
+
+def _video_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The synthetic concatenated-PPM video corpus, materialized once per
+    (process, sf_dir) — completes the image/audio/video binary-column
+    triple with the same storage shape."""
+    return _materialized_fixture(
+        spark, sf_dir, "documents", f"ssss_video_{_VIDEO_SALT}",
+        lambda: MM.synthesize_video_table(spark, _t(spark, sf_dir, "documents")),
+    ).repartition(spark.sparkContext.defaultParallelism)
+
+
+@query(
+    "video_frame_stats",
+    oracle="""
+    WITH meta AS (
+      SELECT doc_id AS video_id, CAST(n_chars % 8 + 2 AS BIGINT) AS nf
+      FROM documents),
+    fr AS (
+      SELECT video_id, CAST(t AS INT) AS frame_idx
+      FROM meta, LATERAL unnest(range(0, nf)) AS ts(t)
+      WHERE t % 2 = 0),
+    px AS (
+      SELECT video_id, frame_idx,
+             ((video_id*7 + frame_idx*13 + (i % 16)*3 + (i // 16)*5) % 256
+            + (video_id*7 + frame_idx*13 + (i % 16)*3 + (i // 16)*5 + 11) % 256
+            + (video_id*7 + frame_idx*13 + (i % 16)*3 + (i // 16)*5 + 22) % 256)
+               AS s
+      FROM fr, LATERAL unnest(range(0, 192)) AS t2(i))
+    SELECT video_id, frame_idx,
+           CAST(16 AS INT) AS width, CAST(12 AS INT) AS height,
+           CAST(sum(s) AS BIGINT) AS rgb_sum
+    FROM px GROUP BY video_id, frame_idx
+    """,
+)
+def q_video_frame_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sample a stored binary VIDEO column (concatenated-PPM
+    stream) and emit EXACT integer per-sampled-frame statistics — the
+    last leg of the image/audio/video multimodal triple, now
+    catalog-gated like its siblings.  Parse + every-2nd-frame sampling +
+    pixel sums run in ONE Arrow kernel (chained mapInPandas tiers each
+    spawn a worker pool; the single stage avoids that and the
+    frame-blob Arrow transfer).  FULL oracle: DuckDB re-derives the
+    sampled frames and their channel sums from the synthetic pixel
+    formula."""
+    return MM.video_frame_stats(_video_fixture(spark, sf_dir), every_n=2)
+
+
 @query(
     "audio_stats",
     oracle=f"""

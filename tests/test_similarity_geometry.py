@@ -1024,3 +1024,33 @@ def test_materialized_fixture_atomic_build_and_torn_recovery(spark, tmp_path):
         assert strays == []
     finally:
         shutil.rmtree(live, ignore_errors=True)
+
+
+def test_video_frame_stats_matches_composed_ops(spark, sf_dir):
+    """The fused parse+sample+stats kernel must equal the composition of
+    the building blocks it fuses (sample_video_frames → decode_ppm →
+    sums) — the performance fusion cannot change semantics."""
+    import numpy as np
+
+    from stateful_spark_streaming_spark.operators import multimodal as MM
+    from stateful_spark_streaming_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").limit(25)
+    videos = MM.synthesize_video_table(spark, docs)
+    fused = {
+        (r.video_id, r.frame_idx): (r.width, r.height, r.rgb_sum)
+        for r in MM.video_frame_stats(videos, every_n=2).collect()
+    }
+    composed = {}
+    for r in MM.sample_video_frames(videos, every_n=2).collect():
+        px = MM.decode_ppm(r.frame)
+        composed[(r.video_id, r.frame_idx)] = (
+            px.shape[1], px.shape[0], int(px.sum(dtype=np.int64))
+        )
+    assert fused == composed
+    # frame-count sanity: every video contributes ceil(n_frames / 2) rows
+    nf = {r.doc_id: r.n_chars % 8 + 2 for r in docs.collect()}
+    per_vid = {}
+    for vid, _ in fused:
+        per_vid[vid] = per_vid.get(vid, 0) + 1
+    assert per_vid == {v: -(-n // 2) for v, n in nf.items()}

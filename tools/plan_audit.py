@@ -338,6 +338,9 @@ CHECKS = {
     # (frame rows are emitted inside the kernel, no explode/shuffle)
     "audio_stats": ([], ["Join", "CartesianProduct"], 1),
     "audio_frame_energy": ([], ["Join", "CartesianProduct"], 1),
+    # video: parse+sample+stats fused into ONE kernel stage — same
+    # map-only contract (frame rows emitted inside the kernel)
+    "video_frame_stats": ([], ["Join", "CartesianProduct"], 1),
     # incremental MV maintenance: the summary-sized affected-group set
     # must BROADCAST into both the anti join (stale aggregate rows) and
     # the semi join (recompute pruning) — never an all-pairs product
