@@ -2932,6 +2932,90 @@ _AUDIO_SAMPLE_CTES = """
 """
 
 
+#: bump when the JSONL fixture's corruption rule or row shape changes
+_JSONL_SALT = "jl1"
+
+
+def _jsonl_docs_fixture(spark: SparkSession, sf_dir: str) -> str:
+    """A JSON-lines rendering of the documents table with a DETERMINISTIC
+    ~5% of lines corrupted (closing brace dropped when the doc's md5
+    lands in residue 0 mod 20) — the feed-rot shape `read_jsonl` exists
+    to measure.  Same atomic materialize-once protocol as
+    `_materialized_fixture` (build in a unique dir, rename into place),
+    but a TEXT dataset, so this returns the PATH for the JSON reader."""
+    import shutil
+    import tempfile
+
+    key = _fixture_tag(sf_dir, "documents")
+    path = os.path.join(tempfile.gettempdir(), f"ssss_jsonl_{_JSONL_SALT}_{key}")
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        line = F.to_json(F.struct("doc_id", "source", "n_chars"))
+        corrupt = (
+            F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+            .cast("long") % 20 == 0
+        )
+        df = (
+            _t(spark, sf_dir, "documents")
+            .withColumn("l", line)
+            .select(
+                F.when(corrupt, F.expr("substring(l, 1, length(l) - 1)"))
+                .otherwise(F.col("l"))
+                .alias("value")
+            )
+        )
+        tmp = tempfile.mkdtemp(prefix=f"ssss_jsonl_{key}.build_")
+        staging = os.path.join(tmp, "data")
+        df.write.mode("overwrite").text(staging)
+        try:
+            os.rename(staging, path)
+        except OSError:
+            if not os.path.exists(os.path.join(path, "_SUCCESS")):
+                shutil.rmtree(path, ignore_errors=True)
+                try:
+                    os.rename(staging, path)
+                except OSError:
+                    pass  # raced — winner's fixture is complete
+        shutil.rmtree(tmp, ignore_errors=True)
+    return path
+
+
+@query(
+    "jsonl_ingest_stats",
+    oracle="""
+    WITH d AS (
+      SELECT source, n_chars,
+             ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+               % 20 = 0 AS corrupt
+      FROM documents)
+    SELECT CASE WHEN corrupt THEN NULL ELSE source END AS source,
+           COUNT(*) AS n_rows,
+           CAST(COALESCE(SUM(CASE WHEN corrupt THEN NULL ELSE n_chars END),
+                         0) AS BIGINT) AS sum_n_chars
+    FROM d GROUP BY 1
+    """,
+)
+def q_jsonl_ingest_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Malformed-tolerant JSONL ingestion (`sources.read_jsonl`): explicit
+    schema (never inference — an extra 100 TB pass to guess what the
+    caller knows), PERMISSIVE corrupt capture, and per-source row/char
+    accounting where the parse failures surface as the NULL-source
+    bucket — feed rot measured, not fatal and not silently dropped.
+    FULL oracle: the fixture corrupts a deterministic md5-residue slice
+    of the documents table, so DuckDB re-derives exactly which rows the
+    Spark JSON parser must reject."""
+    from stateful_spark_streaming_spark.sources.tables import read_jsonl
+
+    df = read_jsonl(
+        spark,
+        _jsonl_docs_fixture(spark, sf_dir),
+        "doc_id long, source string, n_chars long",
+    )
+    return df.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.coalesce(F.sum("n_chars"), F.lit(0)).alias("sum_n_chars"),
+    )
+
+
 #: bump when synthesize_video_table's frame formula or sizing changes
 _VIDEO_SALT = "vid1"
 

@@ -148,3 +148,30 @@ def bucketed_join(
         .hint("merge")
         .join(spark.table(right_table), key)
     )
+
+
+def read_jsonl(
+    spark: SparkSession,
+    path: str,
+    schema: str,
+    corrupt_col: str = "_corrupt",
+    mode: str = "PERMISSIVE",
+) -> DataFrame:
+    """Schema-EXPLICIT JSON-lines reader with corrupt-record capture —
+    the web-scrape/training-feed ingestion shape.  Never schema
+    inference (an extra full pass over 100 TB just to guess types the
+    caller already knows, and one odd line flips a column to string for
+    the whole read); malformed lines land in ``corrupt_col`` with every
+    data field NULL (PERMISSIVE) instead of killing the job, so feed rot
+    is MEASURABLE downstream rather than fatal or silently dropped.
+    ``mode="FAILFAST"`` flips the contract to refuse-loudly for feeds
+    that must be clean.  Spark restriction worth knowing: a query may
+    not reference ONLY ``corrupt_col`` straight off the scan — select
+    data columns with it (or cache first)."""
+    full = f"{schema}, {corrupt_col} string"
+    return (
+        spark.read.schema(full)
+        .option("mode", mode)
+        .option("columnNameOfCorruptRecord", corrupt_col)
+        .json(path)
+    )

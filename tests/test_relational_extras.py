@@ -202,3 +202,50 @@ def test_expectations_report_null_predicate_counts_as_violation(spark):
         REL.expectations_report(df, [("p", F.col("v") > 0)], key_col="k")
     )
     assert "Join" not in plan
+
+
+def test_read_jsonl_corrupt_capture_and_failfast(spark, tmp_path):
+    """The malformed-tolerant JSONL reader: PERMISSIVE lands broken lines
+    in the corrupt column with data fields NULL (counted, not dropped,
+    not fatal); FAILFAST refuses the same feed loudly; a clean feed
+    parses fully under both modes."""
+    import os
+
+    import pytest
+    from py4j.protocol import Py4JJavaError
+
+    from stateful_spark_streaming_spark.sources.tables import read_jsonl
+
+    dirty = str(tmp_path / "dirty")
+    os.makedirs(dirty)
+    with open(os.path.join(dirty, "part-0.jsonl"), "w") as fh:
+        fh.write('{"doc_id": 1, "source": "web", "n_chars": 10}\n')
+        fh.write('{"doc_id": 2, "source": "web", "n_chars": 20\n')   # truncated
+        fh.write('not json at all\n')
+        fh.write('{"doc_id": 3, "source": "books", "n_chars": 30}\n')
+
+    df = read_jsonl(spark, dirty, "doc_id long, source string, n_chars long")
+    rows = df.collect()
+    assert len(rows) == 4
+    good = {r.doc_id: (r.source, r.n_chars) for r in rows if r._corrupt is None}
+    assert good == {1: ("web", 10), 3: ("books", 30)}
+    bad = [r for r in rows if r._corrupt is not None]
+    assert len(bad) == 2
+    assert all(r.doc_id is None and r.source is None for r in bad)
+    assert {r._corrupt.strip()[:12] for r in bad} == {'{"doc_id": 2', "not json at "}
+
+    with pytest.raises(Py4JJavaError):
+        read_jsonl(
+            spark, dirty, "doc_id long, source string, n_chars long",
+            mode="FAILFAST",
+        ).collect()
+
+    clean = str(tmp_path / "clean")
+    os.makedirs(clean)
+    with open(os.path.join(clean, "part-0.jsonl"), "w") as fh:
+        fh.write('{"doc_id": 1, "source": "web", "n_chars": 10}\n')
+    got = read_jsonl(
+        spark, clean, "doc_id long, source string, n_chars long",
+        mode="FAILFAST",
+    ).collect()
+    assert [(r.doc_id, r.source, r.n_chars) for r in got] == [(1, "web", 10)]

@@ -341,6 +341,9 @@ CHECKS = {
     # video: parse+sample+stats fused into ONE kernel stage — same
     # map-only contract (frame rows emitted inside the kernel)
     "video_frame_stats": ([], ["Join", "CartesianProduct"], 1),
+    # JSONL ingestion accounting: one scan of the text fixture feeding
+    # one keyed aggregate — no join, corrupt rows counted in-plan
+    "jsonl_ingest_stats": ([], ["Join", "CartesianProduct"], 1),
     # incremental MV maintenance: the summary-sized affected-group set
     # must BROADCAST into both the anti join (stale aggregate rows) and
     # the semi join (recompute pruning) — never an all-pairs product
