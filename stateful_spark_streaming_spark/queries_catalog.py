@@ -35,6 +35,35 @@ def query(name: str, oracle: str | None = None):
     return deco
 
 
+#: Queries RETIRED from the driver gate (r12 verdict #2: at 148 queries vs
+#: the 150-entry rotation capacity, one mis-rotated round strands evidence;
+#: these entries' ORACLE evidence was subsumed by a sibling that stays).
+#: Retired ≠ deleted: the query function, its oracle, and its plan-audit
+#: spec all remain — `tests/test_retired_query_pins.py` runs each retired
+#: pair through the SAME driver-style canonicalized hash compare the gate
+#: uses (via tools/check_oracle.canon_pandas), and tools/plan_audit.py
+#: still audits their physical plans — so the evidence class is preserved
+#: in pytest while the gate window regains real headroom.
+RETIRED_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+RETIRED_ORACLES: dict[str, str] = {}
+
+
+def retired_query(name: str, oracle: str | None = None, subsumed_by: str = ""):
+    """Register a catalog-retired query: kept callable and oracle-paired
+    for pytest + plan audit, but NOT in ``QUERIES`` (consumes no gate
+    rotation capacity).  ``subsumed_by`` names the surviving sibling(s)
+    whose gate evidence covers this entry's machinery."""
+
+    def deco(fn):
+        RETIRED_QUERIES[name] = fn
+        if oracle is not None:
+            RETIRED_ORACLES[name] = oracle
+        fn.__retired_subsumed_by__ = subsumed_by
+        return fn
+
+    return deco
+
+
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return load_table(spark, sf_dir, name)
 
@@ -463,8 +492,10 @@ def q_priority_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     return REL.priority_top_orders(_t(spark, sf_dir, "orders"))
 
 
-@query(
+@retired_query(
     "priority_top_orders_salted",
+    subsumed_by="priority_top_orders (identical oracle; salted-decomposition "
+    "exactness pinned by test_salted_topn_equals_plain_topn_under_skew)",
     oracle="""
     SELECT o_orderpriority, rank_in_priority, o_orderkey, o_totalprice
     FROM (
@@ -715,8 +746,11 @@ def q_revenue_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
 _FUZZY_PROBES = ["red widgit", "small ringer", "blue bolt"]
 
 
-@query(
+@retired_query(
     "fuzzy_part_match",
+    subsumed_by="similar_part_names (the lossless token-bucket sibling covers "
+    "the fuzzy-match surface; edit-distance kernel pinned by "
+    "test_fuzzy_part_match_known_distances)",
     oracle="""
     SELECT p_partkey, p_name, probe,
            CAST(levenshtein(p_name, probe) AS INT) AS edit_dist
@@ -969,8 +1003,10 @@ def q_streaming_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("bucket_ms", "n_events", "sum_value", "avg_value")
 
 
-@query(
+@retired_query(
     "streaming_sliding_counts",
+    subsumed_by="streaming_tumbling_counts (same streaming runner/sink "
+    "machinery) + sliding_window_counts (batch overlap semantics)",
     oracle="""
     SELECT epoch_ms(time_bucket(INTERVAL '6 hours', ts) - k * INTERVAL '6 hours') AS window_start_ms,
            epoch_ms(time_bucket(INTERVAL '6 hours', ts) - k * INTERVAL '6 hours' + INTERVAL '1 day') AS window_end_ms,
@@ -1335,8 +1371,10 @@ def q_web_mercator(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
+@retired_query(
     "web_mercator_roundtrip",
+    subsumed_by="web_mercator_projection (the reference-surface G1 item; the "
+    "inverse direction keeps its full oracle in the retired-pin test)",
     oracle="""
     SELECT event_id,
            round(lon, 6) AS lon, round(lat, 6) AS lat,
@@ -1688,8 +1726,10 @@ def q_sample_n_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
+@retired_query(
     "pack_sequences",
+    subsumed_by="pack_sequences_emit (calls pack_sequences for its layout, so "
+    "the gate still executes the manifest machinery every round)",
     oracle=f"""
     WITH toks AS (
       SELECT doc_id,
@@ -3409,7 +3449,12 @@ def q_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TXT.bigram_logprob(_t(spark, sf_dir, "documents"))
 
 
-@query("streaming_unigram_logprob", oracle=_UNIGRAM_ORACLE)
+@retired_query(
+    "streaming_unigram_logprob",
+    oracle=_UNIGRAM_ORACLE,
+    subsumed_by="streaming_bigram_logprob (same run_streaming_lm_logprob "
+    "partial-fold machinery, order=2) + unigram_logprob (batch oracle)",
+)
 def q_streaming_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ingest-time unigram-LM scoring — streaming twin of unigram_logprob
     (same oracle): per-batch (doc, token, c) count partials appended by
@@ -3709,7 +3754,12 @@ def q_quality_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ST.histogram_quantiles(hist, ("source",))
 
 
-@query("streaming_quality_quantiles", oracle=ORACLES["quality_quantiles"])
+@retired_query(
+    "streaming_quality_quantiles",
+    oracle=ORACLES["quality_quantiles"],
+    subsumed_by="streaming_quality_histogram (the ONLY stream state it "
+    "maintains) + quality_quantiles (the histogram_quantiles read tail)",
+)
 def q_streaming_quality_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ingest-time quantile tracking — streaming twin of quality_quantiles
     (same oracle): the mergeable histogram is the ONLY state the stream
@@ -5020,7 +5070,7 @@ _CHEAP_FIRST = [
     "streaming_track_snapshot", "state_store_snapshot",
     "streaming_event_pairs",
     "quality_histogram", "quality_quantiles",
-    "streaming_quality_histogram", "streaming_quality_quantiles",
+    "streaming_quality_histogram",
     "decontaminate_bloom",
     "merge_upsert", "streaming_merge_upsert", "corpus_diff",
     "quality_trim", "heavy_hitters_cms", "streaming_heavy_hitters_cms",
@@ -5044,8 +5094,8 @@ _CHEAP_FIRST = [
     "order_stats_conditional", "shuffle_shard",
     "dedup_exact",
     "fingerprint",
-    "web_mercator_projection", "web_mercator_roundtrip",
-    "track_last_n", "pack_sequences", "profile_columns",
+    "web_mercator_projection",
+    "track_last_n", "profile_columns",
     "monthly_running_revenue",
     "revenue_cube", "events_json_extract",
     "sliding_window_counts", "track_oldest",
@@ -5060,12 +5110,12 @@ _CHEAP_FIRST = [
     "session_windows", "pack_sequences_emit", "event_pairs_within_10min",
     "monthly_revenue", "token_budget_mix",
     "dup_ngram_spans", "remove_dup_spans", "streaming_dup_spans",
-    "streaming_unigram_logprob", "streaming_bigram_logprob",
+    "streaming_bigram_logprob",
     "unigram_logprob", "bigram_logprob", "streaming_corpus_report",
     "distinct_sketch_stats", "streaming_distinct_stats",
     "track_range", "part_text_functions", "stratified_sample",
-    "fuzzy_part_match", "customer_value_distribution",
-    "priority_top_orders_salted", "repetition_stats",
+    "customer_value_distribution",
+    "repetition_stats",
     "track_rolling_stats", "zorder_key", "asof_clicks_purchases",
     "funnel_steps", "cosine_near_pairs", "track_membership",
     "shipping_priority", "tfidf_topterms", "cosine_topk", "decontaminate",
@@ -5075,7 +5125,7 @@ _CHEAP_FIRST = [
     "dedup_clusters", "embedding_dup_clusters",
     "streaming_tumbling_counts", "streaming_decontaminate",
     "streaming_dedup_events", "streaming_session_windows",
-    "streaming_sliding_counts", "streaming_enriched_counts",
+    "streaming_enriched_counts",
 ]
 
 

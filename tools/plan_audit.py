@@ -454,6 +454,11 @@ def main() -> int:
     spark = get_spark("plan-audit", master="local[4]", shuffle_partitions=4)
     spark.sparkContext.setLogLevel("ERROR")
     qs = entrymod.queries()
+    # catalog-RETIRED queries keep their plan-shape audit (retirement frees
+    # gate rotation capacity, not evidence — see retired_query in the catalog)
+    from stateful_spark_streaming_spark.queries_catalog import RETIRED_QUERIES
+
+    qs = {**qs, **RETIRED_QUERIES}
 
     # track_range's pushed ts-range expectation only holds when events.ts
     # scans as a timestamp type; under env drift where it scans as raw LONG
