@@ -370,6 +370,13 @@ def kmv_finalize(
     truncation semantics differ across engines) makes the estimate
     hash-match cross-engine — the oracle re-derives the estimator, not
     just the rows.
+
+    LEFT join from ``counts``: a group whose ``count_col`` is entirely
+    NULL has a counts row but zero hashes (the build stage filters
+    NULLs), and must surface with estimate 0 — the HLL sibling emits
+    such groups, and an inner join here silently dropped them (ADVICE
+    r12).  The catalog oracle mirrors this with the same LEFT JOIN +
+    COALESCE.
     """
     sk = bottom.groupBy(key).agg(
         F.count(F.lit(1)).alias("__m"), F.max("h").alias("__hk")
@@ -380,8 +387,8 @@ def kmv_finalize(
         )
     )
     return (
-        counts.join(sk, key)
-        .withColumn("kmv_distinct", est.cast("long"))
+        counts.join(sk, key, "left")
+        .withColumn("kmv_distinct", F.coalesce(est, F.lit(0)).cast("long"))
         .drop("__m", "__hk")
     )
 

@@ -1370,7 +1370,15 @@ def srp_table_count(
     p = (1.0 - math.acos(max(-1.0, min(1.0, sim))) / math.pi) ** n_planes
     if p >= 1.0:
         return floor
-    need = math.ceil(math.log(1.0 - recall_target) / math.log(1.0 - p))
+    # log1p(-p), not log(1-p): below p ≈ 1.1e-16 (deep hashes at strongly
+    # negative sim) 1.0-p rounds to 1.0 and log(1.0-p) underflows to
+    # exactly 0.0 — the promised cap-absorbs-divergence behavior became a
+    # ZeroDivisionError (ADVICE r12).  log1p keeps full precision for
+    # small p; p == 0 (sim = -1) still needs the explicit cap return.
+    denom = math.log1p(-p)
+    if denom == 0.0:
+        return cap
+    need = math.ceil(math.log(1.0 - recall_target) / denom)
     return min(cap, max(floor, need))
 
 

@@ -557,11 +557,11 @@ _KMV_SQL = f"""
       SELECT event_type, COUNT(*) AS n_rows FROM events GROUP BY event_type
     )
     SELECT counts.event_type, counts.n_rows,
-           CASE WHEN sk.m < {_KMV_K} THEN sk.m
-                ELSE CAST(floor({float(_KMV_K - 1)} * power(2.0, 60)
-                               / CAST(sk.hk AS DOUBLE)) AS BIGINT)
-           END AS kmv_distinct
-    FROM counts JOIN sk ON counts.event_type = sk.event_type
+           COALESCE(CASE WHEN sk.m < {_KMV_K} THEN sk.m
+                         ELSE CAST(floor({float(_KMV_K - 1)} * power(2.0, 60)
+                                        / CAST(sk.hk AS DOUBLE)) AS BIGINT)
+                    END, 0) AS kmv_distinct
+    FROM counts LEFT JOIN sk ON counts.event_type = sk.event_type
 """
 
 

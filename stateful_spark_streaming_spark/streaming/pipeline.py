@@ -389,6 +389,23 @@ def compact_partial_log(
             f"partial log at {path} has columns {sorted(df.columns)}, "
             f"declared {sorted(declared)} — refusing to drop data silently"
         )
+    if kmvs:
+        # a log written with k > kmv_k would be silently NARROWED by the
+        # slice below, corrupting the read path's estimates — the sketch
+        # width is not recorded in the log, so measure it (one cheap agg
+        # over the partial log) and fail loudly on a mismatch (ADVICE r12)
+        widest = df.select(
+            *[F.max(F.size(F.col(c))).alias(c) for c in kmvs]
+        ).first()
+        for c in kmvs:
+            if widest[c] is not None and widest[c] > kmv_k:
+                raise ValueError(
+                    f"partial log at {path} holds a {c} sketch of width "
+                    f"{widest[c]} > kmv_k={kmv_k} — it was written with a "
+                    "larger k; folding would narrow the sketch and corrupt "
+                    "read-path estimates.  Compact with "
+                    "distinct_kmv_compaction_spec(k=<writer's k>)."
+                )
     if batch_col is None:
         folded = df.distinct()
     else:

@@ -154,6 +154,33 @@ def test_compaction_rejects_undeclared_columns(spark, tmp_path):
         compact_partial_log(spark, p, **STAGED_SINK_COMPACTION["vocab"])
 
 
+def test_kmv_compaction_refuses_narrowing_fold(spark, tmp_path):
+    """A KMV log written with k larger than the spec's kmv_k would be
+    silently NARROWED by the fold's slice, corrupting read-path
+    estimates; the fold must measure the staged sketch width and fail
+    loudly instead (ADVICE r12).  Widening (k smaller than spec) stays
+    harmless and allowed."""
+    import pytest
+
+    from stateful_spark_streaming_spark.streaming.pipeline import (
+        distinct_kmv_compaction_spec,
+    )
+
+    p = str(tmp_path / "kmv_log")
+    # sketch width 6: wider than kmv_k=4 (narrowing — refuse), within
+    # kmv_k=8 (widening — fold normally)
+    spark.createDataFrame(
+        [("t0", 10, list(range(1, 7)), 0), ("t0", 5, list(range(4, 10)), 1)],
+        ["event_type", "n_rows", "hs", "_batch_id"],
+    ).write.parquet(p)
+    with pytest.raises(ValueError, match="narrow"):
+        compact_partial_log(spark, p, **distinct_kmv_compaction_spec(k=4))
+    compact_partial_log(spark, p, **distinct_kmv_compaction_spec(k=8))
+    row = spark.read.parquet(p).collect()
+    assert len(row) == 1
+    assert row[0].n_rows == 15 and row[0].hs == list(range(1, 9))
+
+
 def test_compaction_missing_log_is_noop(spark, tmp_path):
     compact_partial_log(
         spark, str(tmp_path / "never_written"), **STAGED_SINK_COMPACTION["vocab"]

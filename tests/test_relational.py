@@ -166,6 +166,26 @@ def test_kmv_exact_when_k_covers_distincts(spark, sf_dir):
         assert kmv[et].kmv_distinct == e.nd
 
 
+def test_kmv_all_null_group_emits_zero_estimate(spark):
+    """A group whose count_col is entirely NULL has a counts row but no
+    hashes (the build stage filters NULLs); it must surface with estimate
+    0 — matching the HLL sibling — not vanish from the output (the inner
+    join in kmv_finalize silently dropped it; ADVICE r12)."""
+    df = spark.createDataFrame(
+        [("a", "u1"), ("a", "u2"), ("a", None), ("b", None), ("b", None)],
+        ["grp", "uid"],
+    )
+    kmv = {r.grp: r for r in REL.distinct_kmv_stats(
+        df, key="grp", count_col="uid", k=8).collect()}
+    assert set(kmv) == {"a", "b"}, "all-NULL group dropped from KMV output"
+    assert kmv["b"].n_rows == 2 and kmv["b"].kmv_distinct == 0
+    assert kmv["a"].n_rows == 3 and kmv["a"].kmv_distinct == 2
+    # parity with the HLL sibling it replaced in the catalog
+    hll = {r.grp: r for r in REL.distinct_sketch_stats(
+        df, key="grp", count_col="uid").collect()}
+    assert set(hll) == {"a", "b"} and hll["b"].approx_distinct == 0
+
+
 def test_kmv_estimator_error_bounds(spark, sf_dir):
     """With k << distincts the (k-1)*2^60/h_k estimator engages; KMV's
     published relative standard error is ~1/sqrt(k-2) (Bar-Yossef et

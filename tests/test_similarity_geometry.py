@@ -845,6 +845,20 @@ def test_srp_table_count_inversion_consistency():
     assert SIM.srp_table_count(18, sim=0.4, recall_target=0.9) == 16
 
 
+def test_srp_table_count_underflow_clamps_to_cap():
+    """Below p ≈ 1.1e-16 (deep hashes at strongly negative sim) log(1-p)
+    underflows to 0.0 — the docstring promises the cap absorbs the
+    weak-similarity divergence, so this regime must return the cap, not
+    raise ZeroDivisionError (ADVICE r12).  Covers both the p == 0
+    endpoint (sim = -1) and the subnormal-p underflow band."""
+    assert SIM.srp_table_count(32, sim=-1.0) == 16   # p == 0 exactly
+    assert SIM.srp_table_count(32, sim=-0.6) == 16   # p underflows log(1-p)
+    assert SIM.srp_table_count(32, sim=-0.99) == 16
+    # and small-but-representable p still inverts (log1p precision path)
+    L = SIM.srp_table_count(18, sim=0.7, recall_target=0.9)
+    assert 2 <= L <= 16
+
+
 def test_srp_table_count_names_the_benched_guarantee():
     """The catalog query pins n_tables=8 (explicit recall/cost trade at
     τ=0.4 widening); this test is the 'test naming its guarantee' the
