@@ -1680,6 +1680,49 @@ def split_leakage(
     )
 
 
+def _hamming_hash_pairs(
+    distinct_bits: DataFrame,
+    max_ham: int,
+    n_bands: int,
+    nbits: int,
+) -> DataFrame:
+    """Banded-LSH + exact-verify core over DISTINCT bit strings (one
+    column ``__bits``): all (bits_a, bits_b, hamming) with 0 < hamming ≤
+    ``max_ham``, complete by pigeonhole for ``n_bands > max_ham``.
+    Shared by :func:`hamming_near_pairs` (which expands the hash pairs
+    back through id lists) and :func:`hamming_keep_best` (which clusters
+    the hash graph directly and never builds id lists).  Shuffle volume
+    is bounded by distinct-hash occupancy — duplicate mass never enters
+    the join."""
+    width = -(-nbits // n_bands)  # ceil
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("bi"),
+                F.substring(F.col("__bits"), i * width + 1, width).alias("bs"),
+            )
+            for i in range(n_bands)
+        ]
+    )
+    e = distinct_bits.select(F.col("__bits"), F.explode(bands).alias("__b")).select(
+        F.col("__bits"), "__b.bi", "__b.bs"
+    )
+    a = e.select(F.col("__bits").alias("bits_a"), "bi", "bs")
+    b = e.select(F.col("__bits").alias("bits_b"), "bi", "bs")
+    ham = F.expr(
+        "aggregate(zip_with(split(bits_a, ''), split(bits_b, ''), "
+        "(u, v) -> CASE WHEN u <> v THEN 1 ELSE 0 END), 0, (acc, x) -> acc + x)"
+    )
+    return (
+        a.join(b, ["bi", "bs"])
+        .filter(F.col("bits_a") < F.col("bits_b"))
+        .select("bits_a", "bits_b")
+        .distinct()  # a hash pair can share several bands
+        .withColumn("hamming", ham.cast("long"))
+        .filter(F.col("hamming") <= max_ham)
+    )
+
+
 def hamming_near_pairs(
     hashed: DataFrame,
     id_col: str,
@@ -1717,7 +1760,16 @@ def hamming_near_pairs(
     hashes are case 2).  Bucket width = bits/n_bands; at billions of
     DISTINCT hashes widen the hash (128-bit SimHash) or band count so
     buckets stay fine-grained — distinct-hash occupancy, not pair
-    count, is the knob."""
+    count, is the knob.
+
+    MEMORY UNIT: the per-distinct-hash group row — ``collect_list`` of
+    ids per identical hash — is unbounded in ids-per-hash: a single hash
+    carrying ~10⁷ duplicate ids makes one multi-GB aggregate row before
+    the expand (at which point the m²/2-pair OUTPUT is absurd anyway).
+    When the goal is canonical selection rather than the audit pair
+    table, use :func:`hamming_keep_best`, which never builds id lists —
+    its per-hash state is O(1) (count + best member) at any duplicate
+    multiplicity."""
     n_bands = int(n_bands or (max_ham + 1))
     if n_bands <= max_ham:
         raise ValueError("completeness needs n_bands > max_ham (pigeonhole)")
@@ -1763,32 +1815,8 @@ def hamming_near_pairs(
     )
 
     # banded join over distinct hashes only
-    width = -(-nbits // n_bands)  # ceil
-    bands = F.array(
-        *[
-            F.struct(
-                F.lit(i).alias("bi"),
-                F.substring(F.col("__bits"), i * width + 1, width).alias("bs"),
-            )
-            for i in range(n_bands)
-        ]
-    )
-    e = groups.select(F.col("__bits"), F.explode(bands).alias("__b")).select(
-        F.col("__bits"), "__b.bi", "__b.bs"
-    )
-    a = e.select(F.col("__bits").alias("bits_a"), "bi", "bs")
-    b = e.select(F.col("__bits").alias("bits_b"), "bi", "bs")
-    ham = F.expr(
-        "aggregate(zip_with(split(bits_a, ''), split(bits_b, ''), "
-        "(u, v) -> CASE WHEN u <> v THEN 1 ELSE 0 END), 0, (acc, x) -> acc + x)"
-    )
-    hash_pairs = (
-        a.join(b, ["bi", "bs"])
-        .filter(F.col("bits_a") < F.col("bits_b"))
-        .select("bits_a", "bits_b")
-        .distinct()  # a hash pair can share several bands
-        .withColumn("hamming", ham.cast("long"))
-        .filter(F.col("hamming") <= max_ham)
+    hash_pairs = _hamming_hash_pairs(
+        groups.select("__bits"), max_ham=max_ham, n_bands=n_bands, nbits=nbits
     )
 
     # expand hash pairs back through the two id lists; order-normalize
@@ -1819,3 +1847,120 @@ def hamming_near_pairs(
         .filter(F.col("id_a") != F.col("id_b"))
     )
     return intra.unionByName(cross)
+
+
+def hamming_keep_best(
+    hashed: DataFrame,
+    id_col: str,
+    bits_col: str,
+    quality: DataFrame,
+    quality_col: str,
+    max_ham: int = 4,
+    n_bands: int | None = None,
+    nbits: int = 64,
+) -> DataFrame:
+    """Canonical selection for a duplicate-heavy HASH-fingerprinted corpus
+    (the image-family ``keep_best``): cluster Hamming-≤``max_ham``
+    neighborhoods and keep, per cluster, the member with the best
+    ``quality`` (tie → lowest id) — WITHOUT ever materializing the id
+    pair table ``hamming_near_pairs`` emits (r12 verdict #3: at the sf10
+    probe depth that audit table is 835 M rows; the representatives are
+    what a training pipeline actually consumes).
+
+    Exactness argument (pinned by test_hamming_keep_best_equals_pair_
+    composition): selection ranks members lexicographically by
+    (quality desc, id asc), and argmax over a cluster equals argmax over
+    the per-hash argmaxes — every cluster member belongs to exactly one
+    hash group, each group contributes its best member, and max/min are
+    associative — so only per-hash SUMMARIES (count, best quality, best
+    id) ever cross a shuffle.
+
+    Scale shape, and why this beats composing the pair table with
+    ``keep_best``:
+    - per-hash state is O(1) — two aggregates over (id, bits, quality)
+      rows; NO ``collect_list`` of ids, so the 10⁷-duplicates-of-one-hash
+      corpus that makes ``hamming_near_pairs`` build a multi-GB group row
+      costs one summary row here;
+    - the banded join + exact verify (shared ``_hamming_hash_pairs``
+      core) runs over DISTINCT hashes, and its output — the hash-level
+      near-dup graph — is what ``dup_clusters`` clusters: graph size
+      tracks distinct-hash adjacency, never duplicate multiplicity;
+    - winner selection is two partial-aggregatable aggregates over the
+      per-hash summary frame (max quality per cluster, then min id among
+      achievers) — the ``keep_best`` no-window shape, AQE-skew-safe.
+
+    ``quality`` is an (id, score) frame; scores are compared in scaled
+    basis points (×10⁴, exact cross-engine); ids missing from it rank
+    worst but still count toward cluster_size.  NULL-hash ids cannot be
+    compared and surface as ``'unique'``.
+
+    Returns (``id_col``, cluster_size, reason): ``'unique'`` for an
+    unduplicated image, ``'best_of_cluster'`` for the retained member of
+    each near-dup cluster (size counts ALL members, Hamming-0 copies
+    included); dropped members don't appear.
+    """
+    n_bands = int(n_bands or (max_ham + 1))
+    if n_bands <= max_ham:
+        raise ValueError("completeness needs n_bands > max_ham (pigeonhole)")
+    from stateful_spark_streaming_spark.caching import track_persist
+
+    qbp = F.round(F.col(quality_col).cast("double") * 10000).cast("long")
+    members = (
+        hashed.select(F.col(id_col).alias("__id"), F.col(bits_col).alias("__bits"))
+        .join(
+            quality.select(F.col(id_col).alias("__id"), qbp.alias("__qbp")),
+            "__id",
+            "left",
+        )
+        .withColumn("__qbp", F.coalesce(F.col("__qbp"), F.lit(-1).cast("long")))
+    )
+    # per-distinct-hash summary: O(1) per hash regardless of duplicate
+    # multiplicity (count + best quality), never an id list
+    grp = members.filter(F.col("__bits").isNotNull()).groupBy("__bits").agg(
+        F.count(F.lit(1)).cast("long").alias("__n"),
+        F.max("__qbp").alias("__gq"),
+    )
+    # min id among the hash group's best-quality members — the keep_best
+    # two-aggregate shape (no window; min keeps the tie rule type-agnostic)
+    gbest = (
+        members.join(grp.select("__bits", "__gq"), "__bits")
+        .filter(F.col("__qbp") == F.col("__gq"))
+        .groupBy("__bits")
+        .agg(F.min("__id").alias("__gid"))
+    )
+    # persisted: feeds the edge generator, the cluster join, and the
+    # winner selection — distinct-hash-sized, bounded above by the input
+    gsum = track_persist(grp.join(gbest, "__bits"))
+
+    edges = _hamming_hash_pairs(
+        gsum.select("__bits"), max_ham=max_ham, n_bands=n_bands, nbits=nbits
+    )
+    clusters = dup_clusters(edges, id_a="bits_a", id_b="bits_b")
+    full = gsum.join(
+        clusters.select(F.col("doc_id").alias("__bits"), "cluster_rep"),
+        "__bits",
+        "left",
+    ).withColumn("__rep", F.coalesce(F.col("cluster_rep"), F.col("__bits")))
+    csum = full.groupBy("__rep").agg(
+        F.sum("__n").cast("long").alias("cluster_size"),
+        F.max("__gq").alias("__cq"),
+    )
+    winners = (
+        full.join(csum, "__rep")
+        .filter(F.col("__gq") == F.col("__cq"))
+        .groupBy("__rep", "cluster_size")
+        .agg(F.min("__gid").alias("__id"))
+        .select(
+            F.col("__id").alias(id_col),
+            F.col("cluster_size"),
+            F.when(F.col("cluster_size") == 1, F.lit("unique"))
+            .otherwise(F.lit("best_of_cluster"))
+            .alias("reason"),
+        )
+    )
+    nulls = members.filter(F.col("__bits").isNull()).select(
+        F.col("__id").alias(id_col),
+        F.lit(1).cast("long").alias("cluster_size"),
+        F.lit("unique").alias("reason"),
+    )
+    return winners.unionByName(nulls)

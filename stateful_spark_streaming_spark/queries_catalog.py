@@ -4917,6 +4917,97 @@ def q_image_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "image_dedup_keep_best",
+    oracle="""
+    WITH RECURSIVE meta AS (
+      SELECT doc_id AS image_id,
+             CAST(n_chars % 64 + 32 AS BIGINT) AS w,
+             CAST(n_chars % 48 + 24 AS BIGINT) AS h
+      FROM documents),
+    cell AS (
+      SELECT image_id, j, i,
+             ((image_id*7 + 3*((i*w)//8) + 5*((j*h)//8)) % 256
+            + (image_id*7 + 3*((i*w)//8) + 5*((j*h)//8) + 11) % 256
+            + (image_id*7 + 3*((i*w)//8) + 5*((j*h)//8) + 22) % 256) // 3
+               AS luma
+      FROM meta,
+           LATERAL unnest(range(0, 8)) AS t1(i),
+           LATERAL unnest(range(0, 8)) AS t2(j)),
+    mu AS (SELECT image_id, sum(luma) // 64 AS m FROM cell GROUP BY image_id),
+    hashes AS (
+      SELECT c.image_id,
+             string_agg(CASE WHEN luma > m THEN '1' ELSE '0' END, ''
+                        ORDER BY j*8 + i) AS bits
+      FROM cell c JOIN mu USING (image_id) GROUP BY c.image_id),
+    hq AS (
+      SELECT h.image_id, h.bits, CAST(m.w * m.h * 10000 AS BIGINT) AS qbp
+      FROM hashes h JOIN meta m USING (image_id)),
+    grp AS (
+      SELECT bits, count(*) AS n, max(qbp) AS gq FROM hq GROUP BY bits),
+    gbest AS (
+      SELECT h.bits, min(h.image_id) AS gid
+      FROM hq h JOIN grp g ON h.bits = g.bits AND h.qbp = g.gq
+      GROUP BY h.bits),
+    dh AS (SELECT bits FROM grp),
+    edge AS (
+      SELECT a.bits AS ba, b.bits AS bb
+      FROM dh a JOIN dh b ON a.bits < b.bits
+      WHERE (SELECT count(*) FROM unnest(range(1, 65)) t(p)
+             WHERE substring(a.bits, p::INT, 1)
+                <> substring(b.bits, p::INT, 1)) <= 4),
+    sym AS (SELECT ba AS n1, bb AS n2 FROM edge
+            UNION ALL SELECT bb, ba FROM edge),
+    reach AS (
+      SELECT bits AS node, bits AS lbl FROM dh
+      UNION
+      SELECT s.n1 AS node, r.lbl
+      FROM sym s JOIN reach r ON r.node = s.n2),
+    rep AS (SELECT node AS bits, min(lbl) AS rep FROM reach GROUP BY node),
+    full_g AS (
+      SELECT g.bits, g.n, g.gq, gb.gid, r.rep
+      FROM grp g JOIN gbest gb USING (bits) JOIN rep r USING (bits)),
+    csum AS (
+      SELECT rep, sum(n) AS cluster_size, max(gq) AS cq
+      FROM full_g GROUP BY rep),
+    winner AS (
+      SELECT f.rep, c.cluster_size, min(f.gid) AS image_id
+      FROM full_g f JOIN csum c ON f.rep = c.rep AND f.gq = c.cq
+      GROUP BY f.rep, c.cluster_size)
+    SELECT image_id,
+           CAST(cluster_size AS BIGINT) AS cluster_size,
+           CASE WHEN cluster_size = 1 THEN 'unique'
+                ELSE 'best_of_cluster' END AS reason
+    FROM winner
+    """,
+)
+def q_image_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical IMAGE selection (r12 verdict #3): Hamming-≤4 perceptual
+    neighborhoods collapse to one retained representative each — the
+    highest-resolution copy (pixel count, tie → lowest id) — without
+    materializing the near-dup pair table ``image_near_dups`` emits for
+    audit (835 M rows at the sf10 probe depth; wall there tracks the
+    DISTINCT-hash graph instead).  FULL oracle: DuckDB re-derives the
+    ahash bits, brute-forces the distinct-hash Hamming graph, runs
+    connected components as a recursive min-label closure, and applies
+    the same (quality, id) lexicographic winner rule in scaled-integer
+    arithmetic."""
+    from stateful_spark_streaming_spark.operators.dedup import (
+        hamming_keep_best,
+    )
+
+    img = _image_fixture(spark, sf_dir)
+    hashed = MM.image_ahash(img)
+    quality = img.select(
+        "image_id",
+        (F.col("width").cast("double") * F.col("height")).alias("pixels"),
+    )
+    return hamming_keep_best(
+        hashed, "image_id", "ahash_bits", quality, "pixels",
+        max_ham=4, n_bands=5,
+    )
+
+
+@query(
     "streaming_partitioned_ingest",
     oracle="""
     SELECT CAST(ts AS DATE) AS event_date, event_type,
@@ -5081,7 +5172,8 @@ _CHEAP_FIRST = [
     "order_priority_checking", "large_volume_customers", "top_supplier",
     "partitioned_events_scan", "similar_part_names", "interval_overlap",
     "image_ahash", "streaming_event_pairs_left", "incremental_monthly_revenue",
-    "image_near_dups", "streaming_incremental_monthly_revenue",
+    "image_near_dups", "image_dedup_keep_best",
+    "streaming_incremental_monthly_revenue",
     "important_parts", "parts_supplier_counts", "idle_rich_customers",
     "orders_expectations", "campaign_attribution", "hard_negatives",
     "quality_deciles", "streaming_partitioned_ingest",

@@ -140,3 +140,83 @@ def test_keep_best_missing_quality_and_string_ids(spark):
         "c": (2, "best_of_cluster"),
         "e": (1, "unique"),
     }
+
+
+# ---------------------------------------------------------------------------
+# hamming_keep_best (image-family canonical selection, r12 verdict #3)
+# ---------------------------------------------------------------------------
+
+
+def test_hamming_keep_best_crafted_graph(spark):
+    """Hand-checkable: H-0 copies + an H-1 bridge form one cluster whose
+    winner is the best-quality member (tie -> lowest id); an isolated
+    hash is 'unique'; a NULL hash cannot be compared and stays."""
+    from stateful_spark_streaming_spark.operators.dedup import hamming_keep_best
+
+    hashed = spark.createDataFrame(
+        [(1, "00000000"), (2, "00000000"), (3, "00000000"),
+         (4, "00000001"), (5, "11110000"), (6, None)],
+        "img long, bits string",
+    )
+    qual = spark.createDataFrame(
+        [(1, 10.0), (2, 50.0), (3, 50.0), (4, 20.0), (5, 1.0)],
+        "img long, q double",
+    )
+    got = sorted(
+        (r.img, r.cluster_size, r.reason)
+        for r in hamming_keep_best(
+            hashed, "img", "bits", qual, "q", max_ham=2, n_bands=4, nbits=8
+        ).collect()
+    )
+    assert got == [
+        (2, 4, "best_of_cluster"),  # {1,2,3,4}; q-tie 2/3 -> min id 2
+        (5, 1, "unique"),
+        (6, 1, "unique"),           # NULL hash: kept, uncomparable
+    ]
+
+
+def test_hamming_keep_best_equals_pair_composition(spark):
+    """The exactness pin the operator's docstring names: on a seeded
+    duplicate-heavy corpus, hamming_keep_best == composing the audit
+    pair table (hamming_near_pairs) with keep_best — identical retained
+    ids, cluster sizes, and reasons — while never building id lists."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from stateful_spark_streaming_spark.operators.dedup import (
+        hamming_keep_best,
+        hamming_near_pairs,
+        keep_best,
+    )
+
+    rng = random.Random(13)
+    # pool of 8-bit hashes with deliberate near-collisions; heavy reuse
+    pool = ["00000000", "00000001", "00010001", "11110000", "11110011",
+            "10101010", "01010101", "11111111"]
+    rows = [(i, rng.choice(pool)) for i in range(1, 61)]
+    hashed = spark.createDataFrame(rows, "doc_id long, bits string")
+    qual = spark.createDataFrame(
+        [(i, (i * 7 % 5) * 0.25) for i in range(1, 61)],
+        "doc_id long, quality_score double",
+    )
+
+    direct = sorted(
+        (r.doc_id, r.cluster_size, r.reason)
+        for r in hamming_keep_best(
+            hashed, "doc_id", "bits", qual, "quality_score",
+            max_ham=2, n_bands=3, nbits=8,
+        ).collect()
+    )
+
+    pairs = hamming_near_pairs(
+        hashed, "doc_id", "bits", max_ham=2, n_bands=3, nbits=8
+    ).select(F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b"))
+    composed = sorted(
+        (r.doc_id, r.cluster_size, r.reason)
+        for r in keep_best(
+            hashed.select("doc_id"), pairs, qual
+        ).collect()
+    )
+    assert direct == composed
+    assert len(direct) < 60, "fixture produced no duplicate clusters"

@@ -354,6 +354,11 @@ CHECKS = {
     # the all-pairs product the oracle brute-forces
     "image_near_dups": ([], ["CartesianProduct",
                              "BroadcastNestedLoopJoin"], None),
+    # canonical image selection: same banded core over the persisted
+    # per-hash SUMMARY frame (no collect_list, no pair expansion) +
+    # summary-sized cluster/winner joins — never an all-pairs product
+    "image_dedup_keep_best": ([], ["CartesianProduct",
+                                   "BroadcastNestedLoopJoin"], None),
     # Q11-shape: the twice-consumed value agg must be pinned (InMemory
     # scan) and the scalar threshold joined as a single-row BROADCAST
     # nested loop (a > comparison has no equi-key) — lineitem scanned once
