@@ -1898,6 +1898,20 @@ def hamming_keep_best(
     unduplicated image, ``'best_of_cluster'`` for the retained member of
     each near-dup cluster (size counts ALL members, Hamming-0 copies
     included); dropped members don't appear.
+
+    CHOOSE ``max_ham`` BY PROBING — connected components COMPOUND the
+    radius: A~B and B~C chain A and C at distance up to 2·max_ham, and
+    in a dense hash space the closure percolates into one giant
+    component that "retains" a single image for the whole corpus
+    (measured on the synthetic corpus at sf0.1: max_ham=4 → 1 cluster of
+    all 2 860 distinct hashes, max_ham=2 → a 2 704-hash giant, max_ham=1
+    → healthy structure; SCALE.md r13).  The exactness contract holds at
+    any radius — percolation is a semantics property of transitive
+    closure, not a bug here — so probe the output's ``cluster_size``
+    distribution and tighten the radius (or widen the hash) until the
+    largest cluster is plausibly one content item.  The audit pair
+    table (``hamming_near_pairs``) does not compound: a pair appears
+    only at its own distance.
     """
     n_bands = int(n_bands or (max_ham + 1))
     if n_bands <= max_ham:
@@ -1905,7 +1919,13 @@ def hamming_keep_best(
     from stateful_spark_streaming_spark.caching import track_persist
 
     qbp = F.round(F.col(quality_col).cast("double") * 10000).cast("long")
-    members = (
+    # PERSISTED: members feeds three consumers (the per-hash count/quality
+    # aggregate, the best-id join-back, and the NULL-hash tail) and its
+    # upstream is typically an expensive decode/hash kernel (image_ahash
+    # re-decodes every blob) — without the pin the kernel runs once PER
+    # CONSUMER (measured 3× the decode wall at the sf10 probe depth).
+    # The cache is corpus-sized but columnar-narrow: (id, bits, qbp).
+    members = track_persist(
         hashed.select(F.col(id_col).alias("__id"), F.col(bits_col).alias("__bits"))
         .join(
             quality.select(F.col(id_col).alias("__id"), qbp.alias("__qbp")),

@@ -256,19 +256,21 @@ def ivf_build(
     SIZING ``n_centroids`` — why the benched/probed value is a pinned 8
     and deliberately NOT a corpus-derived rule (the n_planes/n_tables
     treatment does not transfer here): IVF's recall comes from CLUSTER
-    STRUCTURE — a query's true neighbors concentrating in few cells.
-    The test corpora are isotropic random vectors, where expected
-    recall@k ≈ the scanned fraction nprobe/C no matter how C is chosen,
-    so raising C at fixed nprobe strictly trades recall away for read
-    pruning with no structure to exploit; 8 cells at nprobe 2-3 keeps
-    the scanned fraction 25-37% with probe-measured recall, and the 2 M
-    79×-over-brute headline is PQ compute-pruning × that read-pruning.
-    On a real (clustered) corpus the production rule is the standard
-    C ≈ √N (bounded below by layout health, ~tens of MB per cell
-    partition) with nprobe set from a recall probe on held-out queries —
-    a data-dependent measurement this synthetic corpus cannot stand in
-    for, which is exactly why the knob stays explicit instead of
-    self-sizing to a formula the data would falsify.
+    STRUCTURE — a query's true neighbors concentrating in few cells —
+    and how much structure a corpus has is a MEASUREMENT, not a formula.
+    Even on the isotropic test corpus, angular proximity correlates with
+    Euclidean cell membership, so recall at the benched (C=8, nprobe=2)
+    measures well ABOVE the random-cell floor nprobe/C: 0.65 at 2 k
+    vectors and ~0.7-0.75 at nprobe=3 for a 25-37% scanned fraction,
+    re-measured at the 2 M depth with balanced cells (r13 probe,
+    SCALE.md; pytest pins the floor and the nprobe=C exactness
+    fallback).  Raising C at fixed nprobe cuts the read fraction and
+    recall together along a corpus-dependent curve; the production rule
+    is the standard C ≈ √N (bounded below by layout health, ~tens of MB
+    per cell partition) with nprobe set from a recall probe on held-out
+    queries — a data-dependent measurement this synthetic corpus cannot
+    stand in for, which is exactly why the knob stays explicit instead
+    of self-sizing to a formula the data would falsify.
     """
     import numpy as np
 

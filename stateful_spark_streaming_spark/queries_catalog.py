@@ -4954,7 +4954,7 @@ def q_image_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM dh a JOIN dh b ON a.bits < b.bits
       WHERE (SELECT count(*) FROM unnest(range(1, 65)) t(p)
              WHERE substring(a.bits, p::INT, 1)
-                <> substring(b.bits, p::INT, 1)) <= 4),
+                <> substring(b.bits, p::INT, 1)) <= 1),
     sym AS (SELECT ba AS n1, bb AS n2 FROM edge
             UNION ALL SELECT bb, ba FROM edge),
     reach AS (
@@ -4981,16 +4981,21 @@ def q_image_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_image_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Canonical IMAGE selection (r12 verdict #3): Hamming-≤4 perceptual
+    """Canonical IMAGE selection (r12 verdict #3): perceptual-hash
     neighborhoods collapse to one retained representative each — the
     highest-resolution copy (pixel count, tie → lowest id) — without
     materializing the near-dup pair table ``image_near_dups`` emits for
-    audit (835 M rows at the sf10 probe depth; wall there tracks the
-    DISTINCT-hash graph instead).  FULL oracle: DuckDB re-derives the
-    ahash bits, brute-forces the distinct-hash Hamming graph, runs
-    connected components as a recursive min-label closure, and applies
-    the same (quality, id) lexicographic winner rule in scaled-integer
-    arithmetic."""
+    audit.  RADIUS 1, not the pair table's 4: connected components
+    COMPOUND the radius (A~B~C chains at 2·max_ham), and the r13 probe
+    measured percolation on this corpus at wider radii — max_ham=4
+    collapses all 2 860 distinct sf0.1 hashes into ONE cluster (a single
+    "representative" for 5 000 images), max_ham=2 into a 2 704-hash
+    giant; radius 1 keeps the closure where clusters are plausibly one
+    content item (hamming_keep_best's docstring names the probe rule).
+    FULL oracle: DuckDB re-derives the ahash bits, brute-forces the
+    distinct-hash Hamming graph, runs connected components as a
+    recursive min-label closure, and applies the same (quality, id)
+    lexicographic winner rule in scaled-integer arithmetic."""
     from stateful_spark_streaming_spark.operators.dedup import (
         hamming_keep_best,
     )
@@ -5003,7 +5008,7 @@ def q_image_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return hamming_keep_best(
         hashed, "image_id", "ahash_bits", quality, "pixels",
-        max_ham=4, n_bands=5,
+        max_ham=1, n_bands=2,
     )
 
 

