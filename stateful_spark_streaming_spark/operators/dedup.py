@@ -1289,10 +1289,12 @@ def dup_clusters(
     - ≤ ``max_driver_edges``: collect the edge list and run union-find on
       the driver — exact, one pass, no per-round job overhead.  The bound
       keeps driver memory explicit (2M edges ≈ 32 MB of longs).
-    - larger: distributed min-label propagation — each round one equi-join
-      + one aggregate over (node, label) pairs, edges cached and reused;
-      converges in O(graph diameter) rounds, and only the changed-count
-      reaches the driver.
+    - larger: distributed min-label propagation WITH POINTER JUMPING —
+      each round one edge equi-join + aggregate plus one label-of-label
+      join over (node, label) pairs, edges cached and reused; jumping
+      halves chain distances every round, so convergence is
+      O(log diameter) rounds (diameter 2^20 fits the default max_iter)
+      and only the changed-count reaches the driver.
 
     The tier probe and the fast-path fetch are ONE action: collect
     ``limit(max_driver_edges + 1)`` rows — if the limit is hit, fall
@@ -1326,6 +1328,7 @@ def dup_clusters(
     probe = pairs.select(id_a, id_b).limit(max_driver_edges + 1).toPandas()
     if len(probe) <= max_driver_edges:
         dup_clusters.last_tier = "driver"
+        dup_clusters.last_rounds = None
         log.info(
             "dup_clusters: driver union-find tier (%d edges <= %d)",
             len(probe), max_driver_edges,
@@ -1391,13 +1394,33 @@ def dup_clusters(
             .groupBy("src")
             .agg(F.min("label").alias("nlabel"))
         )
-        new_labels = labels.join(
-            neighbor_min, labels.node == neighbor_min.src, "left"
-        ).select(
-            "node",
-            F.least(
-                F.col("label"), F.coalesce(F.col("nlabel"), F.col("label"))
-            ).alias("label"),
+        # POINTER JUMPING: besides the neighbor minimum, adopt
+        # label(label(node)) from the previous round — long chains halve
+        # every round, so convergence is O(log diameter) rounds instead
+        # of O(diameter) (the shortcutting move of the CC-in-MapReduce
+        # literature, e.g. Rastogi et al.'s Hash-to-Min).  Cost: one
+        # extra equi-join per round against the CACHED label set; the
+        # fixpoint is unchanged — labels only decrease, every adopted
+        # label is a component member's id, and changed==0 still forces
+        # every edge label-equal, which pins the per-component constant
+        # to the component minimum.  Without this, a 100 TB-corpus
+        # boilerplate chain with diameter in the hundreds needs hundreds
+        # of shuffle rounds (and trips max_iter); with it, diameter 2^20
+        # converges inside the default max_iter=20.
+        jump = labels.select(
+            F.col("node").alias("__jn"), F.col("label").alias("__jl")
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.node == neighbor_min.src, "left")
+            .join(jump, labels.label == F.col("__jn"), "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("label"),
+                    F.coalesce(F.col("nlabel"), F.col("label")),
+                    F.coalesce(F.col("__jl"), F.col("label")),
+                ).alias("label"),
+            )
         )
         # TRUNCATE LINEAGE periodically: each round's plan references the
         # previous round TWICE (neighbor join + left join), so plan size
@@ -1431,6 +1454,7 @@ def dup_clusters(
             if last_ckpt_rdd is not None:
                 last_ckpt_rdd.unpersist(False)
             last_ckpt_rdd = _ckpt_rdd(new_labels)
+        dup_clusters.last_rounds = i + 1
         if changed == 0:
             break
     sym.unpersist()
@@ -1440,8 +1464,8 @@ def dup_clusters(
         raise RuntimeError(
             f"dup_clusters did not converge in max_iter={max_iter} rounds "
             f"({changed} labels still moving): a component's diameter "
-            "exceeds max_iter — raise max_iter (rounds cost one join+agg "
-            "each and converge in O(graph diameter))"
+            "exceeds 2^max_iter — raise max_iter (rounds cost one join+agg "
+            "+ one pointer-jump join each and converge in O(log diameter))"
         )
     return labels.select(
         F.col("node").alias("doc_id"), F.col("label").alias("cluster_rep")
@@ -1450,6 +1474,9 @@ def dup_clusters(
 
 #: which tier the most recent dup_clusters call took ("driver"/"distributed")
 dup_clusters.last_tier = None
+#: rounds the most recent DISTRIBUTED run took (None for driver tier) —
+#: pointer jumping keeps this ~log2(largest component diameter)
+dup_clusters.last_rounds = None
 
 
 #: SimHash fingerprint width: 60 bits = the md5_h60 token-hash width.

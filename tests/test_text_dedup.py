@@ -862,3 +862,26 @@ def test_banded_candidate_pairs_cap_prefilters_before_collect(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "LeftAnti" not in open_plan
+
+
+def test_dup_clusters_pointer_jumping_converges_logarithmically(spark):
+    """The distributed tier's r13 pointer-jumping step: a diameter-40
+    chain must converge within max_iter=12 (plain min-label propagation
+    needs ~40 rounds and would trip the non-convergence raise) and the
+    reported round count must be logarithmic, not linear, in diameter.
+    The fixpoint is unchanged: every node labels to the chain minimum."""
+    from pyspark.sql import Row
+
+    from stateful_spark_streaming_spark.operators.dedup import dup_clusters
+
+    chain = spark.createDataFrame(
+        [Row(doc_a=i, doc_b=i + 1) for i in range(1000, 1040)]
+    )
+    got = {r.doc_id: r.cluster_rep
+           for r in dup_clusters(chain, max_driver_edges=0, max_iter=12).collect()}
+    assert got == {i: 1000 for i in range(1000, 1041)}
+    assert dup_clusters.last_tier == "distributed"
+    assert dup_clusters.last_rounds <= 10, (
+        f"pointer jumping should finish a diameter-40 chain in ~log2(40)+2 "
+        f"rounds, took {dup_clusters.last_rounds}"
+    )
