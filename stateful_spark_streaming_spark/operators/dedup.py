@@ -1736,9 +1736,27 @@ def _hamming_hash_pairs(
     )
     a = e.select(F.col("__bits").alias("bits_a"), "bi", "bs")
     b = e.select(F.col("__bits").alias("bits_b"), "bi", "bs")
-    ham = F.expr(
-        "aggregate(zip_with(split(bits_a, ''), split(bits_b, ''), "
-        "(u, v) -> CASE WHEN u <> v THEN 1 ELSE 0 END), 0, (acc, x) -> acc + x)"
+    # exact verify via packed 32-bit chunks: bit_count(xor) is a JVM
+    # intrinsic per chunk — vs the old aggregate(zip_with(split(...)))
+    # form, which built two nbits-element string arrays PER CANDIDATE
+    # PAIR (the dominant cost when a saturated fingerprint makes band
+    # buckets fat; r13 probe).  32-bit chunks keep conv() inside long
+    # range with sign intact; a trailing partial chunk compares equal
+    # widths on both sides, so the distance is unchanged.
+    ham = sum(
+        F.bit_count(
+            F.coalesce(
+                F.conv(F.substring(F.col("bits_a"), i * 32 + 1, 32), 2, 10),
+                F.lit("0"),
+            ).cast("long")
+            .bitwiseXOR(
+                F.coalesce(
+                    F.conv(F.substring(F.col("bits_b"), i * 32 + 1, 32), 2, 10),
+                    F.lit("0"),
+                ).cast("long")
+            )
+        )
+        for i in range(-(-nbits // 32))
     )
     return (
         a.join(b, ["bi", "bs"])
