@@ -1997,6 +1997,36 @@ def hamming_keep_best(
     # winner selection — distinct-hash-sized, bounded above by the input
     gsum = track_persist(grp.join(gbest, "__bits"))
 
+    winners = keep_best_from_hash_summaries(
+        gsum, id_col=id_col, max_ham=max_ham, n_bands=n_bands, nbits=nbits
+    )
+    nulls = members.filter(F.col("__bits").isNull()).select(
+        F.col("__id").alias(id_col),
+        F.lit(1).cast("long").alias("cluster_size"),
+        F.lit("unique").alias("reason"),
+    )
+    return winners.unionByName(nulls)
+
+
+def keep_best_from_hash_summaries(
+    gsum: DataFrame,
+    id_col: str,
+    max_ham: int = 4,
+    n_bands: int | None = None,
+    nbits: int = 64,
+) -> DataFrame:
+    """The cluster/winner TAIL of :func:`hamming_keep_best`, taking the
+    per-distinct-hash summary frame directly: one row per hash with
+    ``__bits`` (the fingerprint), ``__n`` (member count), ``__gq``
+    (best member quality, scaled long), ``__gid`` (min id among the
+    best-quality members).  Factored out so an INGEST-time log of
+    mergeable per-hash partials (the streaming twin: n is additive,
+    (gq, gid) folds as max(struct(gq, −gid))) feeds the same graph
+    clustering and lexicographic winner rule as the batch operator —
+    single-pass ingest ≡ batch, pinned in tests."""
+    n_bands = int(n_bands or (max_ham + 1))
+    if n_bands <= max_ham:
+        raise ValueError("completeness needs n_bands > max_ham (pigeonhole)")
     edges = _hamming_hash_pairs(
         gsum.select("__bits"), max_ham=max_ham, n_bands=n_bands, nbits=nbits
     )
@@ -2010,7 +2040,7 @@ def hamming_keep_best(
         F.sum("__n").cast("long").alias("cluster_size"),
         F.max("__gq").alias("__cq"),
     )
-    winners = (
+    return (
         full.join(csum, "__rep")
         .filter(F.col("__gq") == F.col("__cq"))
         .groupBy("__rep", "cluster_size")
@@ -2023,9 +2053,3 @@ def hamming_keep_best(
             .alias("reason"),
         )
     )
-    nulls = members.filter(F.col("__bits").isNull()).select(
-        F.col("__id").alias(id_col),
-        F.lit(1).cast("long").alias("cluster_size"),
-        F.lit("unique").alias("reason"),
-    )
-    return winners.unionByName(nulls)

@@ -477,6 +477,12 @@ STAGED_SINK_COMPACTION = {
     "distinct_kmv": dict(
         keys=["event_type"], sums=("n_rows",), kmvs=("hs",), kmv_k=256
     ),
+    # run_streaming_image_keep_best: <ckpt>_partials (n additive; the
+    # lexicographic best = struct(gq, neg) folds by plain struct max) and
+    # <ckpt>_nullids (per-id identity rows — no batch stamp, replay
+    # dedupe IS the fold, like minhash_admitted)
+    "image_kb_partials": dict(keys=["bits"], sums=("n",), maxs=("best",)),
+    "image_kb_nullids": dict(keys=["image_id"], batch_col=None),
     # run_streaming_heavy_hitters: <ckpt>_counters (CMS counters are
     # additive) and <ckpt>_cands (identity rows, replay-deduped on read)
     "cms_counters": dict(keys=["r", "b"], sums=("n",)),
@@ -1716,6 +1722,161 @@ def run_streaming_distinct_kmv(
         .drop("__rk")
     )
     return kmv_finalize(bottom, counts, key, k)
+
+
+def run_streaming_image_keep_best(
+    spark: SparkSession,
+    images_path: str,
+    checkpoint_dir: str | None = None,
+    max_ham: int = 1,
+    n_bands: int | None = None,
+    grid: int = 8,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """Ingest-time canonical IMAGE selection — the streaming twin of
+    ``dedup.hamming_keep_best`` over an image-table stream (the
+    multimodal family's first ingest runner).  Each micro-batch decodes
+    its images ONCE (ahash kernel), then appends only per-distinct-hash
+    MERGEABLE partials: ``n`` (member count, additive) and ``best`` =
+    ``struct(gq, neg)`` with gq = scaled pixel-count quality and neg =
+    −image_id — a lexicographic struct whose ``max`` fold IS the batch
+    operator's (quality desc, id asc) winner rule, because max over
+    per-batch (max gq, −min-achiever-id) pairs equals the global pair
+    (achievers partition across batches; numeric ids required for the
+    negation).  The read side dedupes replays, folds per hash, and runs
+    the SAME graph tail (``keep_best_from_hash_summaries``) as batch —
+    single-pass ingest ≡ batch exactly, pinned in pytest.
+
+    Undecodable (NULL-blob) images can't be compared and land in a
+    separate per-id sidecar log (they must surface individually as
+    ``'unique'``; folding them under one NULL-hash key would merge
+    them).  Both logs compact: ``STAGED_SINK_COMPACTION
+    ['image_kb_partials'／'image_kb_nullids']``.
+
+    State/shuffle shape at 100 TB: the partial log is distinct-hash-
+    sized per batch (never image rows), blob bytes never cross a
+    shuffle (the decode is map-only inside the batch), and the fold is
+    a plain keyed aggregate — the same staged-sink story as the vocab /
+    CMS / KMV runners."""
+    from pyspark.sql import functions as F
+
+    from stateful_spark_streaming_spark.operators import multimodal as MM
+    from stateful_spark_streaming_spark.operators.dedup import (
+        keep_best_from_hash_summaries,
+    )
+
+    checkpoint_dir = checkpoint_dir or tempfile.mkdtemp(prefix="sss_ckpt_imgkb_")
+    out_dir = checkpoint_dir + "_partials"
+    null_dir = checkpoint_dir + "_nullids"
+    nbits = grid * grid
+    stream = _stage_parquet_stream(spark, images_path, max_files_per_trigger)
+
+    def _sink(bdf: DataFrame, batch_id: int) -> None:
+        qbp = F.round(
+            F.col("width").cast("double") * F.col("height") * 10000
+        ).cast("long")
+        # pin the decoded batch: grp, gbest, and the null tail all read it,
+        # and its upstream is the per-image decode kernel
+        hashed = MM.image_ahash(bdf, grid=grid).join(
+            bdf.select("image_id", qbp.alias("__qbp")), "image_id"
+        ).persist()
+        ok = hashed.filter(F.col("ahash_bits").isNotNull())
+        grp = ok.groupBy(F.col("ahash_bits").alias("bits")).agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.max("__qbp").alias("__gq"),
+        )
+        gbest = (
+            ok.join(
+                grp.select(F.col("bits").alias("ahash_bits"), "__gq"),
+                "ahash_bits",
+            )
+            .filter(F.col("__qbp") == F.col("__gq"))
+            .groupBy(F.col("ahash_bits").alias("bits"))
+            .agg(F.min("image_id").alias("__gid"))
+        )
+        (
+            grp.join(gbest, "bits")
+            .select(
+                "bits",
+                "n",
+                F.struct(
+                    F.col("__gq").alias("gq"),
+                    (-F.col("__gid")).alias("neg"),
+                ).alias("best"),
+            )
+            .withColumn("_batch_id", F.lit(batch_id))
+            .coalesce(1)  # partials are distinct-hash tiny
+            .write.mode("append")
+            .parquet(out_dir)
+        )
+        nulls = hashed.filter(F.col("ahash_bits").isNull()).select("image_id")
+        if nulls.limit(1).count():
+            nulls.coalesce(1).write.mode("append").parquet(null_dir)
+        hashed.unpersist()
+
+    q = (
+        stream.writeStream.foreachBatch(_sink)
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    _await_or_die(q)
+
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    partial_schema = StructType(
+        [
+            StructField("bits", StringType()),
+            StructField("n", LongType()),
+            StructField(
+                "best",
+                StructType(
+                    [StructField("gq", LongType()), StructField("neg", LongType())]
+                ),
+            ),
+            StructField("_batch_id", LongType()),
+        ]
+    )
+    staged = (
+        spark.read.parquet(out_dir)
+        if os.path.exists(out_dir)
+        else spark.createDataFrame([], partial_schema)
+    )
+    gsum = (
+        staged.dropDuplicates(["bits", "_batch_id"])
+        .groupBy(F.col("bits").alias("__bits"))
+        .agg(
+            F.sum("n").cast("long").alias("__n"),
+            F.max("best").alias("__b"),
+        )
+        .select(
+            "__bits",
+            "__n",
+            F.col("__b.gq").alias("__gq"),
+            (-F.col("__b.neg")).alias("__gid"),
+        )
+    )
+    winners = keep_best_from_hash_summaries(
+        gsum, id_col="image_id", max_ham=max_ham, n_bands=n_bands, nbits=nbits
+    )
+    if os.path.exists(null_dir):
+        nulls = (
+            spark.read.parquet(null_dir)
+            .distinct()  # replay dedupe: identity rows
+            .select(
+                "image_id",
+                F.lit(1).cast("long").alias("cluster_size"),
+                F.lit("unique").alias("reason"),
+            )
+        )
+        winners = winners.unionByName(nulls)
+    return winners
 
 
 def run_streaming_quality_histogram(

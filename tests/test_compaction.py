@@ -335,3 +335,78 @@ def test_streaming_distinct_kmv_exact_and_compactable(spark, tmp_path):
     compact_partial_log(spark, out_dir, **distinct_kmv_compaction_spec(k=k))
     assert _n_files(out_dir) < n_dirty
     assert sorted(map(tuple, run().collect())) == streamed
+
+
+def test_streaming_image_keep_best_exact_and_compactable(spark, tmp_path):
+    """The multimodal family's first INGEST runner, all three staged-sink
+    contracts in one fixture: (1) multi-batch streaming EQUALS the batch
+    hamming_keep_best exactly (per-hash n is additive and the
+    lexicographic best folds as max(struct(gq, −id)) — achievers
+    partition across batches, so the fold is the batch winner rule);
+    (2) replayed appends change nothing; (3) both staged logs compact
+    through their declared fold classes with read results identical."""
+    import pyspark.sql.functions as F
+
+    from stateful_spark_streaming_spark.operators import multimodal as MM
+    from stateful_spark_streaming_spark.operators.dedup import hamming_keep_best
+    from stateful_spark_streaming_spark.streaming.pipeline import (
+        run_streaming_image_keep_best,
+    )
+
+    # the synth pixel pattern is (id·7 + 3x + 5y + 11c) mod 256, so two
+    # ids CONGRUENT mod 256 with equal (w, h) are pixel-identical — plant
+    # 12 groups of 3 exact copies, one copy per micro-batch, so hash
+    # groups straddle batches and the cross-batch fold is really exercised
+    batches_docs = [
+        [(i + 256 * r, 40 + (i % 5) * 3) for i in range(12)] for r in range(3)
+    ]
+    docs = [d for b in batches_docs for d in b]
+    cols = ("image_id", "data", "format", "width", "height")
+    batches = []
+    for bdocs in batches_docs:
+        d = spark.createDataFrame(bdocs, "doc_id long, n_chars long")
+        rows = [tuple(r) for r in MM.synthesize_image_table(spark, d).collect()]
+        batches.append(rows)
+    src = _land_batches(spark, tmp_path, "imgkb", batches, cols)
+
+    ck = str(tmp_path / "ck_imgkb")
+
+    def run():
+        return run_streaming_image_keep_best(
+            spark, src, checkpoint_dir=ck, max_ham=1, max_files_per_trigger=1
+        )
+
+    got = sorted(map(tuple, run().collect()))
+
+    # batch reference over the union of all batches
+    full = spark.createDataFrame(docs, "doc_id long, n_chars long")
+    img = MM.synthesize_image_table(spark, full)
+    hashed = MM.image_ahash(img)
+    quality = img.select(
+        "image_id",
+        (F.col("width").cast("double") * F.col("height")).alias("pixels"),
+    )
+    want = sorted(map(tuple, hamming_keep_best(
+        hashed, "image_id", "ahash_bits", quality, "pixels",
+        max_ham=1, n_bands=2,
+    ).collect()))
+    assert got == want and len(got) > 1
+    assert any(r[2] == "best_of_cluster" for r in got), (
+        "fixture produced no duplicate clusters — equality proves nothing"
+    )
+
+    # replay idempotency: duplicate the appended partials, result unchanged
+    out_dir = ck + "_partials"
+    for f in glob.glob(os.path.join(out_dir, "part-*.parquet")):
+        shutil.copy(f, f.replace("part-", "replay-part-"))
+    assert sorted(map(tuple, run().collect())) == want
+
+    # compaction: fold classes declared in STAGED_SINK_COMPACTION
+    n_dirty = _n_files(out_dir)
+    compact_partial_log(spark, out_dir, **STAGED_SINK_COMPACTION["image_kb_partials"])
+    null_dir = ck + "_nullids"
+    compact_partial_log(
+        spark, null_dir, **STAGED_SINK_COMPACTION["image_kb_nullids"]
+    )  # missing-log no-op (synthetic corpus has no null blobs)
+    assert _n_files(out_dir) < n_dirty
+    assert sorted(map(tuple, run().collect())) == want
