@@ -1903,6 +1903,7 @@ def hamming_keep_best(
     max_ham: int = 4,
     n_bands: int | None = None,
     nbits: int = 64,
+    max_cluster_frac: float | None = None,
 ) -> DataFrame:
     """Canonical selection for a duplicate-heavy HASH-fingerprinted corpus
     (the image-family ``keep_best``): cluster Hamming-≤``max_ham``
@@ -1957,6 +1958,14 @@ def hamming_keep_best(
     largest cluster is plausibly one content item.  The audit pair
     table (``hamming_near_pairs``) does not compound: a pair appears
     only at its own distance.
+
+    ``max_cluster_frac`` operationalizes that rule in the operator: when
+    set (e.g. 0.5), the call RAISES if any cluster holds more than that
+    fraction of the corpus — the percolated regime where "canonical
+    selection" silently degenerates into keep-one-image.  One
+    summary-sized aggregate; the sf10 probe found exactly this state
+    (largest cluster 98.5% of 500 k images at a saturated 64-bit hash),
+    and a pipeline should stop there, not publish the output.
     """
     n_bands = int(n_bands or (max_ham + 1))
     if n_bands <= max_ham:
@@ -1998,7 +2007,8 @@ def hamming_keep_best(
     gsum = track_persist(grp.join(gbest, "__bits"))
 
     winners = keep_best_from_hash_summaries(
-        gsum, id_col=id_col, max_ham=max_ham, n_bands=n_bands, nbits=nbits
+        gsum, id_col=id_col, max_ham=max_ham, n_bands=n_bands, nbits=nbits,
+        max_cluster_frac=max_cluster_frac,
     )
     nulls = members.filter(F.col("__bits").isNull()).select(
         F.col("__id").alias(id_col),
@@ -2014,6 +2024,7 @@ def keep_best_from_hash_summaries(
     max_ham: int = 4,
     n_bands: int | None = None,
     nbits: int = 64,
+    max_cluster_frac: float | None = None,
 ) -> DataFrame:
     """The cluster/winner TAIL of :func:`hamming_keep_best`, taking the
     per-distinct-hash summary frame directly: one row per hash with
@@ -2040,6 +2051,24 @@ def keep_best_from_hash_summaries(
         F.sum("__n").cast("long").alias("cluster_size"),
         F.max("__gq").alias("__cq"),
     )
+    if max_cluster_frac is not None:
+        # percolation guard (see hamming_keep_best's docstring): one
+        # summary-sized aggregate — a cluster swallowing more than the
+        # stated corpus fraction means the radius/hash-width is past its
+        # discriminative capacity and the "representatives" are fiction
+        st = csum.agg(
+            F.max("cluster_size").alias("mx"), F.sum("cluster_size").alias("tot")
+        ).collect()[0]
+        if st.tot and st.mx > max_cluster_frac * st.tot:
+            raise ValueError(
+                f"hamming keep-best percolated: largest cluster holds "
+                f"{st.mx} of {st.tot} members "
+                f"({st.mx / st.tot:.1%} > max_cluster_frac="
+                f"{max_cluster_frac:.0%}) — the Hamming closure at "
+                f"max_ham={max_ham} exceeds the fingerprint's "
+                "discriminative capacity for this corpus; tighten the "
+                "radius or widen the hash (e.g. image_ahash grid=16)"
+            )
     return (
         full.join(csum, "__rep")
         .filter(F.col("__gq") == F.col("__cq"))

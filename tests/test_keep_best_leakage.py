@@ -220,3 +220,36 @@ def test_hamming_keep_best_equals_pair_composition(spark):
     )
     assert direct == composed
     assert len(direct) < 60, "fixture produced no duplicate clusters"
+
+
+def test_hamming_keep_best_percolation_guard(spark):
+    """max_cluster_frac operationalizes the r13 probe rule: a Hamming
+    closure whose largest cluster swallows more than the stated corpus
+    fraction must RAISE (the sf10 state: one 'representative' for 98.5%
+    of the corpus), while a healthy graph passes under the same bound."""
+    import pytest
+
+    from stateful_spark_streaming_spark.operators.dedup import hamming_keep_best
+
+    # chain 0000→0001→0011→0111→1111 percolates at radius 1: one cluster
+    # of all 10 images across 5 hashes
+    chain = spark.createDataFrame(
+        [(i, h) for i, h in enumerate(
+            ["0000", "0000", "0001", "0001", "0011", "0011",
+             "0111", "0111", "1111", "1111"])],
+        "img long, bits string",
+    )
+    q = spark.createDataFrame([(i, 1.0) for i in range(10)], "img long, q double")
+    with pytest.raises(ValueError, match="percolated"):
+        hamming_keep_best(chain, "img", "bits", q, "q",
+                          max_ham=1, n_bands=2, nbits=4,
+                          max_cluster_frac=0.5).collect()
+    # same guard, healthy graph: two well-separated hash groups pass
+    ok = spark.createDataFrame(
+        [(0, "0000"), (1, "0000"), (2, "1111"), (3, "1111")],
+        "img long, bits string",
+    )
+    out = hamming_keep_best(ok, "img", "bits", q, "q",
+                            max_ham=1, n_bands=2, nbits=4,
+                            max_cluster_frac=0.5).collect()
+    assert len(out) == 2
