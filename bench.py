@@ -331,6 +331,21 @@ def main() -> None:
         ]
         rnd = max(rounds, default=0) + 1
         full_path = os.path.join(here, f"BENCH_full_r{rnd:02d}.json")
+        # never DOWNGRADE the round's record to a smaller SF: a quick
+        # sf0.01 smoke run must not clobber the round's sf0.1 evidence
+        # (caught in r13 — a verify-pass smoke overwrote the committed
+        # record in the working tree).  Same-or-larger SF still wins.
+        if os.path.exists(full_path):
+            try:
+                with open(full_path) as fh:
+                    prev_sf = json.load(fh).get("sf", 0)
+            except (OSError, ValueError):
+                prev_sf = 0
+            if base.get("sf", 0) < prev_sf:
+                raise OSError(
+                    f"refusing to overwrite sf={prev_sf} record with an "
+                    f"sf={base.get('sf')} run"
+                )
         with open(full_path, "w") as fh:
             json.dump(
                 {**base, "n_queries": len(timings), "n_errors": n_errors,

@@ -1423,14 +1423,17 @@ def dup_clusters(
             )
         )
         # TRUNCATE LINEAGE periodically: each round's plan references the
-        # previous round TWICE (neighbor join + left join), so plan size
-        # doubles per round — exponential growth that OOMs the driver
-        # merely stringifying the plan once the graph diameter passes ~10
-        # (caught by the skewed-component test).  Checkpointing EVERY
-        # round fixed that but cost an extra eager count()+block write per
-        # round (+47 % on dedup_clusters at sf0.1, VERDICT r3); every 3rd
-        # round bounds the un-truncated plan at 2^3 sub-plans over cached
-        # blocks while keeping per-round cost to one persist + one action.
+        # previous round THREE times (neighbor join + left join + the
+        # pointer-jump join), so plan size TRIPLES per round — exponential
+        # growth that OOMs the driver merely stringifying the plan once
+        # the graph diameter passes ~10 (caught by the skewed-component
+        # test, pre-jumping, when growth was 2×/round).  Checkpointing
+        # EVERY round fixed that but cost an extra eager count()+block
+        # write per round (+47 % on dedup_clusters at sf0.1, VERDICT r3);
+        # every 3rd round now bounds the un-truncated plan at 3^3 = 27
+        # sub-plans over cached blocks — still driver-trivial (the r3
+        # failure needed plan depth growing with diameter, not a fixed 27)
+        # while keeping per-round cost to one persist + one action.
         # localCheckpoint is deliberate (in-executor blocks, no DFS): on a
         # real cluster an executor loss mid-iteration kills the job — use
         # reliable .checkpoint() + spark.sparkContext.setCheckpointDir for
@@ -1720,8 +1723,32 @@ def _hamming_hash_pairs(
     back through id lists) and :func:`hamming_keep_best` (which clusters
     the hash graph directly and never builds id lists).  Shuffle volume
     is bounded by distinct-hash occupancy — duplicate mass never enters
-    the join."""
+    the join.
+
+    The ``nbits`` width is enforced HERE, on every caller's path: bands
+    are substring positions and the packed ``bit_count(xor)`` verify
+    reads exactly ``nbits`` chars, so a wider hash than declared (e.g.
+    a user who widened to ``image_ahash(grid=16)`` per the percolation
+    advice but left ``nbits=64``) would silently score two images equal
+    on their first 64 bits as Hamming-0 — merged, clustered, one
+    dropped as a "duplicate".  Mismatched rows raise loudly instead."""
     width = -(-nbits // n_bands)  # ceil
+    mismatch = F.length(F.col("__bits")) != nbits
+    distinct_bits = distinct_bits.withColumn(
+        "__bits",
+        F.when(
+            mismatch,
+            F.raise_error(
+                F.concat(
+                    F.lit(
+                        f"hamming banded join: expected {nbits}-char bit "
+                        "string (nbits), got length "
+                    ),
+                    F.length(F.col("__bits")).cast("string"),
+                )
+            ),
+        ).otherwise(F.col("__bits")),
+    )
     bands = F.array(
         *[
             F.struct(

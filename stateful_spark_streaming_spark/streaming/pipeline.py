@@ -382,18 +382,28 @@ def compact_partial_log(
         return  # nothing staged yet — zero-batch streams have no log
     df = spark.read.parquet(path)
     orig_cols = list(df.columns)
-    value_cols = [*sums, *mins, *maxs, *hlls, *kmvs]
-    declared = set(keys) | set(value_cols) | ({batch_col} if batch_col else set())
-    if set(orig_cols) != declared:
-        raise ValueError(
-            f"partial log at {path} has columns {sorted(df.columns)}, "
-            f"declared {sorted(declared)} — refusing to drop data silently"
-        )
-    if kmvs:
-        # a log written with k > kmv_k would be silently NARROWED by the
-        # slice below, corrupting the read path's estimates — the sketch
-        # width is not recorded in the log, so measure it (one cheap agg
-        # over the partial log) and fail loudly on a mismatch (ADVICE r12)
+    if kmvs and "_kmv_k" in df.columns:
+        # the writer stamped its sketch width into the log (the strong
+        # form of the ADVICE r12 guard): validate it outright — the
+        # width-measuring fallback below can NOT catch a narrowing fold
+        # when every per-batch sketch is individually under the wrong k
+        # but their union exceeds it (review r13)
+        ks = [r[0] for r in df.select("_kmv_k").distinct().collect()]
+        if ks and set(ks) != {int(kmv_k)}:
+            raise ValueError(
+                f"partial log at {path} is stamped _kmv_k={sorted(ks)} but "
+                f"this compaction uses kmv_k={kmv_k} — a mismatched fold "
+                "narrows/widens the sketch and corrupts read-path "
+                "estimates.  Compact with "
+                "distinct_kmv_compaction_spec(k=<writer's k>)."
+            )
+        # constant per log — carry it through the fold unchanged
+        maxs = (*maxs, "_kmv_k")
+    elif kmvs:
+        # stampless (pre-r13) log: measure the staged width — catches a
+        # log written with k > kmv_k whenever any batch saw ≥ kmv_k
+        # distincts, but NOT the all-batches-narrow union case; the
+        # stamped path above is the complete guard
         widest = df.select(
             *[F.max(F.size(F.col(c))).alias(c) for c in kmvs]
         ).first()
@@ -406,6 +416,13 @@ def compact_partial_log(
                     "read-path estimates.  Compact with "
                     "distinct_kmv_compaction_spec(k=<writer's k>)."
                 )
+    value_cols = [*sums, *mins, *maxs, *hlls, *kmvs]
+    declared = set(keys) | set(value_cols) | ({batch_col} if batch_col else set())
+    if set(orig_cols) != declared:
+        raise ValueError(
+            f"partial log at {path} has columns {sorted(df.columns)}, "
+            f"declared {sorted(declared)} — refusing to drop data silently"
+        )
     if batch_col is None:
         folded = df.distinct()
     else:
@@ -472,8 +489,9 @@ STAGED_SINK_COMPACTION = {
     # run_streaming_distinct_kmv: <ckpt>_sketches (bottom-k hash arrays
     # fold by set-union + re-bottom-k).  NOTE: assumes the runner's
     # DEFAULT k=256 — a log written with another k must use
-    # distinct_kmv_compaction_spec(k) or the fold would widen/narrow the
-    # sketch relative to the read path.
+    # distinct_kmv_compaction_spec(k).  Since r13 the writer stamps its k
+    # into the log (`_kmv_k`), so a mismatched fold or read FAILS LOUDLY
+    # instead of silently re-widthing the sketch.
     "distinct_kmv": dict(
         keys=["event_type"], sums=("n_rows",), kmvs=("hs",), kmv_k=256
     ),
@@ -1674,6 +1692,12 @@ def run_streaming_distinct_kmv(
         (
             counts.join(bottom, key, "left")
             .withColumn("_batch_id", F.lit(batch_id))
+            # stamp the sketch width INTO the log: a fold or read under a
+            # different k narrows/widens the sketch silently (the width
+            # heuristic alone can't catch a narrowing fold when every
+            # per-batch sketch happens to be under the wrong k — their
+            # UNION can still exceed it; review r13)
+            .withColumn("_kmv_k", F.lit(int(k)))
             .coalesce(1)  # partials are key-cardinality tiny
             .write.mode("append")
             .parquet(out_dir)
@@ -1709,6 +1733,18 @@ def run_streaming_distinct_kmv(
         )
     else:
         staged = spark.read.parquet(out_dir)
+    if "_kmv_k" in staged.columns:
+        # refuse to read a log written under a different k: bottom-k of a
+        # union of bottom-k' sketches is only the global bottom-k when
+        # k <= k', and the m < k exact-count branch is wrong either way
+        ks = [r[0] for r in staged.select("_kmv_k").distinct().collect()]
+        if ks and set(ks) != {int(k)}:
+            raise ValueError(
+                f"staged KMV log {out_dir} was written with k={sorted(ks)}, "
+                f"but this read uses k={k} — re-read with the writer's k "
+                "(mixing widths silently corrupts the estimator)"
+            )
+        staged = staged.drop("_kmv_k")
     staged = staged.dropDuplicates([key, "_batch_id"])
     counts = staged.groupBy(key).agg(F.sum("n_rows").alias("n_rows"))
     merged = (
@@ -1772,9 +1808,17 @@ def run_streaming_image_keep_best(
     stream = _stage_parquet_stream(spark, images_path, max_files_per_trigger)
 
     def _sink(bdf: DataFrame, batch_id: int) -> None:
-        qbp = F.round(
-            F.col("width").cast("double") * F.col("height") * 10000
-        ).cast("long")
+        # coalesce NULL quality (NULL width/height) to -1 — the batch
+        # operator's missing-quality rank.  Without it a hash group whose
+        # members ALL have NULL quality gets gq NULL, the achiever filter
+        # never matches, and the inner join drops the whole group from the
+        # output (streaming would silently lose images batch retains).
+        qbp = F.coalesce(
+            F.round(
+                F.col("width").cast("double") * F.col("height") * 10000
+            ).cast("long"),
+            F.lit(-1).cast("long"),
+        )
         # pin the decoded batch: grp, gbest, and the null tail all read it,
         # and its upstream is the per-image decode kernel
         hashed = MM.image_ahash(bdf, grid=grid).join(
@@ -1848,7 +1892,14 @@ def run_streaming_image_keep_best(
         if os.path.exists(out_dir)
         else spark.createDataFrame([], partial_schema)
     )
-    gsum = (
+    from stateful_spark_streaming_spark.caching import track_persist
+
+    # persisted for the same reason the batch operator pins its gsum
+    # (dedup.py): keep_best_from_hash_summaries consumes the summary
+    # frame from several sub-plans (edge generation, the cluster join,
+    # winner selection) — unpinned, each consumer re-runs the staged-log
+    # scan + replay-dedupe + fold.  Distinct-hash-sized.
+    gsum = track_persist(
         staged.dropDuplicates(["bits", "_batch_id"])
         .groupBy(F.col("bits").alias("__bits"))
         .agg(

@@ -336,6 +336,16 @@ def test_streaming_distinct_kmv_exact_and_compactable(spark, tmp_path):
     assert _n_files(out_dir) < n_dirty
     assert sorted(map(tuple, run().collect())) == streamed
 
+    # the read path itself validates the log's k stamp: re-reading the
+    # same staged log under a different k must refuse, not silently take
+    # the m < k exact-count branch on a differently-sized sketch
+    import pytest
+
+    with pytest.raises(ValueError, match="written with k"):
+        run_streaming_distinct_kmv(
+            spark, src, k=k // 2, checkpoint_dir=ck, max_files_per_trigger=1
+        )
+
 
 def test_streaming_image_keep_best_exact_and_compactable(spark, tmp_path):
     """The multimodal family's first INGEST runner, all three staged-sink
@@ -410,3 +420,112 @@ def test_streaming_image_keep_best_exact_and_compactable(spark, tmp_path):
     )  # missing-log no-op (synthetic corpus has no null blobs)
     assert _n_files(out_dir) < n_dirty
     assert sorted(map(tuple, run().collect())) == want
+
+
+def test_kmv_k_stamp_closes_the_all_narrow_union_hole(spark, tmp_path):
+    """r13 review: the WIDTH heuristic alone cannot catch a narrowing
+    fold when every per-batch sketch is individually under the (wrong)
+    spec k but their UNION exceeds it — the fold slices the union and
+    the read path's m < k branch then reports the sliced width as an
+    EXACT count.  The writer now stamps its k into the log (`_kmv_k`):
+    a mismatched fold refuses regardless of staged widths, a matched
+    fold carries the stamp through unchanged."""
+    import pytest
+
+    from stateful_spark_streaming_spark.streaming.pipeline import (
+        distinct_kmv_compaction_spec,
+    )
+
+    p = str(tmp_path / "kmv_stamped")
+    # two batches, widths 3 each — both under the wrong spec's k=4, so
+    # the width heuristic passes; the union holds 6 hashes
+    spark.createDataFrame(
+        [("t0", 10, [1, 2, 3], 0, 8), ("t0", 5, [4, 5, 6], 1, 8)],
+        ["event_type", "n_rows", "hs", "_batch_id", "_kmv_k"],
+    ).write.parquet(p)
+    with pytest.raises(ValueError, match="_kmv_k"):
+        compact_partial_log(spark, p, **distinct_kmv_compaction_spec(k=4))
+    compact_partial_log(spark, p, **distinct_kmv_compaction_spec(k=8))
+    row = spark.read.parquet(p).collect()
+    assert len(row) == 1
+    assert row[0].n_rows == 15 and row[0].hs == [1, 2, 3, 4, 5, 6]
+    assert row[0]._kmv_k == 8
+
+
+def test_streaming_image_keep_best_null_quality_parity(spark, tmp_path):
+    """r13 review: a hash group whose members ALL have NULL width/height
+    got qbp = NULL in the ingest sink — the achiever filter never
+    matched, the inner join dropped the whole group, and the streamed
+    output silently LOST images the batch operator retains (batch ranks
+    missing quality as -1).  Pin streaming == batch on exactly that
+    corpus, plus the every-image-accounted invariant the bug broke."""
+    import pyspark.sql.functions as F
+
+    from stateful_spark_streaming_spark.operators import multimodal as MM
+    from stateful_spark_streaming_spark.operators.dedup import hamming_keep_best
+    from stateful_spark_streaming_spark.streaming.pipeline import (
+        run_streaming_image_keep_best,
+    )
+
+    # two exact-copy pairs straddling the two batches (ids congruent mod
+    # 256 with equal n_chars are pixel-identical); the id%256==7 pair has
+    # its width/height NULLed — rank -1 on every member of that hash group
+    batches_docs = [[(1, 40), (7, 43)], [(257, 40), (263, 43)]]
+    cols = ("image_id", "data", "format", "width", "height")
+    batches = []
+    for bdocs in batches_docs:
+        d = spark.createDataFrame(bdocs, "doc_id long, n_chars long")
+        t = (
+            MM.synthesize_image_table(spark, d)
+            .withColumn(
+                "width",
+                F.when(F.col("image_id") % 256 == 7, None).otherwise(
+                    F.col("width")
+                ),
+            )
+            .withColumn(
+                "height",
+                F.when(F.col("image_id") % 256 == 7, None).otherwise(
+                    F.col("height")
+                ),
+            )
+        )
+        batches.append([tuple(r) for r in t.select(*cols).collect()])
+    src = _land_batches(spark, tmp_path, "imgkbnull", batches, cols)
+
+    got = sorted(
+        map(
+            tuple,
+            run_streaming_image_keep_best(
+                spark,
+                src,
+                checkpoint_dir=str(tmp_path / "ck_imgkb_null"),
+                max_ham=1,
+                max_files_per_trigger=1,
+            ).collect(),
+        )
+    )
+    img = spark.read.parquet(src)
+    want = sorted(
+        map(
+            tuple,
+            hamming_keep_best(
+                MM.image_ahash(img),
+                "image_id",
+                "ahash_bits",
+                img.select(
+                    "image_id",
+                    (F.col("width").cast("double") * F.col("height")).alias(
+                        "pixels"
+                    ),
+                ),
+                "pixels",
+                max_ham=1,
+                n_bands=2,
+            ).collect(),
+        )
+    )
+    assert got == want
+    # every image accounted for: sum of cluster sizes == corpus size (the
+    # dropped-group bug made this 2, not 4)
+    assert sum(r[1] for r in got) == 4

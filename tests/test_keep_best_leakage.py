@@ -253,3 +253,35 @@ def test_hamming_keep_best_percolation_guard(spark):
                             max_ham=1, n_bands=2, nbits=4,
                             max_cluster_frac=0.5).collect()
     assert len(out) == 2
+
+
+def test_hamming_keep_best_rejects_mismatched_hash_width(spark):
+    """r13 review: the percolation error itself tells users to widen the
+    hash (image_ahash grid=16 → 256-bit), and a user who does that but
+    leaves nbits at 64 would have had bands and the packed bit_count
+    verify computed over only the first 64 chars — two images identical
+    in their first 64 bits scored Hamming-0, merged, and one silently
+    dropped as a "duplicate".  The banded core now enforces the declared
+    width on every caller's path."""
+    import pytest
+
+    from stateful_spark_streaming_spark.operators.dedup import (
+        hamming_keep_best,
+    )
+
+    wide = [("a", "0" * 256, 1.0), ("b", "1" * 256, 2.0)]
+    hashed = spark.createDataFrame(
+        [(i, b) for i, b, _ in wide], ["img", "bits"]
+    )
+    qual = spark.createDataFrame([(i, q) for i, _, q in wide], ["img", "q"])
+    # the raise fires during construction already: dup_clusters' tier
+    # probe eagerly evaluates the (guarded) edge plan
+    with pytest.raises(Exception, match="expected 64-char"):
+        hamming_keep_best(
+            hashed, "img", "bits", qual, "q", max_ham=1
+        ).collect()
+    # declaring the true width works
+    ok = hamming_keep_best(
+        hashed, "img", "bits", qual, "q", max_ham=1, nbits=256
+    )
+    assert sorted(r.img for r in ok.collect()) == ["a", "b"]
