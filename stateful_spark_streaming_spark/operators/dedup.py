@@ -1563,42 +1563,100 @@ def simhash_fingerprints_mapinpandas(
 def simhash_near_pairs(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id", max_hamming: int = 3
 ) -> DataFrame:
-    """SimHash near-dup pairs: Hamming distance ≤ max_hamming, found by the
-    pigeonhole trick — split 60 bits into (max_hamming+1) chunks; any pair
-    within distance max_hamming agrees exactly on ≥1 chunk → equi-join per
-    chunk, verify with popcount."""
+    """SimHash near-dup pairs: Hamming distance ≤ max_hamming over the
+    60-bit fingerprints — pigeonhole banding (split into max_hamming+1
+    chunks; any qualifying pair agrees exactly on ≥1 chunk) + exact
+    popcount verify, COMPLETE and cap-free, with the banded join running
+    over DISTINCT fingerprints only (the image-family rework of
+    :func:`hamming_near_pairs`, generalized to the text family):
+
+    1. ids group by identical fingerprint — exact-duplicate text shares
+       the fingerprint exactly, so Hamming-0 pairs expand WITHIN groups,
+       never through a join or a bucket;
+    2. chunk-equality banding + popcount runs over the distinct
+       fingerprints — bucket sizes track distinct-fp occupancy of the
+       15-bit chunk space, never duplicate multiplicity;
+    3. fingerprint pairs expand back through the two id lists.
+
+    The old row-level form pushed every duplicate COPY into its chunk
+    buckets: m identical docs made m-row buckets in all chunks (the m²
+    candidate blowup the r12 image probe measured), and past the
+    hot-bucket cap the whole group was silently DROPPED — zero pairs
+    exactly where duplicate mass is densest, on the corpus shape (a
+    duplicate-heavy crawl) this operator exists for.  The decomposition
+    is exact and needs no cap: a saturating distinct-fp chunk bucket
+    means the fingerprint is too narrow for the corpus — widen it (the
+    image family's grid=16 rule), don't cap recall.
+
+    MEMORY UNIT (same as :func:`hamming_near_pairs`): the per-distinct-fp
+    id-list row — a fingerprint carrying ~10⁷ duplicate ids makes one
+    multi-GB aggregate row before the expand, at which point the m²/2
+    pair OUTPUT is absurd anyway; canonical selection should compose
+    ``dup_clusters`` + ``keep_best``, whose per-fp state is O(1)."""
+    from stateful_spark_streaming_spark.caching import track_persist
+
     n_chunks = max_hamming + 1
     chunk_bits = SIMHASH_BITS // n_chunks
     # map-side numpy fingerprints (bit-identical to simhash(), pytested):
-    # removes the 60-conditional-sum aggregation shuffle — the only
-    # shuffle left is the candidate bucket grouping
-    fps = simhash_fingerprints_mapinpandas(_spread(df), text_col, id_col).select(
-        F.col("doc_id"), F.col("simhash64")
+    # removes the 60-conditional-sum aggregation shuffle
+    fps = simhash_fingerprints_mapinpandas(_spread(df), text_col, id_col)
+    # one id-list row per DISTINCT fingerprint; persisted — feeds the
+    # intra expand, the band rows, and both sides of the cross expansion,
+    # and its upstream is the per-doc tokenize+hash kernel
+    groups = track_persist(
+        fps.groupBy(F.col("simhash64").alias("__fp")).agg(
+            F.collect_list("doc_id").alias("__ids")
+        )
+    )
+    # Hamming-0: all pairs within an identical-fingerprint group
+    intra = (
+        groups.select(F.explode("__ids").alias("doc_a"), "__ids")
+        .select("doc_a", F.explode("__ids").alias("doc_b"))
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .withColumn("hamming", F.lit(0).cast("int"))
     )
     chunk_vals = F.array(
         *[
-            F.shiftrightunsigned(F.col("simhash64"), c * chunk_bits).bitwiseAND(
+            F.shiftrightunsigned(F.col("__fp"), c * chunk_bits).bitwiseAND(
                 F.lit((1 << chunk_bits) - 1)
             )
             for c in range(n_chunks)
         ]
     )
-    # the fingerprint rides inside the item struct, so verification needs no
-    # join back; ONE bucket shuffle generates all candidates
-    items = fps.select(
-        F.struct(
-            F.col("doc_id").alias("id"), F.col("simhash64").alias("fp")
-        ).alias("item"),
+    items = groups.select(
+        F.struct(F.col("__fp").alias("fp")).alias("item"),
         F.posexplode(chunk_vals).alias("band_id", "band_hash"),
     )
-    return (
-        banded_candidate_pairs(items)
-        .withColumn("hamming", F.bit_count(F.col("a.fp").bitwiseXOR(F.col("b.fp"))))
-        .filter(F.col("hamming") <= max_hamming)
-        .select(
-            F.col("a.id").alias("doc_a"), F.col("b.id").alias("doc_b"), "hamming"
+    fp_pairs = (
+        banded_candidate_pairs(items, id_field="fp", max_bucket_size=None)
+        .select(F.col("a.fp").alias("fp_a"), F.col("b.fp").alias("fp_b"))
+        .withColumn(
+            "hamming",
+            F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b"))).cast("int"),
         )
+        .filter(F.col("hamming") <= max_hamming)
     )
+    cross = (
+        fp_pairs.join(
+            groups.select(F.col("__fp").alias("fp_a"), F.col("__ids").alias("__ids_a")),
+            "fp_a",
+        )
+        .join(
+            groups.select(F.col("__fp").alias("fp_b"), F.col("__ids").alias("__ids_b")),
+            "fp_b",
+        )
+        .select(F.explode("__ids_a").alias("__ia"), "__ids_b", "hamming")
+        .select("__ia", F.explode("__ids_b").alias("__ib"), "hamming")
+        .select(
+            F.least("__ia", "__ib").alias("doc_a"),
+            F.greatest("__ia", "__ib").alias("doc_b"),
+            "hamming",
+        )
+        # duplicate doc_id input (outside the contract) would surface as a
+        # self-pair here — keep the old a.id < b.id exclusion
+        .filter(F.col("doc_a") != F.col("doc_b"))
+    )
+    return intra.unionByName(cross)
 
 
 def keep_best(

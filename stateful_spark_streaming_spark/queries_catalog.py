@@ -2191,9 +2191,6 @@ _SH_SUM_COLS = ",\n           ".join(
 _SH_FP_EXPR = "\n             + ".join(
     f"(CASE WHEN s{b} > 0 THEN (1::BIGINT << {b}) ELSE 0 END)" for b in range(60)
 )
-_SH_CHUNK_LIST = ", ".join(f"(f >> {c * 15}) & 32767" for c in range(4))
-
-
 @query(
     "dedup_simhash",
     oracle=f"""
@@ -2205,24 +2202,22 @@ _SH_CHUNK_LIST = ", ".join(f"(f >> {c * 15}) & 32767" for c in range(4))
            FROM th GROUP BY doc_id),
     fp AS (SELECT doc_id,
              {_SH_FP_EXPR}
-           AS f FROM bits),
-    ch AS (SELECT doc_id, f, unnest([{_SH_CHUNK_LIST}]) AS cv,
-                  unnest(range(4)) AS cid
-           FROM fp),
-    -- mirror the operator's hot-bucket guard (banded_candidate_pairs
-    -- max_bucket_size=2000): buckets outside [2, 2000] emit no pairs
-    okc AS (SELECT cid, cv FROM ch GROUP BY cid, cv
-            HAVING count(*) BETWEEN 2 AND 2000),
-    cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
-                    a.f AS fa, b.f AS fb
-             FROM ch a JOIN ch b
-               ON a.cid = b.cid AND a.cv = b.cv AND a.doc_id < b.doc_id
-             JOIN okc ON okc.cid = a.cid AND okc.cv = a.cv)
-    SELECT doc_a, doc_b, CAST(bit_count(xor(fa, fb)) AS INT) AS hamming
-    FROM cand WHERE bit_count(xor(fa, fb)) <= 3
+           AS f FROM bits)
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(bit_count(xor(a.f, b.f)) AS INT) AS hamming
+    FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.f, b.f)) <= 3
     """,
 )
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup text pairs (Hamming ≤ 3 over 60-bit fingerprints)
+    via distinct-fingerprint banding + popcount verify — since r13 the
+    operator is COMPLETE and cap-free (the image-family distinct-hash
+    decomposition generalized to text: duplicate mass expands in-group,
+    buckets hold distinct fingerprints only), so the oracle is the
+    all-pairs brute force over the re-derived fingerprints: hash equality
+    proves the fingerprint kernel AND the banding's losslessness, exactly
+    like image_near_dups."""
     return DD.simhash_near_pairs(_t(spark, sf_dir, "documents"), max_hamming=3)
 
 

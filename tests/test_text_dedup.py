@@ -885,3 +885,24 @@ def test_dup_clusters_pointer_jumping_converges_logarithmically(spark):
         f"pointer jumping should finish a diameter-40 chain in ~log2(40)+2 "
         f"rounds, took {dup_clusters.last_rounds}"
     )
+
+
+def test_simhash_heavy_duplicate_group_is_complete(spark):
+    """r13 rework regression: the old row-level banding pushed every
+    duplicate COPY into its chunk buckets, and past the hot-bucket cap
+    (2000) the whole identical-text group was silently DROPPED — zero
+    pairs exactly where duplicate mass is densest.  The distinct-
+    fingerprint decomposition expands Hamming-0 pairs in-group and is
+    cap-free: 2,050 identical docs must emit all 2050·2049/2 pairs, plus
+    the near pair to a one-word variant."""
+    m = 2050
+    rows = [(i, "the same exact boilerplate sentence repeated") for i in range(m)]
+    rows.append((m, "the same exact boilerplate sentence repeatedly"))
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = DD.simhash_near_pairs(docs, max_hamming=16)
+    zero = out.filter("hamming = 0").count()
+    assert zero == m * (m - 1) // 2
+    near = out.filter("hamming > 0")
+    # the variant doc pairs with EVERY copy of the boilerplate group
+    assert near.count() == m
+    assert near.filter(f"doc_b = {m}").count() == m
