@@ -1202,20 +1202,57 @@ def minhash_lsh_pairs(
     bands ≈ 67% recall per the standard S-curve; raise num_hashes/bands for
     higher recall at scale.
 
+    EXACT-DUPLICATE MASS IS FACTORED OUT FIRST (r13, the image-family
+    distinct-hash decomposition generalized to the MinHash family): ids
+    group by identical text, the whole LSH pipeline — shingle, signature
+    kernel, banding, bucket join, Jaccard verify — runs over ONE
+    representative per distinct text, and duplicate multiplicity
+    re-enters only at output expansion (identical text ⇒ identical
+    shingle set ⇒ jaccard 1.0 in-group; a rep pair's verified
+    n_common/jaccard carries to every copy pair verbatim, because the
+    copies' shingle sets ARE the reps').  The old row-level form pushed
+    every duplicate copy into all ``bands`` buckets — m identical docs
+    made m-row buckets (m² candidate mass), and past the hot-bucket cap
+    the whole group was silently DROPPED: zero pairs exactly where
+    duplicate mass is densest.  Now bucket sizes track DISTINCT-text
+    occupancy, and the cap means what it should: genuine band-hash
+    collision across different contents.
+
     ``max_bucket_size`` passes through to :func:`banded_candidate_pairs`.
     The default (2000, mirrored by every LSH oracle) bounds PER-TASK pair
     expansion, but TOTAL candidate mass is Σ sz(sz−1)/2 over buckets under
-    the cap — on a boilerplate-heavy corpus bucket sizes grow with the
-    corpus, so mass grows super-linearly (measured: 73 k → 14.8 M → 867 M
-    candidates at 5 k → 50 k → 500 k docs on the replica-marked probe
-    corpus, SCALE.md r10).  At 100 TB, measure the bucket histogram first
-    (``lsh_bucket_stats`` — one aggregate) and size this cap to the pair
-    budget, exactly like ``jaccard_pairs``'s ``max_shingle_df``.
+    the cap — on a boilerplate-heavy corpus DISTINCT-text bucket sizes
+    still grow with the corpus, so mass grows super-linearly (measured
+    r10 pre-decomposition: 73 k → 14.8 M → 867 M candidates at
+    5 k → 50 k → 500 k docs on the replica-marked probe corpus; the
+    replica mass now expands in-group instead — SCALE.md r13 re-probe).
+    At 100 TB, measure the bucket histogram first (``lsh_bucket_stats``
+    — one aggregate) and size this cap to the pair budget, exactly like
+    ``jaccard_pairs``'s ``max_shingle_df``.
 
-    Cache lifetime: the shingle sets that verification joins twice are
-    persisted and stay cached past the caller's action (see jaccard_pairs
+    MEMORY UNIT (same as :func:`hamming_near_pairs`): the per-distinct-
+    text id-list row — ~10⁷ copies of one boilerplate page make one
+    multi-GB aggregate row before the expand, at which point the m²/2
+    pair OUTPUT is absurd anyway; canonical selection should compose
+    ``dup_clusters`` + ``keep_best``.
+
+    Cache lifetime: the text groups and rep shingle sets are persisted
+    and stay cached past the caller's action (see jaccard_pairs
     docstring for the clearCache / write-to-storage guidance).
     """
+    # one id-list row per DISTINCT text; the group key is the text value
+    # itself (the kernel path shuffles every text once through _spread
+    # anyway, so the grouping shuffle replaces — not adds to — that move,
+    # and everything downstream shrinks by the duplicate factor)
+    groups = track_persist(
+        df.groupBy(F.col(text_col).alias("__text")).agg(
+            F.min(F.col(id_col)).alias("__rep"),
+            F.collect_list(F.col(id_col)).alias("__ids"),
+        )
+    )
+    reps = groups.select(
+        F.col("__rep").alias(id_col), F.col("__text").alias(text_col)
+    )
     # Band hashes come MAP-SIDE from the Arrow numpy kernel (bit-identical
     # to the explode→groupBy minhash_signatures path — pytested), which
     # ELIMINATES the signature-aggregation shuffle entirely: the only
@@ -1223,11 +1260,11 @@ def minhash_lsh_pairs(
     # The band md5 embeds the band id, so cross-band collisions are
     # impossible and band_id can be constant in the bucket key (the DuckDB
     # oracle joins on band_hash alone and enumerates the SAME candidates).
-    # Sentinel rows for < k-token docs are unique per doc — they can never
+    # Sentinel rows for < k-token docs are unique per rep — they can never
     # form a bucket of 2, so they contribute no pairs, matching the old
     # path which dropped shingle-less docs before signatures.
     band_rows = minhash_band_rows_mapinpandas(
-        _spread(df), text_col, id_col, k, num_hashes, bands
+        _spread(reps), text_col, id_col, k, num_hashes, bands
     )
     items = band_rows.select(
         F.lit(0).alias("band_id"),
@@ -1237,24 +1274,24 @@ def minhash_lsh_pairs(
     cands = banded_candidate_pairs(items, max_bucket_size=max_bucket_size).select(
         F.col("a.id").alias("doc_a"), F.col("b.id").alias("doc_b")
     )
-    # verify candidates with exact Jaccard (joins back to shingle sets);
-    # the sets feed BOTH join sides, so persist them — one shingle pass,
-    # not two
+    # verify candidates with exact Jaccard (joins back to REP shingle
+    # sets); the sets feed BOTH join sides plus the in-group tail, so
+    # persist them — one shingle pass, not three
     sets = track_persist(
-        _spread(df)
+        _spread(reps)
         .select(F.col(id_col).alias("doc"), shingles(F.col(text_col), k).alias("sh"))
     )
     a = sets.select(F.col("doc").alias("doc_a"), F.col("sh").alias("sh_a"))
     b_ = sets.select(F.col("doc").alias("doc_b"), F.col("sh").alias("sh_b"))
     # MERGE hints on the verification joins: the shingle-set side is
-    # O(corpus) with array payloads, but Catalyst's LOGICAL size estimate
-    # for it shrinks under autoBroadcastJoinThreshold at scale and the
-    # STATIC plan then broadcasts it — measured at the 500k-doc probe:
-    # driver OOM building a ~GB broadcast (SCALE.md r10).  AQE cannot
-    # repair a static broadcast choice (it only demotes on empty
+    # O(distinct texts) with array payloads, but Catalyst's LOGICAL size
+    # estimate for it shrinks under autoBroadcastJoinThreshold at scale
+    # and the STATIC plan then broadcasts it — measured at the 500k-doc
+    # probe: driver OOM building a ~GB broadcast (SCALE.md r10).  AQE
+    # cannot repair a static broadcast choice (it only demotes on empty
     # partitions), so the join strategy must be pinned: sort-merge on the
     # id scales unconditionally and AQE skew-join still applies.
-    out = (
+    rep_pairs = (
         cands.join(a.hint("merge"), "doc_a")
         .join(b_.hint("merge"), "doc_b")
         .withColumn("n_common", F.size(F.array_intersect("sh_a", "sh_b")))
@@ -1269,7 +1306,55 @@ def minhash_lsh_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "n_common", "jaccard")
     )
-    return out
+    # expand rep pairs back through both id lists (copies share the reps'
+    # shingle sets, so n_common/jaccard carry verbatim)
+    cross = (
+        rep_pairs.join(
+            groups.select(
+                F.col("__rep").alias("doc_a"), F.col("__ids").alias("__ids_a")
+            ),
+            "doc_a",
+        )
+        .join(
+            groups.select(
+                F.col("__rep").alias("doc_b"), F.col("__ids").alias("__ids_b")
+            ),
+            "doc_b",
+        )
+        .select(
+            F.explode("__ids_a").alias("__ia"), "__ids_b", "n_common", "jaccard"
+        )
+        .select("__ia", F.explode("__ids_b").alias("__ib"), "n_common", "jaccard")
+        .select(
+            F.least("__ia", "__ib").alias("doc_a"),
+            F.greatest("__ia", "__ib").alias("doc_b"),
+            "n_common",
+            "jaccard",
+        )
+        .filter(F.col("doc_a") != F.col("doc_b"))
+    )
+    # identical-text pairs: jaccard 1.0 by construction, n_common = the
+    # rep's shingle-set size; shingle-less reps (< k tokens, NULL text)
+    # emit nothing — matching the sentinel semantics above, and the old
+    # path's NULL-jaccard filter for empty sets
+    intra = (
+        groups.join(
+            sets.select(F.col("doc").alias("__rep"), F.size("sh").alias("__n")),
+            "__rep",
+        )
+        .filter(F.col("__n") > 0)
+        .filter(F.lit(round(1.0, 4)) >= F.lit(threshold))
+        .select(F.explode("__ids").alias("doc_a"), "__ids", "__n")
+        .select("doc_a", F.explode("__ids").alias("doc_b"), "__n")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.col("__n").cast("int").alias("n_common"),
+            F.lit(1.0).cast("double").alias("jaccard"),
+        )
+    )
+    return cross.unionByName(intra)
 
 
 def dup_clusters(

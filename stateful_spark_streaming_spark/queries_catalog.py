@@ -1897,7 +1897,15 @@ _MH_JACCARD = (
 #: CTE chain ending in ``mhp(doc_a, doc_b, n_common, jaccard)`` —
 #: `dedup_minhash_lsh` selects it verbatim and `split_leakage` composes
 #: it with the hash-split, so the two oracles can never desynchronize.
-_MH_PAIRS_CTES = f"""toks AS (SELECT doc_id, {_TOKS_SQL} AS t FROM documents),
+#: Mirrors the r13 distinct-text decomposition: the LSH chain (shingle →
+#: signature → bands → bucket cap → Jaccard verify) runs over ONE
+#: representative per distinct text; identical-text pairs are jaccard 1.0
+#: in-group, and a rep pair expands to every copy pair verbatim.
+_MH_PAIRS_CTES = f"""grp AS (SELECT text AS gtext, min(doc_id) AS rep,
+                 list(doc_id ORDER BY doc_id) AS gids
+          FROM documents GROUP BY text),
+    toks AS (SELECT rep AS doc_id, {_TOKS_SQL} AS t
+             FROM (SELECT rep, gtext AS text FROM grp)),
     sh AS (SELECT doc_id, {_SHINGLES_SQL} AS s FROM toks WHERE len(t) >= 3),
     ex AS (SELECT doc_id, unnest(s) AS shingle FROM sh),
     hx AS (SELECT doc_id,
@@ -1911,19 +1919,34 @@ _MH_PAIRS_CTES = f"""toks AS (SELECT doc_id, {_TOKS_SQL} AS t FROM documents),
              unnest([{_MH_BAND_LIST}]) AS bh
              FROM sig),
     -- mirror the operator's hot-bucket guard (banded_candidate_pairs
-    -- max_bucket_size=2000): buckets outside [2, 2000] emit no pairs
+    -- max_bucket_size=2000): buckets outside [2, 2000] DISTINCT texts
+    -- emit no pairs (duplicate copies no longer occupy buckets)
     okb AS (SELECT bh FROM bands GROUP BY bh
             HAVING count(*) BETWEEN 2 AND 2000),
     cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
              FROM bands a JOIN bands b ON a.bh = b.bh AND a.doc_id < b.doc_id
              WHERE a.bh IN (SELECT bh FROM okb)),
-    mhp AS (SELECT c.doc_a, c.doc_b,
+    mhr AS (SELECT c.doc_a, c.doc_b,
            CAST(len(list_intersect(sa.s, sb.s)) AS INT) AS n_common,
            {_MH_JACCARD} AS jaccard
     FROM cand c
     JOIN sh sa ON sa.doc_id = c.doc_a
     JOIN sh sb ON sb.doc_id = c.doc_b
-    WHERE {_MH_JACCARD} >= 0.6)"""
+    WHERE {_MH_JACCARD} >= 0.6),
+    mhp AS (
+    SELECT least(ta.ia, tb.ib) AS doc_a, greatest(ta.ia, tb.ib) AS doc_b,
+           m.n_common, m.jaccard
+    FROM mhr m
+    JOIN grp ga ON ga.rep = m.doc_a
+    JOIN grp gb ON gb.rep = m.doc_b,
+         LATERAL unnest(ga.gids) AS ta(ia), LATERAL unnest(gb.gids) AS tb(ib)
+    WHERE ta.ia <> tb.ib
+    UNION ALL
+    SELECT ta.ia AS doc_a, tb.ib AS doc_b,
+           CAST(len(s.s) AS INT) AS n_common, CAST(1.0 AS DOUBLE) AS jaccard
+    FROM grp g JOIN sh s ON s.doc_id = g.rep,
+         LATERAL unnest(g.gids) AS ta(ia), LATERAL unnest(g.gids) AS tb(ib)
+    WHERE ta.ia < tb.ib AND len(s.s) > 0)"""
 
 
 @query(
@@ -2075,7 +2098,7 @@ def _materialized_fixture(spark: SparkSession, sf_dir: str, table: str,
 
 #: bump when minhash_lsh_pairs' pipeline or the pinned threshold changes —
 #: part of the fixture cache key (see _materialized_fixture)
-_LSH_PAIRS_SALT = "mh060v1"
+_LSH_PAIRS_SALT = "mh060v2"  # r13: distinct-text decomposition
 
 #: bump when synthesize_image_table's pixel/layout recipe changes — same
 #: stale-fixture protocol as _LSH_PAIRS_SALT

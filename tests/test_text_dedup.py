@@ -906,3 +906,26 @@ def test_simhash_heavy_duplicate_group_is_complete(spark):
     # the variant doc pairs with EVERY copy of the boilerplate group
     assert near.count() == m
     assert near.filter(f"doc_b = {m}").count() == m
+
+
+def test_minhash_heavy_duplicate_group_is_complete(spark):
+    """r13 decomposition regression (MinHash twin of the simhash test
+    above): the old row-level banding put all m copies of an identical
+    text into every band bucket — past the hot-bucket cap (2000) the
+    whole group emitted ZERO pairs.  With exact-duplicate mass factored
+    out, 2,050 identical docs collapse to one LSH representative: all
+    2050·2049/2 jaccard-1.0 pairs come from the in-group expand, and a
+    near-dup variant's verified rep pair expands to every copy."""
+    m = 2050
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    rows = [(i, base) for i in range(m)]
+    rows.append((m, base.replace("lazy", "sleepy")))
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = DD.minhash_lsh_pairs(docs, threshold=0.6)
+    exact = out.filter("jaccard = 1.0")
+    assert exact.count() == m * (m - 1) // 2
+    near = out.filter("jaccard < 1.0")
+    got_near = near.count()
+    if got_near:  # banding recall is probabilistic at jaccard ~0.7
+        assert got_near == m, "a rep pair must expand to EVERY copy"
+        assert near.filter(f"doc_b = {m}").count() == m
