@@ -1222,12 +1222,15 @@ def minhash_lsh_pairs(
     The default (2000, mirrored by every LSH oracle) bounds PER-TASK pair
     expansion, but TOTAL candidate mass is Σ sz(sz−1)/2 over buckets under
     the cap — on a boilerplate-heavy corpus DISTINCT-text bucket sizes
-    still grow with the corpus, so mass grows super-linearly (measured
-    r10 pre-decomposition: 73 k → 14.8 M → 867 M candidates at
-    5 k → 50 k → 500 k docs on the replica-marked probe corpus; the
-    replica mass now expands in-group instead — SCALE.md r13 re-probe).
-    At 100 TB, measure the bucket histogram first (``lsh_bucket_stats``
-    — one aggregate) and size this cap to the pair budget, exactly like
+    still grow with the corpus, so mass grows super-linearly (measured:
+    73 k → 14.8 M → 867 M candidates at 5 k → 50 k → 500 k docs on the
+    replica-marked probe corpus, SCALE.md r10 — that corpus is NEAR-dup
+    heavy by construction, cross-replica jaccard ~0.25 and almost zero
+    exact-dup mass, so the decomposition leaves its candidate mass
+    unchanged; the exact-duplicate win is pinned by the 2,050-copy
+    regression pytest instead, the shape real crawls have).  At 100 TB,
+    measure the bucket histogram first (``lsh_bucket_stats`` — one
+    aggregate) and size this cap to the pair budget, exactly like
     ``jaccard_pairs``'s ``max_shingle_df``.
 
     MEMORY UNIT (same as :func:`hamming_near_pairs`): the per-distinct-
