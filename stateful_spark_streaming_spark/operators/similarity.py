@@ -1435,6 +1435,22 @@ def cosine_near_pairs_lsh(
     pattern), pairs expanded within buckets — the projection subplan is
     never recomputed per table.
 
+    EXACT-DUPLICATE MASS IS FACTORED OUT FIRST (r13, the image/text
+    decomposition generalized to embeddings): byte-identical vectors —
+    the re-encodes a deterministic encoder emits for duplicate content —
+    share the sign pattern in EVERY table, so m copies made m-row
+    buckets in all n_tables (m² candidate mass, each candidate carrying
+    2·dim floats), and past ``max_bucket_size`` the whole group was
+    silently DROPPED: zero pairs exactly where duplicate mass is
+    densest, and no amount of ``n_planes`` depth can split an
+    identical-pattern bucket.  Ids now group by identical vector, the
+    LSH chain runs over one representative per distinct vector (plane
+    sizing included — bucket occupancy is DISTINCT-vector occupancy),
+    copies re-enter at output expansion, and identical-vector pairs are
+    verified by the SAME kernel on (v, v) — bit-exact rounding, and a
+    zero vector's NaN cosine drops it, as everywhere else.  MEMORY UNIT
+    (same as the text family): the per-distinct-vector id-list row.
+
     VERIFY-IN-BUCKET (r11): each item carries its vector THROUGH the
     bucket shuffle, and the within-bucket pair expansion feeds the exact
     cosine kernel in the SAME stage — no exchange between candidate
@@ -1454,17 +1470,26 @@ def cosine_near_pairs_lsh(
 
     from stateful_spark_streaming_spark.operators.dedup import banded_candidate_pairs
 
+    from stateful_spark_streaming_spark.caching import track_persist
+
+    # one id-list row per DISTINCT vector (r13 decomposition, see
+    # docstring); persisted — feeds plane sizing, the rep pipeline, the
+    # pair expansion (both sides) and the identical-vector tail
+    groups = track_persist(
+        embeddings.groupBy(F.col(vec_col)).agg(
+            F.min(F.col(id_col)).alias("__rep"),
+            F.collect_list(F.col(id_col)).alias("__ids"),
+        )
+    )
+    reps = groups.select(F.col("__rep").alias(id_col), F.col(vec_col))
     if n_planes is None:
-        # One count() sizes the hash depth to the corpus — the
-        # alternative, a pinned depth, is the measured silent
-        # zero-recall config at 100× (SCALE.md, ann_probe srp_demo).
-        # COST CAVEAT (ADVICE r11): the footer-metadata-only claim holds
-        # for a RAW parquet-backed frame; a filtered/derived embeddings
-        # DataFrame pays a full evaluation of its upstream plan
-        # (including any UDF featurization) just to size the hash.
-        # Callers with derived inputs should persist the frame first or
-        # pass an explicit n_planes.
-        n_planes = srp_plane_count(embeddings.count(), target_bucket_rows)
+        # One count() sizes the hash depth to DISTINCT-vector occupancy
+        # (what actually fills buckets) — a pinned depth is the measured
+        # silent zero-recall config at 100× (SCALE.md, ann_probe
+        # srp_demo).  The count materializes the persisted groups frame,
+        # which the pipeline needs anyway; callers who must avoid that
+        # eager step pass an explicit n_planes.
+        n_planes = srp_plane_count(reps.count(), target_bucket_rows)
     if n_tables is None:
         # Recall is stated at the similarity of the DUPLICATES being
         # mined (>= 0.95), not at a weak candidate-widening threshold —
@@ -1490,7 +1515,7 @@ def cosine_near_pairs_lsh(
         keys = signs.reshape(len(x), n_tables, n_planes) @ weights
         return pd.Series(list(keys))
 
-    items = embeddings.select(
+    items = reps.select(
         F.struct(
             F.col(id_col).alias("id"), F.col(vec_col).alias("vec")
         ).alias("item"),
@@ -1525,7 +1550,7 @@ def cosine_near_pairs_lsh(
             )
 
     verified = cands.mapInPandas(verify, "id_a long, id_b long, raw_cos double")
-    return (
+    rep_pairs = (
         verified.withColumn("cosine", F.round("raw_cos", 6))
         .filter(F.col("cosine") >= threshold)
         # cross-band dedup on three scalars: a pair verified in k bands
@@ -1533,6 +1558,53 @@ def cosine_near_pairs_lsh(
         .dropDuplicates(["id_a", "id_b"])
         .select("id_a", "id_b", "cosine")
     )
+    # expand rep pairs back through both id lists (copies ARE the reps'
+    # vectors, so the verified cosine carries verbatim)
+    cross = (
+        rep_pairs.join(
+            groups.select(
+                F.col("__rep").alias("id_a"), F.col("__ids").alias("__ids_a")
+            ),
+            "id_a",
+        )
+        .join(
+            groups.select(
+                F.col("__rep").alias("id_b"), F.col("__ids").alias("__ids_b")
+            ),
+            "id_b",
+        )
+        .select(F.explode("__ids_a").alias("__ia"), "__ids_b", "cosine")
+        .select("__ia", F.explode("__ids_b").alias("__ib"), "cosine")
+        .select(
+            F.least("__ia", "__ib").alias("id_a"),
+            F.greatest("__ia", "__ib").alias("id_b"),
+            "cosine",
+        )
+        .filter(F.col("id_a") != F.col("id_b"))
+    )
+    # identical-vector pairs: self-cosine through the SAME verify kernel
+    # (bit-exact rounding; a zero vector's NaN drops it, matching verify)
+    self_verified = (
+        groups.filter(F.size("__ids") >= 2)
+        .select(
+            F.col("__rep").alias("id_a"),
+            F.col("__rep").alias("id_b"),
+            F.col(vec_col).alias("va"),
+            F.col(vec_col).alias("vb"),
+        )
+        .mapInPandas(verify, "id_a long, id_b long, raw_cos double")
+        .withColumn("cosine", F.round("raw_cos", 6))
+        .filter(F.col("cosine") >= threshold)
+    )
+    intra = (
+        self_verified.select(F.col("id_a").alias("__rep"), "cosine")
+        .join(groups.select("__rep", "__ids"), "__rep")
+        .select(F.explode("__ids").alias("id_a"), "__ids", "cosine")
+        .select("id_a", F.explode("__ids").alias("id_b"), "cosine")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "cosine")
+    )
+    return cross.unionByName(intra)
 
 
 def hard_negatives(

@@ -2829,10 +2829,13 @@ def q_streaming_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "cosine_near_pairs_lsh",
     oracle="""
-    WITH params AS (
+    WITH grp AS (SELECT embedding, min(vec_id) AS rep,
+                        list(vec_id ORDER BY vec_id) AS ids
+                 FROM embeddings GROUP BY embedding),
+    params AS (
       SELECT least(32, greatest(4,
                CAST(ceil(log2(count(*) / 8.0)) AS INT))) AS np
-      FROM embeddings),
+      FROM grp),
     pw AS (
       SELECT p, d,
              CASE WHEN ('0x' || substring(md5('hp:42:' || CAST(p AS VARCHAR)
@@ -2841,9 +2844,9 @@ def q_streaming_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM range(256) tp(p) CROSS JOIN range(64) td(d), params
       WHERE p < 8 * params.np),
     planes AS (SELECT p, list(w ORDER BY d) AS wl FROM pw GROUP BY p),
-    proj AS (SELECT e.vec_id, pl.p,
-                    list_inner_product(e.embedding::DOUBLE[], pl.wl) AS s
-             FROM embeddings e CROSS JOIN planes pl),
+    proj AS (SELECT g.rep AS vec_id, pl.p,
+                    list_inner_product(g.embedding::DOUBLE[], pl.wl) AS s
+             FROM grp g CROSS JOIN planes pl),
     keys AS (SELECT vec_id, p // params.np AS band_id,
                     CAST(sum(CASE WHEN s > 0
                              THEN CAST(1 AS BIGINT) << (p % params.np)
@@ -2857,15 +2860,32 @@ def q_streaming_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                         AND a.band_hash = b.band_hash
                         AND a.vec_id < b.vec_id
              JOIN okb ON okb.band_id = a.band_id
-                     AND okb.band_hash = a.band_hash)
-    SELECT c.id_a, c.id_b,
-           round(list_cosine_similarity(ea.embedding::DOUBLE[],
-                                        eb.embedding::DOUBLE[]), 6) AS cosine
+                     AND okb.band_hash = a.band_hash),
+    rp AS (SELECT c.id_a, c.id_b,
+           round(list_cosine_similarity(ga.embedding::DOUBLE[],
+                                        gb.embedding::DOUBLE[]), 6) AS cosine
     FROM cand c
-    JOIN embeddings ea ON ea.vec_id = c.id_a
-    JOIN embeddings eb ON eb.vec_id = c.id_b
-    WHERE round(list_cosine_similarity(ea.embedding::DOUBLE[],
-                                       eb.embedding::DOUBLE[]), 6) >= 0.4
+    JOIN grp ga ON ga.rep = c.id_a
+    JOIN grp gb ON gb.rep = c.id_b
+    WHERE round(list_cosine_similarity(ga.embedding::DOUBLE[],
+                                       gb.embedding::DOUBLE[]), 6) >= 0.4)
+    SELECT least(ta.ia, tb.ib) AS id_a, greatest(ta.ia, tb.ib) AS id_b,
+           r.cosine
+    FROM rp r
+    JOIN grp ga ON ga.rep = r.id_a
+    JOIN grp gb ON gb.rep = r.id_b,
+         LATERAL unnest(ga.ids) AS ta(ia), LATERAL unnest(gb.ids) AS tb(ib)
+    WHERE ta.ia <> tb.ib
+    UNION ALL
+    SELECT ta.ia AS id_a, tb.ib AS id_b,
+           round(list_cosine_similarity(g.embedding::DOUBLE[],
+                                        g.embedding::DOUBLE[]), 6) AS cosine
+    FROM grp g,
+         LATERAL unnest(g.ids) AS ta(ia), LATERAL unnest(g.ids) AS tb(ib)
+    WHERE ta.ia < tb.ib
+      AND list_inner_product(g.embedding::DOUBLE[], g.embedding::DOUBLE[]) > 0
+      AND round(list_cosine_similarity(g.embedding::DOUBLE[],
+                                       g.embedding::DOUBLE[]), 6) >= 0.4
     """,
 )
 def q_cosine_near_pairs_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:

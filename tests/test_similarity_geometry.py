@@ -75,35 +75,44 @@ def test_srp_plane_count_sizing_rule():
 
 
 def test_lsh_auto_sizing_planted_duplicate_recall(spark):
-    """The r10 verdict's cliff, as a regression net: a corpus big enough
-    that the old pinned n_planes=4 drops EVERY bucket over the hot-bucket
-    cap (zero pairs, silently) must — with the self-sized default — find
-    every planted exact duplicate.  Exact duplicates share every sign
-    bit, so they collide in all tables at any depth; recall on them is
-    exactly the survival of their buckets under the cap."""
+    """The r10 verdict's cliff, as a regression net — updated for the r13
+    exact-duplicate decomposition, which SPLIT the planted population in
+    two: byte-identical duplicates expand in-group and are now immune to
+    the hot-bucket cap at ANY depth, while NEAR-duplicates (distinct
+    vectors) still live or die by their banded buckets surviving the cap
+    — so the pinned-depth run finds exactly the exact-dup pairs and
+    misses the planted near-dup, and the self-sized default finds both."""
     import numpy as np
 
     rng = np.random.default_rng(7)
     n_base, n_dup, dim = 6_000, 50, 16
     base = rng.standard_normal((n_base, dim))
+    near = base[0] + 1e-4 * rng.standard_normal(dim)  # cosine ≈ 1 − 1e-8
     rows = [
         Row(vec_id=i, embedding=[float(x) for x in base[i]]) for i in range(n_base)
     ] + [
         Row(vec_id=n_base + j, embedding=[float(x) for x in base[j]])
         for j in range(n_dup)
-    ]
+    ] + [Row(vec_id=n_base + n_dup, embedding=[float(x) for x in near])]
     emb = spark.createDataFrame(rows).repartition(8)
-    # tight cap makes the cliff reproducible at test scale: pinned 4
-    # planes → 16 buckets/table for 6 050 rows → every bucket ~378 rows,
-    # all dropped → zero pairs found (the measured 2 M-vector behavior)
+    planted = {(j, n_base + j) for j in range(n_dup)}
+    near_pair = (0, n_base + n_dup)
+    # tight cap makes the banded cliff reproducible at test scale: pinned
+    # 4 planes → 16 buckets/table for ~6 000 DISTINCT vectors → every
+    # bucket ~378 rows, all dropped (the measured 2 M-vector behavior) —
+    # but the r13 in-group expand keeps every EXACT duplicate regardless
     pinned = SIM.cosine_near_pairs_lsh(
         emb, threshold=0.999, n_planes=4, n_tables=4, max_bucket_size=100
     )
-    assert pinned.count() == 0, "pinned tiny-SF depth should hit the cliff"
+    got_pinned = {(r.id_a, r.id_b) for r in pinned.collect()}
+    assert got_pinned == planted, (
+        "pinned tiny-SF depth must keep exact duplicates (in-group expand) "
+        "and lose every banded candidate to the cap"
+    )
     # self-sized with the operator-default verify budget
     # (target_bucket_rows=8, cap 100 ≈ 12× headroom):
-    # ceil(log2(6050/8)) = 10 planes → 1024 buckets/table, expected
-    # bucket ~6 rows ≪ cap → planted dups all survive.  An EXPECTED
+    # ceil(log2(6000/8)) = 10 planes → 1024 buckets/table, expected
+    # bucket ~6 rows ≪ cap → the near-dup's buckets survive.  An EXPECTED
     # bucket near the cap would still drop the fat tail of the sign-
     # bucket distribution — headroom is part of the sizing rule.
     auto = SIM.cosine_near_pairs_lsh(
@@ -112,10 +121,10 @@ def test_lsh_auto_sizing_planted_duplicate_recall(spark):
     found = {
         (r.id_a, r.id_b) for r in auto.filter(F.col("cosine") >= 0.999999).collect()
     }
-    planted = {(j, n_base + j) for j in range(n_dup)}
     assert planted <= found, (
         f"auto-sizing missed {len(planted - found)}/{n_dup} planted duplicates"
     )
+    assert near_pair in found, "auto-sizing must find the planted NEAR-dup"
 
 
 def test_ivf_index_persist_roundtrip(spark, sf_dir, tmp_path):
@@ -1123,3 +1132,32 @@ def test_ivf_n_centroids_names_the_benched_guarantee(spark):
     full = {(r.query_id, r.neighbor_id) for r in
             SIM.ivf_topk(emb, queries, k=k, n_centroids=8, nprobe=8).collect()}
     assert full == exact
+
+
+def test_srp_heavy_duplicate_group_is_complete(spark):
+    """r13 decomposition regression (embedding twin of the text tests):
+    byte-identical vectors share the sign pattern in EVERY table — the
+    old row-level form made m-row buckets in all tables and past the
+    hot-bucket cap (2000) the whole group emitted ZERO pairs, with no
+    n_planes depth able to split an identical-pattern bucket.  2,050
+    copies of one vector must emit all 2050·2049/2 cosine-1.0 pairs (the
+    in-group expand), a scaled copy (cosine 1.0 up to rounding) must
+    pair with every copy, and an all-zero duplicate group must emit
+    nothing (NaN cosine, matching the verify kernel)."""
+    from stateful_spark_streaming_spark.operators.similarity import (
+        cosine_near_pairs_lsh,
+    )
+
+    m = 2050
+    base = [1.0, 2.0, -0.5, 3.0, 0.25, -1.5, 2.5, 0.75]
+    rows = [(i, base) for i in range(m)]
+    rows.append((m, [x * 2.0 for x in base]))  # same direction
+    rows += [(m + 1 + j, [0.0] * 8) for j in range(2)]  # zero-vector dups
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    out = cosine_near_pairs_lsh(emb, threshold=0.9, n_tables=2)
+    ones = out.filter("id_a < %d and id_b < %d" % (m, m)).count()
+    assert ones == m * (m - 1) // 2
+    scaled = out.filter("id_b = %d" % m)
+    assert scaled.count() == m, "the scaled copy pairs with every copy"
+    assert out.filter("id_a > %d or id_b > %d" % (m, m)).count() == 0
+    assert out.filter("cosine < 0.999999").count() == 0
