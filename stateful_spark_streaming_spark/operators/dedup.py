@@ -160,7 +160,9 @@ def _shingle_index(
     )
 
 
-def _bucketed_pair_counts(idx: DataFrame, max_shingle_df: int) -> DataFrame:
+def _bucketed_pair_counts(
+    idx: DataFrame, max_shingle_df: int, with_sizes: bool = False
+):
     """Hot-shingle-capped candidate pair counts from a (doc, shingle)
     inverted index: (doc_a, doc_b, size_a, size_b, n_common) with
     doc_a < doc_b.  Shared by ``jaccard_pairs`` (scale path) and
@@ -173,7 +175,12 @@ def _bucketed_pair_counts(idx: DataFrame, max_shingle_df: int) -> DataFrame:
     docs still score 1.0).  The buckets feed two subplans (sizes +
     candidates), so they are persisted — at 100 TB the same role is played
     by writing the bucketed index to parquet and reading it back for both
-    passes."""
+    passes.
+
+    ``with_sizes=True`` additionally returns the (doc, set_size) frame of
+    SURVIVING sizes as a second element — the r13 duplicate-mass
+    decomposition needs it for the identical-content tail, and re-deriving
+    it outside would duplicate the capped bucket pass."""
     buckets = track_persist(
         idx.groupBy("shingle")
         .agg(F.collect_list("doc").alias("docs"))
@@ -193,13 +200,14 @@ def _bucketed_pair_counts(idx: DataFrame, max_shingle_df: int) -> DataFrame:
         .groupBy(F.col("a").alias("doc_a"), F.col("b").alias("doc_b"))
         .agg(F.count(F.lit(1)).alias("n_common"))
     )
-    return cand.join(
+    pairs = cand.join(
         sizes.select(F.col("doc").alias("doc_a"), F.col("set_size").alias("size_a")),
         "doc_a",
     ).join(
         sizes.select(F.col("doc").alias("doc_b"), F.col("set_size").alias("size_b")),
         "doc_b",
     )
+    return (pairs, sizes) if with_sizes else pairs
 
 
 def containment_pairs(
@@ -226,16 +234,83 @@ def containment_pairs(
     blowup.  Same self-consistency contract as capped Jaccard: sizes are
     recomputed over the surviving index.
 
+    EXACT-DUPLICATE MASS IS FACTORED OUT FIRST (r13, uniform across the
+    pair-generator family): ids group by identical text, the index and
+    pair counting run over one representative per distinct content, and
+    copies re-enter at output expansion — m > max_shingle_df copies of
+    one page used to push every one of its shingles over the cap, so the
+    group silently emitted zero pairs; ``max_shingle_df`` now counts
+    DISTINCT contents per shingle.  Sizes swap with the least/greatest id
+    normalization so size_a stays doc_a's size.
+
     Returns (doc_a, doc_b, size_a, size_b, n_common, containment),
     doc_a < doc_b; the contained side is the one with the smaller size."""
-    idx = _shingle_index(df, text_col, id_col, k)
-    pairs = _bucketed_pair_counts(idx, max_shingle_df)
+    groups = track_persist(
+        df.groupBy(F.col(text_col).alias("__content")).agg(
+            F.min(F.col(id_col)).alias("__rep"),
+            F.collect_list(F.col(id_col)).alias("__ids"),
+        )
+    )
+    reps = groups.select(
+        F.col("__rep").alias(id_col), F.col("__content").alias(text_col)
+    )
+    idx = _shingle_index(reps, text_col, id_col, k)
+    pairs, sizes = _bucketed_pair_counts(idx, max_shingle_df, with_sizes=True)
     cont = F.col("n_common") / F.least(F.col("size_a"), F.col("size_b"))
-    return (
+    rep_out = (
         pairs.withColumn("containment", F.round(cont, 4))
         .filter(F.col("containment") >= threshold)
         .select("doc_a", "doc_b", "size_a", "size_b", "n_common", "containment")
     )
+    swap = F.col("__ia") > F.col("__ib")
+    cross = (
+        rep_out.join(
+            groups.select(
+                F.col("__rep").alias("doc_a"), F.col("__ids").alias("__ids_a")
+            ),
+            "doc_a",
+        )
+        .join(
+            groups.select(
+                F.col("__rep").alias("doc_b"), F.col("__ids").alias("__ids_b")
+            ),
+            "doc_b",
+        )
+        .select(
+            F.explode("__ids_a").alias("__ia"),
+            "__ids_b", "size_a", "size_b", "n_common", "containment",
+        )
+        .select(
+            "__ia", F.explode("__ids_b").alias("__ib"),
+            "size_a", "size_b", "n_common", "containment",
+        )
+        .select(
+            F.least("__ia", "__ib").alias("doc_a"),
+            F.greatest("__ia", "__ib").alias("doc_b"),
+            F.when(swap, F.col("size_b")).otherwise(F.col("size_a")).alias("size_a"),
+            F.when(swap, F.col("size_a")).otherwise(F.col("size_b")).alias("size_b"),
+            "n_common",
+            "containment",
+        )
+        .filter(F.col("doc_a") != F.col("doc_b"))
+    )
+    intra = (
+        groups.filter(F.size("__ids") >= 2)
+        .join(sizes.select(F.col("doc").alias("__rep"), "set_size"), "__rep")
+        .filter(F.lit(1.0) >= F.lit(threshold))
+        .select(F.explode("__ids").alias("doc_a"), "__ids", "set_size")
+        .select("doc_a", F.explode("__ids").alias("doc_b"), "set_size")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.col("set_size").alias("size_a"),
+            F.col("set_size").alias("size_b"),
+            F.col("set_size").alias("n_common"),
+            F.round(F.lit(1.0), 4).alias("containment"),
+        )
+    )
+    return cross.unionByName(intra)
 
 
 def jaccard_pairs(
@@ -270,13 +345,41 @@ def jaccard_pairs(
        ``max_shingle_df`` (the capped form is what the scale bench runs);
        the default exists for oracle-exact verification at test SF.
 
+    EXACT-DUPLICATE MASS IS FACTORED OUT FIRST (r13, uniform across the
+    pair-generator family — minhash/simhash/SRP/this): ids group by
+    identical content (the token array when ``tokens_col`` is given, else
+    the text), the shingle index and all candidate work run over ONE
+    representative per distinct content, and copies re-enter at output
+    expansion (identical content ⇒ identical filtered shingle set ⇒
+    jaccard 1.0 in-group; rep-pair scores carry verbatim).  The old
+    row-level form had two duplicate-mass failure shapes: in the exact
+    path every shingle of an m-copy content made an ≥m-element bucket
+    (the warned O(df²) blowup, with the duplicate factor squared into
+    it); in the capped path m > max_shingle_df pushed EVERY shingle of
+    the group over the cap, so the filtered sets went empty and the
+    group silently emitted zero pairs — identical docs no longer scored
+    1.0, they scored nothing.  ``max_shingle_df`` now counts DISTINCT
+    contents per shingle — boilerplate means many different pages
+    sharing a shingle, not many copies of one page.  MEMORY UNIT: the
+    per-distinct-content id-list row (see hamming_near_pairs).
+
     Cache lifetime: the scale path persists the bucketed index (it feeds
     two subplans) and cannot unpersist it before the caller's action runs;
     long-lived sessions issuing many one-shot calls should
     ``spark.catalog.clearCache()`` between them (bench.py does), or write
     the index to storage and read it back — the 100 TB form.
     """
-    idx = _shingle_index(df, text_col, id_col, k, tokens_col=tokens_col)
+    content = tokens_col or text_col
+    groups = track_persist(
+        df.groupBy(F.col(content).alias("__content")).agg(
+            F.min(F.col(id_col)).alias("__rep"),
+            F.collect_list(F.col(id_col)).alias("__ids"),
+        )
+    )
+    reps = groups.select(
+        F.col("__rep").alias(id_col), F.col("__content").alias(content)
+    )
+    idx = _shingle_index(reps, text_col, id_col, k, tokens_col=tokens_col)
     if max_shingle_df is None:
         # Bucketed candidate generation (the same one-shuffle trick as
         # banded_candidate_pairs): group the index by shingle, expand
@@ -304,14 +407,60 @@ def jaccard_pairs(
             )
             .agg(F.count(F.lit(1)).alias("n_common"))
         )
+        sizes = idx.select("doc", "set_size").distinct()
     else:
-        pairs = _bucketed_pair_counts(idx, max_shingle_df)
+        pairs, sizes = _bucketed_pair_counts(idx, max_shingle_df, with_sizes=True)
     jac = F.col("n_common") / (F.col("size_a") + F.col("size_b") - F.col("n_common"))
-    return (
+    rep_out = (
         pairs.withColumn("jaccard", F.round(jac, 4))
         .filter(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "n_common", "jaccard")
     )
+    # expand rep pairs back through both id lists (scores carry verbatim —
+    # jaccard/n_common are symmetric, so least/greatest needs no swap)
+    cross = (
+        rep_out.join(
+            groups.select(
+                F.col("__rep").alias("doc_a"), F.col("__ids").alias("__ids_a")
+            ),
+            "doc_a",
+        )
+        .join(
+            groups.select(
+                F.col("__rep").alias("doc_b"), F.col("__ids").alias("__ids_b")
+            ),
+            "doc_b",
+        )
+        .select(F.explode("__ids_a").alias("__ia"), "__ids_b", "n_common", "jaccard")
+        .select("__ia", F.explode("__ids_b").alias("__ib"), "n_common", "jaccard")
+        .select(
+            F.least("__ia", "__ib").alias("doc_a"),
+            F.greatest("__ia", "__ib").alias("doc_b"),
+            "n_common",
+            "jaccard",
+        )
+        .filter(F.col("doc_a") != F.col("doc_b"))
+    )
+    # identical-content pairs: jaccard 1.0 over the SURVIVING shingle set
+    # (the inner join drops reps whose every shingle fell to the cap or
+    # who have < k tokens — exactly the old path's no-row outcome)
+    intra = (
+        groups.filter(F.size("__ids") >= 2)
+        .join(
+            sizes.select(F.col("doc").alias("__rep"), "set_size"), "__rep"
+        )
+        .filter(F.lit(1.0) >= F.lit(threshold))
+        .select(F.explode("__ids").alias("doc_a"), "__ids", "set_size")
+        .select("doc_a", F.explode("__ids").alias("doc_b"), "set_size")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.col("set_size").cast("long").alias("n_common"),
+            F.round(F.lit(1.0), 4).alias("jaccard"),
+        )
+    )
+    return cross.unionByName(intra)
 
 
 def decontaminate(

@@ -1844,28 +1844,47 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "dedup_jaccard_pairs",
     oracle=f"""
-    WITH toks AS (SELECT doc_id, {_TOKS_SQL} AS t FROM documents),
+    WITH grp AS (SELECT text AS gtext, min(doc_id) AS rep,
+                        list(doc_id ORDER BY doc_id) AS gids
+                 FROM documents GROUP BY text),
+    toks AS (SELECT rep AS doc_id, {_TOKS_SQL} AS t
+             FROM (SELECT rep, gtext AS text FROM grp)),
     sh0 AS (SELECT doc_id, {_SHINGLES_SQL} AS s FROM toks WHERE len(t) >= 3),
     ex AS (SELECT doc_id, unnest(s) AS shingle FROM sh0),
     hot AS (SELECT shingle FROM ex GROUP BY shingle HAVING count(*) > 1000),
     sh AS (SELECT doc_id, list(shingle) AS s
            FROM (SELECT * FROM ex ANTI JOIN hot USING (shingle))
-           GROUP BY doc_id)
-    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           GROUP BY doc_id),
+    rp AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
            CAST(len(list_intersect(a.s, b.s)) AS BIGINT) AS n_common,
            round(len(list_intersect(a.s, b.s))::DOUBLE
                  / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))), 4) AS jaccard
     FROM sh a JOIN sh b ON a.doc_id < b.doc_id
     WHERE round(len(list_intersect(a.s, b.s))::DOUBLE
                 / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))), 4) >= 0.6
-      AND len(list_intersect(a.s, b.s)) > 0
+      AND len(list_intersect(a.s, b.s)) > 0)
+    SELECT least(ta.ia, tb.ib) AS doc_a, greatest(ta.ia, tb.ib) AS doc_b,
+           r.n_common, r.jaccard
+    FROM rp r
+    JOIN grp ga ON ga.rep = r.doc_a
+    JOIN grp gb ON gb.rep = r.doc_b,
+         LATERAL unnest(ga.gids) AS ta(ia), LATERAL unnest(gb.gids) AS tb(ib)
+    WHERE ta.ia <> tb.ib
+    UNION ALL
+    SELECT ta.ia AS doc_a, tb.ib AS doc_b,
+           CAST(len(s.s) AS BIGINT) AS n_common,
+           round(CAST(1.0 AS DOUBLE), 4) AS jaccard
+    FROM grp g JOIN sh s ON s.doc_id = g.rep,
+         LATERAL unnest(g.gids) AS ta(ia), LATERAL unnest(g.gids) AS tb(ib)
+    WHERE ta.ia < tb.ib AND len(s.s) > 0
     """,
 )
 def q_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Scale form: shingles shared by >1000 docs are dropped from both the
-    intersections and the set sizes (self-consistent — see jaccard_pairs),
-    and the oracle mirrors the removal exactly, so the oracle-checked query
-    IS the 100 TB-shaped one, not a small-data variant."""
+    """Scale form: shingles shared by >1000 DISTINCT contents are dropped
+    from both the intersections and the set sizes (self-consistent — see
+    jaccard_pairs), exact-duplicate mass expands in-group (r13), and the
+    oracle mirrors both exactly, so the oracle-checked query IS the
+    100 TB-shaped one, not a small-data variant."""
     return DD.jaccard_pairs(
         _t(spark, sf_dir, "documents"), threshold=0.6, max_shingle_df=1000
     )
@@ -4415,14 +4434,18 @@ def q_remove_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "containment_pairs",
     oracle=f"""
-    WITH toks AS (SELECT doc_id, {_TOKS_SQL} AS t FROM documents),
+    WITH grp AS (SELECT text AS gtext, min(doc_id) AS rep,
+                        list(doc_id ORDER BY doc_id) AS gids
+                 FROM documents GROUP BY text),
+    toks AS (SELECT rep AS doc_id, {_TOKS_SQL} AS t
+             FROM (SELECT rep, gtext AS text FROM grp)),
     sh0 AS (SELECT doc_id, {_SHINGLES_SQL} AS s FROM toks WHERE len(t) >= 3),
     ex AS (SELECT doc_id, unnest(s) AS shingle FROM sh0),
     hot AS (SELECT shingle FROM ex GROUP BY shingle HAVING count(*) > 1000),
     sh AS (SELECT doc_id, list(shingle) AS s
            FROM (SELECT * FROM ex ANTI JOIN hot USING (shingle))
-           GROUP BY doc_id)
-    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           GROUP BY doc_id),
+    rp AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
            CAST(len(a.s) AS BIGINT) AS size_a, CAST(len(b.s) AS BIGINT) AS size_b,
            CAST(len(list_intersect(a.s, b.s)) AS BIGINT) AS n_common,
            round(len(list_intersect(a.s, b.s))::DOUBLE
@@ -4430,7 +4453,25 @@ def q_remove_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM sh a JOIN sh b ON a.doc_id < b.doc_id
     WHERE round(len(list_intersect(a.s, b.s))::DOUBLE
                 / least(len(a.s), len(b.s)), 4) >= 0.9
-      AND len(list_intersect(a.s, b.s)) > 0
+      AND len(list_intersect(a.s, b.s)) > 0)
+    SELECT least(ta.ia, tb.ib) AS doc_a, greatest(ta.ia, tb.ib) AS doc_b,
+           CASE WHEN ta.ia > tb.ib THEN r.size_b ELSE r.size_a END AS size_a,
+           CASE WHEN ta.ia > tb.ib THEN r.size_a ELSE r.size_b END AS size_b,
+           r.n_common, r.containment
+    FROM rp r
+    JOIN grp ga ON ga.rep = r.doc_a
+    JOIN grp gb ON gb.rep = r.doc_b,
+         LATERAL unnest(ga.gids) AS ta(ia), LATERAL unnest(gb.gids) AS tb(ib)
+    WHERE ta.ia <> tb.ib
+    UNION ALL
+    SELECT ta.ia AS doc_a, tb.ib AS doc_b,
+           CAST(len(s.s) AS BIGINT) AS size_a,
+           CAST(len(s.s) AS BIGINT) AS size_b,
+           CAST(len(s.s) AS BIGINT) AS n_common,
+           round(CAST(1.0 AS DOUBLE), 4) AS containment
+    FROM grp g JOIN sh s ON s.doc_id = g.rep,
+         LATERAL unnest(g.gids) AS ta(ia), LATERAL unnest(g.gids) AS tb(ib)
+    WHERE ta.ia < tb.ib AND len(s.s) > 0
     """,
 )
 def q_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:

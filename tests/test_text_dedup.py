@@ -929,3 +929,32 @@ def test_minhash_heavy_duplicate_group_is_complete(spark):
     if got_near:  # banding recall is probabilistic at jaccard ~0.7
         assert got_near == m, "a rep pair must expand to EVERY copy"
         assert near.filter(f"doc_b = {m}").count() == m
+
+
+def test_jaccard_and_containment_heavy_duplicate_group(spark):
+    """r13 decomposition regression for the shingle-index family: with m
+    copies of one page past max_shingle_df, EVERY shingle of the group
+    went over the cap, the filtered sets emptied, and the group emitted
+    zero pairs — identical docs no longer scored 1.0, they scored
+    nothing.  With distinct-content df counting, 1,050 copies (cap
+    1,000) emit all C(1050,2) jaccard/containment-1.0 pairs, and a
+    containing superset page still pairs with every copy."""
+    m = 1050
+    base = "alpha beta gamma delta epsilon zeta eta theta"
+    rows = [(i, base) for i in range(m)]
+    rows.append((m, base + " iota kappa lambda mu nu xi omicron pi rho"))
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+
+    jp = DD.jaccard_pairs(docs, threshold=0.6, max_shingle_df=1000)
+    assert jp.filter("jaccard = 1.0").count() == m * (m - 1) // 2
+
+    cp = DD.containment_pairs(docs, threshold=0.9, max_shingle_df=1000)
+    ones = cp.filter("containment = 1.0")
+    # every copy-copy pair, plus the superset containing every copy
+    assert ones.count() == m * (m - 1) // 2 + m
+    sup = ones.filter(f"doc_b = {m}")
+    assert sup.count() == m
+    r = sup.first()
+    # the contained side (the copies) is the smaller set: sizes must
+    # track the ids through the least/greatest normalization
+    assert r.size_a < r.size_b and r.n_common == r.size_a
