@@ -35,6 +35,8 @@ def main() -> int:
     from pyspark.sql import functions as F
 
     from stateful_spark_streaming_spark.operators.dedup import (
+        containment_pairs,
+        jaccard_pairs,
         minhash_lsh_pairs,
         simhash_near_pairs,
     )
@@ -81,6 +83,18 @@ def main() -> int:
             lambda: simhash_near_pairs(big_docs, max_hamming=3),
             "hamming = 0",
         ),
+        (
+            "jaccard_pairs",
+            lambda: jaccard_pairs(big_docs, threshold=0.6, max_shingle_df=1000),
+            "jaccard = 1.0",
+        ),
+        (
+            "containment_pairs",
+            lambda: containment_pairs(
+                big_docs, threshold=0.9, max_shingle_df=1000
+            ),
+            "containment = 1.0",
+        ),
     ):
         t0 = time.monotonic()
         out = fn().persist()
@@ -122,6 +136,8 @@ def main() -> int:
     ok = (
         results["minhash_lsh_pairs"]["identical_pairs"] >= exact_expected
         and results["simhash_near_pairs"]["identical_pairs"] >= exact_expected
+        and results["jaccard_pairs"]["identical_pairs"] >= exact_expected
+        and results["containment_pairs"]["identical_pairs"] >= exact_expected
         and results["cosine_near_pairs_lsh"]["identical_pairs"] >= emb_expected
     )
     if not ok:
