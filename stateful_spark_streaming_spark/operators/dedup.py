@@ -321,6 +321,7 @@ def jaccard_pairs(
     threshold: float = 0.6,
     max_shingle_df: int | None = None,
     tokens_col: str | None = None,
+    content_distinct: bool = False,
 ) -> DataFrame:
     """n-gram Jaccard near-dup pairs: J(A,B) = |A∩B| / (|A|+|B|-|A∩B|) ≥ τ.
 
@@ -363,6 +364,15 @@ def jaccard_pairs(
     sharing a shingle, not many copies of one page.  MEMORY UNIT: the
     per-distinct-content id-list row (see hamming_near_pairs).
 
+    ``content_distinct=True`` asserts the caller already factored
+    duplicate mass — one row per distinct content (e.g. a pipeline that
+    ran ``exact_dedup`` immediately upstream, like training_pipeline) —
+    and skips the grouping/expansion entirely: on an already-distinct
+    corpus the decomposition is the identity, and the extra groupBy +
+    expansion stages are pure fixed cost.  With duplicate rows present
+    it silently reverts to the OLD duplicate-squaring behavior — only
+    set it when distinctness is structurally guaranteed.
+
     Cache lifetime: the scale path persists the bucketed index (it feeds
     two subplans) and cannot unpersist it before the caller's action runs;
     long-lived sessions issuing many one-shot calls should
@@ -370,15 +380,19 @@ def jaccard_pairs(
     the index to storage and read it back — the 100 TB form.
     """
     content = tokens_col or text_col
-    groups = track_persist(
-        df.groupBy(F.col(content).alias("__content")).agg(
-            F.min(F.col(id_col)).alias("__rep"),
-            F.collect_list(F.col(id_col)).alias("__ids"),
+    if content_distinct:
+        groups = None
+        reps = df
+    else:
+        groups = track_persist(
+            df.groupBy(F.col(content).alias("__content")).agg(
+                F.min(F.col(id_col)).alias("__rep"),
+                F.collect_list(F.col(id_col)).alias("__ids"),
+            )
         )
-    )
-    reps = groups.select(
-        F.col("__rep").alias(id_col), F.col("__content").alias(content)
-    )
+        reps = groups.select(
+            F.col("__rep").alias(id_col), F.col("__content").alias(content)
+        )
     idx = _shingle_index(reps, text_col, id_col, k, tokens_col=tokens_col)
     if max_shingle_df is None:
         # Bucketed candidate generation (the same one-shuffle trick as
@@ -416,6 +430,8 @@ def jaccard_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "n_common", "jaccard")
     )
+    if content_distinct:
+        return rep_out
     # expand rep pairs back through both id lists (scores carry verbatim —
     # jaccard/n_common are symmetric, so least/greatest needs no swap)
     cross = (

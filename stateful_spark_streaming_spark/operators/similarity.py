@@ -1582,27 +1582,25 @@ def cosine_near_pairs_lsh(
         )
         .filter(F.col("id_a") != F.col("id_b"))
     )
-    # identical-vector pairs: self-cosine through the SAME verify kernel
-    # (bit-exact rounding; a zero vector's NaN drops it, matching verify)
-    self_verified = (
-        groups.filter(F.size("__ids") >= 2)
-        .select(
-            F.col("__rep").alias("id_a"),
-            F.col("__rep").alias("id_b"),
-            F.col(vec_col).alias("va"),
-            F.col(vec_col).alias("vb"),
-        )
-        .mapInPandas(verify, "id_a long, id_b long, raw_cos double")
-        .withColumn("cosine", F.round("raw_cos", 6))
-        .filter(F.col("cosine") >= threshold)
+    # identical-vector pairs: self-cosine rounds to exactly 1.0 by
+    # construction (|1 − dot/(√dot·√dot)| ≲ a few ulp ≪ the 6-dp
+    # rounding), so no second Python verify tier is spent on it — each
+    # chained mapInPandas stage costs its own worker tier (measured
+    # elsewhere in this repo), and the JVM-side norm guard reproduces
+    # the kernel's zero-vector/NaN drop (0-norm or NaN dot² → no row)
+    norm2 = F.aggregate(
+        F.zip_with(F.col(vec_col), F.col(vec_col), lambda x, y: x * y),
+        F.lit(0.0).cast("double"),
+        lambda acc, v: acc + v,
     )
     intra = (
-        self_verified.select(F.col("id_a").alias("__rep"), "cosine")
-        .join(groups.select("__rep", "__ids"), "__rep")
-        .select(F.explode("__ids").alias("id_a"), "__ids", "cosine")
-        .select("id_a", F.explode("__ids").alias("id_b"), "cosine")
+        groups.filter(F.size("__ids") >= 2)
+        .filter(norm2 > 0)
+        .filter(F.lit(1.0) >= F.lit(float(threshold)))
+        .select(F.explode("__ids").alias("id_a"), "__ids")
+        .select("id_a", F.explode("__ids").alias("id_b"))
         .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "cosine")
+        .select("id_a", "id_b", F.lit(1.0).cast("double").alias("cosine"))
     )
     return cross.unionByName(intra)
 

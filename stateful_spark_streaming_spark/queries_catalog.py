@@ -2548,7 +2548,12 @@ def _training_pipeline_chain(
         F.col("survivor_doc_id").alias("doc_id")
     )
     d2 = filtered.join(surv, "doc_id")
-    pairs = DD.jaccard_pairs(d2, threshold=0.6, tokens_col=kt)
+    # content_distinct: exact_dedup immediately above guarantees one row
+    # per distinct token array, so jaccard's r13 duplicate-mass grouping
+    # would be the identity — skip its extra stages (the flag's contract)
+    pairs = DD.jaccard_pairs(
+        d2, threshold=0.6, tokens_col=kt, content_distinct=True
+    )
     clusters = DD.dup_clusters(pairs)
     dupes = clusters.filter(F.col("doc_id") != F.col("cluster_rep")).select("doc_id")
     keep = d2.join(dupes, "doc_id", "left_anti")
