@@ -1504,9 +1504,13 @@ def minhash_lsh_pairs(
     # identical-text pairs: jaccard 1.0 by construction, n_common = the
     # rep's shingle-set size; shingle-less reps (< k tokens, NULL text)
     # emit nothing — matching the sentinel semantics above, and the old
-    # path's NULL-jaccard filter for empty sets
+    # path's NULL-jaccard filter for empty sets.  Size-prefiltered like
+    # the sibling operators: on a mostly-unique corpus almost every group
+    # is a singleton, and joining those just to discard them in the
+    # doc_a < doc_b filter is a wasted corpus-sized join (review r13).
     intra = (
-        groups.join(
+        groups.filter(F.size("__ids") >= 2)
+        .join(
             sets.select(F.col("doc").alias("__rep"), F.size("sh").alias("__n")),
             "__rep",
         )
@@ -1814,7 +1818,11 @@ def simhash_fingerprints_mapinpandas(
 
 
 def simhash_near_pairs(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", max_hamming: int = 3
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """SimHash near-dup pairs: Hamming distance ≤ max_hamming over the
     60-bit fingerprints — pigeonhole banding (split into max_hamming+1
@@ -1837,17 +1845,23 @@ def simhash_near_pairs(
     hot-bucket cap the whole group was silently DROPPED — zero pairs
     exactly where duplicate mass is densest, on the corpus shape (a
     duplicate-heavy crawl) this operator exists for.  The decomposition
-    is exact and needs no cap: a saturating distinct-fp chunk bucket
-    means the fingerprint is too narrow for the corpus — widen it (the
-    image family's grid=16 rule), don't cap recall.
+    is exact, and duplicate mass never needs a cap again.
+
+    ``max_bucket_size`` (default None = complete): the DISTINCT-fp chunk
+    buckets are still Ω(D²/2^15)-pair generators once distinct-fp count D
+    saturates the 15-bit chunk space — and unlike the image family there
+    is no grid knob to widen this fixed 60-bit fingerprint.  At that
+    regime set the cap: it now degrades ONLY the cross-content
+    hash-collision candidates (a dropped bucket holds many DIFFERENT
+    contents colliding on one chunk), never exact-duplicate mass — the
+    in-group expand is structurally cap-immune, which is exactly the
+    failure the old row-level cap had.
 
     MEMORY UNIT (same as :func:`hamming_near_pairs`): the per-distinct-fp
     id-list row — a fingerprint carrying ~10⁷ duplicate ids makes one
     multi-GB aggregate row before the expand, at which point the m²/2
     pair OUTPUT is absurd anyway; canonical selection should compose
     ``dup_clusters`` + ``keep_best``, whose per-fp state is O(1)."""
-    from stateful_spark_streaming_spark.caching import track_persist
-
     n_chunks = max_hamming + 1
     chunk_bits = SIMHASH_BITS // n_chunks
     # map-side numpy fingerprints (bit-identical to simhash(), pytested):
@@ -1881,7 +1895,7 @@ def simhash_near_pairs(
         F.posexplode(chunk_vals).alias("band_id", "band_hash"),
     )
     fp_pairs = (
-        banded_candidate_pairs(items, id_field="fp", max_bucket_size=None)
+        banded_candidate_pairs(items, id_field="fp", max_bucket_size=max_bucket_size)
         .select(F.col("a.fp").alias("fp_a"), F.col("b.fp").alias("fp_b"))
         .withColumn(
             "hamming",

@@ -61,8 +61,21 @@ def main() -> int:
     n_docs = big_docs.count()
 
     # ground truth from the DISTINCT corpus: per-content copy counts are
-    # uniform (= copies × base multiplicity)
-    base_groups = docs.groupBy("text").count().persist()
+    # uniform (= copies × base multiplicity).  Restricted to contents
+    # that CAN emit pairs — ≥ 3 whitespace tokens (shingle/k floor; a
+    # duplicated 2-token or NULL text correctly emits nothing in every
+    # operator, and counting it here would make the >= assertions fail
+    # on a correct run).  Residual assumption, stated: no duplicated
+    # text loses its ENTIRE shingle set to the jaccard/containment df
+    # cap (true for this synthetic corpus; an adversarial all-boiler-
+    # plate duplicate group would need a per-operator floor instead).
+    base_groups = (
+        docs.filter(F.col("text").isNotNull())
+        .filter(F.size(F.split(F.trim(F.col("text")), "\\s+")) >= 3)
+        .groupBy("text")
+        .count()
+        .persist()
+    )
     exact_expected = (
         base_groups.select(
             F.sum(
