@@ -92,6 +92,33 @@ def _id_typed_schema(df: DataFrame, id_col: str, out_name: str, rest: str):
     )
 
 
+def _all_distinct(df: DataFrame, col: str) -> bool:
+    """ONE-aggregate distinctness probe for the pair-generator family's
+    duplicate-mass decomposition (r14, VERDICT r13 #3): True iff no two
+    rows of ``df`` share a value of ``col`` — the exact precondition
+    under which the identical-content grouping + output expansion is the
+    identity and can be SKIPPED outright (guide §2.4: remove shuffles
+    the data provably doesn't need).
+
+    Cost/soundness shape: compares ``count(*)`` against
+    ``count_distinct(xxhash64(col))`` — hashes cross the probe's one
+    exchange as 8 bytes/row with map-side partial aggregation, where a
+    distinct over the content itself would shuffle full payloads.  A
+    real duplicate forces equal hashes, so ``n == d`` PROVES
+    distinctness; a hash collision between two DIFFERENT contents can
+    only under-report (``d < n``), which falls back to the
+    always-correct grouping path.  NULL contents hash to the seed
+    constant (non-NULL), so m NULL rows count as one value — matching
+    ``groupBy``'s NULLs-group-together semantics.  Output of every
+    caller is IDENTICAL on both sides of the branch (oracle-checked);
+    only the plan changes."""
+    row = df.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count_distinct(F.xxhash64(F.col(col))).alias("d"),
+    ).first()
+    return int(row["n"]) == int(row["d"])
+
+
 def _spread(df: DataFrame) -> DataFrame:
     """Repartition ahead of heavy per-row compute.  The small test tables
     arrive as a single parquet row group = one task; at production scale the
@@ -217,6 +244,7 @@ def containment_pairs(
     k: int = 3,
     threshold: float = 0.9,
     max_shingle_df: int = 1000,
+    content_distinct: bool | None = None,
 ) -> DataFrame:
     """Sub/superset duplicate detection: pairs where the SMALLER document's
     shingle set is mostly contained in the larger's — containment
@@ -242,18 +270,29 @@ def containment_pairs(
     group silently emitted zero pairs; ``max_shingle_df`` now counts
     DISTINCT contents per shingle.  Sizes swap with the least/greatest id
     normalization so size_a stays doc_a's size.
+    ``content_distinct`` follows the family contract (see
+    :func:`jaccard_pairs`): ``None`` self-decides via the
+    :func:`_all_distinct` probe, skipping group+expand when the corpus
+    is provably duplicate-free; ``True`` asserts it; ``False`` pins the
+    full decomposition.
 
     Returns (doc_a, doc_b, size_a, size_b, n_common, containment),
     doc_a < doc_b; the contained side is the one with the smaller size."""
-    groups = track_persist(
-        df.groupBy(F.col(text_col).alias("__content")).agg(
-            F.min(F.col(id_col)).alias("__rep"),
-            F.collect_list(F.col(id_col)).alias("__ids"),
+    if content_distinct is None:
+        content_distinct = _all_distinct(df, text_col)
+    if content_distinct:
+        groups = None
+        reps = df
+    else:
+        groups = track_persist(
+            df.groupBy(F.col(text_col).alias("__content")).agg(
+                F.min(F.col(id_col)).alias("__rep"),
+                F.collect_list(F.col(id_col)).alias("__ids"),
+            )
         )
-    )
-    reps = groups.select(
-        F.col("__rep").alias(id_col), F.col("__content").alias(text_col)
-    )
+        reps = groups.select(
+            F.col("__rep").alias(id_col), F.col("__content").alias(text_col)
+        )
     idx = _shingle_index(reps, text_col, id_col, k)
     pairs, sizes = _bucketed_pair_counts(idx, max_shingle_df, with_sizes=True)
     cont = F.col("n_common") / F.least(F.col("size_a"), F.col("size_b"))
@@ -262,6 +301,11 @@ def containment_pairs(
         .filter(F.col("containment") >= threshold)
         .select("doc_a", "doc_b", "size_a", "size_b", "n_common", "containment")
     )
+    if content_distinct:
+        # every group is a singleton: the cross expansion is the identity
+        # (least/greatest and the size swap are no-ops on rep pairs, which
+        # are already doc_a < doc_b) and the intra tail is empty
+        return rep_out
     swap = F.col("__ia") > F.col("__ib")
     cross = (
         rep_out.join(
@@ -321,7 +365,7 @@ def jaccard_pairs(
     threshold: float = 0.6,
     max_shingle_df: int | None = None,
     tokens_col: str | None = None,
-    content_distinct: bool = False,
+    content_distinct: bool | None = None,
 ) -> DataFrame:
     """n-gram Jaccard near-dup pairs: J(A,B) = |A∩B| / (|A|+|B|-|A∩B|) ≥ τ.
 
@@ -372,6 +416,13 @@ def jaccard_pairs(
     expansion stages are pure fixed cost.  With duplicate rows present
     it silently reverts to the OLD duplicate-squaring behavior — only
     set it when distinctness is structurally guaranteed.
+    ``content_distinct=None`` (the default, r14) SELF-DECIDES with the
+    one-aggregate :func:`_all_distinct` probe: a mostly-unique corpus —
+    also a real corpus shape — no longer pays the group+expand stages
+    just to prove they were the identity (the r13 bench regression),
+    while any duplicate mass keeps the full decomposition.  The probe
+    is an eager 8-byte-per-row aggregate; output is identical on both
+    branches.  Pass an explicit bool to pin the plan.
 
     Cache lifetime: the scale path persists the bucketed index (it feeds
     two subplans) and cannot unpersist it before the caller's action runs;
@@ -380,6 +431,8 @@ def jaccard_pairs(
     the index to storage and read it back — the 100 TB form.
     """
     content = tokens_col or text_col
+    if content_distinct is None:
+        content_distinct = _all_distinct(df, content)
     if content_distinct:
         groups = None
         reps = df
@@ -1359,6 +1412,7 @@ def minhash_lsh_pairs(
     bands: int = 8,
     threshold: float = 0.6,
     max_bucket_size: int | None = 2000,
+    content_distinct: bool | None = None,
 ) -> DataFrame:
     """MinHash + LSH banding: candidate pairs collide on ≥1 band, then are
     verified with exact Jaccard (no false positives in the output).
@@ -1407,20 +1461,34 @@ def minhash_lsh_pairs(
     Cache lifetime: the text groups and rep shingle sets are persisted
     and stay cached past the caller's action (see jaccard_pairs
     docstring for the clearCache / write-to-storage guidance).
+
+    ``content_distinct`` follows the family contract (see
+    :func:`jaccard_pairs`): ``None`` (default) self-decides with the
+    one-aggregate :func:`_all_distinct` probe — a duplicate-free corpus
+    skips the grouping shuffle, the groups persist and both expansion
+    stages outright, because they are provably the identity there;
+    ``True`` asserts upstream distinctness; ``False`` pins the full
+    decomposition.
     """
-    # one id-list row per DISTINCT text; the group key is the text value
-    # itself (the kernel path shuffles every text once through _spread
-    # anyway, so the grouping shuffle replaces — not adds to — that move,
-    # and everything downstream shrinks by the duplicate factor)
-    groups = track_persist(
-        df.groupBy(F.col(text_col).alias("__text")).agg(
-            F.min(F.col(id_col)).alias("__rep"),
-            F.collect_list(F.col(id_col)).alias("__ids"),
+    if content_distinct is None:
+        content_distinct = _all_distinct(df, text_col)
+    if content_distinct:
+        groups = None
+        reps = df.select(F.col(id_col), F.col(text_col))
+    else:
+        # one id-list row per DISTINCT text; the group key is the text value
+        # itself (the kernel path shuffles every text once through _spread
+        # anyway, so the grouping shuffle replaces — not adds to — that move,
+        # and everything downstream shrinks by the duplicate factor)
+        groups = track_persist(
+            df.groupBy(F.col(text_col).alias("__text")).agg(
+                F.min(F.col(id_col)).alias("__rep"),
+                F.collect_list(F.col(id_col)).alias("__ids"),
+            )
         )
-    )
-    reps = groups.select(
-        F.col("__rep").alias(id_col), F.col("__text").alias(text_col)
-    )
+        reps = groups.select(
+            F.col("__rep").alias(id_col), F.col("__text").alias(text_col)
+        )
     # Band hashes come MAP-SIDE from the Arrow numpy kernel (bit-identical
     # to the explode→groupBy minhash_signatures path — pytested), which
     # ELIMINATES the signature-aggregation shuffle entirely: the only
@@ -1474,6 +1542,9 @@ def minhash_lsh_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "n_common", "jaccard")
     )
+    if content_distinct:
+        # singleton groups: expansion is the identity, the intra tail empty
+        return rep_pairs
     # expand rep pairs back through both id lists (copies share the reps'
     # shingle sets, so n_common/jaccard carry verbatim)
     cross = (
@@ -1864,6 +1935,24 @@ def simhash_near_pairs(
     ``dup_clusters`` + ``keep_best``, whose per-fp state is O(1)."""
     n_chunks = max_hamming + 1
     chunk_bits = SIMHASH_BITS // n_chunks
+    if max_bucket_size is None:
+        # loud, zero-cost notice (ADVICE r13): the cap-free default is
+        # COMPLETE, but once distinct-fp count D saturates the 15-bit
+        # chunk space candidate generation is Ω(D²/2^15) with no
+        # backstop — a large-corpus caller on the default should know
+        # it opted into unbounded pair generation
+        import logging
+
+        logging.getLogger(__name__).info(
+            "simhash_near_pairs: max_bucket_size=None — candidate "
+            "generation is complete but UNCAPPED; at distinct-"
+            "fingerprint saturation of the %d-bit chunk space this is "
+            "Ω(D²/2^%d).  Set max_bucket_size to bound it (the cap "
+            "degrades only cross-content hash collisions, never "
+            "duplicate mass).",
+            chunk_bits,
+            chunk_bits,
+        )
     # map-side numpy fingerprints (bit-identical to simhash(), pytested):
     # removes the 60-conditional-sum aggregation shuffle
     fps = simhash_fingerprints_mapinpandas(_spread(df), text_col, id_col)

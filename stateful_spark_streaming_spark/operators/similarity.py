@@ -1395,6 +1395,7 @@ def cosine_near_pairs_lsh(
     max_bucket_size: int | None = 2000,
     target_bucket_rows: int = 8,
     recall_target: float = 0.9,
+    content_distinct: bool | None = None,
 ) -> DataFrame:
     """Random-hyperplane LSH: bucket = sign pattern of n_planes projections;
     pairs colliding in ≥1 of n_tables tables are verified exactly.
@@ -1472,24 +1473,48 @@ def cosine_near_pairs_lsh(
 
     from stateful_spark_streaming_spark.caching import track_persist
 
-    # one id-list row per DISTINCT vector (r13 decomposition, see
-    # docstring); persisted — feeds plane sizing, the rep pipeline, the
-    # pair expansion (both sides) and the identical-vector tail
-    groups = track_persist(
-        embeddings.groupBy(F.col(vec_col)).agg(
-            F.min(F.col(id_col)).alias("__rep"),
-            F.collect_list(F.col(id_col)).alias("__ids"),
+    # content_distinct follows the pair-generator family contract
+    # (dedup.jaccard_pairs): None (default) self-decides with dedup's
+    # one-aggregate _all_distinct probe — byte-identical re-encodes are
+    # what the grouping exists for, and a duplicate-free embedding table
+    # (also a real shape) skips the grouping shuffle, the persist and
+    # both expansion stages, which are provably the identity there.  The
+    # probe's exact total count doubles as the plane-sizing count, so
+    # the distinct path spends NO extra action on sizing.
+    n_vecs = None
+    if content_distinct is None:
+        row = embeddings.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count_distinct(F.xxhash64(F.col(vec_col))).alias("d"),
+        ).first()
+        content_distinct = int(row["n"]) == int(row["d"])
+        if content_distinct:
+            n_vecs = int(row["n"])
+    if content_distinct:
+        groups = None
+        reps = embeddings.select(F.col(id_col), F.col(vec_col))
+    else:
+        # one id-list row per DISTINCT vector (r13 decomposition, see
+        # docstring); persisted — feeds plane sizing, the rep pipeline, the
+        # pair expansion (both sides) and the identical-vector tail
+        groups = track_persist(
+            embeddings.groupBy(F.col(vec_col)).agg(
+                F.min(F.col(id_col)).alias("__rep"),
+                F.collect_list(F.col(id_col)).alias("__ids"),
+            )
         )
-    )
-    reps = groups.select(F.col("__rep").alias(id_col), F.col(vec_col))
+        reps = groups.select(F.col("__rep").alias(id_col), F.col(vec_col))
     if n_planes is None:
         # One count() sizes the hash depth to DISTINCT-vector occupancy
         # (what actually fills buckets) — a pinned depth is the measured
         # silent zero-recall config at 100× (SCALE.md, ann_probe
         # srp_demo).  The count materializes the persisted groups frame,
         # which the pipeline needs anyway; callers who must avoid that
-        # eager step pass an explicit n_planes.
-        n_planes = srp_plane_count(reps.count(), target_bucket_rows)
+        # eager step pass an explicit n_planes.  On the distinct path the
+        # probe's exact row count IS the distinct-vector count.
+        n_planes = srp_plane_count(
+            n_vecs if n_vecs is not None else reps.count(), target_bucket_rows
+        )
     if n_tables is None:
         # Recall is stated at the similarity of the DUPLICATES being
         # mined (>= 0.95), not at a weak candidate-widening threshold —
@@ -1558,6 +1583,9 @@ def cosine_near_pairs_lsh(
         .dropDuplicates(["id_a", "id_b"])
         .select("id_a", "id_b", "cosine")
     )
+    if content_distinct:
+        # singleton groups: expansion is the identity, the intra tail empty
+        return rep_pairs
     # expand rep pairs back through both id lists (copies ARE the reps'
     # vectors, so the verified cosine carries verbatim)
     cross = (
@@ -1587,7 +1615,12 @@ def cosine_near_pairs_lsh(
     # rounding), so no second Python verify tier is spent on it — each
     # chained mapInPandas stage costs its own worker tier (measured
     # elsewhere in this repo), and the JVM-side norm guard reproduces
-    # the kernel's zero-vector/NaN drop (0-norm or NaN dot² → no row)
+    # the kernel's zero-vector/NaN drop (0-norm or NaN dot² → no row).
+    # The isnan() leg is load-bearing (ADVICE r13): under Spark SQL
+    # NaN-ordering semantics NaN > 0 is TRUE, so without it a duplicated
+    # vector CONTAINING a NaN component would pass the guard and emit
+    # fabricated cosine-1.0 intra pairs while the numpy verify kernel
+    # (cos >= τ is False for NaN) drops the same content on the rep path.
     norm2 = F.aggregate(
         F.zip_with(F.col(vec_col), F.col(vec_col), lambda x, y: x * y),
         F.lit(0.0).cast("double"),
@@ -1595,7 +1628,7 @@ def cosine_near_pairs_lsh(
     )
     intra = (
         groups.filter(F.size("__ids") >= 2)
-        .filter(norm2 > 0)
+        .filter((~F.isnan(norm2)) & (norm2 > 0))
         .filter(F.lit(1.0) >= F.lit(float(threshold)))
         .select(F.explode("__ids").alias("id_a"), "__ids")
         .select("id_a", F.explode("__ids").alias("id_b"))

@@ -2908,6 +2908,8 @@ def q_streaming_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
          LATERAL unnest(g.ids) AS ta(ia), LATERAL unnest(g.ids) AS tb(ib)
     WHERE ta.ia < tb.ib
       AND list_inner_product(g.embedding::DOUBLE[], g.embedding::DOUBLE[]) > 0
+      AND NOT isnan(list_inner_product(g.embedding::DOUBLE[],
+                                       g.embedding::DOUBLE[]))
       AND round(list_cosine_similarity(g.embedding::DOUBLE[],
                                        g.embedding::DOUBLE[]), 6) >= 0.4
     """,
@@ -5090,9 +5092,16 @@ def q_image_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
         "image_id",
         (F.col("width").cast("double") * F.col("height")).alias("pixels"),
     )
+    # max_cluster_frac=0.5 (r14, VERDICT r13 #2): the percolation guard is
+    # ON in the pipeline entry points — the r13 sf10 probe measured the
+    # 64-bit hash silently collapsing 98.5% of a 500 k corpus into one
+    # "representative"; a raise with the widen-the-hash escape beats
+    # publishing fiction.  Healthy at every gate/bench SF (largest radius-1
+    # cluster at sf0.1: 115 of 5 000 members ≈ 2.3%), so gate rows are
+    # unchanged; None is the explicit opt-out for audit/probe runs.
     return hamming_keep_best(
         hashed, "image_id", "ahash_bits", quality, "pixels",
-        max_ham=1, n_bands=2,
+        max_ham=1, n_bands=2, max_cluster_frac=0.5,
     )
 
 

@@ -388,8 +388,17 @@ def compact_partial_log(
         # width-measuring fallback below can NOT catch a narrowing fold
         # when every per-batch sketch is individually under the wrong k
         # but their union exceeds it (review r13)
-        ks = [r[0] for r in df.select("_kmv_k").distinct().collect()]
-        if ks and set(ks) != {int(kmv_k)}:
+        # NULL stamps are LEGACY rows (ADVICE r13): a log that mixes
+        # pre-stamp and stamped batches — exactly what resuming an
+        # existing stream under the stamping writer produces — must not
+        # fail the mismatch check on the NULLs; the unstamped rows fall
+        # back to the width heuristic below, like a fully stampless log
+        ks = {
+            r[0]
+            for r in df.select("_kmv_k").distinct().collect()
+            if r[0] is not None
+        }
+        if ks and ks != {int(kmv_k)}:
             raise ValueError(
                 f"partial log at {path} is stamped _kmv_k={sorted(ks)} but "
                 f"this compaction uses kmv_k={kmv_k} — a mismatched fold "
@@ -397,13 +406,20 @@ def compact_partial_log(
                 "estimates.  Compact with "
                 "distinct_kmv_compaction_spec(k=<writer's k>)."
             )
-        # constant per log — carry it through the fold unchanged
+        # constant per log — carry it through the fold unchanged (max
+        # ignores NULLs, so a mixed group folds to the stamped k)
         maxs = (*maxs, "_kmv_k")
-    elif kmvs:
-        # stampless (pre-r13) log: measure the staged width — catches a
+        has_legacy = bool(
+            df.filter(F.col("_kmv_k").isNull()).limit(1).count()
+        )
+    else:
+        has_legacy = bool(kmvs)
+    if kmvs and has_legacy:
+        # stampless (pre-r13) rows — a fully legacy log, or the legacy
+        # batches of a mixed one: measure the staged width — catches a
         # log written with k > kmv_k whenever any batch saw ≥ kmv_k
         # distincts, but NOT the all-batches-narrow union case; the
-        # stamped path above is the complete guard
+        # stamped path above is the complete guard for stamped rows
         widest = df.select(
             *[F.max(F.size(F.col(c))).alias(c) for c in kmvs]
         ).first()
@@ -1736,9 +1752,17 @@ def run_streaming_distinct_kmv(
     if "_kmv_k" in staged.columns:
         # refuse to read a log written under a different k: bottom-k of a
         # union of bottom-k' sketches is only the global bottom-k when
-        # k <= k', and the m < k exact-count branch is wrong either way
-        ks = [r[0] for r in staged.select("_kmv_k").distinct().collect()]
-        if ks and set(ks) != {int(k)}:
+        # k <= k', and the m < k exact-count branch is wrong either way.
+        # NULL stamps are LEGACY rows (ADVICE r13) — a resumed stream's
+        # pre-stamp batches — and must not fail the check; they carry no
+        # width claim to validate (the writer-k heuristic for them is the
+        # compaction path's width measurement)
+        ks = {
+            r[0]
+            for r in staged.select("_kmv_k").distinct().collect()
+            if r[0] is not None
+        }
+        if ks and ks != {int(k)}:
             raise ValueError(
                 f"staged KMV log {out_dir} was written with k={sorted(ks)}, "
                 f"but this read uses k={k} — re-read with the writer's k "
@@ -1768,6 +1792,7 @@ def run_streaming_image_keep_best(
     n_bands: int | None = None,
     grid: int = 8,
     max_files_per_trigger: int | None = None,
+    max_cluster_frac: float | None = 0.5,
 ) -> DataFrame:
     """Ingest-time canonical IMAGE selection — the streaming twin of
     ``dedup.hamming_keep_best`` over an image-table stream (the
@@ -1793,7 +1818,15 @@ def run_streaming_image_keep_best(
     sized per batch (never image rows), blob bytes never cross a
     shuffle (the decode is map-only inside the batch), and the fold is
     a plain keyed aggregate — the same staged-sink story as the vocab /
-    CMS / KMV runners."""
+    CMS / KMV runners.
+
+    ``max_cluster_frac`` (default 0.5, r14 — VERDICT r13 #2): the
+    percolation guard is ON by default here as in the batch catalog
+    query — the r13 sf10 probe measured the 64-bit hash silently
+    collapsing 98.5% of a 500 k corpus into one "representative", and
+    an ingest pipeline should STOP there (raise, with the widen-the-
+    hash escape in the message), not publish fiction.  Pass ``None``
+    to opt out explicitly (audit/probe runs)."""
     from pyspark.sql import functions as F
 
     from stateful_spark_streaming_spark.operators import multimodal as MM
@@ -1914,7 +1947,8 @@ def run_streaming_image_keep_best(
         )
     )
     winners = keep_best_from_hash_summaries(
-        gsum, id_col="image_id", max_ham=max_ham, n_bands=n_bands, nbits=nbits
+        gsum, id_col="image_id", max_ham=max_ham, n_bands=n_bands, nbits=nbits,
+        max_cluster_frac=max_cluster_frac,
     )
     if os.path.exists(null_dir):
         nulls = (

@@ -255,6 +255,52 @@ def test_hamming_keep_best_percolation_guard(spark):
     assert len(out) == 2
 
 
+def test_streaming_image_keep_best_guard_on_by_default(spark, tmp_path):
+    """r14 (VERDICT r13 #2): the ingest runner's percolation guard is ON
+    by default — a corpus whose Hamming closure collapses more than half
+    the images into one cluster RAISES instead of publishing a fiction
+    representative, and max_cluster_frac=None is the explicit opt-out
+    that returns the (degenerate but exact) clustering."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from stateful_spark_streaming_spark.operators import multimodal as MM
+    from stateful_spark_streaming_spark.streaming.pipeline import (
+        run_streaming_image_keep_best,
+    )
+    from tests.conftest import land_batches
+
+    # the synth pixel pattern is (id·7 + 3x + 5y + 11c) mod 256, so ids
+    # congruent mod 256 with equal n_chars are pixel-identical: 6 of 8
+    # images share ONE hash (75% > the 0.5 default), the other two are
+    # distinct singletons
+    batches_docs = [
+        [(1, 40), (257, 40), (513, 40), (2, 47)],
+        [(769, 40), (1025, 40), (1281, 40), (3, 54)],
+    ]
+    cols = ("image_id", "data", "format", "width", "height")
+    batches = []
+    for bdocs in batches_docs:
+        d = spark.createDataFrame(bdocs, "doc_id long, n_chars long")
+        batches.append(
+            [tuple(r) for r in MM.synthesize_image_table(spark, d).collect()]
+        )
+    src = land_batches(spark, tmp_path, "imgkb_perc", batches, cols)
+
+    with pytest.raises(ValueError, match="percolated"):
+        run_streaming_image_keep_best(
+            spark, src, checkpoint_dir=str(tmp_path / "ck_perc"),
+            max_ham=1, max_files_per_trigger=1,
+        ).collect()
+    # explicit opt-out: same staged log, degenerate-but-exact result
+    out = run_streaming_image_keep_best(
+        spark, src, checkpoint_dir=str(tmp_path / "ck_perc"),
+        max_ham=1, max_files_per_trigger=1, max_cluster_frac=None,
+    ).collect()
+    assert sum(r.cluster_size for r in out) == 8
+    assert max(r.cluster_size for r in out) == 6
+
+
 def test_hamming_keep_best_rejects_mismatched_hash_width(spark):
     """r13 review: the percolation error itself tells users to widen the
     hash (image_ahash grid=16 → 256-bit), and a user who does that but

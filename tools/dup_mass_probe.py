@@ -49,10 +49,15 @@ def main() -> int:
     spark = get_spark("dup-mass-probe", shuffle_partitions=32)
 
     def replicate(df, id_col):
-        n = df.count()
+        # stride by max(id)+1, NOT count+1 (ADVICE r13): count-based
+        # strides are only collision-free when ids are dense in [0, n] —
+        # a sparse-id corpus (max id > count) would alias replicas onto
+        # other rows' replicas and silently corrupt the ground-truth
+        # pair counts this probe asserts against
+        stride = df.agg(F.max(F.col(id_col)).cast("long")).first()[0] + 1
         r = spark.range(copies).select(F.col("id").alias("__r"))
         return df.crossJoin(r).select(
-            (F.col(id_col) + F.col("__r") * (n + 1)).alias(id_col),
+            (F.col(id_col) + F.col("__r") * stride).alias(id_col),
             *[c for c in df.columns if c != id_col],
         )
 
