@@ -122,15 +122,78 @@ def main() -> None:
     # pass JIT-compiles every query's code and spawns every Python-worker
     # tier for pennies, and the timed loops below measure throughput, not
     # first-compilation.  Disable with SPARK_GRAFT_WARMUP=0 to time cold.
+    print(
+        f"bench-phase: session+tables+workers warm {time.perf_counter() - t_cold0:.0f}s",
+        file=sys.stderr,
+    )
     warm_dir = os.environ.get("SPARK_GRAFT_WARMUP_SF_DIR", "/root/testdata/sf0.001")
     warmed = os.environ.get("SPARK_GRAFT_WARMUP", "1") != "0" and os.path.isdir(warm_dir)
     if warmed:
-        for name, fn in qs.items():
+        t_warm0 = time.perf_counter()
+        # CONCURRENT warmup (r14, guide §2.6): the warmup pass exists to
+        # JIT-compile plans and spawn worker tiers, not to measure — its
+        # queries are independent, and the ~35 streaming replays spend
+        # most of their wall on micro-batch scheduling, not CPU, so
+        # running them sequentially left local[32] mostly idle for
+        # minutes (measured 425 s of the 900 s budget on the r14 box —
+        # the reason only ONE timed loop fit and the recorded value was
+        # a noisy first-execution loop).  A small thread pool overlaps
+        # them; actions are thread-safe and job descriptions are
+        # thread-local.  Timed loops below are UNCHANGED — still
+        # sequential, solo, median-of-N.
+        #
+        # Several streaming runners set-then-restore session confs
+        # (shuffle partitions for state sizing, the state-store
+        # provider); interleaved restores can persist a neighbor's
+        # temporary value, so the volatile confs are snapshotted here
+        # and pinned back after the pool drains — warmup plans may see a
+        # neighbor's transient value (harmless: results are discarded),
+        # the timed loops never do.
+        _VOLATILE_CONFS = (
+            "spark.sql.shuffle.partitions",
+            "spark.sql.streaming.stateStore.providerClass",
+            "spark.sql.streaming.stopTimeout",
+        )
+        _saved_confs = {k: spark.conf.get(k, None) for k in _VOLATILE_CONFS}
+
+        def _warm_one(item):
+            name, fn = item
             try:
+                spark.sparkContext.setJobDescription(f"warmup {name}")
                 fn(spark, warm_dir).write.format("noop").mode("overwrite").save()
             except Exception as e:  # noqa: BLE001
                 print(f"bench warmup error in {name}: {e}", file=sys.stderr)
-            spark.catalog.clearCache()
+
+        # 16 threads measured on the r14 box: sequential 425 s → 8 threads
+        # ~330 s → 16 threads 105 s (the pool is wait-bound on micro-batch
+        # scheduling, so threads ≈ 2× streaming-query concurrency is where
+        # it flattens); the pool is still capped far below the 142-query
+        # fan-out so local[32] keeps task slots for the actual work
+        warm_threads = max(1, int(os.environ.get("SPARK_GRAFT_WARMUP_THREADS", "16")))
+        if warm_threads > 1:
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(max_workers=warm_threads) as pool:
+                list(pool.map(_warm_one, qs.items()))
+        else:
+            for item in qs.items():
+                _warm_one(item)
+        for k, v in _saved_confs.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+        spark.sparkContext.setJobDescription(None)
+        # one sweep instead of per-query: sf0.001 caches are tiny, and a
+        # mid-pool global clearCache would evict a CONCURRENT query's
+        # pinned frames mid-plan (recompute — correct but slow)
+        spark.catalog.clearCache()
+        print(
+            f"bench-phase: warmup pool ({warm_threads} threads) "
+            f"{time.perf_counter() - t_warm0:.0f}s",
+            file=sys.stderr,
+        )
+        t_pre0 = time.perf_counter()
         # the IVF index lifecycle is build-once/probe-many (persisted per
         # corpus); build the TARGET corpus's index here so the timed loops
         # measure the probe path, not the one-time build.  The build cost
@@ -155,6 +218,10 @@ def main() -> None:
                 spark.catalog.clearCache()
             except Exception as e:  # noqa: BLE001
                 print(f"bench warmup error in {prebuild} prebuild: {e}", file=sys.stderr)
+        print(
+            f"bench-phase: sf prebuilds {time.perf_counter() - t_pre0:.0f}s",
+            file=sys.stderr,
+        )
 
     # ---- loop-boundary hygiene + diagnostics (r11, VERDICT r10 #4) ----
     # The 3-loop totals spread up to ~23% round-to-round.  Two box-level
