@@ -92,31 +92,108 @@ def _id_typed_schema(df: DataFrame, id_col: str, out_name: str, rest: str):
     )
 
 
-def _all_distinct(df: DataFrame, col: str) -> bool:
-    """ONE-aggregate distinctness probe for the pair-generator family's
-    duplicate-mass decomposition (r14, VERDICT r13 #3): True iff no two
-    rows of ``df`` share a value of ``col`` — the exact precondition
-    under which the identical-content grouping + output expansion is the
-    identity and can be SKIPPED outright (guide §2.4: remove shuffles
-    the data provably doesn't need).
+#: literal-IN cap for the hybrid decomposition path: past this many
+#: duplicated contents the dup-hash set stops being a small driver-side
+#: literal (Catalyst IN-trees grow with it; the merge runner caps its
+#: bucket predicate at the same order) and the full grouping is the
+#: right plan anyway — the corpus is duplicate-heavy, which is the
+#: regime the r13 decomposition optimizes.
+_HYBRID_DUP_CAP = 1000
 
-    Cost/soundness shape: compares ``count(*)`` against
-    ``count_distinct(xxhash64(col))`` — hashes cross the probe's one
-    exchange as 8 bytes/row with map-side partial aggregation, where a
-    distinct over the content itself would shuffle full payloads.  A
-    real duplicate forces equal hashes, so ``n == d`` PROVES
-    distinctness; a hash collision between two DIFFERENT contents can
-    only under-report (``d < n``), which falls back to the
-    always-correct grouping path.  NULL contents hash to the seed
-    constant (non-NULL), so m NULL rows count as one value — matching
-    ``groupBy``'s NULLs-group-together semantics.  Output of every
-    caller is IDENTICAL on both sides of the branch (oracle-checked);
-    only the plan changes."""
-    row = df.agg(
-        F.count(F.lit(1)).alias("n"),
-        F.count_distinct(F.xxhash64(F.col(col))).alias("d"),
-    ).first()
-    return int(row["n"]) == int(row["d"])
+
+def _dup_content_hashes(df: DataFrame, col: str) -> list | None:
+    """ONE-action duplicate-mass probe for the pair-generator family's
+    decomposition (r14, VERDICT r13 #3): the ``xxhash64`` values of
+    ``col`` that occur on MORE than one row, collected only while the
+    set stays small.
+
+    Returns ``[]`` (provably duplicate-free — the grouping + expansion
+    stages are the identity and can be skipped outright, guide §2.4),
+    a list of ≤ ``_HYBRID_DUP_CAP`` hashes (the NEARLY-distinct regime:
+    group only the rows carrying those hashes — two map-only literal
+    filters instead of a full-content shuffle), or ``None`` (more
+    duplicated contents than the cap: duplicate-heavy corpus, take the
+    full r13 grouping, whose one content shuffle is then the useful
+    work).
+
+    Cost/soundness shape: one aggregation over ``xxhash64(col)`` —
+    8 bytes/row cross its exchange with map-side partials, where a
+    ``groupBy`` over the content itself shuffles full payloads.  Equal
+    contents force equal hashes, so a hash absent from the list PROVES
+    its content unduplicated; a collision between two DIFFERENT
+    contents only ADDS a hash to the list, and the rows it pulls into
+    the grouping are separated there by the real content — never a
+    wrong answer, at worst a few extra grouped rows.  NULL contents
+    hash to the seed constant (non-NULL), so m NULL rows surface as one
+    duplicated hash — matching ``groupBy``'s NULLs-group-together
+    semantics.  Every caller's OUTPUT is identical across all three
+    regimes (oracle-checked); only the plan changes."""
+    rows = (
+        df.groupBy(F.xxhash64(F.col(col)).alias("__h"))
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .filter(F.col("__c") >= 2)
+        .select("__h")
+        .limit(_HYBRID_DUP_CAP + 1)
+        .collect()
+    )
+    if len(rows) > _HYBRID_DUP_CAP:
+        return None
+    return [r["__h"] for r in rows]
+
+
+def _content_groups(
+    df: DataFrame, content: str, id_col: str, dup_hashes: list | None
+):
+    """reps/mg builder shared by the text pair generators (r14): returns
+    ``reps`` — one row of (``id_col``, ``content``) per DISTINCT content,
+    id = min id over the content's rows — and ``mg``, the persisted
+    (__rep, __ids) frame for contents with ≥ 2 rows, which is the ONLY
+    part of the grouping the output expansion needs (singleton expansion
+    is the identity; callers apply it via coalesce-to-self, so the
+    corpus-sized singleton tail never enters an expansion join).
+
+    ``dup_hashes=None`` → FULL regime (the r13 decomposition): one
+    ``groupBy`` over the whole content column — the content shuffle IS
+    the useful work on a duplicate-heavy corpus.  A short list → HYBRID
+    regime (nearly-distinct corpus): duplicated rows are isolated with
+    two map-only literal-IN filters on ``xxhash64(content)`` — no
+    content shuffle at all; only the duplicate mass is grouped, and
+    globally-unique rows pass through as their own reps.  A colliding
+    unrelated content pulled in by the filter is separated by the real
+    content key inside the grouping — output identical in both regimes
+    (see :func:`_dup_content_hashes`)."""
+    if dup_hashes is None:
+        groups = track_persist(
+            df.groupBy(F.col(content).alias("__content")).agg(
+                F.min(F.col(id_col)).alias("__rep"),
+                F.collect_list(F.col(id_col)).alias("__ids"),
+            )
+        )
+        reps = groups.select(
+            F.col("__rep").alias(id_col), F.col("__content").alias(content)
+        )
+        mg = groups.filter(F.size("__ids") >= 2).select("__rep", "__ids")
+        return reps, mg
+    h = F.xxhash64(F.col(content))
+    mg_all = track_persist(
+        df.filter(h.isin(dup_hashes))
+        .groupBy(F.col(content).alias("__content"))
+        .agg(
+            F.min(F.col(id_col)).alias("__rep"),
+            F.collect_list(F.col(id_col)).alias("__ids"),
+        )
+    )
+    reps = (
+        df.filter(~h.isin(dup_hashes))
+        .select(F.col(id_col), F.col(content))
+        .unionByName(
+            mg_all.select(
+                F.col("__rep").alias(id_col), F.col("__content").alias(content)
+            )
+        )
+    )
+    mg = mg_all.filter(F.size("__ids") >= 2).select("__rep", "__ids")
+    return reps, mg
 
 
 def _spread(df: DataFrame) -> DataFrame:
@@ -272,27 +349,22 @@ def containment_pairs(
     normalization so size_a stays doc_a's size.
     ``content_distinct`` follows the family contract (see
     :func:`jaccard_pairs`): ``None`` self-decides via the
-    :func:`_all_distinct` probe, skipping group+expand when the corpus
-    is provably duplicate-free; ``True`` asserts it; ``False`` pins the
-    full decomposition.
+    :func:`_dup_content_hashes` probe into the same three regimes
+    (duplicate-free skip / nearly-distinct hybrid / full grouping);
+    ``True`` asserts distinctness; ``False`` pins the full
+    decomposition.
 
     Returns (doc_a, doc_b, size_a, size_b, n_common, containment),
     doc_a < doc_b; the contained side is the one with the smaller size."""
+    dup_hashes = None
     if content_distinct is None:
-        content_distinct = _all_distinct(df, text_col)
+        dup_hashes = _dup_content_hashes(df, text_col)
+        content_distinct = dup_hashes == []
     if content_distinct:
-        groups = None
+        mg = None
         reps = df
     else:
-        groups = track_persist(
-            df.groupBy(F.col(text_col).alias("__content")).agg(
-                F.min(F.col(id_col)).alias("__rep"),
-                F.collect_list(F.col(id_col)).alias("__ids"),
-            )
-        )
-        reps = groups.select(
-            F.col("__rep").alias(id_col), F.col("__content").alias(text_col)
-        )
+        reps, mg = _content_groups(df, text_col, id_col, dup_hashes)
     idx = _shingle_index(reps, text_col, id_col, k)
     pairs, sizes = _bucketed_pair_counts(idx, max_shingle_df, with_sizes=True)
     cont = F.col("n_common") / F.least(F.col("size_a"), F.col("size_b"))
@@ -307,22 +379,28 @@ def containment_pairs(
         # are already doc_a < doc_b) and the intra tail is empty
         return rep_out
     swap = F.col("__ia") > F.col("__ib")
+    # LEFT joins against the MULTI-group frame only, coalesce-to-self for
+    # singleton reps (their expansion is the identity): the join input
+    # tracks duplicate mass, never corpus size (r14)
     cross = (
         rep_out.join(
-            groups.select(
+            mg.select(
                 F.col("__rep").alias("doc_a"), F.col("__ids").alias("__ids_a")
             ),
             "doc_a",
+            "left",
         )
         .join(
-            groups.select(
+            mg.select(
                 F.col("__rep").alias("doc_b"), F.col("__ids").alias("__ids_b")
             ),
             "doc_b",
+            "left",
         )
         .select(
-            F.explode("__ids_a").alias("__ia"),
-            "__ids_b", "size_a", "size_b", "n_common", "containment",
+            F.explode(F.coalesce("__ids_a", F.array("doc_a"))).alias("__ia"),
+            F.coalesce("__ids_b", F.array("doc_b")).alias("__ids_b"),
+            "size_a", "size_b", "n_common", "containment",
         )
         .select(
             "__ia", F.explode("__ids_b").alias("__ib"),
@@ -339,8 +417,7 @@ def containment_pairs(
         .filter(F.col("doc_a") != F.col("doc_b"))
     )
     intra = (
-        groups.filter(F.size("__ids") >= 2)
-        .join(sizes.select(F.col("doc").alias("__rep"), "set_size"), "__rep")
+        mg.join(sizes.select(F.col("doc").alias("__rep"), "set_size"), "__rep")
         .filter(F.lit(1.0) >= F.lit(threshold))
         .select(F.explode("__ids").alias("doc_a"), "__ids", "set_size")
         .select("doc_a", F.explode("__ids").alias("doc_b"), "set_size")
@@ -417,12 +494,18 @@ def jaccard_pairs(
     it silently reverts to the OLD duplicate-squaring behavior — only
     set it when distinctness is structurally guaranteed.
     ``content_distinct=None`` (the default, r14) SELF-DECIDES with the
-    one-aggregate :func:`_all_distinct` probe: a mostly-unique corpus —
-    also a real corpus shape — no longer pays the group+expand stages
-    just to prove they were the identity (the r13 bench regression),
-    while any duplicate mass keeps the full decomposition.  The probe
-    is an eager 8-byte-per-row aggregate; output is identical on both
-    branches.  Pass an explicit bool to pin the plan.
+    one-action :func:`_dup_content_hashes` probe into THREE regimes —
+    duplicate-free: skip group+expand outright (they are the identity;
+    the r13 form paid them as pure fixed cost, the r13 bench
+    regression); nearly-distinct (≤ :data:`_HYBRID_DUP_CAP` duplicated
+    contents — also a real corpus shape, e.g. a pre-deduped refresh):
+    group ONLY the duplicated rows via literal-IN filters on the content
+    hash, so no full-content shuffle happens and the expansion joins
+    carry only the duplicate mass; duplicate-heavy: the full r13
+    grouping, where the content shuffle is the useful work.  The probe
+    is one eager 8-byte-per-row aggregation; output is identical in all
+    three regimes.  Pass an explicit bool to pin the plan (``False`` =
+    full grouping, ``True`` = asserted-distinct skip).
 
     Cache lifetime: the scale path persists the bucketed index (it feeds
     two subplans) and cannot unpersist it before the caller's action runs;
@@ -431,21 +514,15 @@ def jaccard_pairs(
     the index to storage and read it back — the 100 TB form.
     """
     content = tokens_col or text_col
+    dup_hashes = None
     if content_distinct is None:
-        content_distinct = _all_distinct(df, content)
+        dup_hashes = _dup_content_hashes(df, content)
+        content_distinct = dup_hashes == []
     if content_distinct:
-        groups = None
+        mg = None
         reps = df
     else:
-        groups = track_persist(
-            df.groupBy(F.col(content).alias("__content")).agg(
-                F.min(F.col(id_col)).alias("__rep"),
-                F.collect_list(F.col(id_col)).alias("__ids"),
-            )
-        )
-        reps = groups.select(
-            F.col("__rep").alias(id_col), F.col("__content").alias(content)
-        )
+        reps, mg = _content_groups(df, content, id_col, dup_hashes)
     idx = _shingle_index(reps, text_col, id_col, k, tokens_col=tokens_col)
     if max_shingle_df is None:
         # Bucketed candidate generation (the same one-shuffle trick as
@@ -486,21 +563,31 @@ def jaccard_pairs(
     if content_distinct:
         return rep_out
     # expand rep pairs back through both id lists (scores carry verbatim —
-    # jaccard/n_common are symmetric, so least/greatest needs no swap)
+    # jaccard/n_common are symmetric, so least/greatest needs no swap).
+    # LEFT joins against the MULTI-group frame only, with coalesce-to-self
+    # for singleton reps (their expansion is the identity): the join input
+    # tracks duplicate mass, never corpus size (r14)
     cross = (
         rep_out.join(
-            groups.select(
+            mg.select(
                 F.col("__rep").alias("doc_a"), F.col("__ids").alias("__ids_a")
             ),
             "doc_a",
+            "left",
         )
         .join(
-            groups.select(
+            mg.select(
                 F.col("__rep").alias("doc_b"), F.col("__ids").alias("__ids_b")
             ),
             "doc_b",
+            "left",
         )
-        .select(F.explode("__ids_a").alias("__ia"), "__ids_b", "n_common", "jaccard")
+        .select(
+            F.explode(F.coalesce("__ids_a", F.array("doc_a"))).alias("__ia"),
+            F.coalesce("__ids_b", F.array("doc_b")).alias("__ids_b"),
+            "n_common",
+            "jaccard",
+        )
         .select("__ia", F.explode("__ids_b").alias("__ib"), "n_common", "jaccard")
         .select(
             F.least("__ia", "__ib").alias("doc_a"),
@@ -514,8 +601,7 @@ def jaccard_pairs(
     # (the inner join drops reps whose every shingle fell to the cap or
     # who have < k tokens — exactly the old path's no-row outcome)
     intra = (
-        groups.filter(F.size("__ids") >= 2)
-        .join(
+        mg.join(
             sizes.select(F.col("doc").alias("__rep"), "set_size"), "__rep"
         )
         .filter(F.lit(1.0) >= F.lit(threshold))
@@ -1464,31 +1550,30 @@ def minhash_lsh_pairs(
 
     ``content_distinct`` follows the family contract (see
     :func:`jaccard_pairs`): ``None`` (default) self-decides with the
-    one-aggregate :func:`_all_distinct` probe — a duplicate-free corpus
-    skips the grouping shuffle, the groups persist and both expansion
-    stages outright, because they are provably the identity there;
-    ``True`` asserts upstream distinctness; ``False`` pins the full
-    decomposition.
+    one-action :func:`_dup_content_hashes` probe into three regimes —
+    duplicate-free (skip group+expand outright: they are provably the
+    identity), nearly-distinct (group ONLY the duplicated rows via
+    literal-IN hash filters — no full-content shuffle), and
+    duplicate-heavy (the full r13 grouping, whose content shuffle
+    replaces the ``_spread`` move and shrinks everything downstream by
+    the duplicate factor); ``True`` asserts upstream distinctness;
+    ``False`` pins the full decomposition.
     """
+    dup_hashes = None
     if content_distinct is None:
-        content_distinct = _all_distinct(df, text_col)
+        dup_hashes = _dup_content_hashes(df, text_col)
+        content_distinct = dup_hashes == []
     if content_distinct:
-        groups = None
+        mg = None
         reps = df.select(F.col(id_col), F.col(text_col))
     else:
-        # one id-list row per DISTINCT text; the group key is the text value
-        # itself (the kernel path shuffles every text once through _spread
-        # anyway, so the grouping shuffle replaces — not adds to — that move,
-        # and everything downstream shrinks by the duplicate factor)
-        groups = track_persist(
-            df.groupBy(F.col(text_col).alias("__text")).agg(
-                F.min(F.col(id_col)).alias("__rep"),
-                F.collect_list(F.col(id_col)).alias("__ids"),
-            )
-        )
-        reps = groups.select(
-            F.col("__rep").alias(id_col), F.col("__text").alias(text_col)
-        )
+        # one id-list row per DISTINCT text; in the FULL regime the group
+        # key is the text value itself (the kernel path shuffles every
+        # text once through _spread anyway, so the grouping shuffle
+        # replaces — not adds to — that move, and everything downstream
+        # shrinks by the duplicate factor); the HYBRID regime isolates
+        # duplicated rows map-side instead
+        reps, mg = _content_groups(df, text_col, id_col, dup_hashes)
     # Band hashes come MAP-SIDE from the Arrow numpy kernel (bit-identical
     # to the explode→groupBy minhash_signatures path — pytested), which
     # ELIMINATES the signature-aggregation shuffle entirely: the only
@@ -1546,22 +1631,29 @@ def minhash_lsh_pairs(
         # singleton groups: expansion is the identity, the intra tail empty
         return rep_pairs
     # expand rep pairs back through both id lists (copies share the reps'
-    # shingle sets, so n_common/jaccard carry verbatim)
+    # shingle sets, so n_common/jaccard carry verbatim).  LEFT joins
+    # against the MULTI-group frame only, coalesce-to-self for singleton
+    # reps: the join input tracks duplicate mass, never corpus size (r14)
     cross = (
         rep_pairs.join(
-            groups.select(
+            mg.select(
                 F.col("__rep").alias("doc_a"), F.col("__ids").alias("__ids_a")
             ),
             "doc_a",
+            "left",
         )
         .join(
-            groups.select(
+            mg.select(
                 F.col("__rep").alias("doc_b"), F.col("__ids").alias("__ids_b")
             ),
             "doc_b",
+            "left",
         )
         .select(
-            F.explode("__ids_a").alias("__ia"), "__ids_b", "n_common", "jaccard"
+            F.explode(F.coalesce("__ids_a", F.array("doc_a"))).alias("__ia"),
+            F.coalesce("__ids_b", F.array("doc_b")).alias("__ids_b"),
+            "n_common",
+            "jaccard",
         )
         .select("__ia", F.explode("__ids_b").alias("__ib"), "n_common", "jaccard")
         .select(
@@ -1580,8 +1672,7 @@ def minhash_lsh_pairs(
     # is a singleton, and joining those just to discard them in the
     # doc_a < doc_b filter is a wasted corpus-sized join (review r13).
     intra = (
-        groups.filter(F.size("__ids") >= 2)
-        .join(
+        mg.join(
             sets.select(F.col("doc").alias("__rep"), F.size("sh").alias("__n")),
             "__rep",
         )

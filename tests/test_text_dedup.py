@@ -958,3 +958,81 @@ def test_jaccard_and_containment_heavy_duplicate_group(spark):
     # the contained side (the copies) is the smaller set: sizes must
     # track the ids through the least/greatest normalization
     assert r.size_a < r.size_b and r.n_common == r.size_a
+
+
+def _sorted_rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_three_regime_decomposition_identical_output(spark, monkeypatch):
+    """r14 rework pin: the pair generators self-decide between three
+    plans — duplicate-free skip, nearly-distinct HYBRID (group only the
+    duplicated rows via literal hash filters), and the full r13 content
+    grouping — and all three must emit byte-identical pairs.  The
+    corpus has duplicate mass (hybrid fires by default), the full plan
+    is pinned via ``content_distinct=False``, and the probe's
+    over-cap fallback (``_dup_content_hashes`` → None) is forced by
+    shrinking ``_HYBRID_DUP_CAP`` to 0 so the None branch is the one
+    exercised end to end, not just the pinned bool."""
+    rows = [
+        (1, "alpha beta gamma delta epsilon zeta eta theta"),
+        (2, "alpha beta gamma delta epsilon zeta eta theta"),
+        (3, "alpha beta gamma delta epsilon zeta eta theta"),
+        (4, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+        (5, "one two three four five six seven eight nine ten"),
+        (6, "one two three four five six seven eight nine ten"),
+        (7, "totally unrelated words about parquet file compaction sizes"),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+
+    for fn, kw in (
+        (DD.jaccard_pairs, {"threshold": 0.5}),
+        (DD.containment_pairs, {"threshold": 0.9}),
+        (DD.minhash_lsh_pairs, {"threshold": 0.5}),
+    ):
+        hybrid = _sorted_rows(fn(docs, **kw))
+        full = _sorted_rows(fn(docs, content_distinct=False, **kw))
+        assert hybrid == full, f"{fn.__name__}: hybrid != full"
+        assert hybrid, f"{fn.__name__}: duplicate corpus must emit pairs"
+        monkeypatch.setattr(DD, "_HYBRID_DUP_CAP", 0)
+        over_cap = _sorted_rows(fn(docs, **kw))
+        monkeypatch.undo()
+        assert over_cap == full, f"{fn.__name__}: over-cap probe != full"
+
+
+def test_probe_regimes_and_collision_safety(spark, monkeypatch):
+    """The probe itself: [] on a distinct corpus (skip regime), the
+    duplicated hashes on a mixed corpus, None past the cap; and the
+    hybrid grouping separates hash-colliding DIFFERENT contents by the
+    real content key (forced by routing ALL rows through the grouped
+    side with a fake all-hashes dup list)."""
+    distinct = spark.createDataFrame(
+        [(1, "aa"), (2, "bb"), (3, "cc")], ["doc_id", "text"]
+    )
+    assert DD._dup_content_hashes(distinct, "text") == []
+
+    mixed = spark.createDataFrame(
+        [(1, "aa"), (2, "aa"), (3, "bb"), (4, "cc"), (5, "cc")],
+        ["doc_id", "text"],
+    )
+    got = DD._dup_content_hashes(mixed, "text")
+    assert got is not None and len(got) == 2
+
+    monkeypatch.setattr(DD, "_HYBRID_DUP_CAP", 1)
+    assert DD._dup_content_hashes(mixed, "text") is None
+    monkeypatch.undo()
+
+    # collision safety: pretend EVERY hash is duplicated — unrelated
+    # contents all enter the grouped side and must come out as separate
+    # singleton reps (mg carries only the true duplicate groups)
+    all_hashes = [
+        r[0]
+        for r in mixed.select(
+            DD.F.xxhash64(DD.F.col("text")).alias("h")
+        ).collect()
+    ]
+    reps, mg = DD._content_groups(mixed, "text", "doc_id", all_hashes)
+    rep_rows = sorted(tuple(r) for r in reps.collect())
+    assert rep_rows == [(1, "aa"), (3, "bb"), (4, "cc")]
+    mg_rows = sorted((r["__rep"], sorted(r["__ids"])) for r in mg.collect())
+    assert mg_rows == [(1, [1, 2]), (4, [4, 5])]
