@@ -334,7 +334,22 @@ def trim_by_quantile(
     (group-cardinality rows), and the trim itself is a map-only filter —
     at 100 TB the whole operation costs one summary-sized aggregate plus
     one pass.  Rows with NULL ``value_col`` are dropped (no quantile
-    membership), matching the histogram's NULL policy."""
+    membership), matching the histogram's NULL policy.
+
+    ``scored`` is PERSISTED here (r14, guide §5/§2.4): it feeds BOTH the
+    histogram branch and the trim filter, and Spark re-evaluates an
+    unpersisted subtree per branch — for the quality-score caller that
+    meant the whole regex-tokenizer expression tree ran FOUR times (the
+    pushed ``isnotnull`` filter re-derives the full expression, then the
+    projection computes it again — on each of the two document scans).
+    The cache is the narrow scored projection, not corpus text; cache
+    lifetime follows the ``unigram_logprob`` contract — one-shot callers
+    ``clearCache()`` between queries (bench.py does) or
+    ``caching.release_operator_caches()``; at 100 TB stage the scored
+    frame to storage and trim from the staged copy instead."""
+    from stateful_spark_streaming_spark.caching import track_persist
+
+    scored = track_persist(scored)
     hist = fixed_width_histogram(
         scored, F.col(value_col), group_cols, n_bins, scale
     )
@@ -366,12 +381,21 @@ def bucketize_by_quantile(
     is a map-only pass, the standard feature-bucketing shape for model
     inputs at 100 TB.  Resolution is the bin width: rows within one bin
     share a bucket (bucket POPULATIONS are approximately equal, exactly
-    as equal as the histogram can see).  NULL values get NULL buckets."""
+    as equal as the histogram can see).  NULL values get NULL buckets.
+
+    ``scored`` is PERSISTED here for the same reason as
+    :func:`trim_by_quantile` (r14): it feeds both the histogram branch
+    and the bucket-assignment pass, and the unpersisted subtree was
+    re-evaluated per branch (4× the quality expression tree for the
+    deciles caller).  Same cache-lifetime contract."""
     if n_buckets > 100:
         # threshold columns are named at percent granularity
         # (histogram_quantiles' p{q//(scale//100)}); finer bucketing
         # would collide names — and needs n_bins > 100 to resolve anyway
         raise ValueError("bucketize_by_quantile supports n_buckets <= 100")
+    from stateful_spark_streaming_spark.caching import track_persist
+
+    scored = track_persist(scored)
     hist = fixed_width_histogram(
         scored, F.col(value_col), group_cols, n_bins, scale
     )

@@ -500,3 +500,31 @@ def test_bucketize_by_quantile_populations_and_nulls(spark):
     # threshold edge at this config: p10 resolves to the 0.09 bin's lower
     # edge, so v=0.09 sits in bucket 1 (>=) and v=0.08 in bucket 0
     assert got[9] == 1 and got[8] == 0
+
+
+def test_quantile_operators_evaluate_scored_subtree_once(spark):
+    """r14 optimization pin: trim_by_quantile / bucketize_by_quantile
+    PERSIST their input so the scored subtree feeds both the histogram
+    branch and the row-pass from ONE evaluation.  Before the persist,
+    the quality-score caller's regex-tokenizer expression tree ran 4×
+    (pushed isnotnull filter + projection, on each of two scans) —
+    plans/r14/quality_{trim,deciles}_{before,after}.txt hold the full
+    before/after.  Pin the plan shape: both branches must read an
+    InMemoryTableScan of the same cached relation."""
+    from stateful_spark_streaming_spark.operators.stats import (
+        bucketize_by_quantile,
+        trim_by_quantile,
+    )
+
+    rows = [(i, "s", round((i % 97) / 100.0, 4)) for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, v double")
+    for out in (
+        trim_by_quantile(df, "v", ("source",), q_bp=2_500),
+        bucketize_by_quantile(df, "v", ("source",), n_buckets=10),
+    ):
+        plan = out._sc._jvm.PythonSQLUtils.explainString(
+            out._jdf.queryExecution(), "formatted"
+        )
+        # threshold branch + row branch both read the cache
+        assert plan.count("InMemoryTableScan") >= 2, plan
+    spark.catalog.clearCache()
