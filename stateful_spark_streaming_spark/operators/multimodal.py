@@ -336,12 +336,20 @@ def image_ahash(images: DataFrame, grid: int = 8) -> DataFrame:
                     hashes.append(None)
                     nset.append(0)
                     continue
-                px = decode_ppm(blob).astype(np.int64)
+                px = decode_ppm(blob)
                 h, w, _ = px.shape
-                luma = px.sum(axis=2) // 3
                 ys = (np.arange(g) * h) // g
                 xs = (np.arange(g) * w) // g
-                patch = luma[np.ix_(ys, xs)]
+                # r14 (guide §4.2): sample FIRST, then compute luma on the
+                # g×g patch — sampling commutes with the elementwise
+                # (r+g+b)//3, so this is bit-identical to the full-image
+                # luma pass it replaces while cutting the per-image
+                # arithmetic from O(w·h·3) int64 (astype copied the whole
+                # image) to O(g²).  Numpy microbench (OPTIMIZATION_r14.md):
+                # 3.8× at the test corpus's 96×72, 211× at 512×512, ~9400×
+                # at 2000×3000 — at real image sizes the full-image luma
+                # pass WAS the hash tier's arithmetic.
+                patch = px[np.ix_(ys, xs)].astype(np.int64).sum(axis=2) // 3
                 mu = int(patch.sum()) // (g * g)
                 bits = (patch > mu).flatten()  # row-major: pos = j*g + i
                 hashes.append("".join("1" if b else "0" for b in bits))
