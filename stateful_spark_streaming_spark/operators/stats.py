@@ -85,13 +85,29 @@ def fixed_width_histogram(
     with its exact count — the partial-aggregatable shape (map-side
     combine collapses each task to ≤ ``groups × n_bins`` rows before the
     single exchange, so the shuffle is summary-sized regardless of input
-    rows).  NULL values are dropped, matching SQL aggregate semantics."""
+    rows).  NULL values are dropped, matching SQL aggregate semantics.
+
+    NULL bins are dropped AFTER the aggregate, from a PERSISTED counts
+    frame (r14).  The old pre-agg ``bin IS NOT NULL`` filter was pushed
+    below the projection, where Catalyst re-derives the ENTIRE value
+    expression inside the Filter and then computes it again in the
+    Project — 2× the quality-score regex tree per row for the
+    quality_histogram / quality_quantiles callers
+    (plans/r14/quality_histogram_{before,after}.txt).  A plain post-agg
+    filter does NOT fix it: predicates on grouping keys are pushed back
+    through the Aggregate and the alias substitution re-derives the
+    expression all the same — the persist is the materialization
+    barrier, and it is SUMMARY-sized (≤ ``groups × (n_bins+1)`` rows),
+    so the cache cost is nil at any corpus scale.  Cache lifetime: the
+    ``track_persist`` contract (one-shot callers ``clearCache()``
+    between queries — bench.py does; long-lived callers
+    ``caching.release_operator_caches()``)."""
+    from stateful_spark_streaming_spark.caching import track_persist
+
     binned = df.select(*group_cols, scaled_bin(value, n_bins, scale).alias("bin"))
-    counts = (
-        binned.filter(F.col("bin").isNotNull())
-        .groupBy(*group_cols, "bin")
-        .agg(F.count(F.lit(1)).alias("n"))
-    )
+    counts = track_persist(
+        binned.groupBy(*group_cols, "bin").agg(F.count(F.lit(1)).alias("n"))
+    ).filter(F.col("bin").isNotNull())
     return histogram_finalize(counts, n_bins, scale)
 
 

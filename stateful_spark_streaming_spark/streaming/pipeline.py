@@ -2000,16 +2000,33 @@ def run_streaming_quality_histogram(
     stream = _stage_parquet_stream(spark, documents_path, max_files_per_trigger)
 
     def _sink(bdf: DataFrame, batch_id: int) -> None:
-        part = (
+        # NULL bins drop AFTER the aggregate, from a persisted counts
+        # frame (r14, same defect as batch fixed_width_histogram): the
+        # old pre-agg filter was pushed below the projection and
+        # re-derived the whole quality-score expression per row, 2× per
+        # micro-batch.  The persist is summary-sized (≤ groups ×
+        # (n_bins+1) rows) and released right after the write, so a
+        # long-running stream never accumulates cache.
+        counts = (
             quality_score(bdf, keep_cols=(group_col,))
-            .select(group_col, scaled_bin(F.col("quality_score"), n_bins, scale).alias("bin"))
-            .filter(F.col("bin").isNotNull())
+            .select(
+                group_col,
+                scaled_bin(F.col("quality_score"), n_bins, scale).alias("bin"),
+            )
             .groupBy(group_col, "bin")
             .agg(F.count(F.lit(1)).alias("n"))
+            .persist()
         )
-        part.withColumn("_batch_id", F.lit(batch_id)).coalesce(1).write.mode(
-            "append"
-        ).parquet(out_dir)
+        try:
+            (
+                counts.filter(F.col("bin").isNotNull())
+                .withColumn("_batch_id", F.lit(batch_id))
+                .coalesce(1)
+                .write.mode("append")
+                .parquet(out_dir)
+            )
+        finally:
+            counts.unpersist()
 
     q = (
         stream.writeStream.foreachBatch(_sink)

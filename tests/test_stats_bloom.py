@@ -528,3 +528,41 @@ def test_quantile_operators_evaluate_scored_subtree_once(spark):
         # threshold branch + row branch both read the cache
         assert plan.count("InMemoryTableScan") >= 2, plan
     spark.catalog.clearCache()
+
+
+def test_histogram_null_filter_does_not_rederive_value_expression(spark):
+    """r14 optimization pin (session 4): fixed_width_histogram drops
+    NULL bins AFTER the aggregate, from a persisted summary-sized counts
+    frame.  The old pre-agg ``bin IS NOT NULL`` filter was pushed below
+    the projection, where Catalyst re-derived the ENTIRE value
+    expression inside the Filter and computed it again in the Project —
+    2× the quality-score regex tree per row for the quality_histogram /
+    quality_quantiles callers
+    (plans/r14/quality_histogram_{before,after}.txt; same-process A/B:
+    ~2× on the histogram, ~1.4× on the quantiles).  A plain post-agg
+    filter does NOT fix it — grouping-key predicates push back through
+    the Aggregate — so the pin is on the plan: no Filter condition may
+    re-derive the tokenizer expression, and the NULL-scored row must
+    still be dropped from the counts."""
+    from stateful_spark_streaming_spark.operators.text import quality_score
+
+    rows = [(i, f"tok{i} some words here", "s") for i in range(50)] + [
+        (99, None, "s")
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    scored = quality_score(df, keep_cols=("source",))
+    hist = fixed_width_histogram(
+        scored, F.col("quality_score"), ("source",), n_bins=20
+    )
+    plan = hist._sc._jvm.PythonSQLUtils.explainString(
+        hist._jdf.queryExecution(), "formatted"
+    )
+    conditions = [
+        line
+        for line in plan.splitlines()
+        if line.strip().startswith("Condition :")
+    ]
+    assert not any("regexp_replace" in c for c in conditions), plan
+    # NULL text → NULL score → NULL bin: still excluded from every count
+    assert sum(r["n"] for r in hist.collect()) == 50
+    spark.catalog.clearCache()
