@@ -454,15 +454,26 @@ def bigram_occurrence_counts(
 ) -> DataFrame:
     """Compact (doc_id, w1, w2, c) bigram counts — one tokenizer pass,
     slice/zip bigram expansion, per-doc aggregation.  Docs with < 2
-    tokens emit nothing (no bigram exists)."""
+    tokens emit nothing (no bigram exists).
+
+    The < 2-token drop is encoded in the slice LENGTH, not a filter
+    (r14): ``greatest(size(t)-1, 0)`` makes short docs yield empty (or
+    NULL, for NULL text) zip arrays, which ``explode`` emits nothing
+    for — row-for-row the old ``filter(size(t) >= 2)`` semantics.  The
+    filter form re-derived the whole tokenizer expression inside the
+    pushed Filter and again in the projection (2× per row, the same
+    Catalyst duplication class as the r14 histogram fix); the slice
+    form evaluates it once, in the projection, where within-operator
+    subexpression elimination shares it across all four slice/size
+    references."""
     t = tokens(F.col(text_col))
+    n1 = F.greatest(F.size(t) - 1, F.lit(0))
     pairs = F.arrays_zip(
-        F.slice(t, 1, F.size(t) - 1).alias("w1"),
-        F.slice(t, 2, F.size(t) - 1).alias("w2"),
+        F.slice(t, 1, n1).alias("w1"),
+        F.slice(t, 2, n1).alias("w2"),
     )
     return (
-        df.filter(F.size(t) >= 2)
-        .select(F.col(id_col).alias("doc_id"), F.explode(pairs).alias("p"))
+        df.select(F.col(id_col).alias("doc_id"), F.explode(pairs).alias("p"))
         .select("doc_id", F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
         .groupBy("doc_id", "w1", "w2")
         .agg(F.count("*").alias("c"))

@@ -2510,6 +2510,7 @@ def _training_pipeline_chain(
     eval_df: DataFrame | None = None,
     decon_k: int = 5,
     persist_tokens: bool = False,
+    persist_quality: bool = True,
 ) -> DataFrame:
     """Shared corpus-build chain: quality/lang filter → [decontaminate] →
     exact dedup → near-dup cluster reps → 64/16 chunking → 90/10 split.
@@ -2518,7 +2519,20 @@ def _training_pipeline_chain(
     additionally caches the tokenized base so each stage reads the cache
     instead of re-deriving — profitable only when the raw-text scan +
     tokenizer dominate the cache round-trip (100 TB yes, sf0.1 no; see
-    q_training_pipeline)."""
+    q_training_pipeline).
+
+    ``persist_quality`` (r14, default ON) caches the NARROW
+    (doc_id, quality_score) frame instead: the ``filtered`` subtree is
+    re-expanded by every downstream branch (decon shingles + anti-join,
+    exact-dedup, the jaccard pair side, chunking, hash split), and
+    without the cache EACH branch carries a pushed
+    ``quality_score >= 0.55`` filter that re-derives the whole scoring
+    regex tree below its projection — the r14 plan audit counted the
+    expression in 4 Filter conditions for ``training_pipeline`` and 12
+    for ``training_pipeline_full`` (each paired with a Project
+    re-computation).  Unlike the token-array persist this cache is 16
+    bytes/row, the guide-§8 "decide with small rows" shape — at 100 TB
+    stage it to storage instead.  Same track_persist lifetime contract."""
     base = docs.select(
         "doc_id", "lang", "text", TXT.tokens(F.col("text")).alias("__toks")
     )
@@ -2534,6 +2548,10 @@ def _training_pipeline_chain(
     q = TXT.quality_score(base, tokens_col="__toks").select(
         "doc_id", "quality_score"
     )
+    if persist_quality:
+        from stateful_spark_streaming_spark.caching import track_persist
+
+        q = track_persist(q)
     filtered = base.join(q, "doc_id").filter(
         (F.col("lang") != "zh") & (F.col("quality_score") >= 0.55)
     )

@@ -788,6 +788,59 @@ def test_training_pipeline_chain_persisted_equals_default(spark, sf_dir):
     )
     spark.catalog.clearCache()
     assert a == b and len(a) > 0
+    # persist_quality=False (the pre-r14 plan: every downstream branch
+    # re-derives the quality tree in a pushed filter) must also be
+    # row-identical — the cache changes the plan, never the rows
+    c = sorted(
+        tuple(r)
+        for r in _training_pipeline_chain(tr, ev, persist_quality=False).collect()
+    )
+    spark.catalog.clearCache()
+    assert a == c
+
+
+def test_training_chain_quality_tree_not_rederived_in_filters(spark, sf_dir):
+    """r14 optimization pin (session 4): the chain caches the NARROW
+    (doc_id, quality_score) frame, so no downstream branch's pushed
+    ``quality_score >= 0.55`` filter re-derives the scoring regex tree —
+    the pre-fix plans carried it in 4 (training_pipeline) / 12
+    (training_pipeline_full) Filter conditions, each paired with a
+    Project re-computation (plans/r14/training_pipeline*_{before,after}).
+    Same pin for bigram_occurrence_counts: the < 2-token drop moved from
+    a pushed filter into the slice length, so no Filter condition
+    tokenizes."""
+    from pyspark.sql import functions as F
+
+    from stateful_spark_streaming_spark.operators.text import (
+        bigram_occurrence_counts,
+    )
+    from stateful_spark_streaming_spark.queries_catalog import (
+        _training_pipeline_chain,
+    )
+    from stateful_spark_streaming_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    ev = docs.filter(F.col("doc_id") % 97 == 0)
+    tr = docs.filter(F.col("doc_id") % 97 != 0)
+    # build each frame INSIDE the loop: the chains persist at build time,
+    # and the per-iteration clearCache would evict a pre-built sibling's
+    # cache before its explain (cache substitution then silently skips)
+    for builder in (
+        lambda: _training_pipeline_chain(docs),
+        lambda: _training_pipeline_chain(tr, eval_df=ev),
+        lambda: bigram_occurrence_counts(docs),
+    ):
+        out = builder()
+        plan = out._sc._jvm.PythonSQLUtils.explainString(
+            out._jdf.queryExecution(), "formatted"
+        )
+        conditions = [
+            line
+            for line in plan.splitlines()
+            if line.strip().startswith("Condition :")
+        ]
+        assert not any("regexp_replace" in c for c in conditions), plan
+        spark.catalog.clearCache()
 
 
 def test_bigram_logprob_hand_mle(spark):
