@@ -1123,8 +1123,10 @@ def remove_dup_spans(
 
     Scale shape: all stages are linear in corpus tokens — the span list
     (no pair enumeration, see dup_ngram_spans), position explosion
-    bounded by removed-span length, and a token-level anti join + per-doc
-    ordered reassembly.  No stage is quadratic in anything.  The
+    bounded by removed-span length, and a per-row array reassembly
+    against a dup-mass-sized per-doc cut-position array (the corpus
+    token arrays are never exploded or shuffled; see the inline guide-§8
+    note).  No stage is quadratic in anything.  The
     first-occurrence pick is deliberately NOT a window over ``span_text``
     (window partitions are exempt from AQE skew splitting — a corpus-wide
     boilerplate block would make one hot task; VERDICT r5): it is a
@@ -1148,13 +1150,14 @@ def remove_dup_spans(
     toks = df.select(F.col(id_col).alias("doc_id"), tok_expr.alias("__toks"))
     if persist_tokens:
         toks = track_persist(toks)
-    # spans-cardinality frames (one row per duplicated span / removed
-    # position — proportional to DUP content, not the corpus): persisted
-    # because each is consumed twice (sptext by the min-struct aggregate
-    # and the join-back; cut by the anti join and the n_removed count) —
-    # without the cache the whole span tail re-evaluates 4×.  Same
-    # lifetime contract as the gram index: clearCache between queries, or
-    # caching.release_operator_caches() in a long-lived session.
+    # spans-cardinality frame (one row per duplicated span — proportional
+    # to DUP content, not the corpus): persisted because it is consumed
+    # twice (the min-struct aggregate and the join-back) — without the
+    # cache the whole span tail re-evaluates.  The downstream cut-position
+    # frame is consumed exactly once (the single reassembly join), so it
+    # carries no pin.  Same lifetime contract as the gram index:
+    # clearCache between queries, or caching.release_operator_caches() in
+    # a long-lived session.
     sptext = (
         spans.join(toks, "doc_id")
         .withColumn(
@@ -1172,7 +1175,21 @@ def remove_dup_spans(
     first = sptext.groupBy("span_text").agg(
         F.min(F.struct("doc_id", "span_start")).alias("__keep")
     )
-    cut = (
+    # Cut DECISIONS are dup-mass-sized; corpus tokens must not shuffle to
+    # apply them (guide-§8 shape: decide with small rows, move big rows
+    # once — here the big rows move ZERO times).  The former tail exploded
+    # every corpus token and shuffled the explosion TWICE (anti join on
+    # (doc_id, pos), then groupBy(doc_id) + collect_list re-assembly);
+    # instead the distinct cut positions aggregate to ONE array per
+    # affected doc (collect_set: partial-aggregatable ObjectHashAggregate,
+    # bounded per group by that doc's token count) and the re-assembly is
+    # per-row JVM array math on the un-exploded token array: array_except
+    # (hash-set membership, left-operand order preserved, O(n+m)) keeps
+    # the surviving positions, element lookup rebuilds the text.  The only
+    # corpus-sized join input is `toks` against the dup-mass-sized
+    # `cut_arr` — broadcast when small, one array-row shuffle at worst,
+    # versus two exploded-token shuffles before.
+    cut_arr = (
         sptext.join(first, "span_text")
         .filter(
             (F.col("doc_id") != F.col("__keep.doc_id"))
@@ -1182,32 +1199,27 @@ def remove_dup_spans(
             "doc_id",
             F.explode(F.sequence("span_start", "span_end")).alias("pos"),
         )
-        .distinct()
+        .groupBy("doc_id")
+        .agg(F.collect_set("pos").alias("__cut"))
     )
-    cut = track_persist(cut)
-    tp = toks.select(
+    # a doc with a non-null __cut has >= 1 gram, hence size(__toks) >= k
+    # >= 1 — the sequence below never sees an empty array (whose
+    # sequence(0, -1) would be [0, -1], not [])
+    kept_pos = F.array_except(
+        F.sequence(F.lit(0), F.size("__toks") - F.lit(1)), F.col("__cut")
+    )
+    rebuilt = F.array_join(
+        F.transform(kept_pos, lambda p: F.get(F.col("__toks"), p)), " "
+    )
+    return toks.join(cut_arr, "doc_id", "left").select(
         "doc_id",
-        F.posexplode(F.col("__toks")).alias("pos", "tok"),
-    )
-    kept = tp.join(cut, ["doc_id", "pos"], "left_anti")
-    rebuilt = kept.groupBy("doc_id").agg(
-        F.array_join(
-            F.array_sort(F.collect_list(F.struct("pos", "tok"))).getField("tok"), " "
-        ).alias("clean_text"),
-    )
-    # n_removed = per-doc count of cut positions (every cut position IS a
-    # valid token position of its doc) — counting from the tiny cut frame
-    # instead of re-exploding the whole corpus a second time
-    n_rem = cut.groupBy("doc_id").agg(F.count("*").alias("__rem"))
-    return (
-        df.select(F.col(id_col).alias("doc_id"))
-        .join(rebuilt, "doc_id", "left")
-        .join(n_rem, "doc_id", "left")
-        .select(
-            "doc_id",
-            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
-            F.coalesce("__rem", F.lit(0)).cast("int").alias("n_removed"),
-        )
+        F.when(F.col("__toks").isNull(), F.lit(""))
+        .when(F.col("__cut").isNull(), F.array_join("__toks", " "))
+        .otherwise(rebuilt)
+        .alias("clean_text"),
+        # every cut position IS a valid token position of its doc, so
+        # n_removed is just the cut-set size
+        F.coalesce(F.size("__cut"), F.lit(0)).cast("int").alias("n_removed"),
     )
 
 

@@ -687,6 +687,41 @@ def test_remove_dup_spans_partial_overlap_groups_by_exact_text(spark):
     assert out[7].n_removed == 0
 
 
+def test_remove_dup_spans_reassembly_never_explodes_corpus_tokens(spark):
+    """Pins the r14 reassembly tail (guide-§8 shape): cut decisions apply
+    to the UN-exploded token arrays, so the physical plan must carry no
+    posexplode-based positional re-assembly and no collect_list rebuild —
+    the only generator left is the span→position sequence explode on the
+    dup-mass-sized side.  Semantics pin alongside: overlapping duplicated
+    spans count each covered position once (the former ``.distinct()``,
+    now ``collect_set``)."""
+    shared = "one two three four five six seven"
+    df = spark.createDataFrame(
+        [
+            Row(doc_id=1, text=f"{shared} unique closing words here"),
+            # back-to-back occurrences: doc 2's duplicated grams merge into
+            # ONE maximal span covering both copies (14 tokens)
+            Row(doc_id=2, text=f"lead in filler {shared} {shared} ending"),
+            Row(doc_id=3, text=shared),
+        ]
+    )
+    out_df = DD.remove_dup_spans(df, k=5)
+    plan = out_df._sc._jvm.PythonSQLUtils.explainString(
+        out_df._jdf.queryExecution(), "formatted"
+    )
+    assert "PosExplode" not in plan, "corpus tokens must not be exploded"
+    assert "collect_list" not in plan, "no exploded-token re-assembly"
+    assert "collect_set" in plan, "cut positions aggregate to per-doc sets"
+    out = {r.doc_id: r for r in out_df.collect()}
+    # doc 1 owns the span (min doc_id); docs 2 and 3 lose every covered
+    # position exactly once despite gram-level overlap inside doc 2
+    assert out[1].n_removed == 0
+    assert out[2].n_removed == 14
+    assert out[2].clean_text == "lead in filler ending"
+    assert out[3].n_removed == 7 and out[3].clean_text == ""
+    spark.catalog.clearCache()
+
+
 def test_corpus_report_hand_computed(spark):
     df = spark.createDataFrame(
         [

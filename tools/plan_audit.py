@@ -432,10 +432,11 @@ MAX_SCANS = {
     # the gram-position kernel is persisted: parquet scanned once, the
     # count / semi-join branches read the cache
     "dup_ngram_spans": 1,
-    # kernel scan + the __toks slice scan + the positional re-assembly
-    # scan + the final id ride-through scan; the span-cardinality sptext /
-    # cut frames are persisted so the span tail is never re-derived
-    "remove_dup_spans": 4,
+    # kernel scan + the __toks slice scan + the reassembly-join scan; the
+    # span-cardinality sptext frame is persisted so the span tail is never
+    # re-derived, and the r14 array-reassembly tail removed the fourth
+    # (positional re-assembly) scan along with both exploded-token shuffles
+    "remove_dup_spans": 3,
     # persisted (doc, w1, w2, c) frame: corpus tokenized once, cache
     # reused by the bigram-vocab / history / scoring branches
     "bigram_logprob": 1,
