@@ -827,7 +827,15 @@ def bloom_prune(
     # `from __future__ import annotations` + function-local pandas import
     # would leave inline hints unresolvable for pandas_udf's inference
     _probe_fn.__annotations__ = {"pos": pd.Series, "return": pd.Series}
-    _probe = pandas_udf(_probe_fn, "boolean")
+    # asNondeterministic stops the optimizer COPYING the probe across an
+    # equi-join on key_col (InferFiltersFromJoin): decontaminate_bloom's
+    # verify semi-join otherwise gains an inferred Python probe pass over
+    # the EVAL side — the side the bitmap was built FROM, where every row
+    # passes by construction (pure cost, zero selectivity).  The probe is
+    # genuinely deterministic; the marker only pins it where it is
+    # written, which is already its only useful position (directly above
+    # the opaque shingle kernel — nothing can push below that anyway).
+    _probe = pandas_udf(_probe_fn, "boolean").asNondeterministic()
 
     pos_col = F.array(
         *[
@@ -926,8 +934,16 @@ def ngram_overlap_score(
 
     Returns (doc_id, n_shingles, n_hit, overlap_bp) — all-integer so the
     DuckDB oracle is exact: ``overlap_bp = 10000 * n_hit div n_shingles``.
+
+    The eval shingle index feeds BOTH the broadcast dictionary and the
+    final scoring join; without a pin the eval-side Arrow kernel runs
+    twice (one logical node, two physical expansions — visible as two
+    MapInPandas nodes sharing a result id).  It is persisted because the
+    cache is bounded by the SAME assumption that lets ``ev_dict``
+    broadcast: the eval side is the small side.  Usual lifetime contract
+    (clearCache between queries / release_operator_caches).
     """
-    ev = _shingle_index(eval_df, text_col, id_col, k)
+    ev = track_persist(_shingle_index(eval_df, text_col, id_col, k))
     ev_dict = ev.select("shingle").distinct()
     tr_hit = (
         _shingle_index(train, text_col, id_col, k, tokens_col=tokens_col)

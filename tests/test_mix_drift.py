@@ -127,6 +127,21 @@ def test_ngram_overlap_duplicate_shingles_count_once(spark):
     assert (r["n_shingles"], r["n_hit"], r["overlap_bp"]) == (3, 3, 10000)
 
 
+def test_ngram_overlap_eval_kernel_evaluates_once(spark):
+    """r14 optimization pin (session 5): the eval shingle index feeds
+    both the broadcast dictionary and the scoring join — it must be
+    persisted so the eval-side Arrow kernel runs once (both consumers
+    read the cache), not re-expanded per branch."""
+    train = spark.createDataFrame([(10, "a b c d e")], "doc_id long, text string")
+    ev = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    out = ngram_overlap_score(train, ev, k=3)
+    plan = out._sc._jvm.PythonSQLUtils.explainString(
+        out._jdf.queryExecution(), "formatted"
+    )
+    assert plan.count("InMemoryTableScan") >= 2, plan
+    spark.catalog.clearCache()
+
+
 # ---------------------------------------------------------------------------
 # source_drift
 # ---------------------------------------------------------------------------

@@ -269,6 +269,26 @@ def test_decontaminate_bloom_parity(spark):
     assert dict(want)[1] and dict(want)[4] and not dict(want)[2]
 
 
+def test_bloom_probe_not_copied_across_verify_join(spark):
+    """r14 optimization pin (session 5): the Arrow bloom probe is marked
+    non-deterministic so InferFiltersFromJoin cannot copy it across the
+    verify semi-join onto the EVAL side — the side the bitmap is built
+    FROM, where every row passes by construction (the guide-§4.4
+    duplicated-UDF class, here duplicated by join-key inference instead
+    of filter pushdown).  Exactly ONE Python probe node may appear in
+    the whole plan."""
+    tr, ev = _corpus(spark)
+    out = decontaminate_bloom(tr, ev, k=5)
+    plan = out._sc._jvm.PythonSQLUtils.explainString(
+        out._jdf.queryExecution(), "formatted"
+    )
+    import re
+
+    # the formatted dump names each node twice (tree line + details
+    # header) — count the details headers only
+    assert len(re.findall(r"\(\d+\) ArrowEvalPython", plan)) == 1, plan
+
+
 def test_decontaminate_bloom_parity_under_forced_collisions(spark):
     # a 64-bit bloom with 2 hashes over dozens of shingles saturates —
     # nearly every probe is a false positive — yet the exact verify join
