@@ -4183,25 +4183,28 @@ def q_streaming_merge_upsert_bucketed(spark: SparkSession, sf_dir: str) -> DataF
     """The key-hash BUCKETED merge layout (round 9's 100 TB knob), now
     oracle-gated instead of pytest-only (VERDICT r9 #4).  Same oracle as
     streaming_merge_upsert: the standing table lives partitioned by
-    __bucket = pmod(xxhash64(key), 128) and the feed exercises BOTH swap
-    strategies — the two full change batches exceed full_rewrite_frac and
-    take the full-image fallback (in the bucketed layout), then a third
-    batch replays a small slice of batch 2 (o_orderkey % 600 == 0, ~25
-    keys at sf0.01) whose keys hash into a strict subset of buckets, so
-    the scoped bucket-swap path runs end-to-end.  The replay slice is a
-    NO-OP on the final state by the per-row seq watermark (idempotent
-    application), which is exactly why the oracle can be shared verbatim:
-    the bucketed run must converge to the same merged image the
-    single-image form produces.
+    __bucket = pmod(xxhash64(key), n_buckets) and the feed replays the
+    two full change batches plus a third batch that re-sends a small
+    slice of batch 2 (o_orderkey % 600 == 0) — a NO-OP on the final
+    state by the per-row seq watermark (idempotent application), which
+    is exactly why the oracle can be shared verbatim: the bucketed run
+    must converge to the same merged image the single-image form
+    produces.
 
-    n_buckets=128 is deliberately NOT small-file-optimal for a ~2.5 MB
-    test table (SCALE.md's r12 guidance: size table/n_buckets to tens of
-    MB in production; measured nb=32 runs this query ~2x faster): it is
-    the smallest count where the %600 slice (250 keys at sf0.1) still
-    touches a strict subset of buckets (108/128 = 0.84 < frac 0.9) at
-    BOTH gate SFs — smaller counts silently route batch 3 through the
-    full-image fallback and the scoped swap path stops being exercised.
-    Mechanism coverage wins over bench seconds here."""
+    n_buckets="auto" (r15, VERDICT r14 #3): the layout SELF-SIZES from
+    the base table's bytes via merge_bucket_count — the same
+    scale-adaptive rule production would use (64 MB/bucket, floor 8) —
+    instead of the r14 constant 128 that was held only so batch 3 would
+    exercise the scoped bucket-swap path inside this gate query
+    (measured ~2× the runtime at test SF on 128-dir writes/renames).
+    That mechanism coverage moved to
+    tests/test_merge.py::test_streaming_merge_bucketed_gate_shape_scoped_swap,
+    which pins the gate feed's exact 3-batch shape at n_buckets=128 with
+    inode-level untouched-bucket assertions (plus the pre-existing
+    scoped-swap/crash/skew pins there).  At the resolved floor (8
+    buckets at a ~2.5 MB base) every batch legitimately takes the
+    full-image fallback in the bucketed layout — the layout, the swap
+    protocol and the oracle parity stay exercised here."""
     import os as _os
     import tempfile as _tf
 
@@ -4226,7 +4229,7 @@ def q_streaming_merge_upsert_bucketed(spark: SparkSession, sf_dir: str) -> DataF
         _os.utime(dst, (1_000_000_000 + i * 100, 1_000_000_000 + i * 100))
     return run_streaming_merge_upsert(
         spark, base_path, ch_dir, ("o_orderkey",), seq_col="seq", op_col="op",
-        n_buckets=128, full_rewrite_frac=0.9,
+        n_buckets="auto",
     )
 
 

@@ -36,6 +36,7 @@ import json
 import os
 import tempfile
 import threading
+from contextlib import contextmanager
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
@@ -178,10 +179,17 @@ class ParquetSnapshotSink:
             .parquet(self.log_dir)
         )
         self.batches_seen += 1
-        self._register()
+        # register per batch only when something READS the view mid-stream
+        # (the show console path).  Registration re-lists both dirs and
+        # re-reads their footers to rebuild the merged plan — ~2 driver
+        # round-trips per trigger that no one consumes during a headless
+        # replay; ``query()`` (and any direct reader) registers on demand,
+        # so the view is never stale when actually read (guide §1.2: don't
+        # compute things you throw away).
         if self.show:
             import datetime
 
+            self._register()
             print(f"========= {self.view_name} {datetime.datetime.now()} =========")
             self.spark.sql(self.sql).show()
 
@@ -769,6 +777,45 @@ def _swallow(fn) -> None:
         pass
 
 
+_NO_DATA_CONF = "spark.sql.streaming.noDataMicroBatches.enabled"
+
+
+@contextmanager
+def _without_no_data_batches(spark: SparkSession):
+    """Skip the trailing NO-DATA micro-batch for a replay whose OUTPUT
+    provably does not depend on it.
+
+    When a query carries a watermark, advancing it after the last data
+    batch makes the engine run one more (empty) trigger purely to evict
+    expired state — a full batch cycle (planning + state commit across
+    every partition + offset/commit log writes) that measured ~40 % of a
+    bounded stream-stream replay.  For an availableNow replay the engine
+    stops right after, so the eviction work is thrown away with the
+    checkpoint.
+
+    ONLY valid where the no-data batch cannot EMIT anything:
+    - ``dropDuplicatesWithinWatermark`` + append sink — retained rows are
+      emitted in the data batch that first carries them; eviction emits
+      nothing.
+    - INNER stream-stream joins — a pair is emitted in the data batch
+      where its second side arrives; eviction emits nothing.
+
+    NEVER for: outer joins (null-matched rows are emitted BY the no-data
+    batch), append-mode aggregations/session windows (window finalization
+    emits there), or stateful folds with processing-time timeouts (timers
+    fire there).  Callers opt in per stream; the conf is snapshotted and
+    pinned back so neighbors never inherit it."""
+    old = spark.conf.get(_NO_DATA_CONF, None)
+    spark.conf.set(_NO_DATA_CONF, "false")
+    try:
+        yield
+    finally:
+        if old is None:
+            spark.conf.unset(_NO_DATA_CONF)
+        else:
+            spark.conf.set(_NO_DATA_CONF, old)
+
+
 def _stage_parquet_stream(
     spark: SparkSession,
     path: str,
@@ -948,15 +995,19 @@ def run_streaming_dedup(
             .dropDuplicatesWithinWatermark(list(keys))
             .select(*keys)
         )
-        q = (
-            deduped.writeStream.outputMode("append")
-            .format("parquet")
-            .option("path", out_dir)
-            .option("checkpointLocation", checkpoint_dir)
-            .trigger(availableNow=True)
-            .start()
-        )
-        _await_or_die(q)
+        # append-mode dedup emits each retained row in the data batch that
+        # first carries it; the trailing no-data batch only evicts expired
+        # key state (output-identical without it — see the helper)
+        with _without_no_data_batches(spark):
+            q = (
+                deduped.writeStream.outputMode("append")
+                .format("parquet")
+                .option("path", out_dir)
+                .option("checkpointLocation", checkpoint_dir)
+                .trigger(availableNow=True)
+                .start()
+            )
+            _await_or_die(q)
         return spark.read.parquet(out_dir)
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old_sp)
@@ -2877,17 +2928,29 @@ def run_streaming_incremental_agg(
             # write no tombstone into the old partition) — its live dir
             # must RETIRE, or the moved key exists physically in both
             # partitions and every later merge double-counts it.
-            from urllib.parse import unquote, urlparse
+            #
+            # groups_immutable SKIPS this scan+collect outright: with no
+            # group moves possible, no partition can be vacated — every
+            # affected group is a group of some batch row, and the merge
+            # output carries at least that batch row's image (deletes
+            # leave tombstones), so staging always covers every affected
+            # live dir and the retire set is empty BY CONSTRUCTION.  One
+            # pruned scan + driver action per batch saved (guide §1.2),
+            # consistent with this mode's O(batch) cost declaration.
+            if groups_immutable:
+                live_rels = set()
+            else:
+                from urllib.parse import unquote, urlparse
 
-            tbl_abs = os.path.abspath(table_dir)
-            live_rels = set()
-            for (fname,) in (
-                cur.filter(pred).select(F.input_file_name()).distinct().collect()
-            ):
-                p = unquote(urlparse(fname).path)
-                rel = os.path.relpath(os.path.dirname(p), tbl_abs)
-                if not rel.startswith(".."):
-                    live_rels.add(rel)
+                tbl_abs = os.path.abspath(table_dir)
+                live_rels = set()
+                for (fname,) in (
+                    cur.filter(pred).select(F.input_file_name()).distinct().collect()
+                ):
+                    p = unquote(urlparse(fname).path)
+                    rel = os.path.relpath(os.path.dirname(p), tbl_abs)
+                    if not rel.startswith(".."):
+                        live_rels.add(rel)
             # COLLAPSE to one row per key (max __seq) before the merge:
             # a crash mid-partition-swap on a group-MOVING batch leaves
             # the table mixed — the moved key's OLD row (resurrected
@@ -3525,15 +3588,24 @@ def run_streaming_event_pairs(
         pairs = a.join(b, cond, how).select(
             "user_id", "id_a", "id_b", gap.alias("gap_ms")
         )
-        q = (
-            pairs.writeStream.outputMode("append")
-            .format("parquet")
-            .option("path", out_dir)
-            .option("checkpointLocation", checkpoint_dir)
-            .trigger(availableNow=True)
-            .start()
-        )
-        _await_or_die(q)
+        from contextlib import nullcontext
+
+        # INNER joins emit every pair in the data batch where its second
+        # side arrives — the trailing no-data batch only evicts buffered
+        # state (output-identical without it; measured ~0.9 s of a ~2.5 s
+        # bounded replay).  OUTER joins EMIT null-matched rows from that
+        # batch when the watermark passes their horizon — they keep it.
+        ctx = _without_no_data_batches(spark) if how == "inner" else nullcontext()
+        with ctx:
+            q = (
+                pairs.writeStream.outputMode("append")
+                .format("parquet")
+                .option("path", out_dir)
+                .option("checkpointLocation", checkpoint_dir)
+                .trigger(availableNow=True)
+                .start()
+            )
+            _await_or_die(q)
         global _last_join_progress
         _last_join_progress = [p for p in q.recentProgress]
         return spark.read.parquet(out_dir)

@@ -1731,6 +1731,111 @@ def test_merge_bucket_count_sizing_rule():
     assert merge_bucket_count(1 << 50) == 4096              # cap
 
 
+def test_streaming_merge_bucketed_gate_shape_scoped_swap(spark, tmp_path):
+    """The r14 gate query's 3-batch shape at n_buckets=128 — the coverage
+    the bucketed gate query used to force with a hand-held constant, now
+    pinned HERE so the query can self-size (r15, VERDICT r14 #3).
+
+    Feed: two full change batches (touch > full_rewrite_frac of the
+    buckets → full-image fallback in the bucketed layout), then a third
+    batch replaying a small slice of batch 2 — a seq-watermark NO-OP on
+    the final state whose keys hash into a strict subset of buckets, so
+    the scoped bucket-swap path must run end-to-end.  Pins, at inode
+    level: batch 3 rewrites ONLY its keys' buckets; the replay changes
+    no rows; and the bucketed result equals the single-image runner's
+    on the identical feed."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from stateful_spark_streaming_spark.streaming.pipeline import (
+        run_streaming_merge_upsert,
+    )
+
+    NB, FRAC = 128, 0.9
+    base = spark.createDataFrame(
+        [(k, float(k)) for k in range(2000)], "k long, v double"
+    )
+    b0 = spark.createDataFrame(
+        [(k, k + 0.5, 1, "U") for k in range(0, 2000, 2)],
+        "k long, v double, seq int, op string",
+    )
+    b1 = spark.createDataFrame(
+        [(k, k + 0.25, 2, "U") for k in range(0, 2000, 3)]
+        + [(k, 0.0, 2, "D") for k in range(1, 2000, 500)],
+        "k long, v double, seq int, op string",
+    )
+    slice_keys = list(range(0, 2000, 300))  # ⊂ b1's %3 keys, ~7 buckets
+    b2 = spark.createDataFrame(
+        [(k, k + 0.25, 2, "U") for k in slice_keys],
+        "k long, v double, seq int, op string",
+    )
+    base_path = str(tmp_path / "base")
+    base.write.parquet(base_path)
+
+    # single-image reference on the identical feed
+    ref_dir = tmp_path / "ref"
+    ref_dir.mkdir()
+    ref = run_streaming_merge_upsert(
+        spark, base_path, _write_change_batches(ref_dir, (b0, b1, b2)),
+        ("k",), checkpoint_dir=str(ref_dir / "ck"),
+    )
+    want = sorted(map(tuple, ref.select("k", "v").collect()))
+
+    # bucketed run in two stages so batch-3's swap is observable: replay
+    # b0+b1 first, snapshot every bucket dir's inodes, then land b2 on
+    # the SAME checkpoint and re-run
+    bk = tmp_path / "bk"
+    bk.mkdir()
+    ch_dir = _write_change_batches(bk, (b0, b1))
+    table_dir = str(bk / "ck") + "_table"
+    out1 = run_streaming_merge_upsert(
+        spark, base_path, ch_dir, ("k",), checkpoint_dir=str(bk / "ck"),
+        n_buckets=NB, full_rewrite_frac=FRAC,
+    )
+    mid = sorted(map(tuple, out1.select("k", "v").collect()))
+    snap = {}
+    for d in os.listdir(table_dir):
+        if d.startswith("__bucket="):
+            sub = os.path.join(table_dir, d)
+            snap[d] = {
+                f: os.stat(os.path.join(sub, f)).st_ino for f in os.listdir(sub)
+            }
+    assert len(snap) > 100, "full batches did not materialize the 128-bucket layout"
+
+    seg = str(bk / "wseg_b2")
+    b2.coalesce(1).write.parquet(seg)
+    part = [f for f in os.listdir(seg) if f.endswith(".parquet")][0]
+    dst = os.path.join(ch_dir, "batch-2.parquet")
+    os.rename(os.path.join(seg, part), dst)
+    os.utime(dst, (1_000_000_300,) * 2)
+    out2 = run_streaming_merge_upsert(
+        spark, base_path, ch_dir, ("k",), checkpoint_dir=str(bk / "ck"),
+        n_buckets=NB, full_rewrite_frac=FRAC,
+    )
+    got = sorted(map(tuple, out2.select("k", "v").collect()))
+    assert got == mid, "seq-watermark replay slice must be a state no-op"
+    assert got == want, "bucketed result diverged from the single-image form"
+
+    expect_buckets = {
+        f"__bucket={r['b']}"
+        for r in spark.createDataFrame([(k,) for k in slice_keys], "k long")
+        .select(F.pmod(F.xxhash64("k"), F.lit(NB)).alias("b"))
+        .collect()
+    }
+    assert len(expect_buckets) < FRAC * NB, "slice no longer scoped-swap shaped"
+    moved = []
+    for d, files in snap.items():
+        sub = os.path.join(table_dir, d)
+        now = {f: os.stat(os.path.join(sub, f)).st_ino for f in os.listdir(sub)}
+        if now != files:
+            moved.append(d)
+    assert sorted(moved) == sorted(expect_buckets), (
+        f"batch 3 took the wrong swap path: rewrote {sorted(moved)}, "
+        f"expected exactly the slice's buckets {sorted(expect_buckets)}"
+    )
+
+
 def test_streaming_merge_auto_buckets(spark, tmp_path):
     """n_buckets='auto' resolves from base-table bytes (floor=8 at test
     SF), records the RESOLVED int in the layout marker, and produces the
